@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.emf.{EmfParser, EmfPlanner}
+
+/** CLI: run MF/EMF spec queries against the testdata `sales_view`.
+  *
+  * The Spark-native equivalent of the reference's
+  * `AdhocQueryProcessor.main` + generated `QueryProcessorN.main`
+  * (reference `src/AdhocQueryProcessor.java:688-693`), minus the Swing
+  * file chooser and the compile-the-generated-Java step: parse → plan →
+  * execute happen in one process on Catalyst plans.
+  *
+  * Usage: EmfRun <specFile> [sfDir] [--explain]
+  */
+object EmfRun {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: EmfRun <specFile> [sfDir] [--explain]")
+    val specFile = args(0)
+    val sfDir = args.drop(1).find(!_.startsWith("--"))
+      .getOrElse("/root/testdata/sf0.001")
+    val explain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-emf")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(specFile)), "UTF-8")
+    val fact = Tables.salesView(spark, sfDir)
+    val queries = EmfParser.parseAll(text, fact.columns.toSet)
+    queries.zipWithIndex.foreach { case (q, i) =>
+      println(s"=== query ${i + 1}: select ${q.select.mkString(",")}")
+      val df = EmfPlanner.plan(q, fact)
+      if (explain) df.explain("formatted")
+      df.show(20, truncate = false)
+      println(s"Total Records: ${df.count()}")
+    }
+    spark.stop()
+  }
+}

@@ -1,13 +1,41 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.emf.GoldenQueries
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in [[queries]] with a matching key in [[oracleSql]] is
+  * hash-compared against DuckDB by the driver (sf0.01). Column names must
+  * match the oracle exactly; results are explicitly ordered.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * The reference's whole runtime pipeline in one plan (SURVEY.md §7.1):
+    * scan → filter-free conditional hash agg → having-filter. */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
+    li.groupBy(col("l_orderkey"))
+      .agg(
+        avg(when(col("l_returnflag") === "R", col("l_quantity"))).as("avg_q_R"),
+        avg(when(col("l_returnflag") === "A", col("l_quantity"))).as("avg_q_A"),
+        avg(when(col("l_returnflag") === "N", col("l_quantity"))).as("avg_q_N"))
+      .filter(col("avg_q_R") > col("avg_q_A") || col("avg_q_R") > col("avg_q_N"))
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emf_q1" -> (GoldenQueries.run(1) _),
+    "emf_q2" -> (GoldenQueries.run(2) _),
+    "emf_q3" -> (GoldenQueries.run(3) _),
+    "emf_q4" -> (GoldenQueries.run(4) _),
+    "emf_q5" -> (GoldenQueries.run(5) _),
+    "emf_q6" -> (GoldenQueries.run(6) _),
+  )
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] = GoldenQueries.oracle
 }

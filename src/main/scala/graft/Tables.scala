@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated testdata tables (TESTDATA.md /
+  * FIXTURES.md). One parquet file per table under `\$dir`.
+  *
+  * All loads are plain `spark.read.parquet` so Catalyst keeps full
+  * pushdown/pruning freedom; at cluster scale the same paths would point at
+  * partitioned directories and nothing here changes.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  /** The reference-schema fixture (FIXTURES.md §2): the reference engine's
+    * single `sales(cust, prod, day, month, year, state, quant)` table
+    * (schema hard-coded at reference `src/AdhocQueryProcessor.java:267-273`),
+    * re-derived from the TPC-H-ish star schema.
+    *
+    * Dimension sides (`customer`, `part`, `nation`) are explicitly
+    * broadcast — they are orders of magnitude smaller than `lineitem` at
+    * every scale factor, so the only shuffle left is the lineitem⋈orders
+    * join (AQE picks broadcast for that too at small SF).
+    *
+    * NOTE `quant` uses FLOOR before the int cast: Spark's ANSI double→int
+    * cast truncates while DuckDB's rounds; FLOOR on both sides makes the
+    * oracle agree (data is integer-valued anyway — verified 1..50).
+    *
+    * `state` is the SUPPLIER's nation (not the customer's): each customer
+    * belongs to one nation, so customer-side state would make the corpus
+    * queries degenerate (every cross-state aggregate NULL); supplier-side
+    * gives each customer purchases across many states, as in the paper's
+    * examples.
+    */
+  def salesView(s: SparkSession, d: String): DataFrame = {
+    val l = lineitem(s, d)
+    val o = orders(s, d)
+    val c = customer(s, d)
+    val p = part(s, d)
+    val su = supplier(s, d)
+    val n = nation(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+      .select(
+        c("c_name").as("cust"),
+        p("p_brand").as("prod"),
+        dayofmonth(o("o_orderdate")).as("day"),
+        month(o("o_orderdate")).as("month"),
+        year(o("o_orderdate")).as("year"),
+        n("n_name").as("state"),
+        floor(l("l_quantity")).cast("int").as("quant"))
+  }
+
+  /** DuckDB-side equivalent of [[salesView]], for embedding in oracle SQL
+    * as a CTE. Must stay semantically identical to the Spark build above. */
+  val salesViewSql: String =
+    """SELECT c.c_name AS cust, p.p_brand AS prod,
+      | EXTRACT(day FROM o.o_orderdate) AS day,
+      | EXTRACT(month FROM o.o_orderdate) AS month,
+      | EXTRACT(year FROM o.o_orderdate) AS year,
+      | n.n_name AS state,
+      | CAST(FLOOR(l.l_quantity) AS INT) AS quant
+      |FROM lineitem l
+      |JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |JOIN customer c ON o.o_custkey = c.c_custkey
+      |JOIN part p ON l.l_partkey = p.p_partkey
+      |JOIN supplier su ON l.l_suppkey = su.s_suppkey
+      |JOIN nation n ON su.s_nationkey = n.n_nationkey""".stripMargin
+}

@@ -1,0 +1,191 @@
+package graft.emf
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Lowers an [[EmfQuery]] onto DataFrame plans.
+  *
+  * The reference evaluates MF queries with n+1 sequential scans where
+  * scans 1..n are O(|R|·|MF|) nested loops (reference
+  * `src/QueryProcessor1.java:113-302`). We classify each grouping variable
+  * and pick the cheapest Spark shape instead:
+  *
+  *  - '''SIMPLE''' — membership is equality on ALL grouping attributes and
+  *    no other variable's aggregate is referenced → folded into the single
+  *    scan-0 `groupBy(G).agg(f(when(tuplePreds, col)))`. One shuffle for
+  *    the whole set of simple variables, map-side partial aggregation,
+  *    whole-stage codegen. (Corpus queries 1 and 5 become ONE hash agg.)
+  *
+  *  - '''DEPENDENT''' — anything else (equality on a subset of G, order /
+  *    inequality membership, references to other variables' aggregates) →
+  *    one `join + filter + groupBy(G) + left-join-back` pass per variable,
+  *    in dependency-DAG order. Equality conditions are written as join
+  *    keys so Catalyst plans a shuffled hash / broadcast join (never the
+  *    reference's nested loop unless the condition set is truly θ-only).
+  *
+  * At 100 TB the scan-0 aggregation shuffles on G once; each dependent
+  * pass shuffles the fact table on its equality key subset — the same
+  * partitioning a hand-written MD-join (Chatziantoniou et al., SIGMOD '99)
+  * would need. The MF frame (one row per group) is small relative to the
+  * fact table and broadcast-joins back for free under AQE.
+  */
+object EmfPlanner {
+
+  /** Plan `q` over the fact table `fact` (e.g. Tables.salesView). */
+  def plan(q: EmfQuery, fact: DataFrame): DataFrame = {
+    val schema = fact.schema
+    val base = q.where.foldLeft(fact)((df, c) => df.filter(tupleCond(c, schema, None)))
+
+    val aggNames = q.aggNames
+    val (simpleVars, depVars) = q.vars.partition(isSimple(_, q, aggNames))
+
+    // ---- scan 0: groups + variable-0 aggregates + all SIMPLE variables
+    val scan0Aggs: Seq[Column] =
+      q.varZero.map(a => aggColumn(a.func, col(a.column)).as(a.name)) ++
+      simpleVars.map { v =>
+        val cond = v.tupleConds.map(tupleCond(_, schema, None))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        aggColumn(v.agg.func, when(cond, col(v.agg.column))).as(v.agg.name)
+      }
+    val grouped = base.groupBy(q.groupAttrs.map(col): _*)
+    var mf: DataFrame =
+      if (scan0Aggs.nonEmpty) grouped.agg(scan0Aggs.head, scan0Aggs.tail: _*)
+      else base.select(q.groupAttrs.map(col): _*).distinct()
+
+    // ---- dependent variables, in dependency order
+    for (v <- topoSort(depVars, aggNames)) {
+      val varAgg = dependentPass(v, mf, base, q, schema)
+      mf = mf.join(varAgg, q.groupAttrs, "left")
+      if (v.agg.func == "count")
+        mf = mf.withColumn(v.agg.name, coalesce(col(v.agg.name), lit(0L)))
+    }
+
+    // ---- HAVING, then project the select list in order
+    val filtered = q.having.fold(mf)(h => mf.filter(havingExpr(h)))
+    filtered.select(q.select.map(col): _*)
+  }
+
+  /** One dependent-variable pass: join MF frame with the fact table on the
+    * variable's defining predicates, aggregate per group, return
+    * G + the variable's aggregate column. */
+  private def dependentPass(v: GroupingVar, mf: DataFrame, base: DataFrame,
+      q: EmfQuery, schema: StructType): DataFrame = {
+    // tuple-vs-literal predicates filter the fact side BEFORE the join —
+    // Catalyst pushes them into the parquet scan
+    val t0 = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
+    val t = t0.alias("t")
+    val m = mf.alias("mf")
+    val joinCond = v.mfConds.map(mfCond(_, schema)).reduce(_ && _)
+    val joined = m.join(t, joinCond, "inner")
+    val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
+    joined.groupBy(gCols: _*)
+      .agg(aggColumn(v.agg.func, col(s"t.${v.agg.column}")).as(v.agg.name))
+  }
+
+  /** SIMPLE ⇔ every MF condition is `tuple.g = MF.g` over a grouping attr,
+    * jointly covering membership by equality on the full G, with no
+    * reference to any aggregate field. */
+  private def isSimple(v: GroupingVar, q: EmfQuery, aggNames: Set[String]): Boolean =
+    v.mfConds.forall {
+      case Cond(TupleCol(a), "=" | "==", MfField(b)) =>
+        a == b && q.groupAttrs.contains(a)
+      case _ => false
+    } && v.dependsOn(aggNames).isEmpty &&
+      // membership must pin every grouping attr, else the variable ranges
+      // wider than its own group (subset-equality → DEPENDENT)
+      q.groupAttrs.forall(g => v.mfConds.exists {
+        case Cond(TupleCol(a), _, MfField(b)) => a == g && b == g
+        case _ => false
+      })
+
+  /** Kahn topological sort of dependent variables on their EMF edges. */
+  private def topoSort(vars: Seq[GroupingVar], aggNames: Set[String]): Seq[GroupingVar] = {
+    val byName = vars.map(v => v.agg.name -> v).toMap
+    val visited = scala.collection.mutable.LinkedHashSet[String]()
+    def visit(v: GroupingVar, path: Set[String]): Unit = {
+      if (visited.contains(v.agg.name)) return
+      require(!path(v.agg.name), s"cyclic EMF dependency at ${v.agg.name}")
+      v.dependsOn(aggNames).foreach { d =>
+        byName.get(d).foreach(visit(_, path + v.agg.name))
+      }
+      visited += v.agg.name
+    }
+    vars.foreach(visit(_, Set.empty))
+    visited.toSeq.map(byName)
+  }
+
+  // ---- expression building -------------------------------------------------
+
+  private def aggColumn(func: String, c: Column): Column = func match {
+    case "sum"   => sum(c)
+    case "avg"   => avg(c)
+    case "min"   => min(c)
+    case "max"   => max(c)
+    case "count" => count(c)
+    case other   => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+  }
+
+  /** tuple-vs-literal condition, optionally qualified with an alias. */
+  private def tupleCond(c: Cond, schema: StructType, qual: Option[String]): Column = {
+    def ref(n: String) = qual.fold(col(n))(a => col(s"$a.$n"))
+    (c.lhs, c.rhs) match {
+      case (TupleCol(a), Lit(raw)) => cmp(ref(a), c.op, typedLit(raw, a, schema))
+      case (Lit(raw), TupleCol(a)) => cmp(typedLit(raw, a, schema), c.op, ref(a))
+      case _ => throw new IllegalArgumentException(s"not a tuple condition: $c")
+    }
+  }
+
+  /** MF condition inside a dependent join: TupleCol → fact side ("t"),
+    * MfField → MF frame side ("mf"). */
+  private def mfCond(c: Cond, schema: StructType): Column = {
+    def side(o: Operand, other: Operand): Column = o match {
+      case TupleCol(n) => col(s"t.$n")
+      case MfField(n)  => col(s"mf.$n")
+      case Lit(raw) =>
+        val colName = other match {
+          case TupleCol(n) => n case MfField(n) => n case _ => ""
+        }
+        typedLit(raw, colName, schema)
+    }
+    cmp(side(c.lhs, c.rhs), c.op, side(c.rhs, c.lhs))
+  }
+
+  private def havingExpr(h: HavingExpr): Column = h match {
+    case HavingAnd(l, r) => havingExpr(l) && havingExpr(r)
+    case HavingOr(l, r)  => havingExpr(l) || havingExpr(r)
+    case HavingLeaf(HavingCond(a, op, b)) => cmp(havingOperand(a), op, havingOperand(b))
+  }
+
+  private def havingOperand(o: Operand): Column = o match {
+    case MfField(n)  => col(n)
+    case TupleCol(n) => col(n)
+    case Lit(raw)    => lit(parseNum(raw))
+  }
+
+  private def cmp(l: Column, op: String, r: Column): Column = op match {
+    case "=" | "==" => l === r
+    case "!=" | "<>" => l =!= r
+    case "<"  => l < r
+    case ">"  => l > r
+    case "<=" => l <= r
+    case ">=" => l >= r
+    case other => throw new IllegalArgumentException(s"unknown operator '$other'")
+  }
+
+  /** Type a literal against the fact column it is compared with, so e.g.
+    * `{year}[==]{1997}` compares int-to-int (no ANSI string coercion). */
+  private def typedLit(raw: String, colName: String, schema: StructType): Column =
+    schema.find(_.name == colName).map(_.dataType) match {
+      case Some(IntegerType) => lit(raw.toInt)
+      case Some(LongType)    => lit(raw.toLong)
+      case Some(DoubleType)  => lit(raw.toDouble)
+      case Some(FloatType)   => lit(raw.toFloat)
+      case _                 => lit(raw)
+    }
+
+  private def parseNum(raw: String): Any =
+    if (raw.matches("-?\\d+")) raw.toLong
+    else if (raw.matches("-?\\d*\\.\\d+")) raw.toDouble
+    else raw
+}

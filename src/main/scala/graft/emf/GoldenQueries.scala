@@ -1,0 +1,138 @@
+package graft.emf
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.Tables
+
+/** The reference's six-query corpus (`src/Ad_hoc_Input.txt:1-37`),
+  * retargeted at the testdata `sales_view` fixture (FIXTURES.md §2):
+  * NY/CT/NJ → NATION_1/2/3, year 1997 kept (present in the data).
+  *
+  * Divergences from the reference, by design (SURVEY.md §2.3): query 1's
+  * malformed select line is corrected; averages are true doubles with
+  * correct denominators; `min` has no 0-sentinel; HAVING chains are real
+  * conjunctions. The DuckDB oracle SQL below defines the expected
+  * semantics.
+  */
+object GoldenQueries {
+
+  val factCols: Set[String] =
+    Set("cust", "prod", "day", "month", "year", "state", "quant")
+
+  /** Reference corpus in the reference's own spec format (§1.4). */
+  val corpus: String =
+    """cust,avg_quant_NY,avg_quant_CT,avg_quant_NJ
+      |3
+      |cust
+      |avg_quant_NY,avg_quant_CT,avg_quant_NJ
+      |{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NATION_1},{MF.cust.avg_quant_CT}[=]{cust}:{state}[=]{NATION_2},{MF.cust.avg_quant_NJ}[=]{cust}:{state}[=]{NATION_3}
+      |~
+      |prod,month,sum_quant_1,sum_quant_tot
+      |2
+      |prod,month
+      |sum_quant_1,sum_quant_tot
+      |{MF.prod.sum_quant_1}[=]{prod}:{MF.month.sum_quant_1}[=]{month},{MF.prod.sum_quant_tot}[=]{prod},{year}[==]{1997}
+      |~
+      |cust,month,avg_quant,avg_quant_before,avg_quant_after
+      |2
+      |cust,month
+      |avg_quant_before,avg_quant_after
+      |{MF.cust.avg_quant_before}[=]{cust}:{MF.month.avg_quant_before}[<]{month},{MF.cust.avg_quant_after}[=]{cust}:{MF.month.avg_quant_after}[>]{month},{year}[==]{1997}
+      |~
+      |cust,prod,avg_quant_sale,avg_quant_othrcustsale
+      |2
+      |cust,prod
+      |avg_quant_sale,avg_quant_othrcustsale
+      |{MF.cust.avg_quant_sale}[=]{cust}:{MF.prod.avg_quant_sale}[=]{prod},{MF.prod.avg_quant_othrcustsale}[=]{prod}:{MF.cust.avg_quant_othrcustsale}[!=]{cust}
+      |~
+      |cust,avg_quant_NY,avg_quant_CT,avg_quant_NJ
+      |3
+      |cust
+      |avg_quant_NY,avg_quant_CT,avg_quant_NJ
+      |{state}[=]{NATION_1},{state}[=]{NATION_2},{state}[=]{NATION_3},{year}[==]{1997}
+      |{avg_quant_NY,>,avg_quant_CT} [&&] {avg_quant_NY,>,avg_quant_NJ}
+      |~
+      |prod,month,avg_quant_1,count_quant_2
+      |2
+      |prod,month
+      |avg_quant_1,count_quant_2
+      |{MF.prod.avg_quant_1}[=]{prod}:{MF.month.avg_quant_1}[=]{month},{MF.prod.count_quant_2}[=]{prod}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant},{year}[==]{1997}
+      |{MF.count_quant_2,>,0}""".stripMargin
+
+  lazy val parsed: Seq[EmfQuery] = EmfParser.parseAll(corpus, factCols)
+
+  /** Run golden query i (1-based) end-to-end: parse → plan → order. */
+  def run(i: Int)(s: SparkSession, dir: String): DataFrame = {
+    val q = parsed(i - 1)
+    EmfPlanner.plan(q, Tables.salesView(s, dir))
+      .orderBy(q.groupAttrs.map(org.apache.spark.sql.functions.col): _*)
+  }
+
+  private val sales = s"sales AS (${Tables.salesViewSql})"
+
+  /** DuckDB oracle SQL, one per golden query, with column names exactly
+    * matching the Spark output (driver hash-compares after sorting columns
+    * by name). Counts/sums cast to BIGINT (DuckDB sums to HUGEINT). */
+  val oracle: Map[String, String] = Map(
+    "emf_q1" ->
+      s"""WITH $sales
+         |SELECT cust,
+         | avg(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+         | avg(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+         | avg(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+         |FROM sales GROUP BY cust ORDER BY cust""".stripMargin,
+    "emf_q2" ->
+      s"""WITH $sales,
+         | s AS (SELECT * FROM sales WHERE year=1997),
+         | g AS (SELECT prod, month, CAST(sum(quant) AS BIGINT) AS sum_quant_1
+         |       FROM s GROUP BY 1,2),
+         | t AS (SELECT g.prod, g.month,
+         |         CAST(sum(x.quant) AS BIGINT) AS sum_quant_tot
+         |       FROM g JOIN s x ON x.prod = g.prod GROUP BY 1,2)
+         |SELECT g.prod, g.month, g.sum_quant_1, t.sum_quant_tot
+         |FROM g LEFT JOIN t ON g.prod=t.prod AND g.month=t.month
+         |ORDER BY g.prod, g.month""".stripMargin,
+    "emf_q3" ->
+      s"""WITH $sales,
+         | s AS (SELECT * FROM sales WHERE year=1997),
+         | g AS (SELECT cust, month, avg(quant) AS avg_quant FROM s GROUP BY 1,2),
+         | b AS (SELECT g.cust, g.month, avg(x.quant) AS avg_quant_before
+         |       FROM g JOIN s x ON x.cust=g.cust AND x.month < g.month GROUP BY 1,2),
+         | a AS (SELECT g.cust, g.month, avg(x.quant) AS avg_quant_after
+         |       FROM g JOIN s x ON x.cust=g.cust AND x.month > g.month GROUP BY 1,2)
+         |SELECT g.cust, g.month, g.avg_quant, b.avg_quant_before, a.avg_quant_after
+         |FROM g LEFT JOIN b ON g.cust=b.cust AND g.month=b.month
+         |       LEFT JOIN a ON g.cust=a.cust AND g.month=a.month
+         |ORDER BY g.cust, g.month""".stripMargin,
+    "emf_q4" ->
+      s"""WITH $sales,
+         | g AS (SELECT cust, prod, avg(quant) AS avg_quant_sale
+         |       FROM sales GROUP BY 1,2),
+         | o AS (SELECT g.cust, g.prod, avg(x.quant) AS avg_quant_othrcustsale
+         |       FROM g JOIN sales x ON x.prod=g.prod AND x.cust<>g.cust GROUP BY 1,2)
+         |SELECT g.cust, g.prod, g.avg_quant_sale, o.avg_quant_othrcustsale
+         |FROM g LEFT JOIN o ON g.cust=o.cust AND g.prod=o.prod
+         |ORDER BY g.cust, g.prod""".stripMargin,
+    "emf_q5" ->
+      s"""WITH $sales
+         |SELECT * FROM (
+         |  SELECT cust,
+         |   avg(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+         |   avg(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+         |   avg(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+         |  FROM sales WHERE year=1997 GROUP BY cust)
+         |WHERE avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ
+         |ORDER BY cust""".stripMargin,
+    "emf_q6" ->
+      s"""WITH $sales,
+         | s AS (SELECT * FROM sales WHERE year=1997),
+         | g1 AS (SELECT prod, month, avg(quant) AS avg_quant_1 FROM s GROUP BY 1,2),
+         | g2 AS (SELECT x.prod, x.month, count(x.quant) AS count_quant_2
+         |        FROM s x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
+         |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
+         |SELECT g1.prod, g1.month, g1.avg_quant_1,
+         |       COALESCE(g2.count_quant_2, 0) AS count_quant_2
+         |FROM g1 LEFT JOIN g2 ON g1.prod=g2.prod AND g1.month=g2.month
+         |WHERE COALESCE(g2.count_quant_2, 0) > 0
+         |ORDER BY g1.prod, g1.month""".stripMargin,
+  )
+}
