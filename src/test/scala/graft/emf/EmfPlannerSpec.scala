@@ -1,0 +1,128 @@
+package graft.emf
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+
+/** Planner semantics on tiny literal frames, covering exactly the edge
+  * cases the reference engine mishandles (SURVEY.md §2.3 / FIXTURES.md §5):
+  * true min of 0, SQL NULLs, ambiguous concatenated group keys, empty
+  * dependent groups. */
+class EmfPlannerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val cols = Set("cust", "prod", "month", "state", "quant")
+
+  private def sales = Seq(
+    ("AB", "C", 1, "NY", 10),
+    ("AB", "C", 2, "NY", 0),     // true min 0 (reference's 0-sentinel bug)
+    ("AB", "C", 2, "CT", 4),
+    ("A", "BC", 1, "NY", 6),     // ("AB","C") vs ("A","BC"): concat-collision
+    ("Z", "C", 3, "CT", 8)
+  ).toDF("cust", "prod", "month", "state", "quant")
+
+  test("simple variables fold into one conditional hash agg") {
+    val q = EmfParser.parseOne(
+      """cust,min_quant_NY,avg_quant_CT
+        |2
+        |cust
+        |min_quant_NY,avg_quant_CT
+        |{MF.cust.min_quant_NY}[=]{cust}:{state}[=]{NY},{MF.cust.avg_quant_CT}[=]{cust}:{state}[=]{CT}""".stripMargin, cols)
+    val out = EmfPlanner.plan(q, sales).orderBy("cust").collect()
+    // min over NY for AB is the true 0, not the reference's "unset"
+    assert(out.toSeq == Seq(
+      Row("A", 6, null), Row("AB", 0, 4.0), Row("Z", null, 8.0)))
+    // plan shape: no join for simple variables
+    val plan = EmfPlanner.plan(q, sales).queryExecution.optimizedPlan.toString
+    assert(!plan.toLowerCase.contains("join"))
+  }
+
+  test("group keys do not collide (AB,C vs A,BC are distinct groups)") {
+    val q = EmfParser.parseOne(
+      """cust,prod,count_quant_all
+        |1
+        |cust,prod
+        |count_quant_all
+        |{MF.cust.count_quant_all}[=]{cust}:{MF.prod.count_quant_all}[=]{prod}""".stripMargin, cols)
+    val out = EmfPlanner.plan(q, sales)
+    assert(out.count() == 3)
+    val ab = out.filter($"cust" === "AB" && $"prod" === "C").collect()
+    assert(ab.head.getLong(2) == 3L)
+  }
+
+  test("nulls are skipped by aggregates (no 0-coercion)") {
+    val withNull = Seq(
+      ("A", Some(10)), ("A", None), ("B", Some(4))
+    ).toDF("cust", "quant")
+    val q = EmfParser.parseOne(
+      """cust,avg_quant,count_quant
+        |1
+        |cust
+        |count_quant
+        |{MF.cust.count_quant}[=]{cust}""".stripMargin, Set("cust", "quant"))
+    val out = EmfPlanner.plan(q, withNull).orderBy("cust").collect()
+    assert(out(0) == Row("A", 10.0, 1L)) // null skipped in avg AND count
+    assert(out(1) == Row("B", 4.0, 1L))
+  }
+
+  test("dependent variable with empty group: count coalesces to 0, avg stays null") {
+    val q = EmfParser.parseOne(
+      """cust,avg_quant,count_quant_big
+        |1
+        |cust
+        |count_quant_big
+        |{MF.cust.count_quant_big}[=]{cust}:{MF.avg_quant.count_quant_big}[<]{quant}""".stripMargin, cols)
+    // count of tuples with quant > group avg; for a 1-row group that is 0
+    val one = Seq(("X", 5)).toDF("cust", "quant")
+    val out = EmfPlanner.plan(q, one).collect()
+    assert(out.head == Row("X", 5.0, 0L))
+  }
+
+  test("dependent pass equals equivalent SQL join formulation") {
+    sales.createOrReplaceTempView("s_planner_spec")
+    val q = EmfParser.parseOne(
+      """cust,sum_quant_oth
+        |1
+        |cust
+        |sum_quant_oth
+        |{MF.cust.sum_quant_oth}[!=]{cust}""".stripMargin, cols)
+    // sum over OTHER custs' rows — subset-free inequality membership
+    val got = EmfPlanner.plan(q, sales).orderBy("cust")
+    val want = spark.sql(
+      """SELECT g.cust, o.sum_quant_oth
+        |FROM (SELECT DISTINCT cust FROM s_planner_spec) g
+        |LEFT JOIN (
+        |  SELECT g2.cust, sum(t.quant) AS sum_quant_oth
+        |  FROM (SELECT DISTINCT cust FROM s_planner_spec) g2
+        |  JOIN s_planner_spec t ON t.cust <> g2.cust GROUP BY g2.cust) o
+        |USING (cust) ORDER BY cust""".stripMargin)
+    assert(got.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("HAVING filters the MF frame") {
+    val q = EmfParser.parseOne(
+      """cust,sum_quant_a
+        |1
+        |cust
+        |sum_quant_a
+        |{MF.cust.sum_quant_a}[=]{cust}
+        |{MF.sum_quant_a,>,10}""".stripMargin, cols)
+    val out = EmfPlanner.plan(q, sales).collect()
+    assert(out.map(_.getString(0)).toSet == Set("AB"))
+  }
+
+  test("cyclic EMF dependencies are rejected") {
+    val cyc = EmfQuery(
+      Seq("g", "sum_a_x", "sum_b_y"), Seq("g"), Nil,
+      Seq(
+        GroupingVar(1, AggSpec("sum", "a", "sum_a_x"),
+          Seq(Cond(TupleCol("g"), "=", MfField("g")),
+              Cond(TupleCol("a"), ">", MfField("sum_b_y")))),
+        GroupingVar(2, AggSpec("sum", "b", "sum_b_y"),
+          Seq(Cond(TupleCol("g"), "=", MfField("g")),
+              Cond(TupleCol("b"), ">", MfField("sum_a_x"))))),
+      Nil, None)
+    val base = Seq(("x", 1.0, 2.0)).toDF("g", "a", "b")
+    val e = intercept[IllegalArgumentException](EmfPlanner.plan(cyc, base))
+    assert(e.getMessage.contains("cyclic"))
+  }
+}
