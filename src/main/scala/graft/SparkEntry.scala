@@ -26,16 +26,22 @@ object SparkEntry {
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "emf_q1" -> (GoldenQueries.run(1) _),
-    "emf_q2" -> (GoldenQueries.run(2) _),
-    "emf_q3" -> (GoldenQueries.run(3) _),
-    "emf_q4" -> (GoldenQueries.run(4) _),
-    "emf_q5" -> (GoldenQueries.run(5) _),
-    "emf_q6" -> (GoldenQueries.run(6) _),
-  )
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
+      "emf_q1" -> (GoldenQueries.run(1) _),
+      "emf_q2" -> (GoldenQueries.run(2) _),
+      "emf_q3" -> (GoldenQueries.run(3) _),
+      "emf_q4" -> (GoldenQueries.run(4) _),
+      "emf_q5" -> (GoldenQueries.run(5) _),
+      "emf_q6" -> (GoldenQueries.run(6) _),
+    ) ++
+      graft.operators.RelationalQueries.queries ++
+      graft.functions.ScalarQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = GoldenQueries.oracle
+  def oracleSql: Map[String, String] =
+    GoldenQueries.oracle ++
+      graft.operators.RelationalQueries.oracle ++
+      graft.functions.ScalarQueries.oracle
 }

@@ -21,7 +21,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = table(s, d, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to
+    * read natively; sessions set `spark.sql.legacy.parquet.nanosAsLong`
+    * and we convert here (integer-division truncation to micros — exactly
+    * what DuckDB does on read, so the oracle agrees). */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        // integer DIV, not `/`: long→double would lose precision >2^53
+        raw.withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      case _ => raw // already a timestamp (future-proofing)
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 

@@ -1,0 +1,367 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Relational operator surface (SURVEY.md §2.2): joins in every shape,
+  * window functions, sorts/top-k, set operations, grouping analytics.
+  *
+  * Scale notes (100 TB design):
+  *  - Dimension joins (`part`, `customer`, `nation`) are broadcast — they
+  *    stay small relative to the fact tables at any SF.
+  *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
+  *    re-plans to broadcast when a filtered side shrinks below the
+  *    threshold, and handles skew.
+  *  - Money sums are computed in DECIMAL: deterministic (exact) regardless
+  *    of partitioning/summation order, so results are reproducible across
+  *    cluster sizes — and match the DuckDB oracle bit-for-bit. Non-exact
+  *    double outputs (averages, running sums) are rounded.
+  *  - Every query ends in an ORDER BY for deterministic output; Catalyst's
+  *    EliminateSorts removes it under count()-style consumers, so the
+  *    bench path does not pay for it.
+  */
+object RelationalQueries {
+
+  /** decimal-exact money expression */
+  private def dec(c: Column): Column = c.cast("decimal(18,2)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: the canonical scan → filter → hash-agg pipeline.
+    // One shuffle on (returnflag, linestatus); partial aggregation map-side.
+    "q1_pricing" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("sum_disc_price"),
+          // averages as exact-decimal sum ÷ count in double: both engines
+          // divide identical doubles → bit-identical results, no rounding
+          (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
+          (sum(dec(col("l_extendedprice"))).cast("double") / count(lit(1))).as("avg_price"),
+          (sum(dec(col("l_discount"))).cast("double") / count(lit(1))).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    }),
+
+    // Broadcast hash join: fact ⋈ small dim. No shuffle on the fact side
+    // at all — the dim ships to every executor.
+    "join_broadcast" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Fact-fact equi join: shuffles both sides on the key (sort-merge or
+    // shuffled-hash; AQE decides), then one agg shuffle.
+    "join_shuffle" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(dec(col("o_totalprice"))).as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Left-semi: EXISTS without materializing the right side's columns.
+    "join_semi" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-anti: NOT EXISTS. Customers who never ordered.
+    "join_anti" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Left-outer + agg: per-customer order count INCLUDING zero-order
+    // customers (count of the non-null join side, not count(*)).
+    "join_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Equi join with a non-equi residual: hash join on partkey, residual
+    // predicate evaluated in the join — NOT a nested-loop.
+    "join_nonequi" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      l.join(broadcast(p),
+          l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_over"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("p_brand"))
+    }),
+
+    // Window: rank within partition, keep top ranks. TakeOrdered per
+    // partition; rank() keeps ties so the result is deterministic.
+    "window_topk_rank" -> ((s, d) => {
+      val w = Window.partitionBy(col("p_brand"))
+        .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      Tables.part(s, d)
+        .withColumn("rnk", rank().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("p_brand"), col("p_partkey"), dec(col("p_retailprice")).as("price"), col("rnk"))
+        .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
+    }),
+
+    // Window: running total per customer over time (default RANGE frame —
+    // ties share a value, so double-rounding is safe).
+    "window_running" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
+      Tables.orders(s, d)
+        .withColumn("running", sum(dec(col("o_totalprice"))).over(w))
+        .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running"))
+        .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
+    }),
+
+    // Window: lag over a pre-aggregated frame (month-over-month delta).
+    // Two shuffles total: agg on (brand, month), window on brand.
+    "window_lag" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val monthly = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"))
+        .agg(sum(dec(col("l_extendedprice"))).as("rev"))
+      val w = Window.partitionBy(col("p_brand")).orderBy(col("month"))
+      monthly
+        .withColumn("prev_rev", lag(col("rev"), 1).over(w))
+        .withColumn("delta", col("rev") - col("prev_rev"))
+        .orderBy(col("p_brand"), col("month"))
+    }),
+
+    // Window: moving average over a 3-row frame (ROWS; order made total
+    // by the unique month-per-brand grain).
+    "window_moving" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val monthly = o
+        .groupBy(date_trunc("month", col("o_orderdate")).as("month"))
+        .agg(sum(dec(col("o_totalprice"))).as("rev"))
+      val w = Window.orderBy(col("month")).rowsBetween(-2, 0)
+      monthly
+        .withColumn("mov_avg",
+          sum(col("rev")).over(w).cast("double") / count(col("rev")).over(w))
+        .orderBy(col("month"))
+    }),
+
+    // Global top-k: TakeOrderedAndProject — no full sort, each partition
+    // keeps k rows, driver merges.
+    "topk_orders" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey"))
+        .limit(10)
+    }),
+
+    // Set ops over aligned schemas.
+    "setop_union" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      val big = c.filter(col("c_acctbal") > 9000).select(col("c_custkey"))
+      val seg = c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey"))
+      big.union(seg).distinct().orderBy(col("c_custkey"))
+    }),
+    "setop_intersect" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .intersect(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+    "setop_except" -> ((s, d) => {
+      val c = Tables.customer(s, d)
+      c.filter(col("c_acctbal") > 5000).select(col("c_custkey"))
+        .except(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
+        .orderBy(col("c_custkey"))
+    }),
+
+    // Grouping analytics: rollup / cube / grouping sets share one shuffle
+    // with an Expand node feeding partial aggregation.
+    "agg_rollup" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "agg_cube" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+    "agg_groupingsets" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |       count(1) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    }),
+
+    // Distinct aggregation: two-phase (distinct expand + agg).
+    "agg_distinct" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          countDistinct(col("o_custkey")).as("n_custs"),
+          countDistinct(col("o_orderpriority")).as("n_prios"),
+          count(lit(1)).as("n_orders"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Approximate distinct (HLL++). No DuckDB oracle — algorithm-specific
+    // results; driver records a rows-only check.
+    "agg_approx_distinct" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+        .orderBy(col("l_returnflag"))
+    }),
+  )
+
+  /** DuckDB oracle SQL — column names/types matched to the Spark side. */
+  def oracle: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price,
+        | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_disc,
+        | count(1) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "join_broadcast" ->
+      """SELECT p_brand,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | count(1) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "join_shuffle" ->
+      """SELECT c_mktsegment, count(1) AS n_orders,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "join_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |              WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "join_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders
+        |FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "join_nonequi" ->
+      """SELECT p_brand, count(1) AS n_over,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "window_topk_rank" ->
+      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price, rnk
+        |FROM (SELECT p_brand, p_partkey, p_retailprice,
+        |        rank() OVER (PARTITION BY p_brand
+        |                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
+        |      FROM part)
+        |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
+    "window_running" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        |FROM orders
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+    "window_lag" ->
+      """WITH monthly AS (
+        |  SELECT p_brand, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+        |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY 1, 2)
+        |SELECT p_brand, month, rev,
+        |  lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS prev_rev,
+        |  rev - lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS delta
+        |FROM monthly ORDER BY p_brand, month""".stripMargin,
+    "window_moving" ->
+      """WITH monthly AS (
+        |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
+        |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1)
+        |SELECT month, rev,
+        |  CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |   / count(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
+        |FROM monthly ORDER BY month""".stripMargin,
+    "topk_orders" ->
+      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
+    "setop_union" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
+        |UNION
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "setop_intersect" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |INTERSECT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "setop_except" ->
+      """SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |EXCEPT
+        |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |ORDER BY c_custkey""".stripMargin,
+    "agg_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(1) AS n,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    "agg_groupingsets" ->
+      """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
+        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "agg_distinct" ->
+      """SELECT c_mktsegment,
+        | count(DISTINCT o_custkey) AS n_custs,
+        | count(DISTINCT o_orderpriority) AS n_prios,
+        | count(1) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    // agg_approx_distinct: intentionally no oracle (HLL++ estimates are
+    // implementation-specific) — rows-only check.
+  )
+}
