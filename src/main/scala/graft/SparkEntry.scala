@@ -36,12 +36,18 @@ object SparkEntry {
       "emf_q6" -> (GoldenQueries.run(6) _),
     ) ++
       graft.operators.RelationalQueries.queries ++
-      graft.functions.ScalarQueries.queries
+      graft.functions.ScalarQueries.queries ++
+      graft.dedup.Dedup.queries ++
+      graft.ann.Similarity.queries ++
+      graft.text.TextAnalysis.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     GoldenQueries.oracle ++
       graft.operators.RelationalQueries.oracle ++
-      graft.functions.ScalarQueries.oracle
+      graft.functions.ScalarQueries.oracle ++
+      graft.dedup.Dedup.oracle ++
+      graft.ann.Similarity.oracle ++
+      graft.text.TextAnalysis.oracle
 }

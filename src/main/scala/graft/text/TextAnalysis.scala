@@ -1,0 +1,162 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text-analysis operators for LLM training-data pipelines (BASELINE.json
+  * north star): language-ID heuristic, quality scoring, token counting,
+  * document fingerprinting.
+  *
+  * Everything is narrow, per-row, codegen'd column expressions — at 100 TB
+  * these run scan-speed with zero shuffles; only the final ORDER BY (for
+  * oracle determinism) would be dropped in production.
+  */
+object TextAnalysis {
+
+  private val Stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+
+  private def words(c: Column): Column = split(c, " ")
+
+  private def countIn(ws: Column, dict: Seq[String]): Column =
+    size(filter(ws, w => w.isin(dict: _*)))
+
+  /** Rabin–Karp polynomial rolling hash over words, mod 1e9+7. Library
+    * form (exact polynomial; exercised in TextSpec). The oracle-checked
+    * query uses the position-weighted variant below, which both engines
+    * can express identically. */
+  def rollingHash(text: Column): Column =
+    aggregate(words(text), lit(0L), (acc, w) =>
+      pmod(acc * 31 + wordKey(w), lit(1000000007L)))
+
+  /** Cheap deterministic word key: length·131 + first-char·7 + last-char
+    * (ascii = code point of first char in both engines). */
+  private def wordKey(w: Column): Column =
+    length(w) * 131 + ascii(w) * 7 + ascii(substring(w, -1, 1))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // n-gram/stopword-profile language ID: marker-word hit counts per
+    // language, deterministic CASE argmax. (The synthetic corpus is
+    // English word soup with a random `lang` label — the point is the
+    // operator shape, scored per-row at scan speed.)
+    "text_langid" -> ((s, d) => {
+      val en = Seq("the", "and", "of", "to", "a")
+      val de = Seq("der", "und", "die", "nicht", "ein")
+      val es = Seq("el", "la", "de", "que", "los")
+      Tables.documents(s, d)
+        .withColumn("ws", words(col("text")))
+        .select(
+          col("doc_id"), col("lang"),
+          countIn(col("ws"), en).as("s_en"),
+          countIn(col("ws"), de).as("s_de"),
+          countIn(col("ws"), es).as("s_es"))
+        .withColumn("predicted",
+          when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
+            .when(col("s_de") >= col("s_es"), "de")
+            .otherwise("es"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Quality scoring: length/punctuation/stopword/digit ratios + a
+    // composite score; the standard pre-training quality-filter features.
+    "text_quality" -> ((s, d) => {
+      val ws = words(col("text"))
+      val nWords = size(ws).cast("double")
+      val nStop = countIn(ws, Stop).cast("double")
+      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          nChars.cast("long").as("n_chars"),
+          nWords.cast("long").as("n_words"),
+          (nChars / nWords).as("avg_word_len"),
+          (nStop / nWords).as("stop_ratio"),
+          (nPunct / nChars).as("punct_ratio"),
+          // composite: stopword presence good, punctuation soup bad,
+          // degenerate word length bad — all IEEE-exact double math
+          ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Token counting: whitespace tokens + BPE-ish regex token classes
+    // (letter runs / digit runs / single punctuation), chars-per-token.
+    "text_tokens" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          size(words(col("text"))).as("ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+")).as("alpha_tokens"),
+          regexp_count(col("text"), lit("[0-9]+")).as("num_tokens"),
+          regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("other_tokens"),
+          size(array_distinct(words(col("text")))).as("distinct_tokens"),
+          (length(col("text")).cast("double") /
+            greatest(regexp_count(col("text"), lit("[A-Za-z0-9]+")), lit(1)))
+            .as("chars_per_token"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Position-weighted fingerprint mod 1e9+7: order-sensitive 64-bit
+    // integer arithmetic, bit-identical in any engine.
+    "text_fingerprint" -> ((s, d) => {
+      val ws = words(col("text"))
+      val keyed = zip_with(ws, sequence(lit(1), size(ws)),
+        (w, i) => wordKey(w).cast("long") * i)
+      Tables.documents(s, d)
+        .select(
+          col("doc_id"),
+          pmod(aggregate(keyed, lit(0L), (acc, x) => acc + x),
+            lit(1000000007L)).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "text_langid" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('the','and','of','to','a'))) AS s_en,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('der','und','die','nicht','ein'))) AS s_de,
+        |    len(list_filter(string_split(text,' '), w -> w IN ('el','la','de','que','los'))) AS s_es
+        |  FROM documents)
+        |SELECT doc_id, lang, CAST(s_en AS INT) AS s_en, CAST(s_de AS INT) AS s_de,
+        |  CAST(s_es AS INT) AS s_es,
+        |  CASE WHEN s_en >= s_de AND s_en >= s_es THEN 'en'
+        |       WHEN s_de >= s_es THEN 'de' ELSE 'es' END AS predicted
+        |FROM t ORDER BY doc_id""".stripMargin,
+    "text_quality" ->
+      """SELECT doc_id,
+        | CAST(length(text) AS BIGINT) AS n_chars,
+        | CAST(len(string_split(text,' ')) AS BIGINT) AS n_words,
+        | CAST(length(text) AS DOUBLE) / len(string_split(text,' ')) AS avg_word_len,
+        | CAST(len(list_filter(string_split(text,' '),
+        |   w -> w IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |   / len(string_split(text,' ')) AS stop_ratio,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |   / length(text) AS punct_ratio,
+        | (CAST(len(list_filter(string_split(text,' '),
+        |    w -> w IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |   / len(string_split(text,' '))) * 2.0
+        |  - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |   / length(text)) * 5.0 AS quality
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_tokens" ->
+      """SELECT doc_id,
+        | CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
+        | CAST(len(regexp_extract_all(text, '[A-Za-z]+')) AS INT) AS alpha_tokens,
+        | CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS num_tokens,
+        | CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS INT) AS other_tokens,
+        | CAST(len(list_distinct(string_split(text,' '))) AS INT) AS distinct_tokens,
+        | CAST(length(text) AS DOUBLE)
+        |   / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS chars_per_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_fingerprint" ->
+      """SELECT doc_id,
+        | CAST(sum((length(w)*131 + ascii(w)*7 + ascii(right(w,1))) * i) % 1000000007 AS BIGINT) AS fingerprint
+        |FROM documents,
+        |  LATERAL (SELECT unnest(string_split(text,' ')) AS w,
+        |           generate_subscripts(string_split(text,' '),1) AS i)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,49 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("exact dedup collapses identical texts only") {
+    import spark.implicits._
+    val out = Dedup.queries("dedup_exact")(spark, sf0001)
+    // augmented corpus = 500 base + 500 near (none identical) → 1000 groups
+    assert(out.count() == 1000)
+    assert(out.agg(max($"n_copies")).head.getLong(0) == 1L)
+  }
+
+  test("minhash LSH finds every base↔near-dup pair (recall vs exact jaccard)") {
+    val exact = Dedup.queries("dedup_ngram")(spark, sf0001)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashPairs(spark, sf0001, k = 32, bands = 8, tau = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // verification step makes precision exact; recall on the ~0.95-jaccard
+    // planted pairs must be total at 8 bands × 4 rows
+    val planted = exact.filter { case (a, b) => b == a + 100000 }
+    assert(planted.nonEmpty)
+    assert(planted.subsetOf(lsh),
+      s"missed ${(planted -- lsh).size} of ${planted.size} planted pairs")
+    // LSH output ⊆ exact (verification filter)
+    assert(lsh.subsetOf(exact))
+  }
+
+  test("simhash: planted near-dups are within hamming 6 and reported") {
+    val out = Dedup.queries("dedup_simhash")(spark, sf0001)
+    val pairs = out.select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val planted = pairs.filter { case (a, b) => b == a + 100000 }
+    // single-word deletion flips few bits; expect most planted pairs found
+    assert(planted.size > 400, s"only ${planted.size} planted pairs within distance")
+  }
+
+  test("shingles: n-gram construction and short-text edge cases") {
+    import spark.implicits._
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+      .select(Dedup.shingles(col("text"), 3).as("sh"))
+    val got = df.collect().map(_.getSeq[String](0).toSet)
+    assert(got(0) == Set("a b c", "b c d"))
+    assert(got(1) == Set("a b"))
+    assert(got(2) == Set("x"))
+  }
+}
