@@ -39,7 +39,10 @@ object SparkEntry {
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
-      graft.text.TextAnalysis.queries
+      graft.text.TextAnalysis.queries ++
+      graft.streaming.EventStreams.queries ++
+      graft.multimodal.Multimodal.queries ++
+      graft.functions.Custom.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +52,8 @@ object SparkEntry {
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++
-      graft.text.TextAnalysis.oracle
+      graft.text.TextAnalysis.oracle ++
+      graft.streaming.EventStreams.oracle ++
+      graft.multimodal.Multimodal.oracle ++
+      graft.functions.Custom.oracle
 }

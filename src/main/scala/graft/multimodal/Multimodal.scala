@@ -1,0 +1,119 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Multimodal-column plumbing (BASELINE.json north star): image/audio/
+  * video payloads as opaque `binary` columns with typed metadata, and
+  * batched decode / feature-extract / resize / frame-sample operators.
+  *
+  * The container has no codec libraries, so the actual byte→pixels decode
+  * is a STUB — `FakeCodec` below is a clearly-marked deterministic fake.
+  * Everything around it is real and tested: the schema (binary payload +
+  * metadata struct), the partition-batched execution shape
+  * (`mapPartitions` over a typed Dataset — one iterator per partition, the
+  * same batch contract a vectorized/Arrow UDF has), and the
+  * partitioning/pruning behavior (metadata-only queries never touch the
+  * payload column thanks to parquet column pruning).
+  *
+  * Scale notes: payloads dominate storage — real deployments put them in
+  * their own parquet column (or object store with a pointer column) so
+  * metadata scans stay cheap; per-partition batching amortizes codec
+  * setup; `spark.sql.files.maxPartitionBytes` bounds decode memory.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + metadata. */
+  case class MediaRow(media_id: Long, kind: String, payload: Array[Byte],
+      width: Int, height: Int, n_frames: Int)
+
+  /** Decoded features per media item. */
+  case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+      brightness: Double, sampled_frames: Seq[Int])
+
+  /** ======= STUB: deterministic fake codec (no real image/audio libs in
+    * this container). Replace `decodeBrightness`/`sampleFrames` with real
+    * codec calls in production; signatures and batching stay the same. */
+  object FakeCodec {
+    /** "Brightness" = mean byte value — stands in for decode+luma. */
+    def decodeBrightness(payload: Array[Byte]): Double =
+      if (payload.isEmpty) 0.0
+      else payload.map(b => (b & 0xFF).toDouble).sum / payload.length
+    /** "Frame sampling" = every k-th byte as a frame id. */
+    def sampleFrames(payload: Array[Byte], everyK: Int): Seq[Int] =
+      payload.indices.by(everyK).map(i => payload(i) & 0xFF)
+  }
+
+  /** Derive a deterministic media table from `documents` (payload = UTF-8
+    * bytes of the text standing in for an encoded image). */
+  def mediaTable(s: SparkSession, d: String): Dataset[MediaRow] = {
+    import s.implicits._
+    Tables.documents(s, d).select(
+      col("doc_id").as("media_id"),
+      when(pmod(col("doc_id"), lit(3)) === 0, "image")
+        .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+        .otherwise("video").as("kind"),
+      col("text").cast("binary").as("payload"),
+      (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
+      (pmod(ascii(col("text")).cast("long"), lit(480)) + 1).cast("int").as("height"),
+      (pmod(col("n_chars"), lit(250)) + 1).cast("int").as("n_frames"))
+      .as[MediaRow]
+  }
+
+  /** Batched decode/feature-extract: one codec context per partition,
+    * iterator-in/iterator-out — the Scala-typed equivalent of a
+    * vectorized (Arrow-batched) UDF. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      // (real impl: initialize codec once per partition here)
+      it.map { m =>
+        MediaFeatures(m.media_id, m.kind, m.payload.length,
+          FakeCodec.decodeBrightness(m.payload),
+          FakeCodec.sampleFrames(m.payload, everyK = 32))
+      }
+    }
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Metadata-only scan: payload column pruned at the parquet/plan level
+    // — the query the pipeline runs constantly and must never pay decode
+    // for. sha2 digest over the payload proves binary-column support;
+    // exact DuckDB counterpart.
+    "multimodal_meta" -> ((s, d) => {
+      mediaTable(s, d).toDF()
+        .select(col("media_id"), col("kind"),
+          length(col("payload")).as("n_bytes"),
+          col("width"), col("height"), col("n_frames"),
+          sha2(col("payload"), 256).as("digest"))
+        .orderBy(col("media_id"))
+    }),
+
+    // Batched decode path (stubbed codec) — rows-only check (the fake
+    // brightness is asserted exactly in MultimodalSpec instead).
+    "multimodal_decode" -> ((s, d) => {
+      extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          col("brightness"), size(col("sampled_frames")).as("n_sampled"))
+        .orderBy(col("media_id"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        | CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        | CAST(length(text) AS INT) AS n_bytes,
+        | width, height, n_frames,
+        | sha256(text) AS digest
+        |FROM (SELECT *,
+        |   CAST((n_chars % 640) + 1 AS INT) AS width,
+        |   CAST((ascii(text) % 480) + 1 AS INT) AS height,
+        |   CAST((n_chars % 250) + 1 AS INT) AS n_frames
+        |  FROM documents)
+        |ORDER BY media_id""".stripMargin,
+  )
+}

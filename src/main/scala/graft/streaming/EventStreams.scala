@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Event-stream processing over the `events` table (FIXTURES.md §3).
+  *
+  * Each transformation is a pure `DataFrame => DataFrame`, applied
+  * identically to a batch read (`Tables.events`) — which is what the
+  * DuckDB oracle checks — and to a `readStream` source
+  * ([[StreamingSpec]] runs the same functions under Structured Streaming
+  * with watermarks and asserts batch/stream agreement).
+  *
+  * Scale notes: windowed aggregation shuffles on (window, key) — the
+  * watermark bounds state size; session windows use Spark's
+  * session-merging state store. `value` sums are decimal-exact.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour windows per event type. */
+  def tumbling(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Sliding 1-hour windows, 30-minute slide. */
+  def sliding(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based session windows (10 min) per user. */
+  def sessions(events: DataFrame): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), "10 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,2)")).as("sum_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("sum_value"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "stream_tumbling" -> ((s, d) =>
+      tumbling(Tables.events(s, d)).orderBy(col("wstart"), col("event_type"))),
+    "stream_sliding" -> ((s, d) =>
+      sliding(Tables.events(s, d)).orderBy(col("wstart"), col("event_type"))),
+    "stream_session" -> ((s, d) =>
+      sessions(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        | count(1) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // a 1h/30min sliding window = two interleaved 1h bucketings offset by
+    // 30 minutes: every event belongs to exactly two windows
+    "stream_sliding" ->
+      """WITH assigned AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS wstart, event_type, value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+        |         event_type, value
+        |  FROM events)
+        |SELECT wstart, event_type, count(1) AS n,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM assigned GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
+    // gap-based sessionization: lag → new-session flag → cumulative id;
+    // session end = last ts + gap (Spark's session_window convention)
+    "stream_session" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        |              <= INTERVAL '10 minutes' THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT min(ts) AS session_start,
+        |       max(ts) + INTERVAL '10 minutes' AS session_end,
+        |       user_id, count(1) AS n_events,
+        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
+  )
+}

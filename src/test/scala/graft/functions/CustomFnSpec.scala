@@ -1,0 +1,39 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CustomFnSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hamming64 expression equals bit_count(xor) and survives codegen") {
+    val df = Seq((0L, -1L), (5L, 6L), (Long.MaxValue, Long.MinValue), (42L, 42L))
+      .toDF("a", "b")
+    val got = df.select(
+      HammingDistance.hamming64($"a", $"b").as("h"),
+      bit_count($"a".bitwiseXOR($"b")).as("ref")).collect()
+    got.foreach(r => assert(r.getInt(0) == r.getInt(1)))
+    assert(got(0).getInt(0) == 64 && got(3).getInt(0) == 0)
+  }
+
+  test("hamming64 registers as a SQL function") {
+    HammingDistance.register(spark)
+    val r = spark.sql("SELECT hamming64(CAST(5 AS BIGINT), CAST(6 AS BIGINT))")
+    assert(r.head.getInt(0) == 2)
+  }
+
+  test("hamming64 null semantics") {
+    val df = Seq((Some(1L), None: Option[Long]), (Some(1L), Some(3L))).toDF("a", "b")
+    val got = df.select(HammingDistance.hamming64($"a", $"b")).collect()
+    assert(got(0).isNullAt(0) && got(1).getInt(0) == 1)
+  }
+
+  test("SecondMax aggregator: distinct semantics, single-value groups → null") {
+    val df = Seq(("g1", 5.0), ("g1", 9.0), ("g1", 9.0), ("g1", 2.0), ("g2", 1.0))
+      .toDF("g", "x")
+    val sm = udaf(Custom.SecondMax)
+    val out = df.groupBy($"g").agg(sm($"x").as("s")).orderBy($"g").collect()
+    assert(out(0).getDouble(1) == 5.0) // distinct: 9,9 collapse; second is 5
+    assert(out(1).isNullAt(1))         // one distinct value → no second max
+  }
+}

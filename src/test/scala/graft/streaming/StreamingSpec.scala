@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import java.sql.Timestamp
+
+case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def batchEvents =
+    Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value")
+
+  test("streaming tumbling agg equals the batch formulation") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val q = EventStreams.tumbling(stream.toDF())
+      .writeStream.format("memory").queryName("tumb")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("tumb")
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    val batch = EventStreams.tumbling(batchEvents)
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
+  test("watermark drops late data in append mode") {
+    val stream = MemoryStream[Ev](spark)
+    val agg = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("late")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, t: String, typ: String) =
+      Ev(id, Timestamp.valueOf(t), 1L, typ, 1.0)
+    try {
+      stream.addData(ev(1, "2024-01-01 10:05:00", "a"), ev(2, "2024-01-01 10:50:00", "a"))
+      q.processAllAvailable()
+      // advance watermark far past the 10:00 window
+      stream.addData(ev(3, "2024-01-01 13:00:00", "a"))
+      q.processAllAvailable()
+      // this event is 2h late — behind the watermark — must be dropped
+      stream.addData(ev(4, "2024-01-01 10:10:00", "a"))
+      q.processAllAvailable()
+      stream.addData(ev(5, "2024-01-01 15:00:00", "a"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table("late")
+      .select(col("window.start").cast("string"), $"n").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(rows("2024-01-01 10:00:00") == 2L, s"late event not dropped: $rows")
+  }
+
+  test("streaming dedup within watermark") {
+    val stream = MemoryStream[Ev](spark)
+    val q = stream.toDF()
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .writeStream.format("memory").queryName("dd")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, t: String) = Ev(id, Timestamp.valueOf(t), 1L, "x", 1.0)
+    try {
+      stream.addData(ev(1, "2024-01-01 10:00:00"), ev(1, "2024-01-01 10:01:00"),
+        ev(2, "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.table("dd").count() == 2)
+  }
+
+  test("custom state: flatMapGroupsWithState running per-user counts") {
+    val stream = MemoryStream[Ev](spark)
+    val counted = stream.toDS()
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, evs: Iterator[Ev], state: GroupState[Long]) =>
+          val n = state.getOption.getOrElse(0L) + evs.size
+          state.update(n)
+          Iterator((uid, n))
+      }
+    val q = counted.toDF("user_id", "running_n")
+      .writeStream.format("memory").queryName("st")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, uid: Long) =
+      Ev(id, Timestamp.valueOf("2024-01-01 10:00:00"), uid, "x", 1.0)
+    try {
+      stream.addData(ev(1, 7), ev(2, 7), ev(3, 8))
+      q.processAllAvailable()
+      stream.addData(ev(4, 7))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = spark.table("st").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == Set((7L, 2L), (8L, 1L), (7L, 3L)))
+  }
+
+  test("streaming session windows equal batch sessionization") {
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val q = EventStreams.sessions(stream.toDF())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sess")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val batch = EventStreams.sessions(batchEvents)
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    assert(streamed == batch)
+  }
+}
