@@ -86,16 +86,12 @@ object Similarity {
     }),
 
     // Embedding-cosine near-duplicate pairs (≥ 0.99) over the augmented
-    // corpus — brute-force all-pairs at test scale (the LSH path below is
-    // the 100 TB route; SimilaritySpec checks they agree here).
+    // corpus — all-pairs via the broadcast dense kernel
+    // ([[VectorKernels.cosinePairs]]; the expression formulation measured
+    // ~100× slower — interpreted HOF lambdas). LSH below is the 100 TB
+    // route; SimilaritySpec checks they agree here.
     "dedup_embcos" -> ((s, d) => {
-      val e = embWithNearDups(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"))
-      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"))
-      a.join(b, col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
-        .filter(col("cos") >= 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
+      VectorKernels.cosinePairs(embWithNearDups(s, d), 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
 

@@ -118,7 +118,8 @@ object Dedup {
     // d≤6 filter is total. (At cluster scale prefer 4×16 bands — smaller
     // buckets — accepting the d≤3 guarantee, or multi-probe the bands.)
     "dedup_simhash" -> ((s, d) => {
-      val docs = docsWithNearDups(s, d).withColumn("sig", simhash64(col("text")))
+      val docs = docsWithNearDups(s, d)
+        .withColumn("sig", SignatureExprs.simhash64Fast(col("text")))
       val banded = docs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 8).map(i =>
           shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
@@ -138,7 +139,7 @@ object Dedup {
     val rows = k / bands
     val docs = docsWithNearDups(s, d)
       .withColumn("sh", shingles(col("text"), 3))
-      .withColumn("mh", minhash(col("sh"), k))
+      .withColumn("mh", SignatureExprs.minhashFast(col("sh"), k))
     val banded = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((slice(col("mh"), bd * rows + 1, rows) +: Seq(lit(bd))): _*)): _*))

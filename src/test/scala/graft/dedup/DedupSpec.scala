@@ -37,6 +37,20 @@ class DedupSpec extends SparkSpec {
     assert(planted.size > 400, s"only ${planted.size} planted pairs within distance")
   }
 
+  test("fast signature expressions equal the functions._ reference forms") {
+    import spark.implicits._
+    val docs = graft.Tables.documents(spark, sf0001).limit(50)
+    val sim = docs.select(
+      Dedup.simhash64(col("text")).as("ref"),
+      SignatureExprs.simhash64Fast(col("text")).as("fast")).collect()
+    sim.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    val mh = docs
+      .withColumn("sh", Dedup.shingles(col("text"), 3))
+      .select(Dedup.minhash(col("sh"), 8).as("ref"),
+        SignatureExprs.minhashFast(col("sh"), 8).as("fast")).collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("shingles: n-gram construction and short-text edge cases") {
     import spark.implicits._
     val df = Seq("a b c d", "a b", "x").toDF("text")
