@@ -38,20 +38,40 @@ object EmfPlanner {
     val base = q.where.foldLeft(fact)((df, c) => df.filter(tupleCond(c, schema, None)))
 
     val aggNames = q.aggNames
-    val (simpleVars, depVars) = q.vars.partition(isSimple(_, q, aggNames))
+    val (simpleVars, rest) = q.vars.partition(isSimple(_, q, aggNames))
+    val (winVars, depVars) = rest.partition(isWindowed(_, q, aggNames))
 
     // ---- scan 0: groups + variable-0 aggregates + all SIMPLE variables
+    // + per-group partials for WINDOWED variables
     val scan0Aggs: Seq[Column] =
       q.varZero.map(a => aggColumn(a.func, col(a.column)).as(a.name)) ++
       simpleVars.map { v =>
         val cond = v.tupleConds.map(tupleCond(_, schema, None))
           .reduceOption(_ && _).getOrElse(lit(true))
         aggColumn(v.agg.func, when(cond, col(v.agg.column))).as(v.agg.name)
+      } ++
+      winVars.flatMap { v =>
+        val cond = v.tupleConds.map(tupleCond(_, schema, None))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        val x = when(cond, col(v.agg.column))
+        val p = s"__p_${v.agg.name}"
+        v.agg.func match {
+          case "sum"          => Seq(sum(x).as(s"${p}_sum"))
+          case "count"        => Seq(count(x).as(s"${p}_cnt"))
+          case "avg"          => Seq(sum(x).as(s"${p}_sum"), count(x).as(s"${p}_cnt"))
+          case "min"          => Seq(min(x).as(s"${p}_min"))
+          case "max"          => Seq(max(x).as(s"${p}_max"))
+        }
       }
     val grouped = base.groupBy(q.groupAttrs.map(col): _*)
     var mf: DataFrame =
       if (scan0Aggs.nonEmpty) grouped.agg(scan0Aggs.head, scan0Aggs.tail: _*)
       else base.select(q.groupAttrs.map(col): _*).distinct()
+
+    // ---- WINDOWED variables: per-group partials combined over a window
+    // frame — no join, no extra shuffle beyond the window's sort
+    for (v <- winVars) mf = windowedPass(v, mf, q)
+    mf = mf.drop(mf.columns.filter(_.startsWith("__p_")): _*)
 
     // ---- dependent variables, in dependency order
     for (v <- topoSort(depVars, aggNames)) {
@@ -81,6 +101,72 @@ object EmfPlanner {
     val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
     joined.groupBy(gCols: _*)
       .agg(aggColumn(v.agg.func, col(s"t.${v.agg.column}")).as(v.agg.name))
+  }
+
+  /** WINDOWED ⇔ no EMF dependencies and every MF condition is either an
+    * equality `tuple.g = MF.g` on a grouping attr or a single order
+    * comparison (`<`,`<=`,`>`,`>=`) `tuple.o ? MF.o` on ONE grouping attr.
+    * Lowered as per-group partial aggregates + a window over the equality
+    * subset with a RANGE frame on the order attr — removes the join+shuffle
+    * a dependent pass would need (corpus queries 2 and 3). */
+  private def isWindowed(v: GroupingVar, q: EmfQuery, aggNames: Set[String]): Boolean = {
+    val orderConds = v.mfConds.filter {
+      case Cond(TupleCol(a), "<" | "<=" | ">" | ">=", MfField(b)) =>
+        a == b && q.groupAttrs.contains(a)
+      case _ => false
+    }
+    val eqConds = v.mfConds.filter {
+      case Cond(TupleCol(a), "=" | "==", MfField(b)) =>
+        a == b && q.groupAttrs.contains(a)
+      case _ => false
+    }
+    v.dependsOn(aggNames).isEmpty &&
+      eqConds.size + orderConds.size == v.mfConds.size &&
+      orderConds.size <= 1 &&
+      Set("sum", "count", "avg", "min", "max").contains(v.agg.func) &&
+      // numeric order attr required for a RANGE frame
+      orderConds.forall {
+        case Cond(TupleCol(a), _, _) =>
+          q.groupAttrs.contains(a) // type checked at runtime by Spark
+        case _ => false
+      }
+  }
+
+  /** Combine scan-0 partials over a window frame encoding the variable's
+    * membership condition. */
+  private def windowedPass(v: GroupingVar, mf: DataFrame, q: EmfQuery): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eqAttrs = v.mfConds.collect {
+      case Cond(TupleCol(a), "=" | "==", MfField(_)) => a
+    }
+    val orderCond = v.mfConds.collectFirst {
+      case c @ Cond(TupleCol(_), "<" | "<=" | ">" | ">=", MfField(_)) => c
+    }
+    val base = Window.partitionBy(eqAttrs.map(col): _*)
+    val w = orderCond match {
+      case None => base // frame = entire partition
+      case Some(Cond(TupleCol(a), op, _)) =>
+        val ordered = base.orderBy(col(a))
+        op match {
+          case "<"  => ordered.rangeBetween(Window.unboundedPreceding, -1)
+          case "<=" => ordered.rangeBetween(Window.unboundedPreceding, Window.currentRow)
+          case ">"  => ordered.rangeBetween(1, Window.unboundedFollowing)
+          case ">=" => ordered.rangeBetween(Window.currentRow, Window.unboundedFollowing)
+        }
+      case Some(c) => throw new IllegalStateException(s"bad order cond $c")
+    }
+    val p = s"__p_${v.agg.name}"
+    val out = v.agg.func match {
+      case "sum"   => sum(col(s"${p}_sum")).over(w)
+      case "count" => coalesce(sum(col(s"${p}_cnt")).over(w), lit(0L))
+      case "min"   => min(col(s"${p}_min")).over(w)
+      case "max"   => max(col(s"${p}_max")).over(w)
+      case "avg" =>
+        val s = sum(col(s"${p}_sum")).over(w)
+        val c = sum(col(s"${p}_cnt")).over(w)
+        when(c > 0, s.cast("double") / c).otherwise(lit(null))
+    }
+    mf.withColumn(v.agg.name, out)
   }
 
   /** SIMPLE ⇔ every MF condition is `tuple.g = MF.g` over a grouping attr,

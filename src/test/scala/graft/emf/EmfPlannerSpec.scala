@@ -98,6 +98,50 @@ class EmfPlannerSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("windowed lowering: subset-equality and order variables use Window, not join") {
+    // corpus q2 shape: sum within group + per-prod total (subset equality)
+    val q2 = EmfParser.parseOne(
+      """prod,month,sum_quant_1,sum_quant_tot
+        |2
+        |prod,month
+        |sum_quant_1,sum_quant_tot
+        |{MF.prod.sum_quant_1}[=]{prod}:{MF.month.sum_quant_1}[=]{month},{MF.prod.sum_quant_tot}[=]{prod}""".stripMargin, cols)
+    val plan2 = EmfPlanner.plan(q2, sales)
+    val opt2 = plan2.queryExecution.optimizedPlan.toString
+    assert(!opt2.toLowerCase.contains("join"), s"q2 should not join:\n$opt2")
+    assert(opt2.contains("Window"), "q2 should use a window")
+    // cross-check the window result against hand SQL
+    sales.createOrReplaceTempView("s_win_spec")
+    val want = spark.sql(
+      """SELECT prod, month, sum_quant_1,
+        |  sum(sum_quant_1) OVER (PARTITION BY prod) AS sum_quant_tot
+        |FROM (SELECT prod, month, sum(quant) AS sum_quant_1
+        |      FROM s_win_spec GROUP BY 1, 2)
+        |ORDER BY prod, month""".stripMargin).collect().toSeq
+    assert(plan2.orderBy("prod", "month").collect().toSeq == want)
+
+    // corpus q3 shape: order comparison (before/after) → RANGE frame
+    val q3 = EmfParser.parseOne(
+      """cust,month,avg_quant,avg_quant_before
+        |1
+        |cust,month
+        |avg_quant_before
+        |{MF.cust.avg_quant_before}[=]{cust}:{MF.month.avg_quant_before}[<]{month}""".stripMargin, cols)
+    val plan3 = EmfPlanner.plan(q3, sales)
+    assert(!plan3.queryExecution.optimizedPlan.toString.toLowerCase.contains("join"))
+    val got3 = plan3.orderBy("cust", "month").collect().toSeq
+    val want3 = spark.sql(
+      """SELECT g.cust, g.month, g.avg_quant, b.avg_quant_before
+        |FROM (SELECT cust, month, avg(quant) AS avg_quant FROM s_win_spec GROUP BY 1,2) g
+        |LEFT JOIN (SELECT g2.cust, g2.month, avg(t.quant) AS avg_quant_before
+        |           FROM (SELECT DISTINCT cust, month FROM s_win_spec) g2
+        |           JOIN s_win_spec t ON t.cust = g2.cust AND t.month < g2.month
+        |           GROUP BY 1, 2) b
+        |ON g.cust = b.cust AND g.month = b.month
+        |ORDER BY g.cust, g.month""".stripMargin).collect().toSeq
+    assert(got3 == want3)
+  }
+
   test("HAVING filters the MF frame") {
     val q = EmfParser.parseOne(
       """cust,sum_quant_a
