@@ -1,0 +1,40 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Source/sink breadth beyond parquet (SURVEY.md §2.2 "Scans/sources" /
+  * "Sinks"). The reference reads one table over JDBC with no pushdown
+  * (`select * from sales`, reference `src/QueryProcessor1.java:79`); here
+  * every format goes through Spark's DataSource V2 with pushdown/pruning
+  * where the format supports it (parquet/orc) and schema-on-read
+  * elsewhere. JDBC is API-compatible (`readJdbc`) but untestable in this
+  * container (no database) — parquet/csv/json round-trips are tested.
+  */
+object Sources {
+  def readParquet(s: SparkSession, path: String): DataFrame =
+    s.read.parquet(path)
+
+  def readCsv(s: SparkSession, path: String, header: Boolean = true): DataFrame =
+    s.read.option("header", header.toString).option("inferSchema", "true").csv(path)
+
+  def readJson(s: SparkSession, path: String): DataFrame =
+    s.read.json(path)
+
+  def readJdbc(s: SparkSession, url: String, table: String,
+      props: java.util.Properties = new java.util.Properties): DataFrame =
+    s.read.jdbc(url, table, props)
+
+  def writeParquet(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).parquet(path)
+
+  def writeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+
+  def writeJson(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
+
+  /** Partitioned sink — the layout that makes downstream partition
+    * pruning work at 100 TB (one directory per partition value). */
+  def writePartitioned(df: DataFrame, path: String, cols: String*): Unit =
+    df.write.mode(SaveMode.Overwrite).partitionBy(cols: _*).parquet(path)
+}
