@@ -232,6 +232,61 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k.
+    // customer broadcast; orders⋈lineitem shuffles on orderkey; top-10 via
+    // TakeOrderedAndProject (no global sort).
+    "q3_shipping_priority" -> ((s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // TPC-H Q5 shape: 5-way snowflake join, revenue per nation.
+    "q5_local_volume" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .filter(col("r_name") === "REGION_0")
+        .groupBy(col("n_name"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .orderBy(col("n_name"))
+    }),
+
+    // argmax per group, tie-broken deterministically via struct ordering
+    // (max of (price, key) pairs) — one aggregation, no window shuffle.
+    "agg_argmax" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .agg(max(struct(dec(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))).as("m"))
+        .select(col("o_orderpriority"), col("m.k").as("top_orderkey"),
+          col("m.p").as("top_price"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // exact median (interpolated) per group — Spark `percentile` == DuckDB
+    // `quantile_cont` on integer-valued doubles (exact rank arithmetic).
+    "agg_median" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
+          expr("percentile(l_quantity, array(0.25, 0.75))").as("quartiles"))
+        .orderBy(col("l_returnflag"))
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — algorithm-specific
     // results; driver records a rows-only check.
     "agg_approx_distinct" -> ((s, d) => {
@@ -354,6 +409,39 @@ object RelationalQueries {
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q5_local_volume" ->
+      """SELECT n_name,
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'REGION_0'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "agg_argmax" ->
+      """SELECT o_orderpriority, o_orderkey AS top_orderkey,
+        | CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+        |FROM orders
+        |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+        |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey DESC) = 1
+        |ORDER BY o_orderpriority""".stripMargin,
+    "agg_median" ->
+      """SELECT l_returnflag,
+        | quantile_cont(l_quantity, 0.5) AS median_qty,
+        | quantile_cont(l_quantity, [0.25, 0.75]) AS quartiles
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment,
         | count(DISTINCT o_custkey) AS n_custs,
