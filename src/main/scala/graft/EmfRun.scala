@@ -11,13 +11,20 @@ import graft.emf.{EmfParser, EmfPlanner}
   * file chooser and the compile-the-generated-Java step: parse → plan →
   * execute happen in one process on Catalyst plans.
   *
-  * Usage: EmfRun <specFile> [sfDir] [--explain]
+  * Usage: EmfRun <specFile> [sfDir] [--explain] [--fact <parquetPath>]
+  * With `--fact`, queries run over an arbitrary parquet table instead of
+  * the derived `sales_view` — the engine is schema-agnostic; column
+  * names in the spec are validated against the fact schema.
   */
 object EmfRun {
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty, "usage: EmfRun <specFile> [sfDir] [--explain]")
+    require(args.nonEmpty, "usage: EmfRun <specFile> [sfDir] [--explain] [--fact <path>]")
     val specFile = args(0)
-    val sfDir = args.drop(1).find(!_.startsWith("--"))
+    val factPath = args.sliding(2).collectFirst {
+      case Array("--fact", p) => p
+    }
+    val sfDir = args.drop(1).filter(!_.startsWith("--"))
+      .filterNot(factPath.contains).headOption
       .getOrElse("/root/testdata/sf0.001")
     val explain = args.contains("--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -32,7 +39,10 @@ object EmfRun {
     spark.sparkContext.setLogLevel("WARN")
     val text = new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(specFile)), "UTF-8")
-    val fact = Tables.salesView(spark, sfDir)
+    val fact = factPath match {
+      case Some(p) => spark.read.parquet(p)
+      case None    => Tables.salesView(spark, sfDir)
+    }
     val queries = EmfParser.parseAll(text, fact.columns.toSet)
     queries.zipWithIndex.foreach { case (q, i) =>
       println(s"=== query ${i + 1}: select ${q.select.mkString(",")}")

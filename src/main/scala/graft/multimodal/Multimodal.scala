@@ -99,6 +99,20 @@ object Multimodal {
           col("brightness"), size(col("sampled_frames")).as("n_sampled"))
         .orderBy(col("media_id"))
     }),
+
+    // Frame-sample fan-out: explode sampled frames (the shape a
+    // video→frame training pipeline produces: one row per kept frame),
+    // then per-kind frame statistics. Rows-only (stub codec).
+    "multimodal_frames" -> ((s, d) => {
+      extractFeatures(mediaTable(s, d)).toDF()
+        .select(col("media_id"), col("kind"),
+          posexplode(col("sampled_frames")).as(Seq("frame_no", "frame_val")))
+        .groupBy(col("kind"))
+        .agg(count(lit(1)).as("n_frames"),
+          avg(col("frame_val")).as("mean_val"),
+          max(col("frame_no")).as("max_frame_no"))
+        .orderBy(col("kind"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(

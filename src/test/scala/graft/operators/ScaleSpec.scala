@@ -28,6 +28,16 @@ class ScaleSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("approx_count_distinct within rsd bounds of exact") {
+    val li = Tables.lineitem(spark, sf0001)
+    val r = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).head
+    val (exact, approx) = (r.getLong(0), r.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx=$approx exact=$exact")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     val o = Tables.orders(spark, sf0001).select("o_orderkey", "o_totalprice")
     val l = Tables.lineitem(spark, sf0001)
