@@ -42,7 +42,8 @@ object SparkEntry {
       graft.text.TextAnalysis.queries ++
       graft.streaming.EventStreams.queries ++
       graft.multimodal.Multimodal.queries ++
-      graft.functions.Custom.queries
+      graft.functions.Custom.queries ++
+      graft.plans.AsOfJoin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -55,5 +56,6 @@ object SparkEntry {
       graft.text.TextAnalysis.oracle ++
       graft.streaming.EventStreams.oracle ++
       graft.multimodal.Multimodal.oracle ++
-      graft.functions.Custom.oracle
+      graft.functions.Custom.oracle ++
+      graft.plans.AsOfJoin.oracle
 }

@@ -1,0 +1,58 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asof join equals window-function formulation on the events table") {
+    val out = AsOfJoin.queries("asof_join")(spark, sf0001)
+    // reference: last_value over a union trick — tag purchases, then for
+    // every event take the latest purchase row at or before it
+    val ev = Tables.events(spark, sf0001)
+    ev.createOrReplaceTempView("asof_ev")
+    val want = spark.sql(
+      """WITH p AS (SELECT user_id, ts AS p_ts, event_id AS p_event_id,
+        |                  value AS p_value
+        |           FROM asof_ev WHERE event_type = 'purchase'),
+        |ranked AS (
+        |  SELECT e.event_id, e.user_id, e.ts, p.p_event_id, p.p_value,
+        |    row_number() OVER (PARTITION BY e.event_id
+        |      ORDER BY p.p_ts DESC) AS rn
+        |  FROM asof_ev e LEFT JOIN p
+        |    ON e.user_id = p.user_id AND p.p_ts <= e.ts)
+        |SELECT event_id, user_id, ts, p_event_id, p_value
+        |FROM ranked WHERE rn = 1 ORDER BY event_id""".stripMargin)
+    assert(out.collect().toSeq == want.collect().toSeq)
+  }
+
+  test("physical plan uses AsOfJoinExec with exchanges inserted by Catalyst") {
+    val out = AsOfJoin.queries("asof_join")(spark, sf0001)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), plan)
+    assert(plan.contains("Exchange hashpartitioning"), plan)
+    assert(plan.contains("Sort ["), plan)
+  }
+
+  test("no-match and null-key rows get null right side") {
+    val left = Seq((1L, 10L, 100L), (2L, 10L, 50L), (3L, 20L, 100L))
+      .toDF("id", "k", "t")
+    val right = Seq((10L, 80L, 7.0)).toDF("k2", "rt", "v")
+      .select($"k2", $"rt", $"v")
+    val out = AsOfJoin.asof(left, right, "k", "k2", "t", "rt")
+      .select($"id", $"v").orderBy($"id").collect()
+    assert(out(0).getDouble(1) == 7.0) // id 1: t=100 >= 80
+    assert(out(1).isNullAt(1))         // id 2: t=50 < 80 → no match
+    assert(out(2).isNullAt(1))         // id 3: different key
+  }
+
+  test("picks the greatest right ts <= left ts") {
+    val left = Seq((1L, 5L, 100L)).toDF("id", "k", "t")
+    val right = Seq((5L, 10L, 1.0), (5L, 90L, 2.0), (5L, 100L, 3.0), (5L, 110L, 4.0))
+      .toDF("k2", "rt", "v")
+    val out = AsOfJoin.asof(left, right, "k", "k2", "t", "rt")
+      .select($"v").collect()
+    assert(out.head.getDouble(0) == 3.0) // inclusive: rt == t wins
+  }
+}
