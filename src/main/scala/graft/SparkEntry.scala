@@ -13,17 +13,12 @@ import graft.emf.GoldenQueries
 object SparkEntry {
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's whole runtime pipeline in one plan (SURVEY.md §7.1):
-    * scan → filter-free conditional hash agg → having-filter. */
-  def entry(spark: SparkSession): DataFrame = {
-    val li = Tables.lineitem(spark, "/root/testdata/sf0.001")
-    li.groupBy(col("l_orderkey"))
-      .agg(
-        avg(when(col("l_returnflag") === "R", col("l_quantity"))).as("avg_q_R"),
-        avg(when(col("l_returnflag") === "A", col("l_quantity"))).as("avg_q_A"),
-        avg(when(col("l_returnflag") === "N", col("l_quantity"))).as("avg_q_N"))
-      .filter(col("avg_q_R") > col("avg_q_A") || col("avg_q_R") > col("avg_q_N"))
-  }
+    * Runs the whole EMF stack end-to-end: reference-format spec text →
+    * parser → planner (simple + dependent variables, HAVING) → Catalyst.
+    * Corpus query 6 — the EMF query whose second variable's predicate
+    * references the first variable's aggregate. */
+  def entry(spark: SparkSession): DataFrame =
+    GoldenQueries.run(6)(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
@@ -43,7 +38,8 @@ object SparkEntry {
       graft.streaming.EventStreams.queries ++
       graft.multimodal.Multimodal.queries ++
       graft.functions.Custom.queries ++
-      graft.plans.AsOfJoin.queries
+      graft.plans.AsOfJoin.queries ++
+      graft.ann.Ivf.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
