@@ -34,6 +34,15 @@ case class HammingDistance(left: Expression, right: Expression)
 }
 
 object HammingDistance {
+  /** For SparkSessionExtensions.injectFunction (GraftExtensions). */
+  val functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("hamming64"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[HammingDistance].getName, "hamming64"),
+      exprs => HammingDistance(exprs(0), exprs(1)))
+
   /** Column-API form. */
   def hamming64(a: Column, b: Column): Column =
     CatalystBridge.column(

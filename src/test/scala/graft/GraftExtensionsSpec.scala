@@ -1,0 +1,28 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("withExtensions injects hamming64 + as-of strategy into a fresh session") {
+    val base = TestSpark.spark // shared SparkContext
+    // getOrCreate only applies extensions when building a NEW session:
+    // clear the default so one is built (over the same SparkContext),
+    // then restore for the other suites.
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val s = SparkSession.builder()
+        .master("local[4]")
+        .config("spark.ui.enabled", "false")
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      val r = s.sql("SELECT hamming64(CAST(7 AS BIGINT), CAST(0 AS BIGINT)) AS h")
+      assert(r.head.getInt(0) == 3)
+    } finally {
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+}

@@ -101,6 +101,28 @@ class StreamingSpec extends SparkSpec {
     assert(out == Set((7L, 2L), (8L, 1L), (7L, 3L)))
   }
 
+  test("streaming parquet file sink with checkpoint") {
+    val stream = MemoryStream[Ev](spark)
+    val outDir = java.nio.file.Files.createTempDirectory("graft_sink").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    val q = stream.toDF()
+      .withWatermark("ts", "1 minute")
+      .writeStream.format("parquet")
+      .option("path", outDir).option("checkpointLocation", ckpt)
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, t: String) = Ev(id, Timestamp.valueOf(t), 1L, "x", 1.0)
+    try {
+      stream.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      stream.addData(ev(3, "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val written = spark.read.parquet(outDir)
+    assert(written.count() == 3)
+    assert(written.columns.sorted.toSeq ==
+      Seq("event_id", "event_type", "ts", "user_id", "value"))
+  }
+
   test("streaming session windows equal batch sessionization") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)
