@@ -96,17 +96,17 @@ object Similarity {
     }),
 
     // LSH-bucketed near-dup: same semantics as dedup_embcos but only
-    // same-bucket pairs are scored. Hash-dependent recall → rows-only
+    // same-bucket pairs are scored — bucketing stays a distributed
+    // shuffle on the key; pair scoring goes through the broadcast dense
+    // kernel (identical arithmetic). Hash-dependent recall → rows-only
     // check here; recall measured in SimilaritySpec.
     "knn_lsh" -> ((s, d) => {
       val e = embWithNearDups(s, d).withColumn("key", srpKey(col("emb"), 8))
-      val a = e.select(col("vec_id").as("id_a"), col("emb").as("emb_a"), col("key"))
-      val b = e.select(col("vec_id").as("id_b"), col("emb").as("emb_b"), col("key"))
-      a.join(b, Seq("key")).filter(col("id_a") < col("id_b"))
-        .withColumn("cos", cosine(col("emb_a"), col("emb_b")))
-        .filter(col("cos") >= 0.99)
-        .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
-        .distinct()
+      val a = e.select(col("vec_id").as("id_a"), col("key"))
+      val b = e.select(col("vec_id").as("id_b"), col("key"))
+      val cand = a.join(b, Seq("key")).filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      VectorKernels.scorePairs(cand, embWithNearDups(s, d), 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
   )

@@ -53,6 +53,27 @@ object VectorKernels {
       .toDF("id_a", "id_b", "cos6")
   }
 
+  /** Score an explicit candidate-pair set (id_a, id_b) against the
+    * broadcast vector table, keeping pairs with cosine ≥ tau. Same
+    * arithmetic/rounding as [[cosinePairs]]. */
+  def scorePairs(pairs: DataFrame, e: DataFrame, tau: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])].collect()
+    val vecs = rows.map { case (id, v) => id -> v.toArray }.toMap
+    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
+    val bc = spark.sparkContext.broadcast((vecs, norms))
+    pairs.selectExpr("id_a", "id_b").as[(Long, Long)]
+      .mapPartitions { it =>
+        val (bVecs, bNorms) = bc.value
+        it.flatMap { case (a, b) =>
+          val c = dot(bVecs(a), bVecs(b)) / (bNorms(a) * bNorms(b))
+          if (c >= tau) Some((a, b, round6(c))) else None
+        }
+      }
+      .toDF("id_a", "id_b", "cos6")
+  }
+
   /** Exact top-k neighbors for each of `queryIds` (cosine, tiebreak id). */
   def topK(e: DataFrame, queryIds: Set[Long], k: Int): DataFrame = {
     val spark = e.sparkSession
