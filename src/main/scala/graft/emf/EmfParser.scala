@@ -86,7 +86,28 @@ object EmfParser {
       .map(a => AggSpec.parse(a, factCols))
 
     val having = if (lines.length == 6) Some(parseHaving(lines(5))) else None
-    EmfQuery(select, groupAttrs, varZero, vars, where, having)
+    val q = EmfQuery(select, groupAttrs, varZero, vars, where, having)
+    validate(q, factCols)
+    q
+  }
+
+  /** Fail fast with a readable message instead of a late Catalyst
+    * analysis error: every referenced fact column must exist. */
+  private def validate(q: EmfQuery, factCols: Set[String]): Unit = {
+    def checkCol(c: String, where: String): Unit =
+      require(factCols.contains(c),
+        s"$where references unknown column '$c' (fact columns: ${factCols.toSeq.sorted.mkString(", ")})")
+    q.groupAttrs.foreach(checkCol(_, "grouping attribute"))
+    (q.varZero ++ q.vars.map(_.agg)).foreach(a => checkCol(a.column, s"aggregate ${a.name}"))
+    val mfNames = q.aggNames ++ q.groupAttrs
+    (q.where ++ q.vars.flatMap(_.conds)).foreach { c =>
+      Seq(c.lhs, c.rhs).foreach {
+        case TupleCol(n) => checkCol(n, "condition")
+        case MfField(n) => require(mfNames.contains(n),
+          s"condition references unknown MF field '$n' (have: ${mfNames.toSeq.sorted.mkString(", ")})")
+        case _ =>
+      }
+    }
   }
 
   /** Split at `sep` occurring outside `{...}` / `[...]`. */

@@ -287,6 +287,36 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Pivot with a fixed value list (deterministic output schema); lowers
+    // to a single conditional aggregation, one shuffle.
+    "agg_pivot" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(sum(dec(col("l_quantity"))))
+        .withColumnsRenamed(Map("F" -> "qty_F", "O" -> "qty_O"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Explode / flatMap (UDTF shape): word fan-out + top-10 word counts.
+    "explode_wordcount" -> ((s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .groupBy(col("word")).agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word"))
+        .limit(10)
+    }),
+
+    // Collection aggregates, made deterministic by sorting the collected
+    // set (collect_set order is partitioning-dependent; sort_array fixes).
+    "agg_collect" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"))
+        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+          count(lit(1)).as("n"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // Approximate distinct (HLL++). No DuckDB oracle — algorithm-specific
     // results; driver records a rows-only check.
     "agg_approx_distinct" -> ((s, d) => {
@@ -442,6 +472,20 @@ object RelationalQueries {
         | quantile_cont(l_quantity, 0.5) AS median_qty,
         | quantile_cont(l_quantity, [0.25, 0.75]) AS quartiles
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "agg_pivot" ->
+      """SELECT l_returnflag,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS qty_F,
+        | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS qty_O
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "explode_wordcount" ->
+      """SELECT w AS word, count(1) AS n
+        |FROM documents, LATERAL (SELECT unnest(string_split(text, ' ')) AS w)
+        |GROUP BY w ORDER BY n DESC, word LIMIT 10""".stripMargin,
+    "agg_collect" ->
+      """SELECT o_orderstatus,
+        | list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        | count(1) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment,
         | count(DISTINCT o_custkey) AS n_custs,
