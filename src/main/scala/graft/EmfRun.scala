@@ -43,7 +43,13 @@ object EmfRun {
       case Some(p) => spark.read.parquet(p)
       case None    => Tables.salesView(spark, sfDir)
     }
-    val queries = EmfParser.parseAll(text, fact.columns.toSet)
+    // two frontends, one AST: the reference's positional format, or the
+    // papers' `GROUP BY …; … SUCH THAT …` SQL (auto-detected)
+    val queries =
+      if (graft.emf.MfSqlParser.looksLikeSql(text))
+        text.split("(?m)^\\s*~\\s*$").map(_.trim).filter(_.nonEmpty)
+          .map(q => graft.emf.MfSqlParser.parse(q, fact.columns.toSet)).toSeq
+      else EmfParser.parseAll(text, fact.columns.toSet)
     queries.zipWithIndex.foreach { case (q, i) =>
       println(s"=== query ${i + 1}: select ${q.select.mkString(",")}")
       val df = EmfPlanner.plan(q, fact)

@@ -93,7 +93,7 @@ object EmfParser {
 
   /** Fail fast with a readable message instead of a late Catalyst
     * analysis error: every referenced fact column must exist. */
-  private def validate(q: EmfQuery, factCols: Set[String]): Unit = {
+  private[emf] def validate(q: EmfQuery, factCols: Set[String]): Unit = {
     def checkCol(c: String, where: String): Unit =
       require(factCols.contains(c),
         s"$where references unknown column '$c' (fact columns: ${factCols.toSeq.sorted.mkString(", ")})")

@@ -194,6 +194,19 @@ object RelationalQueries {
         .except(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
         .orderBy(col("c_custkey"))
     }),
+    // bag-semantics variants (multiplicity-preserving)
+    "setop_intersect_all" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_quantity") > 25).select(col("l_orderkey"))
+        .intersectAll(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    }),
+    "setop_except_all" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_quantity") > 25).select(col("l_orderkey"))
+        .exceptAll(l.filter(col("l_returnflag") === "R").select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    }),
 
     // Grouping analytics: rollup / cube / grouping sets share one shuffle
     // with an Expand node feeding partial aggregation.
@@ -423,6 +436,16 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    "setop_intersect_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+        |INTERSECT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey""".stripMargin,
+    "setop_except_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
+        |EXCEPT ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,
         | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty

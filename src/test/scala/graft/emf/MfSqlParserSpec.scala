@@ -1,0 +1,65 @@
+package graft.emf
+
+import graft.{SparkSpec, Tables}
+
+/** The SQL frontend must produce plans equivalent to the positional
+  * frontend for the same query. */
+class MfSqlParserSpec extends SparkSpec {
+
+  val cols = GoldenQueries.factCols
+
+  test("corpus q5 in SUCH-THAT SQL equals the positional form") {
+    val sql =
+      """SELECT cust, avg(X.quant) AS avg_quant_NY, avg(Y.quant) AS avg_quant_CT,
+        |       avg(Z.quant) AS avg_quant_NJ
+        |FROM sales
+        |WHERE year = 1997
+        |GROUP BY cust ; X, Y, Z
+        |SUCH THAT X.cust = cust AND X.state = 'NATION_1',
+        |          Y.cust = cust AND Y.state = 'NATION_2',
+        |          Z.cust = cust AND Z.state = 'NATION_3'
+        |HAVING avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ""".stripMargin
+    val q = MfSqlParser.parse(sql, cols)
+    val fact = Tables.salesView(spark, sf0001)
+    val got = EmfPlanner.plan(q, fact).orderBy("cust").collect().toSeq
+    val want = EmfPlanner.plan(GoldenQueries.parsed(4), fact)
+      .orderBy("cust").collect().toSeq
+    assert(got == want)
+  }
+
+  test("corpus q6 (EMF) in SUCH-THAT SQL equals the positional form") {
+    val sql =
+      """SELECT prod, month, avg(X.quant) AS avg_quant_1, count(Y.quant) AS count_quant_2
+        |FROM sales
+        |WHERE year = 1997
+        |GROUP BY prod, month ; X, Y
+        |SUCH THAT X.prod = prod AND X.month = month,
+        |          Y.prod = prod AND Y.month = month AND Y.quant > avg_quant_1
+        |HAVING count_quant_2 > 0""".stripMargin
+    val q = MfSqlParser.parse(sql, cols)
+    val fact = Tables.salesView(spark, sf0001)
+    val got = EmfPlanner.plan(q, fact).orderBy("prod", "month").collect().toSeq
+    val want = EmfPlanner.plan(GoldenQueries.parsed(5), fact)
+      .orderBy("prod", "month").collect().toSeq
+    assert(got == want)
+  }
+
+  test("variable without SUCH THAT group auto-ranges over its own group") {
+    val sql =
+      """SELECT cust, sum(X.quant) AS sum_quant_all
+        |FROM sales
+        |GROUP BY cust ; X""".stripMargin
+    val q = MfSqlParser.parse(sql, cols)
+    assert(q.vars.head.conds == Seq(Cond(TupleCol("cust"), "=", MfField("cust"))))
+  }
+
+  test("clear errors for malformed SQL") {
+    val e1 = intercept[IllegalArgumentException](
+      MfSqlParser.parse("SELECT cust FROM sales", cols))
+    assert(e1.getMessage.contains("GROUP BY"))
+    val e2 = intercept[IllegalArgumentException](MfSqlParser.parse(
+      "SELECT cust, avg(X.quant) AS a FROM sales GROUP BY cust ; X SUCH THAT X.bogus = cust",
+      cols))
+    assert(e2.getMessage.contains("bogus"))
+  }
+}
