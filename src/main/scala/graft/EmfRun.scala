@@ -47,15 +47,17 @@ object EmfRun {
     // papers' `GROUP BY …; … SUCH THAT …` SQL (auto-detected)
     val queries =
       if (graft.emf.MfSqlParser.looksLikeSql(text))
-        text.split("(?m)^\\s*~\\s*$").map(_.trim).filter(_.nonEmpty)
-          .map(q => graft.emf.MfSqlParser.parse(q, fact.columns.toSet)).toSeq
+        graft.emf.MfSqlParser.parseAll(text, fact.columns.toSet)
       else EmfParser.parseAll(text, fact.columns.toSet)
     queries.zipWithIndex.foreach { case (q, i) =>
       println(s"=== query ${i + 1}: select ${q.select.mkString(",")}")
       val df = EmfPlanner.plan(q, fact)
       if (explain) df.explain("formatted")
-      df.show(20, truncate = false)
-      println(s"Total Records: ${df.count()}")
+      df.persist()
+      try {
+        df.show(20, truncate = false)
+        println(s"Total Records: ${df.count()}") // served from the cache
+      } finally df.unpersist()
     }
     spark.stop()
   }

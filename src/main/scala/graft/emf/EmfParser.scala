@@ -100,14 +100,27 @@ object EmfParser {
     q.groupAttrs.foreach(checkCol(_, "grouping attribute"))
     (q.varZero ++ q.vars.map(_.agg)).foreach(a => checkCol(a.column, s"aggregate ${a.name}"))
     val mfNames = q.aggNames ++ q.groupAttrs
+    def checkMf(n: String, where: String): Unit = require(mfNames.contains(n),
+      s"$where references unknown MF field '$n' (have: ${mfNames.toSeq.sorted.mkString(", ")})")
     (q.where ++ q.vars.flatMap(_.conds)).foreach { c =>
       Seq(c.lhs, c.rhs).foreach {
         case TupleCol(n) => checkCol(n, "condition")
-        case MfField(n) => require(mfNames.contains(n),
-          s"condition references unknown MF field '$n' (have: ${mfNames.toSeq.sorted.mkString(", ")})")
+        case MfField(n)  => checkMf(n, "condition")
         case _ =>
       }
     }
+    q.select.foreach(s => require(
+      q.groupAttrs.contains(s) || q.aggNames.contains(s),
+      s"select item '$s' is neither a grouping attribute nor a declared aggregate"))
+    def walkHaving(h: HavingExpr): Unit = h match {
+      case HavingAnd(l, r) => walkHaving(l); walkHaving(r)
+      case HavingOr(l, r)  => walkHaving(l); walkHaving(r)
+      case HavingLeaf(HavingCond(a, _, b)) => Seq(a, b).foreach {
+        case MfField(n) => checkMf(n, "HAVING")
+        case _ =>
+      }
+    }
+    q.having.foreach(walkHaving)
   }
 
   /** Split at `sep` occurring outside `{...}` / `[...]`. */
@@ -153,16 +166,22 @@ object EmfParser {
   }
 
   private def parseHavingBool(s: String): HavingExpr = {
-    // split on top-level [&&] / [||]
+    // split on [&&] / [||] with standard AND-over-OR precedence: combine
+    // runs of && first, then join the groups with ||
     val tokens = """\[(\&\&|\|\|)\]""".r
     val ops = tokens.findAllMatchIn(s).map(_.group(1)).toSeq
     val parts = tokens.split(s).map(_.trim).filter(_.nonEmpty).toSeq
     val leaves = parts.map(parseHavingLeaf)
     if (leaves.isEmpty) throw new IllegalArgumentException(s"bad HAVING '$s'")
-    ops.zip(leaves.drop(1)).foldLeft(leaves.head) {
-      case (acc, ("&&", l)) => HavingAnd(acc, l)
-      case (acc, (_, l))    => HavingOr(acc, l)
+    require(ops.length == leaves.length - 1, s"malformed HAVING '$s'")
+    val orGroups = scala.collection.mutable.ArrayBuffer(
+      scala.collection.mutable.ArrayBuffer(leaves.head))
+    ops.zip(leaves.drop(1)).foreach {
+      case ("&&", l) => orGroups.last += l
+      case (_, l)    => orGroups += scala.collection.mutable.ArrayBuffer(l)
     }
+    orGroups.map(_.reduceLeft(HavingAnd(_, _): HavingExpr))
+      .reduceLeft(HavingOr(_, _))
   }
 
   private def parseHavingLeaf(s: String): HavingExpr = s match {

@@ -39,7 +39,7 @@ object EmfPlanner {
 
     val aggNames = q.aggNames
     val (simpleVars, rest) = q.vars.partition(isSimple(_, q, aggNames))
-    val (winVars, depVars) = rest.partition(isWindowed(_, q, aggNames))
+    val (winVars, depVars) = rest.partition(isWindowed(_, q, aggNames, schema))
 
     // ---- scan 0: groups + variable-0 aggregates + all SIMPLE variables
     // + per-group partials for WINDOWED variables
@@ -108,8 +108,19 @@ object EmfPlanner {
     * comparison (`<`,`<=`,`>`,`>=`) `tuple.o ? MF.o` on ONE grouping attr.
     * Lowered as per-group partial aggregates + a window over the equality
     * subset with a RANGE frame on the order attr — removes the join+shuffle
-    * a dependent pass would need (corpus queries 2 and 3). */
-  private def isWindowed(v: GroupingVar, q: EmfQuery, aggNames: Set[String]): Boolean = {
+    * a dependent pass would need (corpus queries 2 and 3).
+    *
+    * The ±1 RANGE offsets that encode strict `<`/`>` are only correct
+    * when consecutive order values differ by ≥ 1 — i.e. integral types.
+    * Fractional or non-numeric order attrs fall back to the dependent
+    * pass (correct for any type). */
+  private def isWindowed(v: GroupingVar, q: EmfQuery, aggNames: Set[String],
+      schema: StructType): Boolean = {
+    def integral(n: String): Boolean =
+      schema.find(_.name == n).map(_.dataType).exists {
+        case ByteType | ShortType | IntegerType | LongType => true
+        case _ => false
+      }
     val orderConds = v.mfConds.filter {
       case Cond(TupleCol(a), "<" | "<=" | ">" | ">=", MfField(b)) =>
         a == b && q.groupAttrs.contains(a)
@@ -124,10 +135,8 @@ object EmfPlanner {
       eqConds.size + orderConds.size == v.mfConds.size &&
       orderConds.size <= 1 &&
       Set("sum", "count", "avg", "min", "max").contains(v.agg.func) &&
-      // numeric order attr required for a RANGE frame
       orderConds.forall {
-        case Cond(TupleCol(a), _, _) =>
-          q.groupAttrs.contains(a) // type checked at runtime by Spark
+        case Cond(TupleCol(a), _, _) => q.groupAttrs.contains(a) && integral(a)
         case _ => false
       }
   }

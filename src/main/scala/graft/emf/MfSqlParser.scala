@@ -22,40 +22,80 @@ package graft.emf
   *  - `X.col op aggName`  → EMF: tuple.col op another variable's aggregate
   *  - a variable with no SUCH THAT group ranges over its own group
   *    (the same auto-rewrite as the positional format)
-  *  - aggregates without a variable prefix (`avg(quant)`) are variable-0
-  *    (computed over the group's own tuples).
-  * Keywords are case-insensitive; clause order is fixed (WHERE before
-  * GROUP BY, as in the papers' examples; also accepted after HAVING).
+  *  - aggregates without a variable prefix (`avg(quant)`) are variable-0;
+  *    several aggregates may share one variable (they become sibling
+  *    grouping variables with the same defining predicates).
+  *
+  * Keyword detection, comma- and AND-splitting are all quote-aware: a
+  * masked shadow of the text (quoted spans blanked) locates structure,
+  * substrings come from the original, so literals like 'BLACK AND WHITE'
+  * or 'A  B' survive intact.
   */
 object MfSqlParser {
 
-  private val AggRe = """(?i)(sum|avg|min|max|count)\s*\(\s*(?:(\w+)\s*\.\s*)?(\w+)\s*\)\s+(?i:AS)\s+(\w+)""".r
-  private val CondRe = """(?s)\s*(\w+)\s*\.\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+)\s*""".r
-  private val WhereCondRe = """(?s)\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+)\s*""".r
-  private val HavingCondRe = """(?s)\s*([\w.']+)\s*(<=|>=|!=|<>|=|<|>)\s*([\w.']+)\s*""".r
+  private val AggRe = """(?is)\s*(sum|avg|min|max|count)\s*\(\s*(?:(\w+)\s*\.\s*)?(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
+  private val CondRe = """(?s)\s*(\w+)\s*\.\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+?)\s*""".r
+  private val WhereCondRe = """(?s)\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+?)\s*""".r
+  private val HavingCondRe = """(?s)\s*([\w.]+|'[^']*')\s*(<=|>=|!=|<>|=|<|>)\s*([\w.]+|'[^']*')\s*""".r
 
   def looksLikeSql(text: String): Boolean =
     text.linesIterator.map(_.trim).find(_.nonEmpty)
       .exists(_.toUpperCase.startsWith("SELECT"))
 
-  def parse(text: String, factCols: Set[String]): EmfQuery = {
-    val t = text.replaceAll("\\s+", " ").trim
-    def clause(name: String, stoppers: Seq[String]): Option[String] = {
-      val up = t.toUpperCase
-      val i = up.indexOf(name.toUpperCase)
-      if (i < 0) return None
-      val start = i + name.length
-      val end = stoppers.map(s => up.indexOf(s.toUpperCase, start))
-        .filter(_ >= 0).minOption.getOrElse(t.length)
-      Some(t.substring(start, end).trim)
+  /** Multi-query spec: blocks separated by `~` lines (same convention as
+    * the positional format). */
+  def parseAll(text: String, factCols: Set[String]): Seq[EmfQuery] =
+    text.split("(?m)^\\s*~\\s*$").map(_.trim).filter(_.nonEmpty)
+      .map(parse(_, factCols)).toSeq
+
+  /** Same-length shadow with quoted spans (quotes included) blanked, so
+    * structural regexes never match inside string literals. */
+  private def mask(s: String): String = {
+    val out = s.toCharArray
+    var i = 0; var inQ = false
+    while (i < s.length) {
+      if (s.charAt(i) == '\'') { inQ = !inQ; out(i) = '\u0001' }
+      else if (inQ) out(i) = '\u0001'
+      i += 1
     }
-    val selectS = clause("SELECT ", Seq(" FROM ")).getOrElse(
-      throw new IllegalArgumentException("missing SELECT"))
-    val whereS = clause(" WHERE ", Seq(" GROUP BY ", " SUCH THAT ", " HAVING "))
-    val groupS = clause(" GROUP BY ", Seq(" SUCH THAT ", " HAVING ", " WHERE "))
-      .getOrElse(throw new IllegalArgumentException("missing GROUP BY"))
-    val suchS = clause(" SUCH THAT ", Seq(" HAVING ", " WHERE "))
-    val havingS = clause(" HAVING ", Seq(" WHERE "))
+    new String(out)
+  }
+
+  /** Split `orig` at matches of `re` found in its masked shadow. */
+  private def splitOn(orig: String, masked: String, re: String): Seq[String] = {
+    val points = re.r.findAllMatchIn(masked).map(m => (m.start, m.end)).toSeq
+    val bounds = ((0, 0) +: points :+ ((orig.length, orig.length)))
+    bounds.sliding(2).map { case Seq((_, s), (e, _)) => orig.substring(s, e) }
+      .map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  def parse(text: String, factCols: Set[String]): EmfQuery = {
+    val t = text.trim
+    val m = mask(t)
+    // locate clause keywords outside quotes, in textual order
+    val kw = Seq(
+      "SELECT" -> "(?i)\\bSELECT\\b", "FROM" -> "(?i)\\bFROM\\b",
+      "WHERE" -> "(?i)\\bWHERE\\b", "GROUP BY" -> "(?i)\\bGROUP\\s+BY\\b",
+      "SUCH THAT" -> "(?i)\\bSUCH\\s+THAT\\b", "HAVING" -> "(?i)\\bHAVING\\b")
+    val hits = kw.flatMap { case (n, re) =>
+      re.r.findAllMatchIn(m).map(mm => (n, mm.start, mm.end))
+    }.sortBy(_._2)
+    hits.groupBy(_._1).foreach { case (n, hs) =>
+      require(hs.size == 1, s"clause $n appears ${hs.size} times")
+    }
+    val clauses: Map[String, (String, String)] = hits.zipWithIndex.map {
+      case ((n, _, e), i) =>
+        val end = if (i + 1 < hits.length) hits(i + 1)._2 else t.length
+        n -> (t.substring(e, end).trim, m.substring(e, end).trim)
+    }.toMap
+    def need(n: String): (String, String) = clauses.getOrElse(n,
+      throw new IllegalArgumentException(s"missing $n clause"))
+    val (selectS, selectM) = need("SELECT")
+    need("FROM")
+    val (groupS, _) = need("GROUP BY")
+    val whereOpt = clauses.get("WHERE")
+    val suchOpt = clauses.get("SUCH THAT")
+    val havingOpt = clauses.get("HAVING")
 
     // GROUP BY g1, g2 [; V1, V2]
     val (gPart, vPart) = groupS.split(";") match {
@@ -66,67 +106,77 @@ object MfSqlParser {
     val groupAttrs = gPart.split(",").map(_.trim).filter(_.nonEmpty).toSeq
     val varNames = vPart.split(",").map(_.trim).filter(_.nonEmpty).toSeq
 
-    // SELECT items: grouping attrs pass through; aggregates parsed
-    case class SelAgg(varName: Option[String], spec: AggSpec)
-    val selItems = EmfParser.splitTop(selectS, ',')
+    // SELECT items
     val select = scala.collection.mutable.ArrayBuffer[String]()
-    val aggs = scala.collection.mutable.ArrayBuffer[SelAgg]()
-    selItems.foreach {
+    val varZero = scala.collection.mutable.ArrayBuffer[AggSpec]()
+    val aggsByVar = scala.collection.mutable.LinkedHashMap[String, Vector[AggSpec]]()
+    splitOn(selectS, selectM, ",").foreach {
       case AggRe(f, vn, c, alias) =>
         select += alias
-        aggs += SelAgg(Option(vn), AggSpec(f.toLowerCase, c, alias))
+        val spec = AggSpec(f.toLowerCase, c, alias)
+        Option(vn) match {
+          case None => varZero += spec
+          case Some(v) =>
+            require(varNames.contains(v),
+              s"SELECT aggregate '$alias' references undeclared variable '$v' (GROUP BY declares: ${varNames.mkString(", ")})")
+            aggsByVar(v) = aggsByVar.getOrElse(v, Vector()) :+ spec
+        }
       case plain if groupAttrs.contains(plain.trim) => select += plain.trim
       case other => throw new IllegalArgumentException(
         s"select item '$other' is neither a grouping attribute nor 'func(col) AS name'")
     }
-    val varZero = aggs.filter(_.varName.isEmpty).map(_.spec).toSeq
-    val byVar = aggs.flatMap(a => a.varName.map(_ -> a.spec)).toMap
-    require(byVar.keySet == varNames.toSet,
-      s"SELECT aggregates reference variables ${byVar.keySet.toSeq.sorted}, GROUP BY declares ${varNames.sorted}")
+    varNames.foreach(v => require(aggsByVar.contains(v),
+      s"variable '$v' declared in GROUP BY but no SELECT aggregate uses it"))
 
-    // SUCH THAT: one AND-group per variable, comma-separated, in order
-    val aggNames = (varZero ++ varNames.flatMap(byVar.get)).map(_.name).toSet
-    val suchGroups = suchS.map(s => EmfParser.splitTop(s, ',')).getOrElse(Nil)
+    // SUCH THAT: one AND-group per variable, comma-separated
+    val aggNames = (varZero ++ aggsByVar.values.flatten).map(_.name).toSet
+    val suchGroups = suchOpt.map { case (s, sm) => splitOn(s, sm, ",").map { g =>
+      val gm = mask(g)
+      splitOn(g, gm, "(?i)\\bAND\\b")
+    }}.getOrElse(Nil)
     require(suchGroups.size <= varNames.size,
       s"${suchGroups.size} SUCH THAT groups for ${varNames.size} variables")
-    val condsByVar: Map[String, Seq[Cond]] =
-      suchGroups.map { grp =>
-        val conds = grp.split("(?i) AND ").map(_.trim).filter(_.nonEmpty)
-          .map(parseSuchCond(_, groupAttrs, aggNames, factCols))
-        val vn = conds.headOption.map(_._1).getOrElse(
-          throw new IllegalArgumentException(s"empty SUCH THAT group '$grp'"))
-        require(conds.forall(_._1 == vn),
-          s"SUCH THAT group mixes variables: '$grp'")
-        vn -> conds.map(_._2).toSeq
-      }.toMap
+    val condsByVar: Map[String, Seq[Cond]] = suchGroups.map { conds =>
+      val parsed = conds.map(parseSuchCond(_, groupAttrs, aggNames))
+      val vn = parsed.head._1
+      require(parsed.forall(_._1 == vn),
+        s"SUCH THAT group mixes variables: ${conds.mkString(" AND ")}")
+      require(varNames.contains(vn),
+        s"SUCH THAT references undeclared variable '$vn' (GROUP BY declares: ${varNames.mkString(", ")})")
+      vn -> parsed.map(_._2)
+    }.toMap
 
-    val vars = varNames.zipWithIndex.map { case (vn, i) =>
+    // several aggregates on one variable → sibling GroupingVars sharing
+    // that variable's defining predicates
+    var idx = 0
+    val vars = varNames.flatMap { vn =>
       val conds0 = condsByVar.getOrElse(vn, Nil)
       val conds =
         if (conds0.exists(_.referencesMf)) conds0
         else groupAttrs.map(g => Cond(TupleCol(g), "=", MfField(g))) ++ conds0
-      GroupingVar(i + 1, byVar(vn), conds)
+      aggsByVar(vn).map { spec => idx += 1; GroupingVar(idx, spec, conds) }
     }
 
-    val where = whereS.toSeq.flatMap(_.split("(?i) AND ").map(_.trim).filter(_.nonEmpty))
-      .map {
+    val where = whereOpt.toSeq.flatMap { case (s, sm) =>
+      splitOn(s, sm, "(?i)\\bAND\\b").map {
         case WhereCondRe(c, op, lit) => Cond(TupleCol(c), op, Lit(stripQuotes(lit)))
         case other => throw new IllegalArgumentException(s"bad WHERE condition '$other'")
       }
+    }
 
-    val having = havingS.map(parseHaving(_, aggNames))
-    val q = EmfQuery(select.toSeq, groupAttrs, varZero, vars, where, having)
+    val having = havingOpt.map { case (s, sm) => parseHaving(s, sm) }
+    val q = EmfQuery(select.toSeq, groupAttrs, varZero.toSeq, vars, where, having)
     EmfParser.validate(q, factCols)
     q
   }
 
   /** One SUCH THAT condition → (varName, normalized Cond). */
   private def parseSuchCond(s: String, groupAttrs: Seq[String],
-      aggNames: Set[String], factCols: Set[String]): (String, Cond) = s match {
+      aggNames: Set[String]): (String, Cond) = s match {
     case CondRe(vn, col, op, rhsRaw) =>
       val rhs = rhsRaw.trim
       val cond =
-        if (rhs.matches("'.*'") || rhs.matches("-?\\d+(\\.\\d+)?"))
+        if (rhs.matches("(?s)'.*'") || rhs.matches("-?\\d+(\\.\\d+)?"))
           Cond(TupleCol(col), op, Lit(stripQuotes(rhs)))
         else if (aggNames.contains(rhs) || groupAttrs.contains(rhs))
           Cond(TupleCol(col), op, MfField(rhs))
@@ -136,10 +186,11 @@ object MfSqlParser {
     case other => throw new IllegalArgumentException(s"bad SUCH THAT condition '$other'")
   }
 
-  private def parseHaving(s: String, aggNames: Set[String]): HavingExpr = {
-    val orParts = s.split("(?i) OR ")
-    orParts.map { part =>
-      part.split("(?i) AND ").map(_.trim).filter(_.nonEmpty).map {
+  /** AND binds tighter than OR, standard SQL precedence. */
+  private def parseHaving(s: String, sm: String): HavingExpr = {
+    splitOn(s, sm, "(?i)\\bOR\\b").map { orPart =>
+      val om = mask(orPart)
+      splitOn(orPart, om, "(?i)\\bAND\\b").map {
         case HavingCondRe(a, op, b) =>
           HavingLeaf(HavingCond(havingOperand(a), op, havingOperand(b))): HavingExpr
         case other => throw new IllegalArgumentException(s"bad HAVING '$other'")

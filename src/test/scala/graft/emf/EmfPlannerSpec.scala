@@ -142,6 +142,42 @@ class EmfPlannerSpec extends SparkSpec {
     assert(got3 == want3)
   }
 
+  test("windowed lowering falls back to dependent pass on fractional order attrs") {
+    // strict '<' via rangeBetween(-1) is only valid for integral order
+    // values; a double order column must take the (always-correct) join
+    val df = Seq(("a", 1.0, 10), ("a", 1.5, 10), ("a", 2.0, 10))
+      .toDF("g", "price", "quant")
+    val q = EmfParser.parseOne(
+      """g,price,sum_quant_before
+        |1
+        |g,price
+        |sum_quant_before
+        |{MF.g.sum_quant_before}[=]{g}:{MF.price.sum_quant_before}[<]{price}""".stripMargin,
+      Set("g", "price", "quant"))
+    val out = EmfPlanner.plan(q, df).orderBy("price").collect()
+    assert(out(0).isNullAt(2))          // nothing before 1.0
+    assert(out(1).getLong(2) == 10L)    // 1.0 < 1.5
+    assert(out(2).getLong(2) == 20L)    // 1.0, 1.5 < 2.0 — rangeBetween(-1) would say 10
+    val opt = EmfPlanner.plan(q, df).queryExecution.optimizedPlan.toString
+    assert(opt.toLowerCase.contains("join")) // dependent path, not window
+  }
+
+  test("HAVING mixed and/or uses AND-over-OR precedence") {
+    val q = EmfParser.parseOne(
+      """cust,sum_quant_a,sum_quant_b,sum_quant_c
+        |3
+        |cust
+        |sum_quant_a,sum_quant_b,sum_quant_c
+        |{MF.cust.sum_quant_a}[=]{cust},{MF.cust.sum_quant_b}[=]{cust},{MF.cust.sum_quant_c}[=]{cust}
+        |{sum_quant_a,>,1} [||] {sum_quant_b,>,1} [&&] {sum_quant_c,>,1}""".stripMargin, cols)
+    // a>1 OR (b>1 AND c>1), not (a>1 OR b>1) AND c>1
+    assert(q.having.get == HavingOr(
+      HavingLeaf(HavingCond(MfField("sum_quant_a"), ">", Lit("1"))),
+      HavingAnd(
+        HavingLeaf(HavingCond(MfField("sum_quant_b"), ">", Lit("1"))),
+        HavingLeaf(HavingCond(MfField("sum_quant_c"), ">", Lit("1"))))))
+  }
+
   test("HAVING filters the MF frame") {
     val q = EmfParser.parseOne(
       """cust,sum_quant_a

@@ -53,6 +53,45 @@ class MfSqlParserSpec extends SparkSpec {
     assert(q.vars.head.conds == Seq(Cond(TupleCol("cust"), "=", MfField("cust"))))
   }
 
+  test("quoted literals survive AND-splitting and whitespace") {
+    import spark.implicits._
+    val df = Seq(("a", "BLACK AND WHITE", 3), ("a", "RED", 4), ("b", "A  B", 5))
+      .toDF("g", "state", "quant")
+    val q = MfSqlParser.parse(
+      """SELECT g, sum(X.quant) AS sum_q
+        |FROM t GROUP BY g ; X
+        |SUCH THAT X.g = g AND X.state = 'BLACK AND WHITE'""".stripMargin,
+      Set("g", "state", "quant"))
+    val out = EmfPlanner.plan(q, df).orderBy("g").collect()
+    assert(out(0).getLong(1) == 3L && out(1).isNullAt(1))
+    val q2 = MfSqlParser.parse(
+      "SELECT g, count(X.quant) AS n FROM t GROUP BY g ; X SUCH THAT X.state = 'A  B'",
+      Set("g", "state", "quant"))
+    // double space preserved inside the literal
+    assert(q2.vars.head.tupleConds.head.rhs == Lit("A  B"))
+  }
+
+  test("undeclared variable in SUCH THAT is rejected, not silently dropped") {
+    val e = intercept[IllegalArgumentException](MfSqlParser.parse(
+      """SELECT cust, avg(X.quant) AS a
+        |FROM sales GROUP BY cust ; X
+        |SUCH THAT Y.cust = cust AND Y.state = 'NATION_1'""".stripMargin, cols))
+    assert(e.getMessage.contains("undeclared variable 'Y'"))
+  }
+
+  test("multiple aggregates per variable become sibling grouping variables") {
+    import spark.implicits._
+    val df = Seq(("a", "NY", 1), ("a", "NY", 5), ("a", "CT", 9)).toDF("g", "state", "quant")
+    val q = MfSqlParser.parse(
+      """SELECT g, sum(X.quant) AS s_ny, max(X.quant) AS m_ny
+        |FROM t GROUP BY g ; X
+        |SUCH THAT X.g = g AND X.state = 'NY'""".stripMargin,
+      Set("g", "state", "quant"))
+    assert(q.vars.length == 2 && q.vars.map(_.conds).distinct.size == 1)
+    val out = EmfPlanner.plan(q, df).collect().head
+    assert(out.getLong(1) == 6L && out.getInt(2) == 5)
+  }
+
   test("clear errors for malformed SQL") {
     val e1 = intercept[IllegalArgumentException](
       MfSqlParser.parse("SELECT cust FROM sales", cols))
