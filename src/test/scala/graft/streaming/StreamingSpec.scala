@@ -123,6 +123,23 @@ class StreamingSpec extends SparkSpec {
       Seq("event_id", "event_type", "ts", "user_id", "value"))
   }
 
+  test("foreachBatch sink: custom merge logic per micro-batch") {
+    val stream = MemoryStream[Ev](spark)
+    val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
+    val q = stream.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        seen.synchronized { seen += ((id, batch.count())) }
+        () // custom sinks (upsert/merge) would go here
+      }
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long) = Ev(id, Timestamp.valueOf("2024-01-01 10:00:00"), 1L, "x", 1.0)
+    try {
+      stream.addData(ev(1), ev(2)); q.processAllAvailable()
+      stream.addData(ev(3)); q.processAllAvailable()
+    } finally q.stop()
+    assert(seen.map(_._2).sum == 3 && seen.size >= 2)
+  }
+
   test("streaming session windows equal batch sessionization") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)
