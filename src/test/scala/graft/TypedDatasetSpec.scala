@@ -33,9 +33,10 @@ class TypedDatasetSpec extends SparkSpec {
   }
 
   test("joinWith produces typed pairs") {
+    val lines = ds
     val orders = Tables.orders(spark, sf0001)
       .select($"o_orderkey", $"o_totalprice").as[(Long, Double)]
-    val pairs = ds.joinWith(orders, ds("l_orderkey") === orders("o_orderkey"))
+    val pairs = lines.joinWith(orders, lines("l_orderkey") === orders("o_orderkey"))
       .limit(5).collect()
     pairs.foreach { case (line, (ok, _)) => assert(line.l_orderkey == ok) }
   }
