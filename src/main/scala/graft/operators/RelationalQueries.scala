@@ -300,6 +300,57 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Correlated scalar subquery — Catalyst decorrelates it into an
+    // aggregate + join (no per-row re-execution).
+    "subquery_correlated" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+          |FROM orders_sq o
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq i
+          |                          WHERE i.o_custkey = o.o_custkey)
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // IN / NOT IN subqueries (planned as semi/anti joins).
+    "subquery_in" -> ((s, d) => {
+      Tables.orders(s, d).createOrReplaceTempView("orders_in")
+      Tables.customer(s, d).createOrReplaceTempView("customer_in")
+      s.sql(
+        """SELECT o_orderkey FROM orders_in
+          |WHERE o_custkey IN (SELECT c_custkey FROM customer_in
+          |                    WHERE c_mktsegment = 'MACHINERY')
+          |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders_in
+          |                         WHERE o_orderstatus = 'F')
+          |ORDER BY o_orderkey""".stripMargin)
+    }),
+
+    // Rank-family window functions over a total order.
+    "window_ranks" -> ((s, d) => {
+      val w = Window.orderBy(col("price").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .orderBy(col("price").desc, col("o_orderkey")).limit(1000) // deterministic top-1000
+        .withColumn("rn", row_number().over(w))
+        .withColumn("drnk", dense_rank().over(w))
+        .withColumn("ntl", ntile(4).over(w))
+        .withColumn("prank", percent_rank().over(w))
+        .withColumn("cdist", cume_dist().over(w))
+        .orderBy(col("rn"))
+    }),
+
+    // Null-safe equality (<=> / IS NOT DISTINCT FROM) on a column with
+    // synthesized nulls.
+    "scalar_nullsafe" -> ((s, d) => {
+      Tables.customer(s, d)
+        .withColumn("seg_opt", when(col("c_acctbal") < 0, lit(null:String))
+          .otherwise(col("c_mktsegment")))
+        .select(col("c_custkey"),
+          (col("seg_opt") <=> lit(null:String)).cast("int").as("is_null_eq"),
+          (col("seg_opt") <=> lit("BUILDING")).cast("int").as("is_bldg_eq"))
+        .orderBy(col("c_custkey"))
+    }),
+
     // Pivot with a fixed value list (deterministic output schema); lowers
     // to a single conditional aggregation, one shuffle.
     "agg_pivot" -> ((s, d) => {
@@ -436,6 +487,39 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    "subquery_correlated" ->
+      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
+        |                          WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+    "subquery_in" ->
+      """SELECT o_orderkey FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'MACHINERY')
+        |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders
+        |                         WHERE o_orderstatus = 'F')
+        |ORDER BY o_orderkey""".stripMargin,
+    "window_ranks" ->
+      """WITH top1000 AS (
+        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  FROM orders ORDER BY price DESC, o_orderkey LIMIT 1000)
+        |SELECT o_orderkey, price,
+        |  row_number() OVER w AS rn,
+        |  dense_rank() OVER w AS drnk,
+        |  CAST(ntile(4) OVER w AS INT) AS ntl,
+        |  percent_rank() OVER w AS prank,
+        |  cume_dist() OVER w AS cdist
+        |FROM top1000
+        |WINDOW w AS (ORDER BY price DESC, o_orderkey)
+        |ORDER BY rn""".stripMargin,
+    "scalar_nullsafe" ->
+      """SELECT c_custkey,
+        | CAST((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END
+        |        IS NOT DISTINCT FROM NULL) AS INT) AS is_null_eq,
+        | CAST((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END
+        |        IS NOT DISTINCT FROM 'BUILDING') AS INT) AS is_bldg_eq
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "setop_intersect_all" ->
       """SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
         |INTERSECT ALL
