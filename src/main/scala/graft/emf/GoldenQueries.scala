@@ -67,12 +67,53 @@ object GoldenQueries {
       .orderBy(q.groupAttrs.map(org.apache.spark.sql.functions.col): _*)
   }
 
+  /** EMF through the MF-SQL frontend over a DIFFERENT fact table
+    * (`events`): per user, average purchase value vs average error value,
+    * plus the count of events above the user's purchase average (an EMF
+    * dependency), keeping users where purchases average above errors. */
+  val eventsMfSql: String =
+    """SELECT user_id, avg(P.value) AS avg_value_purchase,
+      |       avg(E.value) AS avg_value_error,
+      |       count(H.value) AS count_value_high
+      |FROM events
+      |GROUP BY user_id ; P, E, H
+      |SUCH THAT P.user_id = user_id AND P.event_type = 'purchase',
+      |          E.user_id = user_id AND E.event_type = 'error',
+      |          H.user_id = user_id AND H.value > avg_value_purchase
+      |HAVING avg_value_purchase > avg_value_error""".stripMargin
+
+  def runEventsMf(s: SparkSession, dir: String): DataFrame = {
+    val fact = Tables.events(s, dir)
+      .select(org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.col("event_type"),
+        org.apache.spark.sql.functions.col("value"))
+    val q = MfSqlParser.parse(eventsMfSql, fact.columns.toSet)
+    EmfPlanner.plan(q, fact)
+      .orderBy(org.apache.spark.sql.functions.col("user_id"))
+  }
+
   private val sales = s"sales AS (${Tables.salesViewSql})"
 
   /** DuckDB oracle SQL, one per golden query, with column names exactly
     * matching the Spark output (driver hash-compares after sorting columns
     * by name). Counts/sums cast to BIGINT (DuckDB sums to HUGEINT). */
   val oracle: Map[String, String] = Map(
+    "emf_events" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    avg(value) FILTER (WHERE event_type = 'purchase') AS avg_p,
+        |    avg(value) FILTER (WHERE event_type = 'error') AS avg_e
+        |  FROM events GROUP BY user_id),
+        |h AS (
+        |  SELECT e.user_id, count(e.value) AS c
+        |  FROM events e JOIN g ON e.user_id = g.user_id
+        |  WHERE e.value > g.avg_p GROUP BY e.user_id)
+        |SELECT g.user_id, round(avg_p, 6) AS avg_value_purchase,
+        |  round(avg_e, 6) AS avg_value_error,
+        |  COALESCE(h.c, 0) AS count_value_high
+        |FROM g LEFT JOIN h USING (user_id)
+        |WHERE avg_p > avg_e
+        |ORDER BY g.user_id""".stripMargin,
     "emf_q1" ->
       s"""WITH $sales
          |SELECT cust,
