@@ -44,8 +44,11 @@ object Ivf {
     s
   }
 
-  /** Lloyd's k-means, deterministic (init = first k sample vectors). */
-  def train(sample: Array[Array[Double]], k: Int, iters: Int): Model = {
+  /** Lloyd's k-means, deterministic (init = first k sample vectors).
+    * k is clamped to the sample size. */
+  def train(sample: Array[Array[Double]], k0: Int, iters: Int): Model = {
+    require(sample.nonEmpty, "cannot train IVF on an empty sample")
+    val k = math.min(k0, sample.length)
     val dim = sample.head.length
     var centroids = sample.take(k).map(_.clone())
     for (_ <- 0 until iters) {
@@ -86,7 +89,7 @@ object Ivf {
     val sample = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
       .collect().sortBy(_._1) // test-scale sample = whole table
     val model = train(sample.map(_._2.toArray), nlist, iters)
-    val assigned = assign(e, model).cache()
+    val assigned = assign(e, model)
     val queries = sample.filter(t => queryIds(t._1))
     val probes = queries.map { case (qid, qv) =>
       (qid, qv, model.nearestCells(qv.toArray, nprobe))

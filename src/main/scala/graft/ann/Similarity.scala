@@ -106,7 +106,7 @@ object Similarity {
       val b = e.select(col("vec_id").as("id_b"), col("key"))
       val cand = a.join(b, Seq("key")).filter(col("id_a") < col("id_b"))
         .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      VectorKernels.scorePairs(cand, embWithNearDups(s, d), 0.99)
+      VectorKernels.scorePairs(cand, e.select("vec_id", "emb"), 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
   )

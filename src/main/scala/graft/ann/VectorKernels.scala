@@ -35,9 +35,11 @@ object VectorKernels {
     val vecs = rows.map(_._2.toArray)
     val norms = vecs.map(v => math.sqrt(dot(v, v)))
     val n = ids.length
+    if (n == 0) return spark.emptyDataset[(Long, Long, Double)]
+      .toDF("id_a", "id_b", "cos6")
     val bc = spark.sparkContext.broadcast((ids, vecs, norms))
     val half = (n + 1) / 2
-    spark.range(0, half.toLong, 1, math.min(half, 64))
+    spark.range(0, half.toLong, 1, math.max(1, math.min(half, 64)))
       .flatMap { k0 =>
         val (bIds, bVecs, bNorms) = bc.value
         val k = k0.toInt
@@ -67,6 +69,8 @@ object VectorKernels {
       .mapPartitions { it =>
         val (bVecs, bNorms) = bc.value
         it.flatMap { case (a, b) =>
+          require(bVecs.contains(a) && bVecs.contains(b),
+            s"candidate pair ($a,$b) references ids absent from the vector table")
           val c = dot(bVecs(a), bVecs(b)) / (bNorms(a) * bNorms(b))
           if (c >= tau) Some((a, b, round6(c))) else None
         }

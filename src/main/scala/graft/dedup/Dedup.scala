@@ -134,16 +134,25 @@ object Dedup {
     }),
   )
 
-  /** MinHash LSH pipeline, parameterized. */
-  def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int, tau: Double): DataFrame = {
+  /** MinHash LSH pipeline, parameterized. `maxBucket` caps any (band,
+    * key) bucket: a bucket of B docs yields B²/2 candidate pairs, so
+    * boilerplate floods are truncated to the first `maxBucket` docs by id
+    * (such buckets are near-identical content; the survivors still pair). */
+  def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int, tau: Double,
+      maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
     val docs = docsWithNearDups(s, d)
       .withColumn("sh", shingles(col("text"), 3))
       .withColumn("mh", SignatureExprs.minhashFast(col("sh"), k))
-    val banded = docs.select(col("doc_id"), col("sh"),
+    val banded0 = docs.select(col("doc_id"), col("sh"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((slice(col("mh"), bd * rows + 1, rows) +: Seq(lit(bd))): _*)): _*))
         .as(Seq("band", "key")))
+    val bw = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
+    val banded = banded0
+      .withColumn("__bn", row_number().over(bw))
+      .filter(col("__bn") <= maxBucket).drop("__bn")
     val a = banded.alias("a"); val b = banded.alias("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))

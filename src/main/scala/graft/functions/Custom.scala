@@ -34,9 +34,11 @@ object Custom {
   }
 
   /** Scalar UDF demo: vowel count. (UDFs are opaque to codegen — fine for
-    * glue, never for hot paths; the oracle-checked query proves parity.) */
+    * glue, never for hot paths; the oracle-checked query proves parity.)
+    * NULL-in → NULL-out (Option) and Locale.ROOT lowering, matching SQL
+    * semantics regardless of JVM default locale. */
   val vowelCount = udf((s: String) =>
-    if (s == null) 0 else s.toLowerCase.count("aeiou".contains(_)))
+    Option(s).map(_.toLowerCase(java.util.Locale.ROOT).count("aeiou".contains(_))))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 

@@ -55,8 +55,11 @@ object Multimodal {
         .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
         .otherwise("video").as("kind"),
       col("text").cast("binary").as("payload"),
+      // metadata derived from n_chars only — char-count semantics agree
+      // across engines for any encoding (ascii()/length(text) would
+      // diverge on multi-byte text: bytes vs code points)
       (pmod(col("n_chars"), lit(640)) + 1).cast("int").as("width"),
-      (pmod(ascii(col("text")).cast("long"), lit(480)) + 1).cast("int").as("height"),
+      (pmod(col("n_chars") * 7, lit(480)) + 1).cast("int").as("height"),
       (pmod(col("n_chars"), lit(250)) + 1).cast("int").as("n_frames"))
       .as[MediaRow]
   }
@@ -120,12 +123,12 @@ object Multimodal {
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
         |      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-        | CAST(length(text) AS INT) AS n_bytes,
+        | CAST(octet_length(encode(text)) AS INT) AS n_bytes,
         | width, height, n_frames,
         | sha256(text) AS digest
         |FROM (SELECT *,
         |   CAST((n_chars % 640) + 1 AS INT) AS width,
-        |   CAST((ascii(text) % 480) + 1 AS INT) AS height,
+        |   CAST(((n_chars * 7) % 480) + 1 AS INT) AS height,
         |   CAST((n_chars % 250) + 1 AS INT) AS n_frames
         |  FROM documents)
         |ORDER BY media_id""".stripMargin,

@@ -22,8 +22,11 @@ import org.apache.spark.sql.functions._
   */
 object Scale {
 
-  /** Two-phase (salted) sum: exact same result as
-    * `df.groupBy(keys).agg(sum(valueCol))` for any skew. */
+  /** Two-phase (salted) sum: same result as
+    * `df.groupBy(keys).agg(sum(valueCol))` for any skew — bit-exact for
+    * integral and decimal value columns; for floating-point columns the
+    * re-associated addition can differ in the last ulps (as any change of
+    * partitioning already does — use decimals where exactness matters). */
   def saltedSum(df: DataFrame, keys: Seq[String], valueCol: String,
       salts: Int = 16, saltSource: Seq[String] = Nil): DataFrame = {
     val src = if (saltSource.nonEmpty) saltSource else df.columns.toSeq

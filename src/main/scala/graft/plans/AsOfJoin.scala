@@ -28,7 +28,8 @@ import org.apache.spark.sql.graftbridge.CatalystBridge
   */
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -38,15 +39,16 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
 
 object AsOfJoinStrategy extends org.apache.spark.sql.classic.Strategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lts, rts) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lts, rts, tb) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, rk, lts, rts, tb) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     leftKey: Expression, rightKey: Expression,
-    leftTs: Expression, rightTs: Expression) extends BinaryExecNode {
+    leftTs: Expression, rightTs: Expression,
+    rightTieBreak: Option[Expression]) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -54,9 +56,12 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
   override def requiredChildDistribution: Seq[Distribution] =
     ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
 
+  // right side additionally ordered by the tiebreak so equal-(key, ts)
+  // rows resolve deterministically (last in order wins)
   override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+      rightTieBreak.map(SortOrder(_, Ascending)))
 
   override def outputOrdering: Seq[SortOrder] =
     Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
@@ -122,7 +127,8 @@ object AsOfJoin {
       val purchases = ev.filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
           col("event_id").as("p_event_id"), col("value").as("p_value"))
-      asof(ev, purchases, "user_id", "p_user_id", "ts", "p_ts")
+      asof(ev, purchases, "user_id", "p_user_id", "ts", "p_ts",
+        tieBreak = Some("p_event_id"))
         .select(col("event_id"), col("user_id"), col("ts"),
           col("p_event_id"), col("p_value"))
         .orderBy(col("event_id"))
@@ -140,10 +146,13 @@ object AsOfJoin {
   /** Left-outer as-of join: for each left row, the right row with
     * `leftKey = rightKey` and the greatest `rightTsCol` ≤ `leftTsCol`.
     * Use distinct column names on the two sides (the output carries both
-    * schemas). */
+    * schemas). Pass `tieBreak` (a right-side column; greatest wins) when
+    * (key, ts) may not be unique on the right — without it the choice
+    * among equal-timestamp rows is partition-arrival-dependent. */
   def asof(leftDf: DataFrame, rightDf: DataFrame,
       leftKey: String, rightKey: String,
-      leftTsCol: String, rightTsCol: String): DataFrame = {
+      leftTsCol: String, rightTsCol: String,
+      tieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     CatalystBridge.addStrategy(spark, AsOfJoinStrategy)
     val lPlan = CatalystBridge.analyzed(leftDf)
@@ -153,6 +162,7 @@ object AsOfJoin {
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
     CatalystBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
       attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol)))
+      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
+      tieBreak.map(attr(rPlan, _))))
   }
 }
