@@ -47,6 +47,15 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out(2).isNullAt(1))         // id 3: different key
   }
 
+  test("equal-timestamp right rows resolve by the tiebreak (greatest wins)") {
+    val left = Seq((1L, 5L, 100L)).toDF("id", "k", "t")
+    val right = Seq((5L, 100L, 1L, 10.0), (5L, 100L, 3L, 30.0), (5L, 100L, 2L, 20.0))
+      .toDF("k2", "rt", "rid", "v")
+    val out = AsOfJoin.asof(left, right, "k", "k2", "t", "rt",
+      tieBreak = Some("rid")).select($"rid", $"v").collect()
+    assert(out.head.getLong(0) == 3L && out.head.getDouble(1) == 30.0)
+  }
+
   test("picks the greatest right ts <= left ts") {
     val left = Seq((1L, 5L, 100L)).toDF("id", "k", "t")
     val right = Seq((5L, 10L, 1.0), (5L, 90L, 2.0), (5L, 100L, 3.0), (5L, 110L, 4.0))
