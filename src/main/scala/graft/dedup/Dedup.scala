@@ -87,24 +87,18 @@ object Dedup {
 
     // Exact n-gram Jaccard near-dup pairs (J ≥ 0.6 on 3-gram shingles).
     // The DuckDB oracle runs the same explode/join/agg formulation.
-    "dedup_ngram" -> ((s, d) => {
-      val docs = docsWithNearDups(s, d)
-        .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-        .distinct()
-      val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-      val a = docs.alias("a"); val b = docs.alias("b")
-      val inter = a.join(b, col("a.sh") === col("b.sh") &&
-          col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("n_inter"))
-      inter
-        .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
-        .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-        .withColumn("jaccard",
-          col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-        .filter(col("jaccard") >= 0.6)
-        .select(col("id_a"), col("id_b"), col("jaccard"))
-        .orderBy(col("id_a"), col("id_b"))
+    "dedup_ngram" -> ((s, d) =>
+      queriesNgramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
+
+    // End-to-end dedup pipeline: near-dup pairs (J ≥ 0.6) → keep the
+    // smallest doc_id of each duplicate set's pairs → surviving corpus.
+    "dedup_pipeline" -> ((s, d) => {
+      val pairs = queriesNgramPairs(s, d)
+      val losers = pairs.select(col("id_b")).distinct()
+      docsWithNearDups(s, d)
+        .join(losers, col("doc_id") === col("id_b"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy(col("doc_id"))
     }),
 
     // MinHash+LSH candidate generation + exact-Jaccard verification.
@@ -133,6 +127,28 @@ object Dedup {
         .orderBy(col("id_a"), col("id_b"))
     }),
   )
+
+  /** Exact n-gram Jaccard pairs (J ≥ 0.6, 3-gram shingles): distinct
+    * shingles exploded, self-joined on the shingle (one shuffle keyed by
+    * shingle — word-count shape), intersection counts vs set sizes. */
+  def queriesNgramPairs(s: SparkSession, d: String): DataFrame = {
+    val docs = docsWithNearDups(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
+      .distinct()
+    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val a = docs.alias("a"); val b = docs.alias("b")
+    val inter = a.join(b, col("a.sh") === col("b.sh") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
 
   /** MinHash LSH pipeline, parameterized. `maxBucket` caps any (band,
     * key) bucket: a bucket of B docs yields B²/2 candidate pairs, so
@@ -178,6 +194,32 @@ object Dedup {
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, count(1) AS n_copies
         |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin,
+    "dedup_pipeline" ->
+      """WITH docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(string_split(text, ' ')[2:], ' ')
+        |  FROM documents),
+        |sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+        |  FROM docs,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6)
+        |SELECT doc_id FROM docs
+        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+        |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

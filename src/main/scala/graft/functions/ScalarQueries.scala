@@ -84,6 +84,27 @@ object ScalarQueries {
         .orderBy(col("event_id"))
     }),
 
+    "scalar_regex" -> ((s, d) => {
+      Tables.part(s, d).select(
+        col("p_partkey"),
+        regexp_extract(col("p_type"), "([A-Z]+) ([A-Z]+)", 2).as("second_word"),
+        regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+        regexp_count(col("p_name"), lit("[aeiou]")).as("n_vowels"),
+        regexp_replace(col("p_type"), "[AEIOU]", "_").as("masked"))
+        .orderBy(col("p_partkey"))
+    }),
+
+    "scalar_date_arith" -> ((s, d) => {
+      Tables.orders(s, d).select(
+        col("o_orderkey"),
+        add_months(col("o_orderdate"), 2).as("plus_2m"),
+        last_day(col("o_orderdate")).as("month_end"),
+        date_add(col("o_orderdate"), 45).as("plus_45d"),
+        quarter(col("o_orderdate")).as("q"),
+        weekofyear(col("o_orderdate")).as("wk"))
+        .orderBy(col("o_orderkey"))
+    }),
+
     "scalar_case" -> ((s, d) => {
       Tables.customer(s, d).select(
         col("c_custkey"),
@@ -136,6 +157,21 @@ object ScalarQueries {
         | CAST(json_extract_string(props, '$.k') AS INT) AS k,
         | CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod
         |FROM events ORDER BY event_id""".stripMargin,
+    "scalar_regex" ->
+      """SELECT p_partkey,
+        | regexp_extract(p_type, '([A-Z]+) ([A-Z]+)', 2) AS second_word,
+        | regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        | CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INT) AS n_vowels,
+        | regexp_replace(p_type, '[AEIOU]', '_', 'g') AS masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "scalar_date_arith" ->
+      """SELECT o_orderkey,
+        | CAST(o_orderdate + INTERVAL 2 MONTH AS DATE) AS plus_2m,
+        | last_day(o_orderdate) AS month_end,
+        | CAST(o_orderdate + INTERVAL 45 DAY AS DATE) AS plus_45d,
+        | CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS q,
+        | CAST(EXTRACT(week FROM o_orderdate) AS INT) AS wk
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "scalar_case" ->
       """SELECT c_custkey,
         | CASE WHEN c_acctbal < 0 THEN 'neg'
