@@ -123,6 +123,32 @@ class StreamingSpec extends SparkSpec {
       Seq("event_id", "event_type", "ts", "user_id", "value"))
   }
 
+  test("stream-stream interval join with watermarks") {
+    val purchases = MemoryStream[Ev](spark)
+    val errors = MemoryStream[Ev](spark)
+    val p = purchases.toDF().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("p_user"), $"ts".as("p_ts"), $"value".as("p_value"))
+    val e = errors.toDF().withWatermark("ts", "10 minutes")
+      .select($"user_id".as("e_user"), $"ts".as("e_ts"), $"event_id".as("e_id"))
+    // errors within 5 minutes AFTER a purchase by the same user
+    val joined = p.join(e,
+      $"p_user" === $"e_user" && $"e_ts" >= $"p_ts" &&
+        $"e_ts" <= $"p_ts" + expr("INTERVAL 5 MINUTES"))
+    val q = joined.writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    def ev(id: Long, t: String, uid: Long) =
+      Ev(id, Timestamp.valueOf(t), uid, "x", 1.0)
+    try {
+      purchases.addData(ev(1, "2024-01-01 10:00:00", 7))
+      errors.addData(ev(100, "2024-01-01 10:03:00", 7),  // within window
+        ev(101, "2024-01-01 10:09:00", 7),               // outside window
+        ev(102, "2024-01-01 10:03:00", 8))               // other user
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("ssj").select($"e_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(100L))
+  }
+
   test("foreachBatch sink: custom merge logic per micro-batch") {
     val stream = MemoryStream[Ev](spark)
     val seen = scala.collection.mutable.ArrayBuffer[(Long, Long)]() // (batchId, rows)
