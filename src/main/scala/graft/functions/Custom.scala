@@ -57,6 +57,16 @@ object Custom {
         .select(col("c_custkey"), vowelCount(col("c_name")).as("n_vowels"))
         .orderBy(col("c_custkey"))
     }),
+
+    // DeclarativeAggregate (expression-based, codegen'd): compound tax
+    // factor per order — product() which Spark lacks, DuckDB has.
+    "udaf_product" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(round(ProductAgg.product_agg(col("l_tax") + 1), 6).as("tax_factor"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("l_orderkey"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -72,5 +82,10 @@ object Custom {
       """SELECT c_custkey,
         | CAST(len(regexp_extract_all(lower(c_name), '[aeiou]')) AS INT) AS n_vowels
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "udaf_product" ->
+      """SELECT l_orderkey,
+        | round(product(l_tax + 1), 6) AS tax_factor,
+        | count(1) AS n_items
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey""".stripMargin,
   )
 }

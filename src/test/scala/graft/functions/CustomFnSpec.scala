@@ -28,6 +28,20 @@ class CustomFnSpec extends SparkSpec {
     assert(got(0).isNullAt(0) && got(1).getInt(0) == 1)
   }
 
+  test("ProductAgg: null-skipping, empty group null, SQL registration") {
+    val df = Seq(("g1", Some(2.0)), ("g1", Some(3.0)), ("g1", None),
+      ("g2", None): (String, Option[Double])).toDF("g", "x")
+    val out = df.groupBy($"g").agg(ProductAgg.product_agg($"x").as("p"))
+      .orderBy($"g").collect()
+    assert(out(0).getDouble(1) == 6.0) // null skipped
+    assert(out(1).isNullAt(1))         // all-null group → null
+    ProductAgg.register(spark)
+    df.createOrReplaceTempView("prodagg_t")
+    val viaSql = spark.sql(
+      "SELECT product_agg(x) FROM prodagg_t WHERE g = 'g1'").head.getDouble(0)
+    assert(viaSql == 6.0)
+  }
+
   test("SecondMax aggregator: distinct semantics, single-value groups → null") {
     val df = Seq(("g1", 5.0), ("g1", 9.0), ("g1", 9.0), ("g1", 2.0), ("g2", 1.0))
       .toDF("g", "x")
