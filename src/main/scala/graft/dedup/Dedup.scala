@@ -132,9 +132,12 @@ object Dedup {
     * shingles exploded, self-joined on the shingle (one shuffle keyed by
     * shingle — word-count shape), intersection counts vs set sizes. */
   def queriesNgramPairs(s: SparkSession, d: String): DataFrame = {
+    // cached: this subtree feeds the self-join twice plus the sizes agg —
+    // without it the scan + shingle explode runs three times
     val docs = docsWithNearDups(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
       .distinct()
+      .cache()
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = docs.alias("a"); val b = docs.alias("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&

@@ -300,6 +300,18 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Unpivot (wide → long): per-returnflag sums melted into
+    // (metric, value) rows. Oracle via the portable UNION ALL form.
+    "agg_unpivot" -> ((s, d) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"))
+        .agg(sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_price"))
+      wide.unpivot(Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    }),
+
     // Correlated scalar subquery — Catalyst decorrelates it into an
     // aggregate + join (no per-row re-execution).
     "subquery_correlated" -> ((s, d) => {
@@ -487,6 +499,16 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    "agg_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_returnflag,
+        |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+        |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |UNION ALL
+        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |ORDER BY l_returnflag, metric""".stripMargin,
     "subquery_correlated" ->
       """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
         |FROM orders o
