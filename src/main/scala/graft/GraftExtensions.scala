@@ -20,6 +20,7 @@ import graft.plans.AsOfJoinStrategy
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(HammingDistance.functionDescription)
+    e.injectFunction(graft.functions.ProductAgg.functionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -28,14 +28,17 @@ object PipelineRun {
     val corpus = Dedup.docsWithNearDups(s, dir)
       .join(survivors, Seq("doc_id")) // keep survivors only
 
-    // 3: quality features + filter
+    // 3: quality features + filter. Degenerate docs (empty text) are
+    // dropped FIRST — under ANSI mode a 0-length text would otherwise be
+    // a DIVIDE_BY_ZERO in the ratio features, and they carry no signal.
+    val nonEmpty = corpus.filter(length(trim(col("text"))) > 0)
     val ws = split(col("text"), " ")
     val nWords = size(ws).cast("double")
     val stop = Seq("the", "a", "an", "and", "of", "to", "in", "is")
     val nStop = size(filter(ws, w => w.isin(stop: _*))).cast("double")
     val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
     val nChars = length(col("text")).cast("double")
-    val scored = corpus
+    val scored = nonEmpty
       .withColumn("quality", (nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0)
       .filter(col("quality") > -0.5)
 

@@ -36,7 +36,7 @@ object MfSqlParser {
   private val AggRe = """(?is)\s*(sum|avg|min|max|count)\s*\(\s*(?:(\w+)\s*\.\s*)?(\w+)\s*\)\s+AS\s+(\w+)\s*""".r
   private val CondRe = """(?s)\s*(\w+)\s*\.\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+?)\s*""".r
   private val WhereCondRe = """(?s)\s*(\w+)\s*(<=|>=|!=|<>|=|<|>)\s*(.+?)\s*""".r
-  private val HavingCondRe = """(?s)\s*([\w.]+|'[^']*')\s*(<=|>=|!=|<>|=|<|>)\s*([\w.]+|'[^']*')\s*""".r
+  private val HavingCondRe = """(?s)\s*(-?\d+(?:\.\d+)?|[\w.]+|'[^']*')\s*(<=|>=|!=|<>|=|<|>)\s*(-?\d+(?:\.\d+)?|[\w.]+|'[^']*')\s*""".r
 
   def looksLikeSql(text: String): Boolean =
     text.linesIterator.map(_.trim).find(_.nonEmpty)
@@ -83,10 +83,20 @@ object MfSqlParser {
     hits.groupBy(_._1).foreach { case (n, hs) =>
       require(hs.size == 1, s"clause $n appears ${hs.size} times")
     }
+    // trim orig and mask with the SAME offsets — trimming the mask
+    // independently would strip the  placeholder chars (< U+0020)
+    // and misalign split offsets when a clause starts with a quoted
+    // literal
+    def trimmedPair(o: String, mm: String): (String, String) = {
+      var s = 0; var e = o.length
+      while (s < e && o.charAt(s).isWhitespace) s += 1
+      while (e > s && o.charAt(e - 1).isWhitespace) e -= 1
+      (o.substring(s, e), mm.substring(s, e))
+    }
     val clauses: Map[String, (String, String)] = hits.zipWithIndex.map {
       case ((n, _, e), i) =>
         val end = if (i + 1 < hits.length) hits(i + 1)._2 else t.length
-        n -> (t.substring(e, end).trim, m.substring(e, end).trim)
+        n -> trimmedPair(t.substring(e, end), m.substring(e, end))
     }.toMap
     def need(n: String): (String, String) = clauses.getOrElse(n,
       throw new IllegalArgumentException(s"missing $n clause"))
@@ -136,7 +146,7 @@ object MfSqlParser {
     }}.getOrElse(Nil)
     require(suchGroups.size <= varNames.size,
       s"${suchGroups.size} SUCH THAT groups for ${varNames.size} variables")
-    val condsByVar: Map[String, Seq[Cond]] = suchGroups.map { conds =>
+    val grouped = suchGroups.map { conds =>
       val parsed = conds.map(parseSuchCond(_, groupAttrs, aggNames))
       val vn = parsed.head._1
       require(parsed.forall(_._1 == vn),
@@ -144,7 +154,12 @@ object MfSqlParser {
       require(varNames.contains(vn),
         s"SUCH THAT references undeclared variable '$vn' (GROUP BY declares: ${varNames.mkString(", ")})")
       vn -> parsed.map(_._2)
-    }.toMap
+    }
+    grouped.groupBy(_._1).foreach { case (vn, gs) =>
+      require(gs.size == 1,
+        s"variable '$vn' has ${gs.size} SUCH THAT groups — join the conditions with AND instead of a comma")
+    }
+    val condsByVar: Map[String, Seq[Cond]] = grouped.toMap
 
     // several aggregates on one variable → sibling GroupingVars sharing
     // that variable's defining predicates
@@ -159,7 +174,11 @@ object MfSqlParser {
 
     val where = whereOpt.toSeq.flatMap { case (s, sm) =>
       splitOn(s, sm, "(?i)\\bAND\\b").map {
-        case WhereCondRe(c, op, lit) => Cond(TupleCol(c), op, Lit(stripQuotes(lit)))
+        case WhereCondRe(c, op, lit0) =>
+          val lit = lit0.trim
+          require(lit.matches("(?s)'.*'") || lit.matches("-?\\d+(\\.\\d+)?"),
+            s"WHERE right side '$lit' must be a quoted string or numeric literal")
+          Cond(TupleCol(c), op, Lit(stripQuotes(lit)))
         case other => throw new IllegalArgumentException(s"bad WHERE condition '$other'")
       }
     }

@@ -52,7 +52,21 @@ object ProductAgg {
     CatalystBridge.column(
       ProductAgg(CatalystBridge.expression(c)).toAggregateExpression())
 
+  private def build(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"product_agg takes exactly 1 argument, got ${exprs.length}")
+    ProductAgg(exprs.head).toAggregateExpression()
+  }
+
+  /** For SparkSessionExtensions.injectFunction (GraftExtensions). */
+  val functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("product_agg"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ProductAgg].getName, "product_agg"),
+      build _)
+
   def register(spark: SparkSession): Unit =
-    CatalystBridge.registerFunction(spark, "product_agg",
-      exprs => ProductAgg(exprs.head).toAggregateExpression())
+    CatalystBridge.registerFunction(spark, "product_agg", build _)
 }

@@ -160,9 +160,19 @@ object AsOfJoin {
     def attr(p: LogicalPlan, n: String): Attribute =
       p.output.find(_.name == n).getOrElse(
         throw new IllegalArgumentException(s"no column '$n' in ${p.output.map(_.name)}"))
+    // fail fast on types: the merge evaluates keys/timestamps as Long
+    // (bigint / timestamp) — anything else would die mid-job in executors
+    def longBacked(a: Attribute, role: String): Attribute = {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+      require(Seq(LongType, TimestampType, TimestampNTZType).contains(a.dataType),
+        s"$role column '${a.name}' must be bigint or timestamp, got ${a.dataType.simpleString}")
+      a
+    }
     CatalystBridge.ofRows(spark, AsOfJoinPlan(lPlan, rPlan,
-      attr(lPlan, leftKey), attr(rPlan, rightKey),
-      attr(lPlan, leftTsCol), attr(rPlan, rightTsCol),
-      tieBreak.map(attr(rPlan, _))))
+      longBacked(attr(lPlan, leftKey), "key"),
+      longBacked(attr(rPlan, rightKey), "key"),
+      longBacked(attr(lPlan, leftTsCol), "timestamp"),
+      longBacked(attr(rPlan, rightTsCol), "timestamp"),
+      tieBreak.map(n => longBacked(attr(rPlan, n), "tiebreak"))))
   }
 }
