@@ -97,6 +97,22 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Edit-distance near-dup check over the planted pairs: exact integer
+    // Levenshtein between each base doc and its first-word-dropped copy,
+    // normalized by length. Bounded work: one pair per base doc.
+    "text_levenshtein" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      val near = docs.select((col("doc_id") + 100000).as("near_id"),
+        array_join(slice(split(col("text"), " "), 2, 1000000), " ").as("near_text"))
+      docs.join(near, col("doc_id") + 100000 === col("near_id"))
+        .select(
+          col("doc_id"),
+          levenshtein(col("text"), col("near_text")).as("edit_dist"),
+          (levenshtein(col("text"), col("near_text")).cast("double") /
+            greatest(length(col("text")), lit(1))).as("rel_dist"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Position-weighted fingerprint mod 1e9+7: order-sensitive 64-bit
     // integer arithmetic, bit-identical in any engine.
     "text_fingerprint" -> ((s, d) => {
@@ -151,6 +167,17 @@ object TextAnalysis {
         | CAST(length(text) AS DOUBLE)
         |   / greatest(len(regexp_extract_all(text, '[A-Za-z0-9]+')), 1) AS chars_per_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_levenshtein" ->
+      """WITH near AS (
+        |  SELECT doc_id + 100000 AS near_id,
+        |         array_to_string(string_split(text, ' ')[2:], ' ') AS near_text
+        |  FROM documents)
+        |SELECT doc_id,
+        | CAST(levenshtein(text, near_text) AS INT) AS edit_dist,
+        | CAST(levenshtein(text, near_text) AS DOUBLE)
+        |   / greatest(length(text), 1) AS rel_dist
+        |FROM documents JOIN near ON doc_id + 100000 = near_id
+        |ORDER BY doc_id""".stripMargin,
     "text_fingerprint" ->
       """SELECT doc_id,
         | CAST(sum((length(w)*131 + ascii(w)*7 + ascii(right(w,1))) * i) % 1000000007 AS BIGINT) AS fingerprint
