@@ -44,12 +44,7 @@ object EmfPlanner {
     // ---- scan 0: groups + variable-0 aggregates + all SIMPLE variables
     // + per-group partials for WINDOWED variables
     val scan0Aggs: Seq[Column] =
-      q.varZero.map(a => aggColumn(a.func, col(a.column)).as(a.name)) ++
-      simpleVars.map { v =>
-        val cond = v.tupleConds.map(tupleCond(_, schema, None))
-          .reduceOption(_ && _).getOrElse(lit(true))
-        aggColumn(v.agg.func, when(cond, col(v.agg.column))).as(v.agg.name)
-      } ++
+      varZeroAndSimpleAggs(q.varZero, simpleVars, schema) ++
       winVars.flatMap { v =>
         val cond = v.tupleConds.map(tupleCond(_, schema, None))
           .reduceOption(_ && _).getOrElse(lit(true))
@@ -85,6 +80,28 @@ object EmfPlanner {
     val filtered = q.having.fold(mf)(h => mf.filter(havingExpr(h)))
     filtered.select(q.select.map(col): _*)
   }
+
+  /** Scan-0 aggregate columns for variable-0 and SIMPLE variables —
+    * shared with the streaming lowering ([[EmfStreaming]]). */
+  private[emf] def varZeroAndSimpleAggs(varZero: Seq[AggSpec],
+      simpleVars: Seq[GroupingVar], schema: StructType): Seq[Column] =
+    varZero.map(a => aggColumn(a.func, col(a.column)).as(a.name)) ++
+      simpleVars.map { v =>
+        val cond = v.tupleConds.map(tupleCond(_, schema, None))
+          .reduceOption(_ && _).getOrElse(lit(true))
+        aggColumn(v.agg.func, when(cond, col(v.agg.column))).as(v.agg.name)
+      }
+
+  /** Is this variable SIMPLE w.r.t. the query? (exposed for streaming) */
+  private[emf] def isSimplePublic(v: GroupingVar, q: EmfQuery): Boolean =
+    isSimple(v, q, q.aggNames)
+
+  /** HAVING tree to a Column (exposed for streaming). */
+  private[emf] def havingColumn(h: HavingExpr): Column = havingExpr(h)
+
+  /** WHERE conjunction to a Column (exposed for streaming). */
+  private[emf] def whereColumn(conds: Seq[Cond], schema: StructType): Column =
+    conds.map(tupleCond(_, schema, None)).reduceOption(_ && _).getOrElse(lit(true))
 
   /** One dependent-variable pass: join MF frame with the fact table on the
     * variable's defining predicates, aggregate per group, return
