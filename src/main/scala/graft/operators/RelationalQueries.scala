@@ -300,6 +300,45 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // TPC-H Q6 shape: pure filter + global aggregate — the minimal
+    // pushdown showcase (all three predicates reach the parquet scan).
+    "q6_revenue_delta" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_quantity") < 24)
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue_delta"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Full outer join: per-nation customer count ⟗ per-nation supplier
+    // count (nations can miss either side).
+    "join_full_outer" -> ((s, d) => {
+      val c = Tables.customer(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = Tables.supplier(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy(col("nk"))
+    }),
+
+    // first_value / last_value over explicit frames with a total order.
+    "window_firstlast" -> ((s, d) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("first_key",
+          first(col("o_orderkey")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("last_key",
+          last(col("o_orderkey")).over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+        .select(col("o_custkey"), col("o_orderkey"), col("first_key"), col("last_key"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    }),
+
     // Unpivot (wide → long): per-returnflag sums melted into
     // (metric, value) rows. Oracle via the portable UNION ALL form.
     "agg_unpivot" -> ((s, d) => {
@@ -499,6 +538,32 @@ object RelationalQueries {
         |EXCEPT
         |SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |ORDER BY c_custkey""".stripMargin,
+    "q6_revenue_delta" ->
+      """SELECT
+        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue_delta,
+        | count(1) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_quantity < 24""".stripMargin,
+    "join_full_outer" ->
+      """WITH c AS (SELECT c_nationkey AS nk, count(1) AS n_cust
+        |           FROM customer GROUP BY 1),
+        |     s AS (SELECT s_nationkey AS nk, count(1) AS n_supp
+        |           FROM supplier GROUP BY 1)
+        |SELECT COALESCE(c.nk, s.nk) AS nk,
+        |       COALESCE(n_cust, 0) AS n_cust, COALESCE(n_supp, 0) AS n_supp
+        |FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        |ORDER BY nk""".stripMargin,
+    "window_firstlast" ->
+      """SELECT o_custkey, o_orderkey,
+        | first_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_key,
+        | last_value(o_orderkey) OVER (PARTITION BY o_custkey
+        |   ORDER BY o_orderdate, o_orderkey
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS last_key
+        |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin,
     "agg_unpivot" ->
       """WITH wide AS (
         |  SELECT l_returnflag,
