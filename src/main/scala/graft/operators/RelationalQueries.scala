@@ -194,6 +194,36 @@ object RelationalQueries {
         .except(c.filter(col("c_mktsegment") === "BUILDING").select(col("c_custkey")))
         .orderBy(col("c_custkey"))
     }),
+    // Cartesian product (explicit cross join) over two small dims.
+    "join_cross" -> ((s, d) => {
+      Tables.region(s, d).crossJoin(Tables.nation(s, d))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+    }),
+
+    // UNION ALL (bag semantics — duplicates preserved).
+    "setop_union_all" -> ((s, d) => {
+      val l = Tables.lineitem(s, d)
+      l.filter(col("l_quantity") > 45).select(col("l_orderkey"))
+        .unionAll(l.filter(col("l_returnflag") === "A" && col("l_quantity") > 45)
+          .select(col("l_orderkey")))
+        .orderBy(col("l_orderkey"))
+    }),
+
+    // Null handling: na.fill / na.drop over synthesized nulls.
+    "null_handling" -> ((s, d) => {
+      val withNulls = Tables.customer(s, d)
+        .withColumn("bal_opt",
+          when(col("c_acctbal") < 0, lit(null: java.lang.Double))
+            .otherwise(col("c_acctbal")))
+      val filled = withNulls.na.fill(Map("bal_opt" -> 0.0))
+        .agg(sum(dec(col("bal_opt"))).as("sum_filled"),
+          count(lit(1)).as("n_all"))
+      val dropped = withNulls.na.drop(Seq("bal_opt"))
+        .agg(count(lit(1)).as("n_kept"))
+      filled.crossJoin(dropped)
+    }),
+
     // bag-semantics variants (multiplicity-preserving)
     "setop_intersect_all" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
@@ -607,6 +637,20 @@ object RelationalQueries {
         | CAST((CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END
         |        IS NOT DISTINCT FROM 'BUILDING') AS INT) AS is_bldg_eq
         |FROM customer ORDER BY c_custkey""".stripMargin,
+    "join_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "setop_union_all" ->
+      """SELECT l_orderkey FROM lineitem WHERE l_quantity > 45
+        |UNION ALL
+        |SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'A' AND l_quantity > 45
+        |ORDER BY l_orderkey""".stripMargin,
+    "null_handling" ->
+      """SELECT
+        | sum(CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS DECIMAL(18,2))) AS sum_filled,
+        | count(1) AS n_all,
+        | count(CASE WHEN c_acctbal < 0 THEN NULL ELSE 1 END) AS n_kept
+        |FROM customer""".stripMargin,
     "setop_intersect_all" ->
       """SELECT l_orderkey FROM lineitem WHERE l_quantity > 25
         |INTERSECT ALL
