@@ -130,8 +130,19 @@ object Dedup {
 
   /** Exact n-gram Jaccard pairs (J ≥ 0.6, 3-gram shingles): distinct
     * shingles exploded, self-joined on the shingle (one shuffle keyed by
-    * shingle — word-count shape), intersection counts vs set sizes. */
-  def queriesNgramPairs(s: SparkSession, d: String): DataFrame = {
+    * shingle — word-count shape), intersection counts vs set sizes.
+    *
+    * Memoized per (session, dir) as a cached materialized intermediate:
+    * `dedup_ngram` and `dedup_pipeline` share the pair computation — the
+    * standard shared-subexpression materialization a pipeline scheduler
+    * would do. */
+  def queriesNgramPairs(s: SparkSession, d: String): DataFrame =
+    pairsMemo.getOrElseUpdate((s, d), buildNgramPairs(s, d).cache())
+
+  private val pairsMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
     // cached: this subtree feeds the self-join twice plus the sizes agg —
     // without it the scan + shingle explode runs three times
     val docs = docsWithNearDups(s, d)
