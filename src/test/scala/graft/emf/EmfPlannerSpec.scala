@@ -190,6 +190,57 @@ class EmfPlannerSpec extends SparkSpec {
     assert(out.map(_.getString(0)).toSet == Set("AB"))
   }
 
+  test("plan-shape guards: one agg for SIMPLE, no agg-pass explosion for EMF") {
+    // q5-shape (3 simple vars): exactly ONE Aggregate node in the
+    // optimized plan — regression guard for the scan-0 folding
+    val q5 = EmfParser.parseOne(
+      """cust,avg_quant_NY,avg_quant_CT
+        |2
+        |cust
+        |avg_quant_NY,avg_quant_CT
+        |{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY},{MF.cust.avg_quant_CT}[=]{cust}:{state}[=]{CT}""".stripMargin, cols)
+    val p5 = EmfPlanner.plan(q5, sales).queryExecution.optimizedPlan
+    val nAgg5 = p5.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size
+    assert(nAgg5 == 1, s"expected 1 Aggregate, got $nAgg5:\n$p5")
+
+    // q6-shape (1 simple + 1 dependent): three logical Aggregates — the
+    // scan-0 frame appears twice (final join-back + dependent pass input;
+    // physical exchange reuse dedupes it) plus the dependent re-agg.
+    // Guard against growth beyond that.
+    val q6 = EmfParser.parseOne(
+      """cust,avg_quant_a,count_quant_b
+        |2
+        |cust
+        |avg_quant_a,count_quant_b
+        |{MF.cust.avg_quant_a}[=]{cust},{MF.cust.count_quant_b}[=]{cust}:{MF.avg_quant_a.count_quant_b}[>]{quant}""".stripMargin, cols)
+    val p6 = EmfPlanner.plan(q6, sales).queryExecution.optimizedPlan
+    val nAgg6 = p6.collect { case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a }.size
+    assert(nAgg6 <= 3, s"Aggregate count grew: $nAgg6:\n$p6")
+  }
+
+  test("WHERE combines with windowed and dependent variables") {
+    val df = Seq(
+      ("a", 1, "NY", 10, 2020), ("a", 2, "NY", 20, 2020),
+      ("a", 3, "CT", 30, 2021), ("b", 1, "NY", 5, 2020)
+    ).toDF("g", "ord", "state", "quant", "yr")
+    val q = EmfParser.parseOne(
+      """g,ord,sum_quant_before,sum_quant_oth
+        |2
+        |g,ord
+        |sum_quant_before,sum_quant_oth
+        |{MF.g.sum_quant_before}[=]{g}:{MF.ord.sum_quant_before}[<]{ord},{MF.g.sum_quant_oth}[!=]{g},{yr}[==]{2020}""".stripMargin,
+      Set("g", "ord", "state", "quant", "yr"))
+    val out = EmfPlanner.plan(q, df).orderBy("g", "ord").collect()
+    // WHERE yr=2020 removes the 2021 row everywhere
+    assert(out.length == 3)
+    // ("a",2): before = 10; oth (g != a) = 5
+    val a2 = out.find(r => r.getString(0) == "a" && r.getInt(1) == 2).get
+    assert(a2.getLong(2) == 10L && a2.getLong(3) == 5L)
+    // ("b",1): before = null; oth = 30 (a's 2020 rows: 10+20)
+    val b1 = out.find(r => r.getString(0) == "b").get
+    assert(b1.isNullAt(2) && b1.getLong(3) == 30L)
+  }
+
   test("cyclic EMF dependencies are rejected") {
     val cyc = EmfQuery(
       Seq("g", "sum_a_x", "sum_b_y"), Seq("g"), Nil,
