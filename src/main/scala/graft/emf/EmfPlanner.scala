@@ -29,6 +29,13 @@ import org.apache.spark.sql.types._
   * partitioning a hand-written MD-join (Chatziantoniou et al., SIGMOD '99)
   * would need. The MF frame (one row per group) is small relative to the
   * fact table and broadcast-joins back for free under AQE.
+  *
+  * Known (bounded) inefficiency: with dependent variables the MF frame's
+  * logical subtree appears both as the dependent pass's input and in the
+  * final join-back, so scan-0 may compute twice when AQE stages them
+  * separately (verified in PLANS.md emf_q6). A future round could
+  * materialize the frame (localCheckpoint) once `|dependent vars| ≥ 1`;
+  * cost today is ≤ 2× the cheapest aggregation in the query.
   */
 object EmfPlanner {
 
