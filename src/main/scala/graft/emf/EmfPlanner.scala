@@ -30,12 +30,10 @@ import org.apache.spark.sql.types._
   * would need. The MF frame (one row per group) is small relative to the
   * fact table and broadcast-joins back for free under AQE.
   *
-  * Known (bounded) inefficiency: with dependent variables the MF frame's
-  * logical subtree appears both as the dependent pass's input and in the
-  * final join-back, so scan-0 may compute twice when AQE stages them
-  * separately (verified in PLANS.md emf_q6). A future round could
-  * materialize the frame (localCheckpoint) once `|dependent vars| ≥ 1`;
-  * cost today is ≤ 2× the cheapest aggregation in the query.
+  * With dependent variables the MF frame's subtree feeds both the
+  * dependent pass and the final join-back; the planner persists the
+  * frame (MEMORY_AND_DISK, one row per group) so scan-0 computes once
+  * regardless of AQE staging.
   */
 object EmfPlanner {
 
@@ -75,7 +73,12 @@ object EmfPlanner {
     for (v <- winVars) mf = windowedPass(v, mf, q)
     mf = mf.drop(mf.columns.filter(_.startsWith("__p_")): _*)
 
-    // ---- dependent variables, in dependency order
+    // ---- dependent variables, in dependency order. The MF frame feeds
+    // both each dependent pass and the final join-back; persist it so
+    // scan-0 computes once (one row per group — executor storage cost is
+    // negligible, and Spark drops it under pressure).
+    if (depVars.nonEmpty)
+      mf = mf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     for (v <- topoSort(depVars, aggNames)) {
       val varAgg = dependentPass(v, mf, base, q, schema)
       mf = mf.join(varAgg, q.groupAttrs, "left")
