@@ -42,6 +42,32 @@ class EmfStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming EMF applies HAVING over the evolving MF structure") {
+    val q = EmfParser.parseOne(
+      """cust,avg_quant_NY,sum_quant_CT
+        |2
+        |cust
+        |avg_quant_NY,sum_quant_CT
+        |{MF.cust.avg_quant_NY}[=]{cust}:{state}[=]{NY},{MF.cust.sum_quant_CT}[=]{cust}:{state}[=]{CT}
+        |{MF.avg_quant_NY,>,7}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.plan(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_having")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val custs = spark.table("emf_having").collect().map(_.getString(0)).toSet
+      // c1 NY avg = (10+6+20)/3 = 12 > 7 ✓; c2 NY avg = 8 > 7 ✓
+      assert(custs == Set("c1", "c2"))
+      // push c2's NY average below the HAVING threshold incrementally
+      stream.addData(SalesRow("c2", "p9", 4, "NY", 0), SalesRow("c2", "p9", 5, "NY", 1))
+      sq.processAllAvailable()
+      val custs2 = spark.table("emf_having").collect().map(_.getString(0)).toSet
+      assert(custs2 == Set("c1")) // c2 avg now (8+0+1)/3 = 3 ≤ 7
+    } finally sq.stop()
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
