@@ -34,6 +34,15 @@ class ContractSpec extends AnyFunSuite {
     assert(json.startsWith("{") && json.endsWith("}"))
   }
 
+  test("pushdown regression net: q1_pricing filter reaches the parquet scan") {
+    val spark = TestSpark.spark
+    val plan = SparkEntry.queries("q1_pricing")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      s"shipdate filter not pushed:\n${plan.take(2000)}")
+    assert(!plan.contains("l_orderkey"), "column pruning regressed: unused column read")
+  }
+
   test("every query is deterministic-output shaped (ends ordered or is a single row)") {
     // structural guard: all queries ORDER BY or aggregate to one row —
     // enforced by convention; spot-check the newest entries exist
