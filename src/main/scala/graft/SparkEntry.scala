@@ -29,15 +29,9 @@ object SparkEntry {
       "emf_q4" -> (GoldenQueries.run(4) _),
       "emf_q5" -> (GoldenQueries.run(5) _),
       "emf_q6" -> (GoldenQueries.run(6) _),
-      // EMF via the MF-SQL frontend over the events table; averages of
-      // continuous doubles rounded to 6 dp for cross-engine stability
-      "emf_events" -> ((s: SparkSession, d: String) => {
-        GoldenQueries.runEventsMf(s, d).select(
-          col("user_id"),
-          round(col("avg_value_purchase"), 6).as("avg_value_purchase"),
-          round(col("avg_value_error"), 6).as("avg_value_error"),
-          col("count_value_high"))
-      }),
+      // EMF via the MF-SQL frontend over the events table; the planner's
+      // decimal-exact avg over floating columns is bit-stable cross-engine
+      "emf_events" -> ((s: SparkSession, d: String) => GoldenQueries.runEventsMf(s, d)),
     ) ++
       graft.operators.RelationalQueries.queries ++
       graft.functions.ScalarQueries.queries ++

@@ -22,7 +22,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // EMF frames are per-plan; drop them once the action is done. The
+      // dedup pair memo stays (shared across dedup_* queries) until the end.
+      graft.emf.EmfPlanner.unpersistAll()
     }
+    graft.dedup.Dedup.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

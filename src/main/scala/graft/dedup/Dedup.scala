@@ -141,6 +141,18 @@ object Dedup {
 
   private val pairsMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+  private val innerCaches =
+    scala.collection.concurrent.TrieMap[DataFrame, Unit]()
+
+  /** Evict the memoized pair frames (and their cached subtrees). Call in
+    * long-lived sessions once the dependent queries have run; the next
+    * `queriesNgramPairs` call simply rebuilds. */
+  def clearCache(): Unit = {
+    pairsMemo.values.foreach(_.unpersist(blocking = false))
+    pairsMemo.clear()
+    innerCaches.keys.foreach(_.unpersist(blocking = false))
+    innerCaches.clear()
+  }
 
   private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
     // cached: this subtree feeds the self-join twice plus the sizes agg —
@@ -149,6 +161,7 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
       .distinct()
       .cache()
+    innerCaches.put(docs, ())
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val a = docs.alias("a"); val b = docs.alias("b")
     val inter = a.join(b, col("a.sh") === col("b.sh") &&

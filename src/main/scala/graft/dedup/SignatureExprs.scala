@@ -61,9 +61,12 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
+  // an empty shingle set has no signature (null), never k sentinels
+  override def nullable: Boolean = true
 
   override protected def nullSafeEval(v: Any): Any = {
     val arr = v.asInstanceOf[ArrayData]
+    if (arr.numElements() == 0) return null
     val mins = Array.fill(k)(Long.MaxValue)
     val n = arr.numElements()
     var j = 0

@@ -53,14 +53,16 @@ object EmfPlanner {
       winVars.flatMap { v =>
         val cond = v.tupleConds.map(tupleCond(_, schema, None))
           .reduceOption(_ && _).getOrElse(lit(true))
-        val x = when(cond, col(v.agg.column))
+        val x0 = when(cond, col(v.agg.column))
+        // floating partials accumulate in DECIMAL (see aggColumn)
+        val x = if (isFloating(v.agg.column, schema)) x0.cast(exactDec) else x0
         val p = s"__p_${v.agg.name}"
         v.agg.func match {
           case "sum"          => Seq(sum(x).as(s"${p}_sum"))
           case "count"        => Seq(count(x).as(s"${p}_cnt"))
-          case "avg"          => Seq(sum(x).as(s"${p}_sum"), count(x).as(s"${p}_cnt"))
-          case "min"          => Seq(min(x).as(s"${p}_min"))
-          case "max"          => Seq(max(x).as(s"${p}_max"))
+          case "avg"          => Seq(sum(x).as(s"${p}_sum"), count(x0).as(s"${p}_cnt"))
+          case "min"          => Seq(min(x0).as(s"${p}_min"))
+          case "max"          => Seq(max(x0).as(s"${p}_max"))
         }
       }
     val grouped = base.groupBy(q.groupAttrs.map(col): _*)
@@ -77,8 +79,10 @@ object EmfPlanner {
     // both each dependent pass and the final join-back; persist it so
     // scan-0 computes once (one row per group — executor storage cost is
     // negligible, and Spark drops it under pressure).
-    if (depVars.nonEmpty)
+    if (depVars.nonEmpty) {
       mf = mf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      persistedFrames.add(mf)
+    }
     for (v <- topoSort(depVars, aggNames)) {
       val varAgg = dependentPass(v, mf, base, q, schema)
       mf = mf.join(varAgg, q.groupAttrs, "left")
@@ -95,11 +99,12 @@ object EmfPlanner {
     * shared with the streaming lowering ([[EmfStreaming]]). */
   private[emf] def varZeroAndSimpleAggs(varZero: Seq[AggSpec],
       simpleVars: Seq[GroupingVar], schema: StructType): Seq[Column] =
-    varZero.map(a => aggColumn(a.func, col(a.column)).as(a.name)) ++
+    varZero.map(a => aggColumn(a.func, col(a.column), a.column, schema).as(a.name)) ++
       simpleVars.map { v =>
         val cond = v.tupleConds.map(tupleCond(_, schema, None))
           .reduceOption(_ && _).getOrElse(lit(true))
-        aggColumn(v.agg.func, when(cond, col(v.agg.column))).as(v.agg.name)
+        aggColumn(v.agg.func, when(cond, col(v.agg.column)), v.agg.column, schema)
+          .as(v.agg.name)
       }
 
   /** Is this variable SIMPLE w.r.t. the query? (exposed for streaming) */
@@ -127,7 +132,8 @@ object EmfPlanner {
     val joined = m.join(t, joinCond, "inner")
     val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
     joined.groupBy(gCols: _*)
-      .agg(aggColumn(v.agg.func, col(s"t.${v.agg.column}")).as(v.agg.name))
+      .agg(aggColumn(v.agg.func, col(s"t.${v.agg.column}"), v.agg.column, schema)
+        .as(v.agg.name))
   }
 
   /** WINDOWED ⇔ no EMF dependencies and every MF condition is either an
@@ -192,8 +198,14 @@ object EmfPlanner {
       case Some(c) => throw new IllegalStateException(s"bad order cond $c")
     }
     val p = s"__p_${v.agg.name}"
+    // decimal partials (floating inputs) surface as double after the frame
+    // combine; integral partials keep their type
+    def decimalPartial: Boolean = mf.schema.find(_.name == s"${p}_sum")
+      .map(_.dataType).exists(_.isInstanceOf[org.apache.spark.sql.types.DecimalType])
     val out = v.agg.func match {
-      case "sum"   => sum(col(s"${p}_sum")).over(w)
+      case "sum" =>
+        val s = sum(col(s"${p}_sum")).over(w)
+        if (decimalPartial) s.cast("double") else s
       case "count" => coalesce(sum(col(s"${p}_cnt")).over(w), lit(0L))
       case "min"   => min(col(s"${p}_min")).over(w)
       case "max"   => max(col(s"${p}_max")).over(w)
@@ -237,15 +249,50 @@ object EmfPlanner {
     visited.toSeq.map(byName)
   }
 
+  // ---- persisted-frame lifecycle ------------------------------------------
+
+  /** MF frames persisted by [[plan]]; a long-lived session should call
+    * [[unpersistAll]] once the plans' final actions have run, or cached
+    * blocks accumulate without bound. */
+  private val persistedFrames =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
+
+  /** Unpersist every MF frame [[plan]] has persisted since the last call.
+    * Safe to call any time after the dependent plans' actions complete
+    * (re-running such a plan afterwards recomputes scan-0 per pass). */
+  def unpersistAll(): Unit = {
+    val it = persistedFrames.iterator()
+    while (it.hasNext) { it.next().unpersist(blocking = false); it.remove() }
+  }
+
   // ---- expression building -------------------------------------------------
 
-  private def aggColumn(func: String, c: Column): Column = func match {
-    case "sum"   => sum(c)
-    case "avg"   => avg(c)
-    case "min"   => min(c)
-    case "max"   => max(c)
-    case "count" => count(c)
-    case other   => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+  /** Is the aggregated fact column a float/double? Those sums are
+    * order-dependent in IEEE arithmetic — a different partitioning gives a
+    * different last bit. */
+  private def isFloating(colName: String, schema: StructType): Boolean =
+    schema.find(_.name == colName).map(_.dataType).exists {
+      case DoubleType | FloatType => true
+      case _                      => false
+    }
+
+  /** Decimal surrogate for exact floating sums: exact for data with ≤6
+    * decimal digits (documented quantization for wider inputs). */
+  private val exactDec = "decimal(27,6)"
+
+  /** sum/avg over floating columns accumulate in DECIMAL (exact, hence
+    * partitioning-independent and bit-reproducible across cluster sizes)
+    * and surface as double; integral/decimal inputs already sum exactly. */
+  private def aggColumn(func: String, c: Column, colName: String,
+      schema: StructType): Column = (func, isFloating(colName, schema)) match {
+    case ("sum", true)  => sum(c.cast(exactDec)).cast("double")
+    case ("avg", true)  => sum(c.cast(exactDec)).cast("double") / count(c)
+    case ("sum", _)     => sum(c)
+    case ("avg", _)     => avg(c)
+    case ("min", _)     => min(c)
+    case ("max", _)     => max(c)
+    case ("count", _)   => count(c)
+    case (other, _)     => throw new IllegalArgumentException(s"unknown aggregate '$other'")
   }
 
   /** tuple-vs-literal condition, optionally qualified with an alias. */
@@ -296,14 +343,26 @@ object EmfPlanner {
   }
 
   /** Type a literal against the fact column it is compared with, so e.g.
-    * `{year}[==]{1997}` compares int-to-int (no ANSI string coercion). */
+    * `{year}[==]{1997}` compares int-to-int (no ANSI string coercion).
+    * Unsupported fact-column types fail fast rather than silently
+    * comparing against a string literal (which under ANSI mode can throw
+    * at runtime or flip comparison semantics). */
   private def typedLit(raw: String, colName: String, schema: StructType): Column =
     schema.find(_.name == colName).map(_.dataType) match {
-      case Some(IntegerType) => lit(raw.toInt)
-      case Some(LongType)    => lit(raw.toLong)
-      case Some(DoubleType)  => lit(raw.toDouble)
-      case Some(FloatType)   => lit(raw.toFloat)
-      case _                 => lit(raw)
+      case Some(IntegerType)    => lit(raw.toInt)
+      case Some(LongType)       => lit(raw.toLong)
+      case Some(DoubleType)     => lit(raw.toDouble)
+      case Some(FloatType)      => lit(raw.toFloat)
+      case Some(ShortType)      => lit(raw.toShort)
+      case Some(ByteType)       => lit(raw.toByte)
+      case Some(BooleanType)    => lit(raw.toBoolean)
+      case Some(d: DecimalType) => lit(new java.math.BigDecimal(raw)).cast(d)
+      case Some(DateType)       => lit(java.sql.Date.valueOf(raw))
+      case Some(TimestampType)  => lit(java.sql.Timestamp.valueOf(raw))
+      case Some(StringType)     => lit(raw)
+      case Some(other) => throw new IllegalArgumentException(
+        s"unsupported literal comparison against $colName: $other")
+      case None => lit(raw) // unqualified literal-vs-literal side
     }
 
   private def parseNum(raw: String): Any =

@@ -96,20 +96,28 @@ object GoldenQueries {
 
   /** DuckDB oracle SQL, one per golden query, with column names exactly
     * matching the Spark output (driver hash-compares after sorting columns
-    * by name). Counts/sums cast to BIGINT (DuckDB sums to HUGEINT). */
+    * by name). Counts/sums cast to BIGINT (DuckDB sums to HUGEINT).
+    *
+    * Averages are written as `CAST(sum(x) AS DOUBLE)/count(x)`, never
+    * DuckDB's `avg()`: DuckDB's avg over integers is a streaming mean that
+    * drifts from the correctly-rounded sum÷count by ~1 ulp (observed:
+    * 25.590732224973472 vs the exact 25.59073222497347), while Spark and
+    * this exact form divide identical operands → bit-identical doubles. */
   val oracle: Map[String, String] = Map(
     "emf_events" ->
       """WITH g AS (
         |  SELECT user_id,
-        |    avg(value) FILTER (WHERE event_type = 'purchase') AS avg_p,
-        |    avg(value) FILTER (WHERE event_type = 'error') AS avg_e
+        |    CAST(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'purchase') AS DOUBLE)
+        |      / count(value) FILTER (WHERE event_type = 'purchase') AS avg_p,
+        |    CAST(sum(CAST(value AS DECIMAL(27,6))) FILTER (WHERE event_type = 'error') AS DOUBLE)
+        |      / count(value) FILTER (WHERE event_type = 'error') AS avg_e
         |  FROM events GROUP BY user_id),
         |h AS (
         |  SELECT e.user_id, count(e.value) AS c
         |  FROM events e JOIN g ON e.user_id = g.user_id
         |  WHERE e.value > g.avg_p GROUP BY e.user_id)
-        |SELECT g.user_id, round(avg_p, 6) AS avg_value_purchase,
-        |  round(avg_e, 6) AS avg_value_error,
+        |SELECT g.user_id, avg_p AS avg_value_purchase,
+        |  avg_e AS avg_value_error,
         |  COALESCE(h.c, 0) AS count_value_high
         |FROM g LEFT JOIN h USING (user_id)
         |WHERE avg_p > avg_e
@@ -117,9 +125,12 @@ object GoldenQueries {
     "emf_q1" ->
       s"""WITH $sales
          |SELECT cust,
-         | avg(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
-         | avg(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
-         | avg(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+         | CAST(sum(CASE WHEN state='NATION_1' THEN quant END) AS DOUBLE)
+         |   / count(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+         | CAST(sum(CASE WHEN state='NATION_2' THEN quant END) AS DOUBLE)
+         |   / count(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+         | CAST(sum(CASE WHEN state='NATION_3' THEN quant END) AS DOUBLE)
+         |   / count(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
          |FROM sales GROUP BY cust ORDER BY cust""".stripMargin,
     "emf_q2" ->
       s"""WITH $sales,
@@ -135,10 +146,14 @@ object GoldenQueries {
     "emf_q3" ->
       s"""WITH $sales,
          | s AS (SELECT * FROM sales WHERE year=1997),
-         | g AS (SELECT cust, month, avg(quant) AS avg_quant FROM s GROUP BY 1,2),
-         | b AS (SELECT g.cust, g.month, avg(x.quant) AS avg_quant_before
+         | g AS (SELECT cust, month,
+         |         CAST(sum(quant) AS DOUBLE)/count(quant) AS avg_quant
+         |       FROM s GROUP BY 1,2),
+         | b AS (SELECT g.cust, g.month,
+         |         CAST(sum(x.quant) AS DOUBLE)/count(x.quant) AS avg_quant_before
          |       FROM g JOIN s x ON x.cust=g.cust AND x.month < g.month GROUP BY 1,2),
-         | a AS (SELECT g.cust, g.month, avg(x.quant) AS avg_quant_after
+         | a AS (SELECT g.cust, g.month,
+         |         CAST(sum(x.quant) AS DOUBLE)/count(x.quant) AS avg_quant_after
          |       FROM g JOIN s x ON x.cust=g.cust AND x.month > g.month GROUP BY 1,2)
          |SELECT g.cust, g.month, g.avg_quant, b.avg_quant_before, a.avg_quant_after
          |FROM g LEFT JOIN b ON g.cust=b.cust AND g.month=b.month
@@ -146,9 +161,11 @@ object GoldenQueries {
          |ORDER BY g.cust, g.month""".stripMargin,
     "emf_q4" ->
       s"""WITH $sales,
-         | g AS (SELECT cust, prod, avg(quant) AS avg_quant_sale
+         | g AS (SELECT cust, prod,
+         |         CAST(sum(quant) AS DOUBLE)/count(quant) AS avg_quant_sale
          |       FROM sales GROUP BY 1,2),
-         | o AS (SELECT g.cust, g.prod, avg(x.quant) AS avg_quant_othrcustsale
+         | o AS (SELECT g.cust, g.prod,
+         |         CAST(sum(x.quant) AS DOUBLE)/count(x.quant) AS avg_quant_othrcustsale
          |       FROM g JOIN sales x ON x.prod=g.prod AND x.cust<>g.cust GROUP BY 1,2)
          |SELECT g.cust, g.prod, g.avg_quant_sale, o.avg_quant_othrcustsale
          |FROM g LEFT JOIN o ON g.cust=o.cust AND g.prod=o.prod
@@ -157,16 +174,21 @@ object GoldenQueries {
       s"""WITH $sales
          |SELECT * FROM (
          |  SELECT cust,
-         |   avg(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
-         |   avg(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
-         |   avg(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+         |   CAST(sum(CASE WHEN state='NATION_1' THEN quant END) AS DOUBLE)
+         |     / count(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+         |   CAST(sum(CASE WHEN state='NATION_2' THEN quant END) AS DOUBLE)
+         |     / count(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+         |   CAST(sum(CASE WHEN state='NATION_3' THEN quant END) AS DOUBLE)
+         |     / count(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
          |  FROM sales WHERE year=1997 GROUP BY cust)
          |WHERE avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ
          |ORDER BY cust""".stripMargin,
     "emf_q6" ->
       s"""WITH $sales,
          | s AS (SELECT * FROM sales WHERE year=1997),
-         | g1 AS (SELECT prod, month, avg(quant) AS avg_quant_1 FROM s GROUP BY 1,2),
+         | g1 AS (SELECT prod, month,
+         |          CAST(sum(quant) AS DOUBLE)/count(quant) AS avg_quant_1
+         |        FROM s GROUP BY 1,2),
          | g2 AS (SELECT x.prod, x.month, count(x.quant) AS count_quant_2
          |        FROM s x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
          |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)

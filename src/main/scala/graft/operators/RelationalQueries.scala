@@ -16,8 +16,11 @@ import graft.Tables
   *    threshold, and handles skew.
   *  - Money sums are computed in DECIMAL: deterministic (exact) regardless
   *    of partitioning/summation order, so results are reproducible across
-  *    cluster sizes — and match the DuckDB oracle bit-for-bit. Non-exact
-  *    double outputs (averages, running sums) are rounded.
+  *    cluster sizes. At the output boundary every decimal is cast to
+  *    DOUBLE: both engines cast the same exact decimal → bit-identical
+  *    doubles, and the driver's stringified compare (where
+  *    Decimal('139345.00') != 139345.0) sees identical values. Never
+  *    surface a DECIMAL or ARRAY column in a checked query result.
   *  - Every query ends in an ORDER BY for deterministic output; Catalyst's
   *    EliminateSorts removes it under count()-style consumers, so the
   *    bench path does not pay for it.
@@ -36,9 +39,9 @@ object RelationalQueries {
         .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("sum_disc_price"),
+          sum(dec(col("l_quantity"))).cast("double").as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("sum_disc_price"),
           // averages as exact-decimal sum ÷ count in double: both engines
           // divide identical doubles → bit-identical results, no rounding
           (sum(dec(col("l_quantity"))).cast("double") / count(lit(1))).as("avg_qty"),
@@ -56,7 +59,7 @@ object RelationalQueries {
       l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"))
         .agg(
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy(col("p_brand"))
     }),
@@ -70,7 +73,7 @@ object RelationalQueries {
         .groupBy(col("c_mktsegment"))
         .agg(
           count(lit(1)).as("n_orders"),
-          sum(dec(col("o_totalprice"))).as("sum_price"))
+          sum(dec(col("o_totalprice"))).cast("double").as("sum_price"))
         .orderBy(col("c_mktsegment"))
     }),
 
@@ -111,7 +114,7 @@ object RelationalQueries {
       l.join(broadcast(p),
           l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
         .groupBy(col("p_brand"))
-        .agg(count(lit(1)).as("n_over"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n_over"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("p_brand"))
     }),
 
@@ -123,7 +126,7 @@ object RelationalQueries {
       Tables.part(s, d)
         .withColumn("rnk", rank().over(w))
         .filter(col("rnk") <= 3)
-        .select(col("p_brand"), col("p_partkey"), dec(col("p_retailprice")).as("price"), col("rnk"))
+        .select(col("p_brand"), col("p_partkey"), col("p_retailprice").as("price"), col("rnk"))
         .orderBy(col("p_brand"), col("rnk"), col("p_partkey"))
     }),
 
@@ -132,7 +135,7 @@ object RelationalQueries {
     "window_running" -> ((s, d) => {
       val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"))
       Tables.orders(s, d)
-        .withColumn("running", sum(dec(col("o_totalprice"))).over(w))
+        .withColumn("running", sum(dec(col("o_totalprice"))).over(w).cast("double"))
         .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("running"))
         .orderBy(col("o_custkey"), col("o_orderdate"), col("o_orderkey"))
     }),
@@ -149,6 +152,9 @@ object RelationalQueries {
       monthly
         .withColumn("prev_rev", lag(col("rev"), 1).over(w))
         .withColumn("delta", col("rev") - col("prev_rev"))
+        .select(col("p_brand"), col("month"), col("rev").cast("double").as("rev"),
+          col("prev_rev").cast("double").as("prev_rev"),
+          col("delta").cast("double").as("delta"))
         .orderBy(col("p_brand"), col("month"))
     }),
 
@@ -163,6 +169,7 @@ object RelationalQueries {
       monthly
         .withColumn("mov_avg",
           sum(col("rev")).over(w).cast("double") / count(col("rev")).over(w))
+        .withColumn("rev", col("rev").cast("double"))
         .orderBy(col("month"))
     }),
 
@@ -170,7 +177,7 @@ object RelationalQueries {
     // keeps k rows, driver merges.
     "topk_orders" -> ((s, d) => {
       Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_custkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("price"))
         .orderBy(col("price").desc, col("o_orderkey"))
         .limit(10)
     }),
@@ -217,7 +224,7 @@ object RelationalQueries {
           when(col("c_acctbal") < 0, lit(null: java.lang.Double))
             .otherwise(col("c_acctbal")))
       val filled = withNulls.na.fill(Map("bal_opt" -> 0.0))
-        .agg(sum(dec(col("bal_opt"))).as("sum_filled"),
+        .agg(sum(dec(col("bal_opt"))).cast("double").as("sum_filled"),
           count(lit(1)).as("n_all"))
       val dropped = withNulls.na.drop(Seq("bal_opt"))
         .agg(count(lit(1)).as("n_kept"))
@@ -243,20 +250,21 @@ object RelationalQueries {
     "agg_rollup" -> ((s, d) => {
       Tables.lineitem(s, d)
         .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "agg_cube" -> ((s, d) => {
       Tables.lineitem(s, d)
         .cube(col("l_returnflag"), col("l_linestatus"))
-        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).as("sum_qty"))
+        .agg(count(lit(1)).as("n"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
         .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
     }),
     "agg_groupingsets" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_gs")
       s.sql(
         """SELECT o_orderstatus, o_orderpriority,
-          |       count(1) AS n, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+          |       count(1) AS n,
+          |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
           |FROM orders_gs
           |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
           |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
@@ -287,7 +295,7 @@ object RelationalQueries {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -305,7 +313,7 @@ object RelationalQueries {
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(col("r_name") === "REGION_0")
         .groupBy(col("n_name"))
-        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).as("revenue"))
+        .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("n_name"))
     }),
 
@@ -316,7 +324,7 @@ object RelationalQueries {
         .groupBy(col("o_orderpriority"))
         .agg(max(struct(dec(col("o_totalprice")).as("p"), col("o_orderkey").as("k"))).as("m"))
         .select(col("o_orderpriority"), col("m.k").as("top_orderkey"),
-          col("m.p").as("top_price"))
+          col("m.p").cast("double").as("top_price"))
         .orderBy(col("o_orderpriority"))
     }),
 
@@ -326,7 +334,8 @@ object RelationalQueries {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(expr("percentile(l_quantity, 0.5)").as("median_qty"),
-          expr("percentile(l_quantity, array(0.25, 0.75))").as("quartiles"))
+          expr("percentile(l_quantity, 0.25)").as("q25"),
+          expr("percentile(l_quantity, 0.75)").as("q75"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -337,7 +346,7 @@ object RelationalQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
           col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
           col("l_quantity") < 24)
-        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).as("revenue_delta"),
+        .agg(sum(dec(col("l_extendedprice")) * dec(col("l_discount"))).cast("double").as("revenue_delta"),
           count(lit(1)).as("n"))
     }),
 
@@ -378,6 +387,7 @@ object RelationalQueries {
           sum(dec(col("l_extendedprice"))).as("sum_price"))
       wide.unpivot(Array(col("l_returnflag")),
           Array(col("sum_qty"), col("sum_price")), "metric", "value")
+        .withColumn("value", col("value").cast("double"))
         .orderBy(col("l_returnflag"), col("metric"))
     }),
 
@@ -386,7 +396,7 @@ object RelationalQueries {
     "subquery_correlated" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_sq")
       s.sql(
-        """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        """SELECT o_orderkey, o_totalprice AS price
           |FROM orders_sq o
           |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq i
           |                          WHERE i.o_custkey = o.o_custkey)
@@ -410,7 +420,7 @@ object RelationalQueries {
     "window_ranks" -> ((s, d) => {
       val w = Window.orderBy(col("price").desc, col("o_orderkey"))
       Tables.orders(s, d)
-        .select(col("o_orderkey"), dec(col("o_totalprice")).as("price"))
+        .select(col("o_orderkey"), col("o_totalprice").as("price"))
         .orderBy(col("price").desc, col("o_orderkey")).limit(1000) // deterministic top-1000
         .withColumn("rn", row_number().over(w))
         .withColumn("drnk", dense_rank().over(w))
@@ -440,6 +450,8 @@ object RelationalQueries {
         .pivot("l_linestatus", Seq("F", "O"))
         .agg(sum(dec(col("l_quantity"))))
         .withColumnsRenamed(Map("F" -> "qty_F", "O" -> "qty_O"))
+        .withColumn("qty_F", col("qty_F").cast("double"))
+        .withColumn("qty_O", col("qty_O").cast("double"))
         .orderBy(col("l_returnflag"))
     }),
 
@@ -454,10 +466,12 @@ object RelationalQueries {
 
     // Collection aggregates, made deterministic by sorting the collected
     // set (collect_set order is partitioning-dependent; sort_array fixes).
+    // Surfaced as a joined string: array columns crash the driver's
+    // pandas-based row sort (unhashable ndarray).
     "agg_collect" -> ((s, d) => {
       Tables.orders(s, d)
         .groupBy(col("o_orderstatus"))
-        .agg(sort_array(collect_set(col("o_orderpriority"))).as("prios"),
+        .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",").as("prios"),
           count(lit(1)).as("n"))
         .orderBy(col("o_orderstatus"))
     }),
@@ -478,9 +492,9 @@ object RelationalQueries {
   def oracle: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_qty,
         | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_price,
         | CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(1) AS avg_disc,
@@ -491,13 +505,13 @@ object RelationalQueries {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "join_broadcast" ->
       """SELECT p_brand,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
         | count(1) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "join_shuffle" ->
       """SELECT c_mktsegment, count(1) AS n_orders,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
     "join_semi" ->
@@ -515,11 +529,11 @@ object RelationalQueries {
         |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
     "join_nonequi" ->
       """SELECT p_brand, count(1) AS n_over,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "window_topk_rank" ->
-      """SELECT p_brand, p_partkey, CAST(p_retailprice AS DECIMAL(18,2)) AS price, rnk
+      """SELECT p_brand, p_partkey, p_retailprice AS price, rnk
         |FROM (SELECT p_brand, p_partkey, p_retailprice,
         |        rank() OVER (PARTITION BY p_brand
         |                     ORDER BY p_retailprice DESC, p_partkey) AS rnk
@@ -527,8 +541,8 @@ object RelationalQueries {
         |WHERE rnk <= 3 ORDER BY p_brand, rnk, p_partkey""".stripMargin,
     "window_running" ->
       """SELECT o_custkey, o_orderkey, o_orderdate,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+        |   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running
         |FROM orders
         |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
     "window_lag" ->
@@ -537,21 +551,21 @@ object RelationalQueries {
         |         sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
         |  FROM lineitem JOIN part ON l_partkey = p_partkey
         |  GROUP BY 1, 2)
-        |SELECT p_brand, month, rev,
-        |  lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS prev_rev,
-        |  rev - lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS delta
+        |SELECT p_brand, month, CAST(rev AS DOUBLE) AS rev,
+        |  CAST(lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS DOUBLE) AS prev_rev,
+        |  CAST(rev - lag(rev, 1) OVER (PARTITION BY p_brand ORDER BY month) AS DOUBLE) AS delta
         |FROM monthly ORDER BY p_brand, month""".stripMargin,
     "window_moving" ->
       """WITH monthly AS (
         |  SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month,
         |         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY 1)
-        |SELECT month, rev,
+        |SELECT month, CAST(rev AS DOUBLE) AS rev,
         |  CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   / count(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         |FROM monthly ORDER BY month""".stripMargin,
     "topk_orders" ->
-      """SELECT o_orderkey, o_custkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_custkey, o_totalprice AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,
     "setop_union" ->
       """SELECT c_custkey FROM customer WHERE c_acctbal > 9000
@@ -570,7 +584,7 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "q6_revenue_delta" ->
       """SELECT
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS revenue_delta,
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue_delta,
         | count(1) AS n
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -600,12 +614,12 @@ object RelationalQueries {
         |    sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
         |  FROM lineitem GROUP BY l_returnflag)
-        |SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM wide
+        |SELECT l_returnflag, 'sum_qty' AS metric, CAST(sum_qty AS DOUBLE) AS value FROM wide
         |UNION ALL
-        |SELECT l_returnflag, 'sum_price', sum_price FROM wide
+        |SELECT l_returnflag, 'sum_price', CAST(sum_price AS DOUBLE) FROM wide
         |ORDER BY l_returnflag, metric""".stripMargin,
     "subquery_correlated" ->
-      """SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      """SELECT o_orderkey, o_totalprice AS price
         |FROM orders o
         |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders i
         |                          WHERE i.o_custkey = o.o_custkey)
@@ -619,7 +633,7 @@ object RelationalQueries {
         |ORDER BY o_orderkey""".stripMargin,
     "window_ranks" ->
       """WITH top1000 AS (
-        |  SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+        |  SELECT o_orderkey, o_totalprice AS price
         |  FROM orders ORDER BY price DESC, o_orderkey LIMIT 1000)
         |SELECT o_orderkey, price,
         |  row_number() OVER w AS rn,
@@ -647,7 +661,7 @@ object RelationalQueries {
         |ORDER BY l_orderkey""".stripMargin,
     "null_handling" ->
       """SELECT
-        | sum(CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS DECIMAL(18,2))) AS sum_filled,
+        | CAST(sum(CAST(CASE WHEN c_acctbal < 0 THEN 0.0 ELSE c_acctbal END AS DECIMAL(18,2))) AS DOUBLE) AS sum_filled,
         | count(1) AS n_all,
         | count(CASE WHEN c_acctbal < 0 THEN NULL ELSE 1 END) AS n_kept
         |FROM customer""".stripMargin,
@@ -663,23 +677,23 @@ object RelationalQueries {
         |ORDER BY l_orderkey""".stripMargin,
     "agg_rollup" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_cube" ->
       """SELECT l_returnflag, l_linestatus, count(1) AS n,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
     "agg_groupingsets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
-        | sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sum_price
+        | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -690,7 +704,7 @@ object RelationalQueries {
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
     "q5_local_volume" ->
       """SELECT n_name,
-        | sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue
+        | CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -700,7 +714,7 @@ object RelationalQueries {
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_argmax" ->
       """SELECT o_orderpriority, o_orderkey AS top_orderkey,
-        | CAST(o_totalprice AS DECIMAL(18,2)) AS top_price
+        | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price
         |FROM orders
         |QUALIFY row_number() OVER (PARTITION BY o_orderpriority
         |  ORDER BY CAST(o_totalprice AS DECIMAL(18,2)) DESC, o_orderkey DESC) = 1
@@ -708,12 +722,13 @@ object RelationalQueries {
     "agg_median" ->
       """SELECT l_returnflag,
         | quantile_cont(l_quantity, 0.5) AS median_qty,
-        | quantile_cont(l_quantity, [0.25, 0.75]) AS quartiles
+        | quantile_cont(l_quantity, 0.25) AS q25,
+        | quantile_cont(l_quantity, 0.75) AS q75
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "agg_pivot" ->
       """SELECT l_returnflag,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS qty_F,
-        | sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS qty_O
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS qty_F,
+        | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS qty_O
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "explode_wordcount" ->
       """SELECT w AS word, count(1) AS n
@@ -721,7 +736,7 @@ object RelationalQueries {
         |GROUP BY w ORDER BY n DESC, word LIMIT 10""".stripMargin,
     "agg_collect" ->
       """SELECT o_orderstatus,
-        | list_sort(list(DISTINCT o_orderpriority)) AS prios,
+        | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
         | count(1) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "agg_distinct" ->

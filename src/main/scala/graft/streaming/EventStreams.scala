@@ -43,20 +43,28 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Decimal sums surfaced as double at the checked-output boundary —
+    * both engines cast the same exact decimal, so bits (and the driver's
+    * stringified compare) agree. */
+  private def sumValueAsDouble(df: DataFrame): DataFrame =
+    df.withColumn("sum_value", col("sum_value").cast("double"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "stream_tumbling" -> ((s, d) =>
-      tumbling(Tables.events(s, d)).orderBy(col("wstart"), col("event_type"))),
+      sumValueAsDouble(tumbling(Tables.events(s, d)))
+        .orderBy(col("wstart"), col("event_type"))),
     "stream_sliding" -> ((s, d) =>
-      sliding(Tables.events(s, d)).orderBy(col("wstart"), col("event_type"))),
+      sumValueAsDouble(sliding(Tables.events(s, d)))
+        .orderBy(col("wstart"), col("event_type"))),
     "stream_session" -> ((s, d) =>
-      sessions(Tables.events(s, d))
+      sumValueAsDouble(sessions(Tables.events(s, d)))
         .orderBy(col("user_id"), col("session_start"))),
   )
 
   def oracle: Map[String, String] = Map(
     "stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
-        | count(1) AS n, sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        | count(1) AS n, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     // a 1h/30min sliding window = two interleaved 1h bucketings offset by
     // 30 minutes: every event belongs to exactly two windows
@@ -69,7 +77,7 @@ object EventStreams {
         |         event_type, value
         |  FROM events)
         |SELECT wstart, event_type, count(1) AS n,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM assigned GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     // gap-based sessionization: lag → new-session flag → cumulative id;
     // session end = last ts + gap (Spark's session_window convention)
@@ -86,7 +94,7 @@ object EventStreams {
         |SELECT min(ts) AS session_start,
         |       max(ts) + INTERVAL '10 minutes' AS session_end,
         |       user_id, count(1) AS n_events,
-        |       sum(CAST(value AS DECIMAL(18,2))) AS sum_value
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
   )

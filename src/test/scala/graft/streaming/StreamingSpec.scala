@@ -166,6 +166,26 @@ class StreamingSpec extends SparkSpec {
     assert(seen.map(_._2).sum == 3 && seen.size >= 2)
   }
 
+  test("session_window boundary: events exactly one gap apart") {
+    // Pins Spark's boundary semantics (measured, Spark 4.1) so the DuckDB
+    // oracle's lag-comparison operator provably matches: an event at
+    // EXACTLY prev_ts + gap still MERGES into the session (Spark merges
+    // when next_start <= prev_end), so the oracle must use
+    // `ts - lag(ts) <= gap` — which it does. One microsecond beyond the
+    // gap starts a new session.
+    val merged = EventStreams.sessions(Seq(
+      Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      Ev(2L, Timestamp.valueOf("2024-01-01 00:10:00"), 7L, "click", 1.0))
+      .toDF()).collect().toSeq
+    assert(merged.size == 1, s"expected 1 merged session, got $merged")
+    assert(merged.head.getTimestamp(1) == Timestamp.valueOf("2024-01-01 00:20:00"))
+    val split = EventStreams.sessions(Seq(
+      Ev(1L, Timestamp.valueOf("2024-01-01 00:00:00"), 7L, "click", 1.0),
+      Ev(2L, Timestamp.valueOf("2024-01-01 00:10:00.000001"), 7L, "click", 1.0))
+      .toDF()).orderBy($"session_start").collect().toSeq
+    assert(split.size == 2, s"expected 2 sessions, got $split")
+  }
+
   test("streaming session windows equal batch sessionization") {
     val stream = MemoryStream[Ev](spark)
     stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)

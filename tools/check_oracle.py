@@ -2,29 +2,30 @@
 """Local stand-in for the driver's correctness gate (dev tool only, not
 part of the shipped library): reads Verify.scala's output directory,
 runs each oracle SQL in DuckDB with views over the same parquet tables,
-and compares values after sorting columns by name and rows by value.
+and compares the two results the way the driver does — Spark parquet via
+pandas/pyarrow, oracle via duckdb .df(), rows sorted by all columns,
+values compared STRINGIFIED AND BIT-EXACT (no float rounding: a decimal
+column that prints '139345.00' will NOT match a double '139345.0', and a
+last-bit double difference fails). Query outputs must therefore avoid
+DECIMAL and ARRAY columns and be bit-deterministic.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json, math
+import sys, json
 import duckdb
+import pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
-def canon(rows, cols):
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
-    out = []
-    for r in rows:
-        vals = []
-        for i in order:
-            v = r[i]
-            if isinstance(v, float):
-                v = round(v, 9)
-            vals.append(repr(v))
-        out.append("|".join(vals))
-    out.sort()
-    return sorted(c for c in cols), out
+
+def canon(df):
+    cols = sorted(df.columns)
+    df = df[cols]
+    if len(df):
+        df = df.sort_values(by=cols)
+    return cols, df.astype(str).values.tolist()
+
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
@@ -39,24 +40,19 @@ def main():
         if only and name not in only:
             continue
         try:
-            got = con.execute(
-                f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
-            g_cols = [d[0] for d in got.description]
-            g_rows = got.fetchall()
-            exp = con.execute(sql)
-            e_cols = [d[0] for d in exp.description]
-            e_rows = exp.fetchall()
+            got = pd.read_parquet(f"{out_dir}/{name}")
+            exp = con.execute(sql).df()
+            gc, gr = canon(got)
+            ec, er = canon(exp)
         except Exception as e:
-            print(f"FAIL {name}: {e}")
+            print(f"FAIL {name}: {type(e).__name__}: {e}")
             n_bad += 1
             continue
-        gc, gr = canon(g_rows, g_cols)
-        ec, er = canon(e_rows, e_cols)
         if gc != ec:
             print(f"FAIL {name}: columns {gc} != {ec}")
             n_bad += 1
         elif gr != er:
-            diff = [(a, b) for a, b in zip(gr, er) if a != b][:3]
+            diff = [(a, b) for a, b in zip(gr, er) if a != b][:2]
             print(f"FAIL {name}: {len(gr)} vs {len(er)} rows; first diffs: {diff}")
             n_bad += 1
         else:
@@ -64,6 +60,7 @@ def main():
             n_ok += 1
     print(f"== {n_ok} ok, {n_bad} fail")
     sys.exit(1 if n_bad else 0)
+
 
 if __name__ == "__main__":
     main()
