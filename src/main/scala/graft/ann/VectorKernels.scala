@@ -19,18 +19,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object VectorKernels {
 
+  /** Rows the dense kernels may materialize driver-side. This is the same
+    * budget rule as any broadcast join's small side (≈128 MB at 64 dims):
+    * the kernels REQUIRE the table to be small, and the guard makes the
+    * contract checked, not assumed — a caller holding a corpus-sized table
+    * fails fast instead of OOMing the driver, and is pointed at the
+    * bucketed LSH/IVF paths. */
+  val maxBroadcastRows: Int = 1 << 18
+
   /** All-pairs cosine ≥ tau. `e` must have (vec_id: long, emb:
-    * array<double>); the whole table is broadcast (small-side contract).
-    * Arithmetic is bit-identical to the expression form: sequential
-    * index-order dot/norm sums, cos = dot/(na·nb), HALF_UP 6-dp round.
+    * array<double>); the whole table is broadcast (small-side contract,
+    * enforced via [[maxBroadcastRows]]). Arithmetic is bit-identical to
+    * the expression form: sequential index-order dot/norm sums,
+    * cos = dot/(na·nb), HALF_UP 6-dp round.
     *
     * Pair blocks are mirrored (k ↔ n-1-k) so every task scores ~n pairs —
     * no triangle skew. */
-  def cosinePairs(e: DataFrame, tau: Double): DataFrame = {
+  /** Guarded driver-side materialization for the dense kernels: collects
+    * at most `maxBroadcastRows + 1` rows (so the failure mode is a clear
+    * exception, not a driver OOM) and requires the result to fit the
+    * broadcast budget. */
+  private def boundedCollect(e: DataFrame): Array[(Long, Seq[Double])] = {
     val spark = e.sparkSession
     import spark.implicits._
     val rows = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
-      .collect().sortBy(_._1)
+      .limit(maxBroadcastRows + 1).collect()
+    require(rows.length <= maxBroadcastRows,
+      s"dense vector kernel asked to broadcast > $maxBroadcastRows rows; " +
+        "use the bucketed LSH/IVF paths (graft.ann.Similarity / Ivf) for " +
+        "corpus-scale inputs")
+    rows.sortBy(_._1)
+  }
+
+  def cosinePairs(e: DataFrame, tau: Double): DataFrame = {
+    val spark = e.sparkSession
+    import spark.implicits._
+    val rows = boundedCollect(e)
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2.toArray)
     val norms = vecs.map(v => math.sqrt(dot(v, v)))
@@ -55,35 +79,35 @@ object VectorKernels {
       .toDF("id_a", "id_b", "cos6")
   }
 
-  /** Score an explicit candidate-pair set (id_a, id_b) against the
-    * broadcast vector table, keeping pairs with cosine ≥ tau. Same
-    * arithmetic/rounding as [[cosinePairs]]. */
+  /** Score an explicit candidate-pair set (id_a, id_b) against the vector
+    * table, keeping pairs with cosine ≥ tau. Fully distributed — the
+    * candidates join back to `e` twice (shuffle/broadcast chosen by
+    * Catalyst + AQE on the ids) and the cosine is the codegen'd
+    * [[CosineSimExpr]] kernel, so neither the corpus nor the pair set is
+    * ever materialized on the driver. This is the scorer behind the
+    * LSH "100 TB route" ([[Similarity]] knn_lsh). Arithmetic and HALF_UP
+    * 6-dp rounding are bit-identical to [[cosinePairs]] (asserted in
+    * SimilaritySpec). Candidate ids absent from `e` are dropped by the
+    * inner joins (LSH candidates always originate from `e`). */
   def scorePairs(pairs: DataFrame, e: DataFrame, tau: Double): DataFrame = {
-    val spark = e.sparkSession
-    import spark.implicits._
-    val rows = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])].collect()
-    val vecs = rows.map { case (id, v) => id -> v.toArray }.toMap
-    val norms = vecs.map { case (id, v) => id -> math.sqrt(dot(v, v)) }
-    val bc = spark.sparkContext.broadcast((vecs, norms))
-    pairs.selectExpr("id_a", "id_b").as[(Long, Long)]
-      .mapPartitions { it =>
-        val (bVecs, bNorms) = bc.value
-        it.flatMap { case (a, b) =>
-          require(bVecs.contains(a) && bVecs.contains(b),
-            s"candidate pair ($a,$b) references ids absent from the vector table")
-          val c = dot(bVecs(a), bVecs(b)) / (bNorms(a) * bNorms(b))
-          if (c >= tau) Some((a, b, round6(c))) else None
-        }
-      }
-      .toDF("id_a", "id_b", "cos6")
+    import org.apache.spark.sql.functions.{col, round}
+    val ea = e.selectExpr("vec_id AS id_a", "emb AS emb_a")
+    val eb = e.selectExpr("vec_id AS id_b", "emb AS emb_b")
+    pairs.select(col("id_a"), col("id_b"))
+      .join(ea, Seq("id_a"))
+      .join(eb, Seq("id_b"))
+      .withColumn("cos", CosineSimExpr.cosineFast(col("emb_a"), col("emb_b")))
+      .filter(col("cos") >= tau)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))
   }
 
-  /** Exact top-k neighbors for each of `queryIds` (cosine, tiebreak id). */
+  /** Exact top-k neighbors for each of `queryIds` (cosine, tiebreak id).
+    * Dense small-side kernel (guarded by [[maxBroadcastRows]]); the
+    * distributed exactness baseline is `knn_brute` in [[Similarity]]. */
   def topK(e: DataFrame, queryIds: Set[Long], k: Int): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    val rows = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
-      .collect().sortBy(_._1)
+    val rows = boundedCollect(e)
     val ids = rows.map(_._1)
     val vecs = rows.map(_._2.toArray)
     val norms = vecs.map(v => math.sqrt(dot(v, v)))

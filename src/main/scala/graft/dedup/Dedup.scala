@@ -154,12 +154,29 @@ object Dedup {
     innerCaches.clear()
   }
 
+  /** Hot-shingle document-frequency cap: a shingle present in B docs
+    * contributes B²/2 rows to the self-join, so one boilerplate shingle in
+    * 1e6 docs is 5e11 pairs. Shingles above `maxDf` are dropped from the
+    * shingle universe entirely (postings AND sizes — Jaccard is computed
+    * over the capped universe, so the semantics stay self-consistent and
+    * SQL-mirrorable). Such shingles are corpus-wide boilerplate and carry
+    * no within-pair signal; on the synthetic corpus df≤32 leaves the
+    * sf0.1 pair set byte-identical (max df there is 50) and sf0.01
+    * untouched (max df 14). */
+  private[dedup] val maxShingleDf = 32
+
   private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
     // cached: this subtree feeds the self-join twice plus the sizes agg —
-    // without it the scan + shingle explode runs three times
+    // without it the scan + shingle explode runs three times. The df cap
+    // is a window count over the same shuffle key (`sh`) the self-join
+    // uses, so the capped, cached frame is already hash-partitioned on sh.
+    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val docs = docsWithNearDups(s, d)
       .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
       .distinct()
+      .withColumn("__df", count(lit(1)).over(wdf))
+      .filter(col("__df") <= maxShingleDf)
+      .drop("__df")
       .cache()
     innerCaches.put(docs, ())
     val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
@@ -228,12 +245,16 @@ object Dedup {
         |  SELECT doc_id + 100000,
         |         array_to_string(string_split(text, ' ')[2:], ' ')
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
         |  FROM docs,
         |    LATERAL (SELECT unnest(generate_series(1,
         |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
+        |    FROM sh0) WHERE df <= 32),
         |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
@@ -254,12 +275,16 @@ object Dedup {
         |  SELECT doc_id + 100000,
         |         array_to_string(string_split(text, ' ')[2:], ' ')
         |  FROM documents),
-        |sh AS (
+        |sh0 AS (
         |  SELECT DISTINCT doc_id,
         |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
         |  FROM docs,
         |    LATERAL (SELECT unnest(generate_series(1,
         |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
+        |    FROM sh0) WHERE df <= 32),
         |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
         |inter AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter

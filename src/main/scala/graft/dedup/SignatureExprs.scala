@@ -54,9 +54,12 @@ case class SimHash64Expr(child: Expression)
 }
 
 /** MinHash signature (k seeded min-hashes) of a string-array column;
-  * element-for-element equal to [[Dedup.minhash]]: mh[i] =
-  * min over shingles of xxhash64(shingle, i) — i.e. seed-42 chain
-  * hash(string) then hash(int i). */
+  * element-for-element equal to [[Dedup.minhash]] for non-empty input:
+  * mh[i] = min over shingles of xxhash64(shingle, i) — i.e. seed-42 chain
+  * hash(string) then hash(int i). Empty-input divergence (benign:
+  * `Dedup.shingles` never yields an empty array): this expression returns
+  * null, while the Column spec returns an array of k nulls (array_min of
+  * an empty array is null per element). */
 case class MinHashSignatureExpr(child: Expression, k: Int)
     extends UnaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(LongType, containsNull = false)

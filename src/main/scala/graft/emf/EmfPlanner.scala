@@ -358,7 +358,10 @@ object EmfPlanner {
       case Some(BooleanType)    => lit(raw.toBoolean)
       case Some(d: DecimalType) => lit(new java.math.BigDecimal(raw)).cast(d)
       case Some(DateType)       => lit(java.sql.Date.valueOf(raw))
-      case Some(TimestampType)  => lit(java.sql.Timestamp.valueOf(raw))
+      // session-timezone parsing (UTC here), not JVM-default-zone
+      // Timestamp.valueOf — keeps the literal's instant aligned with the
+      // UTC-pinned session and the DuckDB oracle on any host
+      case Some(TimestampType)  => lit(raw).cast(TimestampType)
       case Some(StringType)     => lit(raw)
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported literal comparison against $colName: $other")

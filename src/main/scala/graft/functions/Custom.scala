@@ -22,9 +22,18 @@ object Custom {
     def reduce(b: (Option[Double], Option[Double]), x: Double): (Option[Double], Option[Double]) =
       merge(b, (Some(x), None))
     def merge(a: (Option[Double], Option[Double]), b: (Option[Double], Option[Double])): (Option[Double], Option[Double]) = {
-      val vals = (a._1.toSeq ++ a._2.toSeq ++ b._1.toSeq ++ b._2.toSeq)
-        .distinct.sorted(Ordering[Double].reverse)
-      (vals.headOption, vals.drop(1).headOption)
+      // branchy two-slot insert (no per-row Seq allocation/sort): slot in
+      // each of b's candidates, skipping duplicates (DISTINCT semantics)
+      var m1 = a._1
+      var m2 = a._2
+      def add(xo: Option[Double]): Unit = xo.foreach { x =>
+        if (!m1.contains(x) && !m2.contains(x)) {
+          if (m1.forall(x > _)) { m2 = m1; m1 = Some(x) }
+          else if (m2.forall(x > _)) m2 = Some(x)
+        }
+      }
+      add(b._1); add(b._2)
+      (m1, m2)
     }
     def finish(b: (Option[Double], Option[Double])): Option[Double] = b._2
     def bufferEncoder: Encoder[(Option[Double], Option[Double])] =

@@ -14,6 +14,27 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(self - 1.0) < 1e-12)
   }
 
+  test("cosineFast (native codegen expr) is bit-identical to the HOF spec") {
+    val e = Similarity.embWithNearDups(spark, sf0001).limit(30)
+    val a = e.select(col("vec_id").as("ia"), col("emb").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("emb").as("eb"))
+    val rows = a.crossJoin(b).filter(col("ia") < col("ib"))
+      .select(Similarity.cosine(col("ea"), col("eb")).as("spec"),
+        Similarity.cosineFast(col("ea"), col("eb")).as("fast"))
+      .collect()
+    assert(rows.length == 30 * 29 / 2)
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact ==
+  }
+
+  test("dense kernels refuse corpus-scale driver materialization") {
+    val big = spark.range(0, VectorKernels.maxBroadcastRows + 1L)
+      .select(col("id").as("vec_id"), array(lit(1.0), lit(2.0)).as("emb"))
+    val ex = intercept[IllegalArgumentException] {
+      VectorKernels.cosinePairs(big, 0.9)
+    }
+    assert(ex.getMessage.contains("LSH"))
+  }
+
   test("brute-force knn returns 3 ranked neighbors per query") {
     val out = Similarity.queries("knn_brute")(spark, sf0001).collect()
     assert(out.length == 15) // 5 queries × 3
