@@ -42,9 +42,8 @@ object EmfPlanner {
     val schema = fact.schema
     val base = q.where.foldLeft(fact)((df, c) => df.filter(tupleCond(c, schema, None)))
 
+    val (simpleVars, winVars, depVars) = classifyVars(q, schema)
     val aggNames = q.aggNames
-    val (simpleVars, rest) = q.vars.partition(isSimple(_, q, aggNames))
-    val (winVars, depVars) = rest.partition(isWindowed(_, q, aggNames, schema))
 
     // ---- scan 0: groups + variable-0 aggregates + all SIMPLE variables
     // + per-group partials for WINDOWED variables
@@ -110,6 +109,16 @@ object EmfPlanner {
   /** Is this variable SIMPLE w.r.t. the query? (exposed for streaming) */
   private[emf] def isSimplePublic(v: GroupingVar, q: EmfQuery): Boolean =
     isSimple(v, q, q.aggNames)
+
+  /** Partition the query's variables into (SIMPLE, WINDOWED, DEPENDENT) —
+    * the same classification [[plan]] uses (exposed for streaming). */
+  private[emf] def classifyVars(q: EmfQuery, schema: StructType)
+      : (Seq[GroupingVar], Seq[GroupingVar], Seq[GroupingVar]) = {
+    val aggNames = q.aggNames
+    val (simpleVars, rest) = q.vars.partition(isSimple(_, q, aggNames))
+    val (winVars, depVars) = rest.partition(isWindowed(_, q, aggNames, schema))
+    (simpleVars, winVars, depVars)
+  }
 
   /** HAVING tree to a Column (exposed for streaming). */
   private[emf] def havingColumn(h: HavingExpr): Column = havingExpr(h)

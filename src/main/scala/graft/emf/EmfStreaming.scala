@@ -1,8 +1,10 @@
 package graft.emf
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.functions.col
-import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery}
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
 import org.apache.spark.sql.Row
 
 /** MF/EMF over STREAMS — the lineage of the reference's second paper
@@ -14,11 +16,18 @@ import org.apache.spark.sql.Row
   *    `groupBy(G).agg(f(when(...)))` — [[plan]]. The MF structure lives
   *    in the state store, updated incrementally per micro-batch; HAVING
   *    applies per emitted result (complete/update mode).
-  *  - WINDOWED/DEPENDENT variables need cross-group or re-scan semantics
-  *    (unbounded state / stream self-joins), so the streaming form runs
-  *    the full batch planner on each micro-batch via `foreachBatch` —
-  *    [[microBatch]] — trading incrementality for full expressiveness,
-  *    the standard escape hatch.
+  *  - SIMPLE + WINDOWED mixes (the corpus query-2/3 shape: equality on a
+  *    key subset plus one order comparison) lower to
+  *    `flatMapGroupsWithState` keyed by the window's equality attrs —
+  *    [[planWindowed]]. The state IS the MF structure for that key (one
+  *    accumulator row per group), updated incrementally; the window
+  *    combine is a prefix/suffix pass over the key's order values at
+  *    emit time. No re-scan of history, no batch-planner fallback.
+  *  - DEPENDENT variables need cross-group predicates over other
+  *    variables' evolving aggregates (stream self-joins / re-scan), so
+  *    the streaming form runs the full batch planner on each micro-batch
+  *    via `foreachBatch` — [[microBatch]] — trading incrementality for
+  *    full expressiveness, the standard escape hatch.
   */
 object EmfStreaming {
 
@@ -44,4 +53,334 @@ object EmfStreaming {
     stream.writeStream.foreachBatch { (batch: DataFrame, id: Long) =>
       sink(EmfPlanner.plan(q, batch), id)
     }
+
+  // ---- incremental WINDOWED lowering --------------------------------------
+
+  /** Per-slot accumulator: exact sum at scale 6 (BigInt micro-units),
+    * non-null count, raw min/max. One per (group, aggregate slot). */
+  final class SlotAcc extends Serializable {
+    var sumMicro: BigInt = BigInt(0)
+    var cnt: Long = 0L
+    var mn: Double = Double.PositiveInfinity
+    var mx: Double = Double.NegativeInfinity
+  }
+
+  /** State for one window key (the equality attrs): the MF structure
+    * restricted to that key — one accumulator row per order value —
+    * plus an emission version counter. */
+  final class WinState extends Serializable {
+    var ver: Long = 0L
+    val groups = new java.util.HashMap[java.lang.Long, Array[SlotAcc]]()
+  }
+
+  /** One aggregate slot's metadata, closed over by the state function.
+    * kind: 0 = varZero/SIMPLE (own-group value), 1 = WINDOWED.
+    * frameOp: the order comparison for windowed slots ("<", "<=", ">",
+    * ">=", or "" for whole-partition frames). */
+  final case class SlotSpec(name: String, func: String,
+      floating: Boolean, integral: Boolean, kind: Int, frameOp: String)
+
+  final case class WinRow(k: String, o: Long,
+      micro: Seq[Option[Long]], raw: Seq[Option[Double]])
+
+  /** Incremental lowering for SIMPLE + WINDOWED queries whose grouping
+    * set is exactly {equality attrs} ∪ {order attr} — the corpus
+    * query-2/3 shape ("months before/after this one", paper §"complex
+    * aggregates over data streams").
+    *
+    * The stream is keyed by the windowed variables' shared equality
+    * attrs; the state store holds the MF structure for the key (one
+    * accumulator row per order value, each carrying exact decimal-6 sums
+    * + counts + raw min/max for every aggregate slot). Each micro-batch
+    * folds its rows into the state — O(batch) work, no history re-scan —
+    * and re-emits the key's groups with windowed aggregates recombined by
+    * one ascending/descending pass over the key's sorted order values
+    * (the RANGE frames of the batch lowering, evaluated over partials).
+    *
+    * Aggregation arithmetic matches [[EmfPlanner]]'s batch semantics
+    * bit-for-bit for inputs with ≤ 6 decimal digits (the planner's
+    * decimal-exact contract): sums/averages accumulate exactly and
+    * surface as double/long exactly like the batch plan's decimal path.
+    *
+    * Output: one row per (group, emission) in UPDATE mode with a
+    * monotonically increasing `__ver` per key — a sink holding all
+    * emissions reconstructs the current MF structure with [[snapshot]]
+    * (latest `__ver` per group, then HAVING + SELECT). HAVING cannot be
+    * applied pre-sink in update mode: a group leaving the HAVING set
+    * emits no retraction, so the filter belongs on the snapshot.
+    *
+    * State is one accumulator row per group — the same cardinality the
+    * batch MF frame has; at scale, bound the order-attr domain (e.g.
+    * months, not timestamps) exactly as the paper's MF state does. */
+  def planWindowed(q: EmfQuery, stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+
+    val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
+    require(depVars.isEmpty,
+      "incremental windowed streaming supports SIMPLE + WINDOWED variables " +
+        "only; use microBatch(...) for dependent queries")
+    require(winVars.nonEmpty,
+      "no WINDOWED variable; use plan(...) for all-SIMPLE queries")
+
+    // every windowed variable must share one equality-attr set E and one
+    // order attr o, with G = E ∪ {o}
+    def eqAttrsOf(v: GroupingVar): Seq[String] = v.mfConds.collect {
+      case Cond(TupleCol(a), "=" | "==", MfField(b)) if a == b => a
+    }
+    def orderCondOf(v: GroupingVar): Option[Cond] = v.mfConds.collectFirst {
+      case c @ Cond(TupleCol(_), "<" | "<=" | ">" | ">=", MfField(_)) => c
+    }
+    val eqAttrs = eqAttrsOf(winVars.head).distinct
+    val orderAttr = winVars.flatMap(orderCondOf).headOption match {
+      case Some(Cond(TupleCol(a), _, _)) => a
+      case _ => throw new IllegalArgumentException(
+        "windowed streaming needs at least one order comparison")
+    }
+    winVars.foreach { v =>
+      require(eqAttrsOf(v).distinct == eqAttrs &&
+        orderCondOf(v).forall { case Cond(TupleCol(a), _, _) => a == orderAttr },
+        s"windowed variable ${v.agg.name} must share equality attrs " +
+          s"$eqAttrs and order attr $orderAttr")
+    }
+    require(eqAttrs.nonEmpty, "windowed streaming needs ≥ 1 equality attr")
+    require(q.groupAttrs.toSet == (eqAttrs :+ orderAttr).toSet &&
+      !eqAttrs.contains(orderAttr),
+      s"grouping set ${q.groupAttrs} must be exactly equality attrs " +
+        s"$eqAttrs plus order attr $orderAttr")
+
+    // ---- aggregate slots: varZero + SIMPLE (kind 0), WINDOWED (kind 1)
+    def colType(n: String): DataType =
+      schema.find(_.name == n).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $n"))
+    def numeric(n: String): Unit = colType(n) match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"windowed streaming needs numeric aggregate columns; $n: $other")
+    }
+    final case class SlotDef(spec: SlotSpec, srcCol: String, cond: Option[Column])
+    val slots: Seq[SlotDef] =
+      q.varZero.map { a =>
+        numeric(a.column)
+        SlotDef(SlotSpec(a.name, a.func, isFloat(colType(a.column)),
+          isIntegral(colType(a.column)), 0, ""), a.column, None)
+      } ++
+      simpleVars.map { v =>
+        numeric(v.agg.column)
+        SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 0, ""), v.agg.column,
+          condOf(v, schema))
+      } ++
+      winVars.map { v =>
+        numeric(v.agg.column)
+        val op = orderCondOf(v).map(_.op).getOrElse("")
+        SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 1, op), v.agg.column,
+          condOf(v, schema))
+      }
+    require(slots.nonEmpty, "query has no aggregates")
+    val specs = slots.map(_.spec).toArray
+
+    // ---- input projection: key JSON, order value, per-slot exact values
+    val base = stream.filter(EmfPlanner.whereColumn(q.where, schema))
+    val microCols = slots.map { s =>
+      val v = s.cond.map(c => when(c, col(s.srcCol))).getOrElse(col(s.srcCol))
+      (v.cast("decimal(27,6)") * lit(1000000L)).cast("long")
+    }
+    val rawCols = slots.map { s =>
+      val v = s.cond.map(c => when(c, col(s.srcCol))).getOrElse(col(s.srcCol))
+      v.cast("double")
+    }
+    val projected = base.select(
+      to_json(struct(eqAttrs.map(col): _*)).as("k"),
+      col(orderAttr).cast("long").as("o"),
+      array(microCols: _*).as("micro"),
+      array(rawCols: _*).as("raw"))
+      .as[WinRow]
+
+    // ---- the stateful combine
+    implicit val stateEnc: Encoder[WinState] = Encoders.kryo[WinState]
+    val emitted = projected
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[WinState, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[WinRow], state: GroupState[WinState]) =>
+          val st = state.getOption.getOrElse(new WinState)
+          rows.foreach { r =>
+            var cells = st.groups.get(r.o)
+            if (cells == null) {
+              cells = Array.fill(specs.length)(new SlotAcc)
+              st.groups.put(r.o, cells)
+            }
+            var i = 0
+            while (i < specs.length) {
+              r.micro(i).foreach { m =>
+                val a = cells(i)
+                a.sumMicro += m
+                a.cnt += 1
+                val d = r.raw(i).get
+                if (d < a.mn) a.mn = d
+                if (d > a.mx) a.mx = d
+              }
+              i += 1
+            }
+          }
+          st.ver += 1
+          state.update(st)
+          emitKey(key, st, specs, orderAttr)
+      }
+
+    // ---- typed reconstruction: parse the emitted JSON with the output
+    // schema (stateless past the stateful op, allowed in update mode)
+    val aggFields = slots.map { s =>
+      StructField(s.spec.name, outType(s.spec, colType(s.srcCol)), nullable = true)
+    }
+    val outSchema = StructType(
+      eqAttrs.map(n => StructField(n, colType(n), nullable = true)) ++
+        Seq(StructField(orderAttr, colType(orderAttr), nullable = true)) ++
+        aggFields)
+    emitted.toDF("__json", "__ver")
+      .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
+      .select(col("r.*"), col("__ver"))
+  }
+
+  /** Current MF structure from a sink table of [[planWindowed]] emissions:
+    * latest `__ver` per group, then HAVING, then the SELECT list. */
+  def snapshot(emissions: DataFrame, q: EmfQuery): DataFrame = {
+    val w = Window.partitionBy(q.groupAttrs.map(col): _*)
+      .orderBy(col("__ver").desc)
+    val latest = emissions.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn", "__ver")
+    q.having.fold(latest)(h => latest.filter(EmfPlanner.havingColumn(h)))
+      .select(q.select.map(col): _*)
+  }
+
+  // ---- helpers -------------------------------------------------------------
+
+  private def condOf(v: GroupingVar, schema: StructType): Option[Column] =
+    if (v.tupleConds.isEmpty) None
+    else Some(EmfPlanner.whereColumn(v.tupleConds, schema))
+
+  private def isFloat(t: DataType): Boolean = t match {
+    case FloatType | DoubleType => true; case _ => false
+  }
+  private def isIntegral(t: DataType): Boolean = t match {
+    case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+  }
+
+  /** Output type per slot — identical to the batch planner's:
+    * count → long; avg → double; sum → double (floating input, via the
+    * exact-decimal path) / long (integral); min/max → input type. */
+  private def outType(s: SlotSpec, in: DataType): DataType = s.func match {
+    case "count" => LongType
+    case "avg"   => DoubleType
+    case "sum"   => if (s.floating) DoubleType else LongType
+    case _       => in // min/max
+  }
+
+  /** Combined accumulator view used for frame evaluation. */
+  private final class Comb {
+    var sumMicro: BigInt = BigInt(0)
+    var cnt: Long = 0L
+    var mn: Double = Double.PositiveInfinity
+    var mx: Double = Double.NegativeInfinity
+    def add(a: SlotAcc): Unit = {
+      sumMicro += a.sumMicro; cnt += a.cnt
+      if (a.mn < mn) mn = a.mn
+      if (a.mx > mx) mx = a.mx
+    }
+    def copyOf: Comb = {
+      val c = new Comb
+      c.sumMicro = sumMicro; c.cnt = cnt; c.mn = mn; c.mx = mx; c
+    }
+  }
+
+  /** Emit one JSON row per group of the key, windowed slots recombined
+    * over the order-sorted groups (prefix/suffix pass ≡ the batch RANGE
+    * frames over per-group partials). */
+  private def emitKey(key: String, st: WinState, specs: Array[SlotSpec],
+      orderAttr: String): Iterator[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val ordered = st.groups.keySet().asScala.map(_.longValue()).toArray.sorted
+    val n = ordered.length
+    val cells = ordered.map(o => st.groups.get(o))
+
+    // per windowed slot: strict-prefix and strict-suffix combines
+    val winIdx = specs.indices.filter(specs(_).kind == 1)
+    val leftStrict = winIdx.map { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = 0
+      while (i < n) { arr(i) = run.copyOf; run.add(cells(i)(j)); i += 1 }
+      j -> arr
+    }.toMap
+    val rightStrict = winIdx.map { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = n - 1
+      while (i >= 0) { arr(i) = run.copyOf; run.add(cells(i)(j)); i -= 1 }
+      j -> arr
+    }.toMap
+    val total = winIdx.map { j =>
+      val run = new Comb; cells.foreach(c => run.add(c(j))); j -> run
+    }.toMap
+
+    // key JSON == to_json(struct(E)) — splice its fields into each row
+    val keyInner = key.substring(1, key.length - 1)
+
+    val out = (0 until n).iterator.map { i =>
+      val sb = new StringBuilder(64)
+      sb.append('{')
+      if (keyInner.nonEmpty) { sb.append(keyInner); sb.append(',') }
+      sb.append('"').append(orderAttr).append("\":").append(ordered(i))
+      var j = 0
+      while (j < specs.length) {
+        val s = specs(j)
+        val comb =
+          if (s.kind == 0) { val c = new Comb; c.add(cells(i)(j)); c }
+          else s.frameOp match {
+            case "<"  => leftStrict(j)(i)
+            case "<=" => { val c = leftStrict(j)(i).copyOf; c.add(cells(i)(j)); c }
+            case ">"  => rightStrict(j)(i)
+            case ">=" => { val c = rightStrict(j)(i).copyOf; c.add(cells(i)(j)); c }
+            case _    => total(j)
+          }
+        sb.append(",\"").append(s.name).append("\":").append(render(s, comb))
+        j += 1
+      }
+      sb.append('}')
+      (sb.toString, st.ver)
+    }
+    out.toIndexedSeq.iterator
+  }
+
+  /** Render one aggregate value — same null/zero semantics and arithmetic
+    * as the batch lowering (sum/min/max over an empty set → null; count →
+    * 0; avg guards the zero denominator). */
+  private def render(s: SlotSpec, c: Comb): String = s.func match {
+    case "count" => c.cnt.toString
+    case "sum" =>
+      if (c.cnt == 0) "null"
+      else if (s.floating)
+        java.lang.Double.toString(
+          new java.math.BigDecimal(c.sumMicro.bigInteger, 6).doubleValue())
+      else (c.sumMicro / 1000000).toString
+    case "avg" =>
+      if (c.cnt == 0) "null"
+      else {
+        val sum =
+          if (s.floating)
+            new java.math.BigDecimal(c.sumMicro.bigInteger, 6).doubleValue()
+          else (c.sumMicro / 1000000).toDouble
+        java.lang.Double.toString(sum / c.cnt)
+      }
+    case "min" =>
+      if (c.cnt == 0) "null"
+      else if (s.integral) c.mn.toLong.toString
+      else java.lang.Double.toString(c.mn)
+    case "max" =>
+      if (c.cnt == 0) "null"
+      else if (s.integral) c.mx.toLong.toString
+      else java.lang.Double.toString(c.mx)
+  }
 }

@@ -68,6 +68,66 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  private val windowedQ = EmfParser.parseOne(
+    """cust,month,sum_quant,avg_quant_b,avg_quant_a
+      |2
+      |cust,month
+      |avg_quant_b,avg_quant_a
+      |{MF.cust.avg_quant_b}[=]{cust}:{MF.month.avg_quant_b}[<]{month},{MF.cust.avg_quant_a}[=]{cust}:{MF.month.avg_quant_a}[>]{month}""".stripMargin, cols)
+
+  test("incremental WINDOWED EMF: snapshot equals batch planner at each step") {
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planWindowed(windowedQ, stream.toDF())
+      .writeStream.format("memory").queryName("emf_win")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows.take(3))
+      sq.processAllAvailable()
+      val snap1 = EmfStreaming.snapshot(spark.table("emf_win"), windowedQ)
+        .orderBy("cust", "month").collect().toSeq
+      val batch1 = EmfPlanner.plan(windowedQ, rows.take(3).toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap1 == batch1)
+      // second micro-batch folds into existing state — values for months
+      // already seen must change (month-3 rows shift c1's avg_quant_b)
+      stream.addData(rows.drop(3))
+      sq.processAllAvailable()
+      val snap2 = EmfStreaming.snapshot(spark.table("emf_win"), windowedQ)
+        .orderBy("cust", "month").collect().toSeq
+      val batch2 = EmfPlanner.plan(windowedQ, rows.toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap2 == batch2)
+      assert(snap2 != snap1)
+    } finally sq.stop()
+  }
+
+  test("windowed streaming: HAVING applies on the snapshot; all-SIMPLE rejected") {
+    val qHaving = EmfParser.parseOne(
+      """cust,month,avg_quant_b
+        |1
+        |cust,month
+        |avg_quant_b
+        |{MF.cust.avg_quant_b}[=]{cust}:{MF.month.avg_quant_b}[<]{month}
+        |{MF.avg_quant_b,>,5}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planWindowed(qHaving, stream.toDF())
+      .writeStream.format("memory").queryName("emf_win_having")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val snap = EmfStreaming.snapshot(spark.table("emf_win_having"), qHaving)
+        .orderBy("cust", "month").collect().toSeq
+      val batch = EmfPlanner.plan(qHaving, rows.toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap == batch && snap.nonEmpty)
+    } finally sq.stop()
+
+    val e = intercept[IllegalArgumentException](
+      EmfStreaming.planWindowed(simpleQ, MemoryStream[SalesRow](spark).toDF()))
+    assert(e.getMessage.contains("WINDOWED"))
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
