@@ -22,8 +22,8 @@ import graft.Tables
   *    buckets are near-identical boilerplate anyway).
   *  - n-gram Jaccard (the exact verifier, also usable standalone at
   *    moderate pair counts): explode distinct shingles, self-join on the
-  *    shingle string — shuffle keyed by shingle, the same pattern as a
-  *    word-count; no driver materialization anywhere.
+  *    64-bit shingle hash — shuffle keyed by an 8-byte key, the same
+  *    pattern as a word-count; no driver materialization anywhere.
   *
   * Reference has nothing comparable (single `sales` table, SURVEY.md §2.2)
   * — this module is north-star surface.
@@ -122,8 +122,10 @@ object Dedup {
           col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .distinct()
+        // filter BEFORE the dedup shuffle: the distinct then moves only
+        // the near-pairs (thousands), not every same-bucket candidate
         .filter(col("hamming") <= 6)
+        .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
   )
@@ -170,10 +172,20 @@ object Dedup {
     // without it the scan + shingle explode runs three times. The df cap
     // is a window count over the same shuffle key (`sh`) the self-join
     // uses, so the capped, cached frame is already hash-partitioned on sh.
+    //
+    // Two shuffle-size levers, values unchanged vs the string/DISTINCT
+    // oracle formulation:
+    //  - shingles() already array_distincts per doc, so (doc_id, sh) is
+    //    globally distinct with NO extra shuffle;
+    //  - the join/count key is xxhash64(sh) (8 bytes), not the ~25-byte
+    //    shingle string. Intersection/size counts over 64-bit shingle
+    //    hashes equal the string counts up to hash collisions (~2⁻⁶⁴ per
+    //    shingle pair — at 1e12 corpus shingles, expected collisions ≪ 1;
+    //    a collision only nudges one pair's Jaccard by 1/|union|).
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val docs = docsWithNearDups(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("sh"))
-      .distinct()
+      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
+      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
       .withColumn("__df", count(lit(1)).over(wdf))
       .filter(col("__df") <= maxShingleDf)
       .drop("__df")
@@ -201,10 +213,17 @@ object Dedup {
   def minhashPairs(s: SparkSession, d: String, k: Int, bands: Int, tau: Double,
       maxBucket: Int = 64): DataFrame = {
     val rows = k / bands
+    // hashed shingle sets (8 B/element) for the exact-Jaccard verify;
+    // same counts as string sets up to ~2⁻⁶⁴-probability collisions
     val docs = docsWithNearDups(s, d)
-      .withColumn("sh", shingles(col("text"), 3))
-      .withColumn("mh", SignatureExprs.minhashFast(col("sh"), k))
-    val banded0 = docs.select(col("doc_id"), col("sh"),
+      .withColumn("s0", shingles(col("text"), 3))
+      .withColumn("hsh", transform(col("s0"), x => xxhash64(x)))
+      .withColumn("mh", SignatureExprs.minhashFast(col("s0"), k))
+      .drop("s0")
+    // the band explode/shuffle carries ONLY (doc_id, band, key) — the
+    // shingle sets would be duplicated ×bands through the shuffle
+    // otherwise; candidates (few) join them back below
+    val banded0 = docs.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((slice(col("mh"), bd * rows + 1, rows) +: Seq(lit(bd))): _*)): _*))
         .as(Seq("band", "key")))
@@ -216,10 +235,12 @@ object Dedup {
     val a = banded.alias("a"); val b = banded.alias("b")
     val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
         col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-        col("a.sh").as("sh_a"), col("b.sh").as("sh_b"))
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
       .dropDuplicates("id_a", "id_b")
+    val sets = docs.select(col("doc_id"), col("hsh"))
     cand
+      .join(sets.select(col("doc_id").as("id_a"), col("hsh").as("sh_a")), "id_a")
+      .join(sets.select(col("doc_id").as("id_b"), col("hsh").as("sh_b")), "id_b")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
           size(array_union(col("sh_a"), col("sh_b"))))
