@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(HammingDistance.functionDescription)
     e.injectFunction(graft.functions.ProductAgg.functionDescription)
+    e.injectFunction(graft.ann.CosineSimExpr.functionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -68,4 +68,13 @@ object CosineSimExpr {
   def cosineFast(a: Column, b: Column): Column =
     CatalystBridge.column(
       CosineSimExpr(CatalystBridge.expression(a), CatalystBridge.expression(b)))
+
+  /** For SparkSessionExtensions.injectFunction (GraftExtensions). */
+  val functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[CosineSimExpr].getName, "cosine_sim"),
+      exprs => CosineSimExpr(exprs(0), exprs(1)))
 }

@@ -20,6 +20,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .getOrCreate()
       val r = s.sql("SELECT hamming64(CAST(7 AS BIGINT), CAST(0 AS BIGINT)) AS h")
       assert(r.head.getInt(0) == 3)
+      val c = s.sql(
+        "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c")
+      assert(math.abs(c.head.getDouble(0) - 0.6) < 1e-12)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
