@@ -42,7 +42,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++
       graft.functions.Custom.queries ++
       graft.plans.AsOfJoin.queries ++
-      graft.ann.Ivf.queries
+      graft.ann.Ivf.queries ++
+      graft.pipeline.DatasetPrep.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -56,5 +57,6 @@ object SparkEntry {
       graft.streaming.EventStreams.oracle ++
       graft.multimodal.Multimodal.oracle ++
       graft.functions.Custom.oracle ++
-      graft.plans.AsOfJoin.oracle
+      graft.plans.AsOfJoin.oracle ++
+      graft.pipeline.DatasetPrep.oracle
 }

@@ -101,6 +101,45 @@ object Dedup {
         .orderBy(col("doc_id"))
     }),
 
+    // Connected components over the near-dup pair graph — the step that
+    // completes dedup at corpus scale: pairs (a,b),(b,c) must collapse to
+    // ONE surviving representative for {a,b,c}, which per-pair min-id
+    // (dedup_pipeline's contract) cannot see. Alternating min-label
+    // propagation: every node adopts min(own label, neighbors' labels)
+    // per round — O(cluster diameter) rounds, each one shuffle keyed by
+    // node id; deterministic (min is assoc/comm, partitioning-independent).
+    // At 1000-executor scale the same loop is the standard dataflow CC;
+    // the large-star/small-star variant (Kiveris et al., "Connected
+    // Components in MapReduce") halves round count if diameters grow —
+    // near-dup cluster diameters are tiny, so plain propagation is right.
+    "dedup_clusters" -> ((s, d) => {
+      val pairs = queriesNgramPairs(s, d).select(col("id_a"), col("id_b"))
+      val nodes = docsWithNearDups(s, d).select(col("doc_id"))
+      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
+        .toDF("src", "dst").cache()
+      innerCaches.put(edges, ())
+      var labels = nodes.withColumn("cluster", col("doc_id"))
+      var changed = 1L
+      var rounds = 0
+      while (changed > 0 && rounds < 32) {
+        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+          .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+          .select(labels("doc_id"),
+            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+              .as("cluster"))
+          .cache()
+        changed = next.alias("n")
+          .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
+          .filter(col("n.cluster") =!= col("p.cluster")).count()
+        labels.unpersist(blocking = false)
+        labels = next
+        rounds += 1
+      }
+      innerCaches.put(labels, ())
+      labels.orderBy(col("doc_id"))
+    }),
+
     // MinHash+LSH candidate generation + exact-Jaccard verification.
     // Hash-dependent pipeline → no SQL oracle (rows-only check); its
     // recall against dedup_ngram is asserted in DedupSpec.
@@ -318,5 +357,45 @@ object Dedup {
         |JOIN sizes sb ON sb.doc_id = id_b
         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
         |ORDER BY id_a, id_b""".stripMargin,
+    // connected components of the near-dup graph: transitive closure via
+    // recursive CTE (min reachable id per node) — exact same cluster
+    // semantics the label-propagation loop converges to
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000,
+        |         array_to_string(string_split(text, ' ')[2:], ' ')
+        |  FROM documents),
+        |sh0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+        |  FROM docs,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sh AS (
+        |  SELECT doc_id, sh FROM (
+        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
+        |    FROM sh0) WHERE df <= 32),
+        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM inter
+        |  JOIN sizes sa ON sa.doc_id = id_a
+        |  JOIN sizes sb ON sb.doc_id = id_b
+        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
+        |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM docs
+        |  UNION
+        |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.t)
+        |SELECT node AS doc_id, min(lab) AS cluster
+        |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
   )
 }

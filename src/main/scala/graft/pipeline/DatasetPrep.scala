@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Training-set preparation operators (north-star surface; the reference
+  * has nothing comparable — its single `sales` table never feeds a
+  * training pipeline).
+  *
+  * Scale design (100 TB):
+  *  - '''Sequence packing''' ([[queries]] `pack_sequences`) is the
+  *    standard concat-and-chunk pretraining layout: documents are laid
+  *    end-to-end in a deterministic order and cut into fixed token-budget
+  *    bins. Lowered as a running-sum window partitioned by `lang` —
+  *    each partition's packing is independent, so at corpus scale the
+  *    window key becomes (lang, shard) and no global sort exists. The
+  *    running sum is one sort per partition, no joins, no driver state.
+  *  - '''Deterministic splits''' (`sample_split`): train/val/test by
+  *    multiplicative hash of the stable doc id — re-running the pipeline
+  *    (or re-partitioning the cluster) never moves a document across
+  *    splits, unlike RNG sampling. Pure map + one aggregation for the
+  *    stratification audit.
+  */
+object DatasetPrep {
+
+  /** Tokens per packed bin. */
+  val ctxLen = 512
+
+  /** Whitespace token count, as a BIGINT on both engines. */
+  private def nTok = size(split(col("text"), " ")).cast("long")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Concat-and-chunk packing: per-lang running token offset; a doc's
+    // bin is the chunk its first token lands in. Deterministic layout
+    // (ordered by doc_id within lang).
+    "pack_sequences" -> ((s, d) => {
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), nTok.as("n_tok"))
+        .withColumn("start_off", coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        .withColumn("bin_id", floor(col("start_off") / lit(ctxLen)))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Stratified split audit: deterministic 80/10/10 by multiplicative
+    // hash of doc_id; counts + token mass per (lang, split).
+    "sample_split" -> ((s, d) => {
+      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(10))
+      Tables.documents(s, d)
+        .withColumn("split",
+          when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
+        .groupBy(col("lang"), col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
+        .orderBy(col("lang"), col("split"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "pack_sequences" ->
+      """SELECT doc_id, lang,
+        |  len(string_split(text, ' ')) AS n_tok,
+        |  CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |    AS start_off,
+        |  CAST(floor(CAST(coalesce(sum(len(string_split(text, ' '))) OVER (
+        |    PARTITION BY lang ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+        |    / 512) AS BIGINT) AS bin_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "sample_split" ->
+      """SELECT lang,
+        |  CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
+        |       WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+        |       ELSE 'test' END AS split,
+        |  count(1) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+  )
+}

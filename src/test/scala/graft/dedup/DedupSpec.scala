@@ -5,6 +5,33 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  test("dedup_clusters: label propagation equals transitive closure of pairs") {
+    val pairs = Dedup.queriesNgramPairs(spark, sf0001)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val labels = Dedup.queries("dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pairs.nonEmpty)
+    // every edge's endpoints share a cluster
+    pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+    // cluster representative = min member id; singletons label themselves
+    val byCluster = labels.groupBy(_._2)
+    byCluster.foreach { case (c, m) => assert(m.keys.min == c) }
+    val paired = pairs.flatMap(p => Seq(p._1, p._2)).toSet
+    labels.collect { case (id, c) if !paired(id) => assert(c == id) }
+    // reference union-find over the pairs gives the identical partition
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    labels.foreach { case (id, c) => assert(find(id) == c) }
+  }
+
   test("exact dedup collapses identical texts only") {
     import spark.implicits._
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
