@@ -124,16 +124,17 @@ object Dedup {
       while (changed > 0 && rounds < 32) {
         val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
           .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+        // carry the previous label through the pass so convergence is a
+        // filter-count on the cached frame, not an extra comparison join
         val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
           .select(labels("doc_id"),
             least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"))
+              .as("cluster"),
+            col("cluster").as("__old"))
           .cache()
-        changed = next.alias("n")
-          .join(labels.alias("p"), col("n.doc_id") === col("p.doc_id"))
-          .filter(col("n.cluster") =!= col("p.cluster")).count()
+        changed = next.filter(col("cluster") =!= col("__old")).count()
         labels.unpersist(blocking = false)
-        labels = next
+        labels = next.drop("__old")
         rounds += 1
       }
       innerCaches.put(labels, ())
