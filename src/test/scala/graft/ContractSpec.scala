@@ -47,7 +47,8 @@ class ContractSpec extends AnyFunSuite {
     // structural guard: all queries ORDER BY or aggregate to one row —
     // enforced by convention; spot-check the newest entries exist
     Seq("join_cross", "setop_union_all", "null_handling", "q6_revenue_delta",
-      "window_firstlast", "join_full_outer", "text_levenshtein", "agg_unpivot")
+      "window_firstlast", "join_full_outer", "text_levenshtein", "agg_unpivot",
+      "dedup_clusters", "pack_sequences", "sample_split")
       .foreach(k => assert(SparkEntry.queries.contains(k), k))
   }
 }

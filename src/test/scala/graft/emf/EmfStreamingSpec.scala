@@ -5,6 +5,7 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.OutputMode
 
 case class SalesRow(cust: String, prod: String, month: Int, state: String, quant: Int)
+case class FSalesRow(cust: String, prod: String, month: Int, state: String, quant: Double)
 
 class EmfStreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -126,6 +127,35 @@ class EmfStreamingSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       EmfStreaming.planWindowed(simpleQ, MemoryStream[SalesRow](spark).toDF()))
     assert(e.getMessage.contains("WINDOWED"))
+  }
+
+  test("windowed streaming over a floating column matches the batch decimal path") {
+    // quant arrives as double with exact half-values — the batch planner
+    // sums these in decimal(27,6); the stream's micro-unit accumulation
+    // must land on the identical doubles
+    val frows = Seq(
+      FSalesRow("c1", "p1", 1, "NY", 10.5), FSalesRow("c1", "p1", 2, "CT", 4.25),
+      FSalesRow("c1", "p2", 2, "NY", 6.125), FSalesRow("c2", "p1", 1, "NY", 8.75),
+      FSalesRow("c2", "p2", 3, "NJ", 2.2), FSalesRow("c1", "p1", 3, "NY", 20.1))
+    val q = EmfParser.parseOne(
+      """cust,month,sum_quant,avg_quant_b,max_quant_a
+        |2
+        |cust,month
+        |avg_quant_b,max_quant_a
+        |{MF.cust.avg_quant_b}[=]{cust}:{MF.month.avg_quant_b}[<]{month},{MF.cust.max_quant_a}[=]{cust}:{MF.month.max_quant_a}[>]{month}""".stripMargin, cols)
+    val stream = MemoryStream[FSalesRow](spark)
+    val sq = EmfStreaming.planWindowed(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_win_float")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(frows)
+      sq.processAllAvailable()
+      val snap = EmfStreaming.snapshot(spark.table("emf_win_float"), q)
+        .orderBy("cust", "month").collect().toSeq
+      val batch = EmfPlanner.plan(q, frows.toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap == batch && snap.nonEmpty)
+    } finally sq.stop()
   }
 
   test("dependent query rejected by incremental path, works via microBatch") {
