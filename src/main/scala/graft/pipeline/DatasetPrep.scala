@@ -46,10 +46,13 @@ object DatasetPrep {
         .orderBy(col("doc_id"))
     }),
 
-    // Stratified split audit: deterministic 80/10/10 by multiplicative
-    // hash of doc_id; counts + token mass per (lang, split).
+    // Stratified split audit: deterministic 80/10/10 by a
+    // multiply-xorshift mix of doc_id (a bare multiplicative mod-10
+    // would collapse to doc_id's last digit — the xorshift folds the
+    // high bits back in); counts + token mass per (lang, split).
     "sample_split" -> ((s, d) => {
-      val bucket = pmod(col("doc_id") * lit(2654435761L), lit(10))
+      val m = col("doc_id") * lit(2654435761L)
+      val bucket = pmod(m.bitwiseXOR(shiftright(m, 13)), lit(10))
       Tables.documents(s, d)
         .withColumn("split",
           when(bucket < 8, "train").when(bucket === 8, "val").otherwise("test"))
@@ -73,12 +76,17 @@ object DatasetPrep {
         |    / 512) AS BIGINT) AS bin_id
         |FROM documents ORDER BY doc_id""".stripMargin,
     "sample_split" ->
-      """SELECT lang,
-        |  CASE WHEN (doc_id * 2654435761) % 10 < 8 THEN 'train'
-        |       WHEN (doc_id * 2654435761) % 10 = 8 THEN 'val'
+      """WITH b AS (
+        |  SELECT lang, text,
+        |    xor(doc_id * 2654435761, (doc_id * 2654435761) >> 13) % 10
+        |      AS bucket
+        |  FROM documents)
+        |SELECT lang,
+        |  CASE WHEN bucket < 8 THEN 'train'
+        |       WHEN bucket = 8 THEN 'val'
         |       ELSE 'test' END AS split,
         |  count(1) AS n_docs,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
-        |FROM documents GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
+        |FROM b GROUP BY 1, 2 ORDER BY lang, split""".stripMargin,
   )
 }
