@@ -80,6 +80,27 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Percentile-threshold quality filter — the standard corpus-pruning
+    // step: keep documents at or above their language's p25 composite
+    // quality. Exact interpolated percentile per lang (a tiny per-lang
+    // frame, broadcast back); one pass to score + one agg — at corpus
+    // scale the cutoff frame is KBs regardless of corpus size.
+    "text_quality_filter" -> ((s, d) => {
+      val ws = words(col("text"))
+      val nWords = size(ws).cast("double")
+      val nStop = countIn(ws, Stop).cast("double")
+      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
+        ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
+      val cut = scored.groupBy(col("lang"))
+        .agg(expr("percentile(quality, 0.25)").as("q25"))
+      scored.join(broadcast(cut), Seq("lang"))
+        .filter(col("quality") >= col("q25"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex token classes
     // (letter runs / digit runs / single punctuation), chars-per-token.
     "text_tokens" -> ((s, d) => {
@@ -161,6 +182,22 @@ object TextAnalysis {
         |  - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
         |   / length(text)) * 5.0 AS quality
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "text_quality_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |      / len(string_split(text,' '))) * 2.0
+        |     - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |      / length(text)) * 5.0 AS quality
+        |  FROM documents),
+        |cut AS (
+        |  SELECT lang, quantile_cont(quality, 0.25) AS q25
+        |  FROM scored GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.quality
+        |FROM scored s JOIN cut c ON c.lang = s.lang
+        |WHERE s.quality >= c.q25
+        |ORDER BY s.doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
