@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.CatalystBridge
-import org.apache.spark.sql.types.{DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 
 /** Tight-loop cosine kernel, shared by interpreted eval and generated
   * code. Arithmetic is bit-identical to [[VectorKernels]]' JVM kernel and
@@ -20,6 +20,9 @@ object CosineKernel {
   def cosine(a: ArrayData, b: ArrayData): Double = {
     val va = a.toDoubleArray()
     val vb = b.toDoubleArray()
+    if (va.length != vb.length)
+      throw new IllegalArgumentException(
+        s"cosine_sim: vector length mismatch (${va.length} vs ${vb.length})")
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     while (i < va.length) {
@@ -51,6 +54,20 @@ case class CosineSimExpr(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
+  // analysis-time type validation for the SQL surface (ExpectsInputTypes
+  // is private[sql] in Spark 4, so validate directly)
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"cosine_sim requires two array<double> arguments, got " +
+          s"${l.simpleString} and ${r.simpleString}")
+    }
+  }
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
     CosineKernel.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -76,5 +93,9 @@ object CosineSimExpr {
     (org.apache.spark.sql.catalyst.FunctionIdentifier("cosine_sim"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[CosineSimExpr].getName, "cosine_sim"),
-      exprs => CosineSimExpr(exprs(0), exprs(1)))
+      exprs => {
+        require(exprs.length == 2,
+          s"cosine_sim takes 2 arguments, got ${exprs.length}")
+        CosineSimExpr(exprs(0), exprs(1))
+      })
 }

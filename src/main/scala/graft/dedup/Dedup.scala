@@ -119,6 +119,8 @@ object Dedup {
         .toDF("src", "dst").cache()
       innerCaches.put(edges, ())
       var labels = nodes.withColumn("cluster", col("doc_id"))
+      var cached: DataFrame = null // the frame .cache() was called on —
+      // unpersist must see that exact plan, not a projection over it
       var changed = 1L
       var rounds = 0
       while (changed > 0 && rounds < 32) {
@@ -133,11 +135,16 @@ object Dedup {
             col("cluster").as("__old"))
           .cache()
         changed = next.filter(col("cluster") =!= col("__old")).count()
-        labels.unpersist(blocking = false)
+        if (cached != null) cached.unpersist(blocking = false)
+        cached = next
         labels = next.drop("__old")
         rounds += 1
       }
-      innerCaches.put(labels, ())
+      // a component with diameter ≥ the cap would exit with multiple
+      // labels — refuse to return a silently-wrong partition
+      require(changed == 0,
+        s"dedup_clusters: label propagation not converged after $rounds rounds")
+      innerCaches.put(cached, ())
       labels.orderBy(col("doc_id"))
     }),
 
@@ -255,11 +262,15 @@ object Dedup {
     val rows = k / bands
     // hashed shingle sets (8 B/element) for the exact-Jaccard verify;
     // same counts as string sets up to ~2⁻⁶⁴-probability collisions
+    // cached: feeds four subtrees (both banded self-join sides + the two
+    // candidate set joins) — the shingle/signature pass runs once
     val docs = docsWithNearDups(s, d)
       .withColumn("s0", shingles(col("text"), 3))
       .withColumn("hsh", transform(col("s0"), x => xxhash64(x)))
       .withColumn("mh", SignatureExprs.minhashFast(col("s0"), k))
       .drop("s0")
+      .cache()
+    innerCaches.put(docs, ())
     // the band explode/shuffle carries ONLY (doc_id, band, key) — the
     // shingle sets would be duplicated ×bands through the shuffle
     // otherwise; candidates (few) join them back below

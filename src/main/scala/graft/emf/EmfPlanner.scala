@@ -369,7 +369,10 @@ object EmfPlanner {
       case Some(DateType)       => lit(java.sql.Date.valueOf(raw))
       // session-timezone parsing (UTC here), not JVM-default-zone
       // Timestamp.valueOf — keeps the literal's instant aligned with the
-      // UTC-pinned session and the DuckDB oracle on any host
+      // UTC-pinned session and the DuckDB oracle on any host. Malformed
+      // literals still fail loudly: ANSI mode (Spark 4 default, on in
+      // every graft session) makes string→timestamp casts THROW rather
+      // than return null.
       case Some(TimestampType)  => lit(raw).cast(TimestampType)
       case Some(StringType)     => lit(raw)
       case Some(other) => throw new IllegalArgumentException(

@@ -57,12 +57,16 @@ object EmfStreaming {
   // ---- incremental WINDOWED lowering --------------------------------------
 
   /** Per-slot accumulator: exact sum at scale 6 (BigInt micro-units),
-    * non-null count, raw min/max. One per (group, aggregate slot). */
+    * non-null count, raw double min/max (floating slots) and exact
+    * micro-unit min/max (integral slots — a double would round longs
+    * above 2⁵³). One per (group, aggregate slot). */
   final class SlotAcc extends Serializable {
     var sumMicro: BigInt = BigInt(0)
     var cnt: Long = 0L
     var mn: Double = Double.PositiveInfinity
     var mx: Double = Double.NegativeInfinity
+    var mnMic: Long = Long.MaxValue
+    var mxMic: Long = Long.MinValue
   }
 
   /** State for one window key (the equality attrs): the MF structure
@@ -193,9 +197,15 @@ object EmfStreaming {
       val v = s.cond.map(c => when(c, col(s.srcCol))).getOrElse(col(s.srcCol))
       v.cast("double")
     }
+    // a null order value cannot key the state (batch treats it as a
+    // normal group; the incremental path rejects it explicitly rather
+    // than dropping the row or crashing in the encoder)
+    val orderOrFail = coalesce(col(orderAttr).cast("long"),
+      raise_error(lit(s"windowed streaming EMF: null $orderAttr — null " +
+        "order groups need the batch planner (microBatch)")).cast("long"))
     val projected = base.select(
       to_json(struct(eqAttrs.map(col): _*)).as("k"),
-      col(orderAttr).cast("long").as("o"),
+      orderOrFail.as("o"),
       array(microCols: _*).as("micro"),
       array(rawCols: _*).as("raw"))
       .as[WinRow]
@@ -216,13 +226,25 @@ object EmfStreaming {
             }
             var i = 0
             while (i < specs.length) {
-              r.micro(i).foreach { m =>
-                val a = cells(i)
-                a.sumMicro += m
-                a.cnt += 1
-                val d = r.raw(i).get
-                if (d < a.mn) a.mn = d
-                if (d > a.mx) a.mx = d
+              (r.micro(i), r.raw(i)) match {
+                case (Some(m), Some(d)) =>
+                  val a = cells(i)
+                  a.sumMicro += m
+                  a.cnt += 1
+                  if (d < a.mn) a.mn = d
+                  if (d > a.mx) a.mx = d
+                  if (m < a.mnMic) a.mnMic = m
+                  if (m > a.mxMic) a.mxMic = m
+                case (None, Some(d)) =>
+                  // the micro-units projection nulled a real value: NaN,
+                  // Infinity, or |v| > ~9.2e12 — outside the exact
+                  // decimal-6 domain. Fail fast instead of silently
+                  // diverging from the batch planner.
+                  throw new IllegalStateException(
+                    s"windowed streaming EMF: value $d of slot " +
+                      s"${specs(i).name} exceeds the exact decimal-6 " +
+                      "domain (finite, |v| <= 9.2e12)")
+                case _ => ()
               }
               i += 1
             }
@@ -286,14 +308,19 @@ object EmfStreaming {
     var cnt: Long = 0L
     var mn: Double = Double.PositiveInfinity
     var mx: Double = Double.NegativeInfinity
+    var mnMic: Long = Long.MaxValue
+    var mxMic: Long = Long.MinValue
     def add(a: SlotAcc): Unit = {
       sumMicro += a.sumMicro; cnt += a.cnt
       if (a.mn < mn) mn = a.mn
       if (a.mx > mx) mx = a.mx
+      if (a.mnMic < mnMic) mnMic = a.mnMic
+      if (a.mxMic > mxMic) mxMic = a.mxMic
     }
     def copyOf: Comb = {
       val c = new Comb
-      c.sumMicro = sumMicro; c.cnt = cnt; c.mn = mn; c.mx = mx; c
+      c.sumMicro = sumMicro; c.cnt = cnt; c.mn = mn; c.mx = mx
+      c.mnMic = mnMic; c.mxMic = mxMic; c
     }
   }
 
@@ -376,11 +403,11 @@ object EmfStreaming {
       }
     case "min" =>
       if (c.cnt == 0) "null"
-      else if (s.integral) c.mn.toLong.toString
+      else if (s.integral) (c.mnMic / 1000000).toString // exact above 2^53
       else java.lang.Double.toString(c.mn)
     case "max" =>
       if (c.cnt == 0) "null"
-      else if (s.integral) c.mx.toLong.toString
+      else if (s.integral) (c.mxMic / 1000000).toString
       else java.lang.Double.toString(c.mx)
   }
 }
