@@ -115,37 +115,7 @@ object Dedup {
     "dedup_clusters" -> ((s, d) => {
       val pairs = queriesNgramPairs(s, d).select(col("id_a"), col("id_b"))
       val nodes = docsWithNearDups(s, d).select(col("doc_id"))
-      val edges = pairs.union(pairs.select(col("id_b"), col("id_a")))
-        .toDF("src", "dst").cache()
-      innerCaches.put(edges, ())
-      var labels = nodes.withColumn("cluster", col("doc_id"))
-      var cached: DataFrame = null // the frame .cache() was called on —
-      // unpersist must see that exact plan, not a projection over it
-      var changed = 1L
-      var rounds = 0
-      while (changed > 0 && rounds < 32) {
-        val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
-          .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-        // carry the previous label through the pass so convergence is a
-        // filter-count on the cached frame, not an extra comparison join
-        val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
-          .select(labels("doc_id"),
-            least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
-              .as("cluster"),
-            col("cluster").as("__old"))
-          .cache()
-        changed = next.filter(col("cluster") =!= col("__old")).count()
-        if (cached != null) cached.unpersist(blocking = false)
-        cached = next
-        labels = next.drop("__old")
-        rounds += 1
-      }
-      // a component with diameter ≥ the cap would exit with multiple
-      // labels — refuse to return a silently-wrong partition
-      require(changed == 0,
-        s"dedup_clusters: label propagation not converged after $rounds rounds")
-      innerCaches.put(cached, ())
-      labels.orderBy(col("doc_id"))
+      connectedComponents(nodes, pairs).orderBy(col("doc_id"))
     }),
 
     // MinHash+LSH candidate generation + exact-Jaccard verification.
@@ -251,6 +221,54 @@ object Dedup {
         col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= 0.6)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Connected components by alternating min-label propagation:
+    * every node adopts min(own label, neighbors' labels) per round —
+    * O(component diameter) rounds, each one shuffle keyed by node id;
+    * deterministic (min is assoc/comm, partitioning-independent).
+    * Returns (doc_id, cluster) with cluster = the component's min id.
+    *
+    * `nodes` needs a `doc_id` column; `pairs` an undirected edge list
+    * (id_a, id_b). Fails (never returns a wrong partition) if a
+    * component's diameter exceeds `maxRounds`. At 1000-executor scale
+    * this loop is the standard dataflow CC; the large-star/small-star
+    * variant (Kiveris et al., "Connected Components in MapReduce")
+    * halves round count if diameters grow. */
+  def connectedComponents(nodes: DataFrame, pairs: DataFrame,
+      maxRounds: Int = 32): DataFrame = {
+    val edges = pairs.select(col("id_a"), col("id_b"))
+      .union(pairs.select(col("id_b"), col("id_a")))
+      .toDF("src", "dst").cache()
+    innerCaches.put(edges, ())
+    var labels = nodes.select(col("doc_id")).withColumn("cluster", col("doc_id"))
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
+        .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
+      // localCheckpoint (eager): materializes the round AND truncates
+      // lineage. Without it the logical plan doubles every round
+      // (`labels` feeds both the neighbor pass and the outer join) —
+      // exponential plan growth that OOMs the driver around round 10.
+      // Old round blocks are released by the ContextCleaner once
+      // unreferenced. Carrying the previous label through the pass makes
+      // convergence a filter-count, not an extra comparison join.
+      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+        .select(labels("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
+            .as("cluster"),
+          col("cluster").as("__old"))
+        .localCheckpoint(true)
+      changed = next.filter(col("cluster") =!= col("__old")).count()
+      labels = next.drop("__old")
+      rounds += 1
+    }
+    // a component with diameter ≥ the cap would exit with multiple
+    // labels — refuse to return a silently-wrong partition
+    require(changed == 0,
+      s"connectedComponents: not converged after $rounds rounds")
+    labels
   }
 
   /** MinHash LSH pipeline, parameterized. `maxBucket` caps any (band,

@@ -43,6 +43,19 @@ class ContractSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "column pruning regressed: unused column read")
   }
 
+  test("plan regression net: knn_lsh scores via codegen'd cosine_sim, ngram joins on hashed key") {
+    val spark = TestSpark.spark
+    val lsh = SparkEntry.queries("knn_lsh")(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(lsh.contains("cosine_sim("),
+      "knn_lsh no longer scores through the native join-based kernel")
+    val ngram = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(ngram.contains("xxhash64"),
+      "dedup_ngram self-join key is no longer the 8-byte shingle hash")
+    graft.dedup.Dedup.clearCache()
+  }
+
   test("every query is deterministic-output shaped (ends ordered or is a single row)") {
     // structural guard: all queries ORDER BY or aggregate to one row —
     // enforced by convention; spot-check the newest entries exist

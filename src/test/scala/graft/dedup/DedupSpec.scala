@@ -32,6 +32,22 @@ class DedupSpec extends SparkSpec {
     labels.foreach { case (id, c) => assert(find(id) == c) }
   }
 
+  test("connectedComponents: multi-hop chain converges; diameter cap refuses") {
+    import spark.implicits._
+    // chain 0-1-2-...-9 plus isolated 100: one 10-node component needs
+    // ~9 propagation rounds to pull node 9 down to label 0
+    val nodes = ((0L to 9L) :+ 100L).toDF("doc_id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(nodes, chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (0L to 9L).foreach(i => assert(labels(i) == 0L))
+    assert(labels(100L) == 100L)
+    // a cap below the diameter must fail loudly, never return wrong labels
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(nodes, chain, maxRounds = 3))
+    assert(e.getMessage.contains("not converged"))
+  }
+
   test("exact dedup collapses identical texts only") {
     import spark.implicits._
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
