@@ -158,6 +158,30 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("windowed streaming with a two-attr equality key (cust, state)") {
+    // G = {cust, state, month}: windowed var pins cust AND state, orders
+    // on month — exercises the multi-field key JSON splice
+    val q = EmfParser.parseOne(
+      """cust,state,month,sum_quant,avg_quant_b
+        |1
+        |cust,state,month
+        |avg_quant_b
+        |{MF.cust.avg_quant_b}[=]{cust}:{MF.state.avg_quant_b}[=]{state}:{MF.month.avg_quant_b}[<]{month}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planWindowed(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_win_2key")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val snap = EmfStreaming.snapshot(spark.table("emf_win_2key"), q)
+        .orderBy("cust", "state", "month").collect().toSeq
+      val batch = EmfPlanner.plan(q, rows.toDF())
+        .orderBy("cust", "state", "month").collect().toSeq
+      assert(snap == batch && snap.nonEmpty)
+    } finally sq.stop()
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
