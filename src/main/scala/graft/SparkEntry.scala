@@ -42,6 +42,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.queries ++
       graft.functions.Custom.queries ++
       graft.plans.AsOfJoin.queries ++
+      graft.plans.RangeJoin.queries ++
       graft.ann.Ivf.queries ++
       graft.pipeline.DatasetPrep.queries
 
@@ -58,5 +59,6 @@ object SparkEntry {
       graft.multimodal.Multimodal.oracle ++
       graft.functions.Custom.oracle ++
       graft.plans.AsOfJoin.oracle ++
+      graft.plans.RangeJoin.oracle ++
       graft.pipeline.DatasetPrep.oracle
 }

@@ -1,0 +1,31 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class RangeJoinSpec extends SparkSpec {
+
+  test("bucketed point-in-interval equals the naive theta-join, with no nested loop") {
+    val pts = Tables.lineitem(spark, sf0001)
+      .filter(col("l_quantity") > 45).select(col("l_shipdate"))
+    val ivs = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_orderdate"))
+
+    val bucketed = RangeJoin.pointInInterval(pts, "l_shipdate", ivs, "o_orderdate", 7)
+      .groupBy(col("o_orderkey")).count()
+    val naive = pts.join(ivs,
+        col("l_shipdate") >= col("o_orderdate") &&
+          col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderkey")).count()
+
+    val b = bucketed.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val n = naive.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b == n && b.nonEmpty)
+
+    // the scale contract: a hash join on the bucket key, not a BNLJ
+    val plan = RangeJoin.queries("range_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"range join fell back to a nested loop:\n${plan.take(1500)}")
+  }
+}
