@@ -37,7 +37,12 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
     val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    // 1-min system load at the end of the run: totals on this class of
+    // machine track background contention (observed 50→135s on identical
+    // code in round 2) — recording it makes a noisy run self-describing
+    val load = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load1m":${fmt(load)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -27,7 +27,13 @@ import org.apache.spark.sql.Row
   *    variables' evolving aggregates (stream self-joins / re-scan), so
   *    the streaming form runs the full batch planner on each micro-batch
   *    via `foreachBatch` — [[microBatch]] — trading incrementality for
-  *    full expressiveness, the standard escape hatch.
+  *    full expressiveness, the standard escape hatch. This is a
+  *    fundamental limit, not a shortcut: a dependent predicate like
+  *    corpus query 6's `quant > MF.avg_quant_1` re-classifies EVERY
+  *    historical tuple whenever the referenced aggregate moves, so an
+  *    incremental form would have to keep the full tuple history in
+  *    state (unbounded) or support retractions over it — exactly the
+  *    re-scan the batch planner performs, minus the state-store cost.
   */
 object EmfStreaming {
 
