@@ -182,6 +182,30 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("windowed streaming: whole-partition frame (eq-only variable) combines over all months") {
+    // avg_quant_c pins only cust (G = {cust, month}) → its frame is the
+    // entire cust partition; avg_quant_b is the ordered prefix variable
+    val q = EmfParser.parseOne(
+      """cust,month,avg_quant_b,avg_quant_c
+        |2
+        |cust,month
+        |avg_quant_b,avg_quant_c
+        |{MF.cust.avg_quant_b}[=]{cust}:{MF.month.avg_quant_b}[<]{month},{MF.cust.avg_quant_c}[=]{cust}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planWindowed(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_win_total")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val snap = EmfStreaming.snapshot(spark.table("emf_win_total"), q)
+        .orderBy("cust", "month").collect().toSeq
+      val batch = EmfPlanner.plan(q, rows.toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap == batch && snap.nonEmpty)
+    } finally sq.stop()
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
