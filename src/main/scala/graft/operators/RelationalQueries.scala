@@ -159,7 +159,10 @@ object RelationalQueries {
     }),
 
     // Window: moving average over a 3-row frame (ROWS; order made total
-    // by the unique month-per-brand grain).
+    // by the unique month-per-brand grain). The unpartitioned window is
+    // deliberate AND bounded: it runs over the MONTHLY aggregate —
+    // cardinality = #months, fixed by the calendar, not the corpus —
+    // so the single-partition stage never grows with data volume.
     "window_moving" -> ((s, d) => {
       val o = Tables.orders(s, d)
       val monthly = o
@@ -416,7 +419,9 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // Rank-family window functions over a total order.
+    // Rank-family window functions over a total order. The global window
+    // is bounded before it runs: TakeOrderedAndProject keeps 1000 rows,
+    // so the single-partition rank stage is O(1000) at any corpus size.
     "window_ranks" -> ((s, d) => {
       val w = Window.orderBy(col("price").desc, col("o_orderkey"))
       Tables.orders(s, d)
