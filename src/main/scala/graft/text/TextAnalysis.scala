@@ -101,6 +101,29 @@ object TextAnalysis {
         .orderBy(col("doc_id"))
     }),
 
+    // Per-document top terms: tf-idf's ranking core with an all-integer
+    // ordering (tf desc, df asc, term asc) — no floating tie-break, so
+    // the result is bit-stable across engines and partitionings. Shapes:
+    // explode → two keyed aggregations (tf by (doc, term), df by term)
+    // → broadcast df back → per-doc window. At corpus scale df is one
+    // row per distinct term (small) and broadcasts; the window keys on
+    // doc_id, which distributes uniformly.
+    "text_top_terms" -> ((s, d) => {
+      val terms = Tables.documents(s, d)
+        .select(col("doc_id"), explode(words(col("text"))).as("term"))
+      val tf = terms.groupBy(col("doc_id"), col("term"))
+        .agg(count(lit(1)).as("tf"))
+      val df = terms.select(col("doc_id"), col("term")).distinct()
+        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+        .orderBy(col("tf").desc, col("df").asc, col("term"))
+      tf.join(broadcast(df), Seq("term"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+        .orderBy(col("doc_id"), col("rnk"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex token classes
     // (letter runs / digit runs / single punctuation), chars-per-token.
     "text_tokens" -> ((s, d) => {
@@ -198,6 +221,23 @@ object TextAnalysis {
         |FROM scored s JOIN cut c ON c.lang = s.lang
         |WHERE s.quality >= c.q25
         |ORDER BY s.doc_id""".stripMargin,
+    "text_top_terms" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(1) AS tf
+        |  FROM terms GROUP BY 1, 2),
+        |df AS (
+        |  SELECT term, count(1) AS df FROM (
+        |    SELECT DISTINCT doc_id, term FROM terms) GROUP BY 1),
+        |ranked AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |    CAST(row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS INT) AS rnk
+        |  FROM tf JOIN df ON df.term = tf.term)
+        |SELECT doc_id, term, tf, df, rnk
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,
