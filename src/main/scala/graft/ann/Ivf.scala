@@ -92,11 +92,16 @@ object Ivf {
       nlist: Int, nprobe: Int, iters: Int = 5): DataFrame = {
     val spark = e.sparkSession
     import spark.implicits._
-    // deterministic bounded sample: first maxTrainSample vectors by id
-    // (TakeOrderedAndProject — distributed top-n, not a whole-table
-    // collect). At test scale the sample is the whole table.
-    val sample = e.selectExpr("vec_id", "emb").as[(Long, Seq[Double])]
-      .orderBy(col("vec_id")).limit(maxTrainSample).collect()
+    // deterministic bounded sample, stratified by hash order — an
+    // id-prefix sample would bias the quantizer wherever vec_id
+    // correlates with content (time-ordered ingestion, per-source id
+    // blocks). TakeOrderedAndProject on (xxhash64(vec_id), vec_id):
+    // distributed top-n, not a whole-table collect; at test scale the
+    // sample is still the whole table.
+    val sample = e.selectExpr("vec_id", "emb")
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(maxTrainSample)
+      .as[(Long, Seq[Double])].collect()
     val model = train(sample.map(_._2.toArray), nlist, iters)
     val assigned = assign(e, model)
     // query vectors fetched by id — |queryIds| rows, independent of the

@@ -318,6 +318,41 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Shared DuckDB oracle prefix for the n-gram pipeline: docs ∪
+    * near-dups → distinct 3-gram shingles → df-capped shingle universe →
+    * set sizes → pairwise intersection counts. One definition so the
+    * Spark path's [[maxShingleDf]] and the oracle can never diverge. */
+  private def ngramOracleCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 100000,
+       |         array_to_string(string_split(text, ' ')[2:], ' ')
+       |  FROM documents),
+       |sh0 AS (
+       |  SELECT DISTINCT doc_id,
+       |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+       |  FROM docs,
+       |    LATERAL (SELECT unnest(generate_series(1,
+       |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+       |sh AS (
+       |  SELECT doc_id, sh FROM (
+       |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
+       |    FROM sh0) WHERE df <= $maxShingleDf),
+       |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)""".stripMargin
+
+  /** pairs CTE (J >= 0.6) over [[ngramOracleCtes]]. */
+  private def ngramOraclePairsCte: String =
+    """pairs AS (
+      |  SELECT id_a, id_b FROM inter
+      |  JOIN sizes sa ON sa.doc_id = id_a
+      |  JOIN sizes sb ON sb.doc_id = id_b
+      |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "dedup_exact" ->
       """WITH docs AS (
@@ -329,95 +364,27 @@ object Dedup {
         |SELECT min(doc_id) AS doc_id, count(1) AS n_copies
         |FROM docs GROUP BY text ORDER BY doc_id""".stripMargin,
     "dedup_pipeline" ->
-      """WITH docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(string_split(text, ' ')[2:], ' ')
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
-        |  FROM docs,
-        |    LATERAL (SELECT unnest(generate_series(1,
-        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
-        |sh AS (
-        |  SELECT doc_id, sh FROM (
-        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
-        |    FROM sh0) WHERE df <= 32),
-        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6)
-        |SELECT doc_id FROM docs
-        |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
-        |ORDER BY doc_id""".stripMargin,
+      s"""WITH $ngramOracleCtes,
+         |$ngramOraclePairsCte
+         |SELECT doc_id FROM docs
+         |WHERE doc_id NOT IN (SELECT id_b FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
     "dedup_ngram" ->
-      """WITH docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(string_split(text, ' ')[2:], ' ')
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
-        |  FROM docs,
-        |    LATERAL (SELECT unnest(generate_series(1,
-        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
-        |sh AS (
-        |  SELECT doc_id, sh FROM (
-        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
-        |    FROM sh0) WHERE df <= 32),
-        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2)
-        |SELECT id_a, id_b,
-        |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-        |FROM inter
-        |JOIN sizes sa ON sa.doc_id = id_a
-        |JOIN sizes sb ON sb.doc_id = id_b
-        |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
-        |ORDER BY id_a, id_b""".stripMargin,
+      s"""WITH $ngramOracleCtes
+         |SELECT id_a, id_b,
+         |  CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
     // connected components of the near-dup graph: transitive closure via
     // recursive CTE (min reachable id per node) — exact same cluster
     // semantics the label-propagation loop converges to
     "dedup_clusters" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, text FROM documents
-        |  UNION ALL
-        |  SELECT doc_id + 100000,
-        |         array_to_string(string_split(text, ' ')[2:], ' ')
-        |  FROM documents),
-        |sh0 AS (
-        |  SELECT DISTINCT doc_id,
-        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
-        |  FROM docs,
-        |    LATERAL (SELECT unnest(generate_series(1,
-        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
-        |sh AS (
-        |  SELECT doc_id, sh FROM (
-        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
-        |    FROM sh0) WHERE df <= 32),
-        |sizes AS (SELECT doc_id, count(1) AS n_sh FROM sh GROUP BY 1),
-        |inter AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM inter
-        |  JOIN sizes sa ON sa.doc_id = id_a
-        |  JOIN sizes sb ON sb.doc_id = id_b
-        |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6),
-        |edges AS (
+      s"""WITH RECURSIVE $ngramOracleCtes,
+         |$ngramOraclePairsCte,
+         |edges AS (
         |  SELECT id_a AS s, id_b AS t FROM pairs
         |  UNION ALL
         |  SELECT id_b, id_a FROM pairs),

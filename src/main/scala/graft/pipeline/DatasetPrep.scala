@@ -50,8 +50,11 @@ object DatasetPrep {
     // multiply-xorshift mix of doc_id (a bare multiplicative mod-10
     // would collapse to doc_id's last digit — the xorshift folds the
     // high bits back in); counts + token mass per (lang, split).
+    // The id is reduced mod 1000003 (prime) BEFORE the multiply so the
+    // product stays < 2.7e15 — no ANSI overflow at any corpus id scale
+    // (ids 1000003 apart share a split, which is harmless for splitting).
     "sample_split" -> ((s, d) => {
-      val m = col("doc_id") * lit(2654435761L)
+      val m = pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
       val bucket = pmod(m.bitwiseXOR(shiftright(m, 13)), lit(10))
       Tables.documents(s, d)
         .withColumn("split",
@@ -78,8 +81,8 @@ object DatasetPrep {
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,
-        |    xor(doc_id * 2654435761, (doc_id * 2654435761) >> 13) % 10
-        |      AS bucket
+        |    xor((doc_id % 1000003) * 2654435761,
+        |        ((doc_id % 1000003) * 2654435761) >> 13) % 10 AS bucket
         |  FROM documents)
         |SELECT lang,
         |  CASE WHEN bucket < 8 THEN 'train'

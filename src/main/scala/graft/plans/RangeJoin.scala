@@ -27,6 +27,10 @@ object RangeJoin {
   def pointInInterval(points: DataFrame, ptCol: String,
       intervals: DataFrame, startCol: String, widthDays: Int): DataFrame = {
     require(widthDays > 0, "interval width must be positive")
+    Seq("__bucket", "__b0").foreach { n =>
+      require(!points.columns.contains(n) && !intervals.columns.contains(n),
+        s"pointInInterval reserves column name $n")
+    }
     val epoch = lit("1970-01-01").cast("date")
     def bucketOf(c: Column): Column =
       floor(datediff(c.cast("date"), epoch) / widthDays)
