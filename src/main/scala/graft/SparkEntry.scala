@@ -34,6 +34,7 @@ object SparkEntry {
       "emf_events" -> ((s: SparkSession, d: String) => GoldenQueries.runEventsMf(s, d)),
     ) ++
       graft.operators.RelationalQueries.queries ++
+      graft.operators.Scale.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     GoldenQueries.oracle ++
       graft.operators.RelationalQueries.oracle ++
+      graft.operators.Scale.oracle ++
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++

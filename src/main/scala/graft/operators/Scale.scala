@@ -49,6 +49,55 @@ object Scale {
     saltedBig.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
+  /** Oracle-checked query surface for the skew paths — the same results
+    * as the naive plans, by construction, with reducer load capped. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Extreme-skew aggregation: lineitem has only 3 return flags, so a
+    // naive groupBy lands ~1/3 of the fact table on each of 3 reducers
+    // at any cluster size. saltedSum pre-aggregates on (flag, salt) —
+    // reducer load capped at hot-key/16 — then merges 16 partials.
+    // Decimal value column → both phases exact, oracle hash-stable.
+    "skew_salted_agg" -> ((s, d) => {
+      val df = graft.Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
+      saltedSum(df, Seq("l_returnflag"), "q")
+        .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_qty"))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // Skewed join: orders ⋈ a 3-row status dim on o_orderstatus — the
+    // classic hot-key shape (every row of the big side hits one of 3
+    // keys). The salted join spreads each hot key over 8 reducers by
+    // replicating the small side 8×. Same result as the plain join.
+    "skew_salted_join" -> ((s, d) => {
+      val o = graft.Tables.orders(s, d)
+      val dim = o.select(col("o_orderstatus")).distinct()
+        .select(col("o_orderstatus"), concat(lit("st_"), col("o_orderstatus")).as("label"))
+      saltedJoin(o.select(col("o_orderstatus"), col("o_totalprice")), dim,
+          "o_orderstatus")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy(col("label"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "skew_salted_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "skew_salted_join" ->
+      """WITH dim AS (
+        |  SELECT DISTINCT o_orderstatus, 'st_' || o_orderstatus AS label
+        |  FROM orders)
+        |SELECT d.label, count(1) AS n_orders,
+        |  CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders o JOIN dim d ON d.o_orderstatus = o.o_orderstatus
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+
   /** Write both sides bucketed by the join key into the session catalog;
     * returns the re-read tables. Joining them produces a shuffle-free
     * sort-merge join (bucket layout == required distribution). */
