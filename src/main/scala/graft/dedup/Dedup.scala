@@ -247,10 +247,11 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // localCheckpoint (eager): materializes the round AND truncates
-      // lineage. Without it the logical plan doubles every round
-      // (`labels` feeds both the neighbor pass and the outer join) —
-      // exponential plan growth that OOMs the driver around round 10.
+      // localCheckpoint truncates lineage — without it the logical plan
+      // doubles every round (`labels` feeds both the neighbor pass and
+      // the outer join): exponential plan growth that OOMs the driver
+      // around round 10. LAZY checkpoint: the convergence count below is
+      // the materializing action, so each round runs ONE job, not two.
       // Old round blocks are released by the ContextCleaner once
       // unreferenced. Carrying the previous label through the pass makes
       // convergence a filter-count, not an extra comparison join.
@@ -259,7 +260,7 @@ object Dedup {
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
           col("cluster").as("__old"))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
       changed = next.filter(col("cluster") =!= col("__old")).count()
       labels = next.drop("__old")
       rounds += 1
