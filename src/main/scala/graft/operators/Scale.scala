@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.Tables
 
 /** Scale-out utilities: skew mitigation and shuffle elimination — the
   * knobs a 100 TB deployment turns when AQE alone is not enough.
@@ -59,7 +60,7 @@ object Scale {
     // reducer load capped at hot-key/16 — then merges 16 partials.
     // Decimal value column → both phases exact, oracle hash-stable.
     "skew_salted_agg" -> ((s, d) => {
-      val df = graft.Tables.lineitem(s, d)
+      val df = Tables.lineitem(s, d)
         .select(col("l_returnflag"), col("l_quantity").cast("decimal(18,2)").as("q"))
       saltedSum(df, Seq("l_returnflag"), "q")
         .select(col("l_returnflag"), col("sum_q").cast("double").as("sum_qty"))
@@ -71,7 +72,7 @@ object Scale {
     // keys). The salted join spreads each hot key over 8 reducers by
     // replicating the small side 8×. Same result as the plain join.
     "skew_salted_join" -> ((s, d) => {
-      val o = graft.Tables.orders(s, d)
+      val o = Tables.orders(s, d)
       val dim = o.select(col("o_orderstatus")).distinct()
         .select(col("o_orderstatus"), concat(lit("st_"), col("o_orderstatus")).as("label"))
       saltedJoin(o.select(col("o_orderstatus"), col("o_totalprice")), dim,
