@@ -29,6 +29,9 @@ object SparkEntry {
       "emf_q4" -> (GoldenQueries.run(4) _),
       "emf_q5" -> (GoldenQueries.run(5) _),
       "emf_q6" -> (GoldenQueries.run(6) _),
+      // q7: cross-attribute tuple-vs-MF operand + MF-vs-MF group
+      // restriction — reference-supported forms its corpus never runs
+      "emf_q7" -> (GoldenQueries.run(7) _),
       // EMF via the MF-SQL frontend over the events table; the planner's
       // decimal-exact avg over floating columns is bit-stable cross-engine
       "emf_events" -> ((s: SparkSession, d: String) => GoldenQueries.runEventsMf(s, d)),

@@ -147,9 +147,18 @@ object EmfParser {
         val field =
           if (body.contains('.')) body.substring(0, body.lastIndexOf('.'))
           else body
+        // an MF-valued rhs uses the same between-first-and-last-dot field
+        // extraction as the lhs (reference `src/QueryProcessor1.java:259-261`
+        // requires the `MF.<field>.<tag>` form; we also accept the bare
+        // `MF.<field>` two-token spelling)
         val rhs: Operand =
-          if (right.startsWith("MF.")) MfField(right.stripPrefix("MF."))
-          else TupleCol(right)
+          if (right.startsWith("MF.")) {
+            val rbody = right.stripPrefix("MF.")
+            val rfield =
+              if (rbody.contains('.')) rbody.substring(0, rbody.lastIndexOf('.'))
+              else rbody
+            MfField(rfield)
+          } else TupleCol(right)
         Cond(rhs, op.trim, MfField(field))
       } else {
         Cond(TupleCol(left.trim), op.trim, Lit(right.trim))

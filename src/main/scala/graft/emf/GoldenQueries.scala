@@ -58,7 +58,28 @@ object GoldenQueries {
       |{MF.prod.avg_quant_1}[=]{prod}:{MF.month.avg_quant_1}[=]{month},{MF.prod.count_quant_2}[=]{prod}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant},{year}[==]{1997}
       |{MF.count_quant_2,>,0}""".stripMargin
 
-  lazy val parsed: Seq[EmfQuery] = EmfParser.parseAll(corpus, factCols)
+  /** Query 7 (beyond the reference corpus): exercises the two defining-
+    * predicate forms the reference SUPPORTS but its corpus never runs —
+    *  - a tuple column compared against `MF.<groupattr>` of a DIFFERENT
+    *    attribute (`{MF.month.sum_quant_dm}[<]{day}` → tuple.day <
+    *    group.month; reference `src/QueryProcessor1.java:246-263`), and
+    *  - an MF-vs-MF right operand (`{MF.month.X}[<]{MF.day.X}` → group.day
+    *    < group.month; reference `src/QueryProcessor1.java:257-262`,
+    *    emitter `src/AdhocQueryProcessor.java:596-601`) — a per-GROUP
+    *    restriction: groups failing it get a NULL aggregate.
+    *
+    * Per (cust, day, month) group of 1997 sales: total quantity this cust
+    * sold on days strictly before the group's month number — only for
+    * groups whose own day precedes their month number. */
+  val corpus7: String =
+    """cust,day,month,sum_quant_dm
+      |1
+      |cust,day,month
+      |sum_quant_dm
+      |{MF.cust.sum_quant_dm}[=]{cust}:{MF.month.sum_quant_dm}[<]{day}:{MF.month.sum_quant_dm}[<]{MF.day.sum_quant_dm},{year}[==]{1997}""".stripMargin
+
+  lazy val parsed: Seq[EmfQuery] =
+    EmfParser.parseAll(corpus, factCols) :+ EmfParser.parseOne(corpus7, factCols)
 
   /** Run golden query i (1-based) end-to-end: parse → plan → order. */
   def run(i: Int)(s: SparkSession, dir: String): DataFrame = {
@@ -197,5 +218,20 @@ object GoldenQueries {
          |FROM g1 LEFT JOIN g2 ON g1.prod=g2.prod AND g1.month=g2.month
          |WHERE COALESCE(g2.count_quant_2, 0) > 0
          |ORDER BY g1.prod, g1.month""".stripMargin,
+    // emf_q7: tuple.day < MF.month (cross-attribute) + MF.day < MF.month
+    // (group restriction — groups failing it keep a NULL aggregate)
+    "emf_q7" ->
+      s"""WITH $sales,
+         | s AS (SELECT * FROM sales WHERE year=1997),
+         | g AS (SELECT DISTINCT cust, day, month FROM s),
+         | v AS (SELECT g.cust, g.day, g.month,
+         |         CAST(sum(x.quant) AS BIGINT) AS sum_quant_dm
+         |       FROM g JOIN s x ON x.cust = g.cust AND x.day < g.month
+         |                      AND g.day < g.month
+         |       GROUP BY 1,2,3)
+         |SELECT g.cust, g.day, g.month, v.sum_quant_dm
+         |FROM g LEFT JOIN v
+         |  ON g.cust=v.cust AND g.day=v.day AND g.month=v.month
+         |ORDER BY g.cust, g.day, g.month""".stripMargin,
   )
 }

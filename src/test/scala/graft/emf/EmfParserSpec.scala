@@ -5,12 +5,30 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmfParserSpec extends AnyFunSuite {
   val cols = GoldenQueries.factCols
 
-  test("corpus parses into six queries") {
+  test("corpus parses into six queries (+ q7)") {
     val qs = GoldenQueries.parsed
-    assert(qs.length == 6)
+    assert(qs.length == 7)
     assert(qs(0).vars.length == 3)
     assert(qs(0).where.isEmpty && qs(0).having.isEmpty)
     assert(qs(4).where.nonEmpty && qs(4).having.nonEmpty)
+  }
+
+  test("q7: cross-attribute tuple operand and MF-vs-MF rhs field extraction") {
+    val q7 = GoldenQueries.parsed(6)
+    val v = q7.vars.head
+    // {MF.month.sum_quant_dm}[<]{day} ⇒ tuple.day < MF.month — the tuple
+    // column compares against a DIFFERENT grouping attribute
+    assert(v.conds.contains(Cond(TupleCol("day"), "<", MfField("month"))))
+    // {MF.month.sum_quant_dm}[<]{MF.day.sum_quant_dm} ⇒ MF.day < MF.month:
+    // the rhs `MF.<field>.<tag>` strips the trailing tag exactly like the
+    // lhs (reference src/QueryProcessor1.java:259-261)
+    assert(v.conds.contains(Cond(MfField("day"), "<", MfField("month"))))
+    // the bare two-token rhs spelling parses to the same condition
+    val alt = EmfParser.parseOne(
+      GoldenQueries.corpus7.replace("{MF.day.sum_quant_dm}", "{MF.day}"), cols)
+    assert(alt.vars.head.conds == v.conds)
+    // and a pure MF-vs-MF condition carries no dependency edge
+    assert(v.dependsOn(q7.aggNames).isEmpty)
   }
 
   test("trailing predicate group becomes WHERE") {

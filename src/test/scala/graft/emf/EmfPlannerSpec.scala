@@ -162,6 +162,26 @@ class EmfPlannerSpec extends SparkSpec {
     assert(opt.toLowerCase.contains("join")) // dependent path, not window
   }
 
+  test("cross-attribute tuple operand + MF-vs-MF group restriction (q7 forms)") {
+    val f = Seq(
+      ("A", 1, 3, 10), // (A,1,3): day<month → A-tuples with day<3: 10+5 = 15
+      ("A", 2, 3, 5),  // (A,2,3): day<month → same tuple set: 15
+      ("A", 5, 2, 7),  // (A,5,2): 5<2 fails the MF-vs-MF restriction → NULL
+      ("B", 1, 1, 9)   // (B,1,1): 1<1 fails → NULL
+    ).toDF("cust", "day", "month", "quant")
+    val q = EmfParser.parseOne(
+      """cust,day,month,sum_quant_dm
+        |1
+        |cust,day,month
+        |sum_quant_dm
+        |{MF.cust.sum_quant_dm}[=]{cust}:{MF.month.sum_quant_dm}[<]{day}:{MF.month.sum_quant_dm}[<]{MF.day.sum_quant_dm}""".stripMargin,
+      Set("cust", "day", "month", "quant"))
+    val out = EmfPlanner.plan(q, f).orderBy("cust", "day", "month").collect()
+    assert(out.toSeq == Seq(
+      Row("A", 1, 3, 15L), Row("A", 2, 3, 15L),
+      Row("A", 5, 2, null), Row("B", 1, 1, null)))
+  }
+
   test("HAVING mixed and/or uses AND-over-OR precedence") {
     val q = EmfParser.parseOne(
       """cust,sum_quant_a,sum_quant_b,sum_quant_c
