@@ -94,8 +94,9 @@ object Multimodal {
         .orderBy(col("media_id"))
     }),
 
-    // Batched decode path (stubbed codec) — rows-only check (the fake
-    // brightness is asserted exactly in MultimodalSpec instead).
+    // Batched decode path (stubbed codec). FakeCodec is pure byte math,
+    // so this IS oracle-checked: DuckDB recomputes brightness = mean byte
+    // of encode(text) and n_sampled = ceil(n/32) from hex(blob).
     "multimodal_decode" -> ((s, d) => {
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"), col("n_bytes"),
@@ -105,7 +106,8 @@ object Multimodal {
 
     // Frame-sample fan-out: explode sampled frames (the shape a
     // video→frame training pipeline produces: one row per kept frame),
-    // then per-kind frame statistics. Rows-only (stub codec).
+    // then per-kind frame statistics. Oracle-checked (stub codec is
+    // deterministic byte arithmetic DuckDB can mirror).
     "multimodal_frames" -> ((s, d) => {
       extractFeatures(mediaTable(s, d)).toDF()
         .select(col("media_id"), col("kind"),
@@ -118,7 +120,46 @@ object Multimodal {
     }),
   )
 
+  /** Shared oracle CTEs: per-document byte list of the UTF-8 payload,
+    * recovered in pure SQL via hex(blob) → two hex digits per byte (no
+    * blob-indexing extension needed; texts are non-empty at every SF). */
+  private val byteCtes: String =
+    """m AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+      |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents),
+      |b AS (
+      |  SELECT doc_id, kind, n,
+      |    (strpos('0123456789ABCDEF', substr(hx, i*2-1, 1))-1)*16
+      |  + (strpos('0123456789ABCDEF', substr(hx, i*2,   1))-1) AS byte, i
+      |  FROM m, LATERAL (SELECT unnest(generate_series(1, n)) AS i))""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    // brightness = mean byte (FakeCodec.decodeBrightness); double sums of
+    // byte values stay integral < 2^53, so CAST(sum AS DOUBLE)/n is
+    // bit-identical to the JVM's sequential double sum. n_sampled =
+    // |indices stepped by 32| = # of i with (i-1) % 32 = 0.
+    "multimodal_decode" ->
+      s"""WITH $byteCtes
+         |SELECT doc_id AS media_id, kind, CAST(n AS INT) AS n_bytes,
+         |  CAST(sum(byte) AS DOUBLE) / n AS brightness,
+         |  CAST(count(CASE WHEN (i-1) % 32 = 0 THEN 1 END) AS INT) AS n_sampled
+         |FROM b GROUP BY doc_id, kind, n
+         |ORDER BY media_id""".stripMargin,
+    // per-kind stats over the sampled frames; frame_no is the 0-based
+    // position within each doc's sampled list (= (i-1)//32)
+    "multimodal_frames" ->
+      s"""WITH $byteCtes,
+         |f AS (
+         |  SELECT kind, CAST((i-1)//32 AS INT) AS frame_no, byte
+         |  FROM b WHERE (i-1) % 32 = 0)
+         |SELECT kind, CAST(count(1) AS BIGINT) AS n_frames,
+         |  CAST(sum(byte) AS DOUBLE) / count(byte) AS mean_val,
+         |  max(frame_no) AS max_frame_no
+         |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
