@@ -57,7 +57,11 @@ object Similarity {
 
   /** Sign-random-projection bucket key: b pseudo-hyperplanes, plane p's
     * component for dimension i is ±1 from xxhash64(i, p) — deterministic,
-    * no stored model. */
+    * no stored model. Executable SPEC of the bucketing — interpreted HOF
+    * lambdas, ~100× slower than the codegen'd
+    * [[graft.dedup.SrpBandsExpr]] used on the hot paths (band 0 of
+    * `srpBands(emb, 1, planes)` is bit-identical; asserted in
+    * SimilaritySpec). */
   def srpKey(emb: Column, planes: Int): Column = {
     val bits = (0 until planes).map { p =>
       val proj = aggregate(
@@ -68,6 +72,55 @@ object Similarity {
       when(proj > 0, shiftleft(lit(1L), p)).otherwise(lit(0L))
     }
     bits.reduce(_ bitwiseOR _)
+  }
+
+  /** Candidate pairs sharing ≥ 1 SRP band key. The banding pass is the
+    * codegen'd [[graft.dedup.SrpBandsExpr]] (scan-speed, one tight JVM
+    * loop per row); the ONLY shuffle is the self-join on (band, key),
+    * which distributes uniformly (keys are sign-hash buckets). Output is
+    * distinct (id_a < id_b) pairs — nothing driver-side anywhere. */
+  def lshCandidates(e: DataFrame, bands: Int, bits: Int): DataFrame = {
+    val banded = e.select(col("vec_id"),
+      posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
+        .as(Seq("band", "key")))
+    val a = banded.select(col("vec_id").as("id_a"), col("band"), col("key"))
+    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("key"))
+    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+  }
+
+  /** SRP-LSH parameter selection for near-dup detection at threshold
+    * `tau`: bits grows with log₂(n) so expected bucket size (and with it
+    * the per-band candidate count) stays ~constant as the corpus grows —
+    * the lever that keeps LSH near-linear at 100 TB; bands is then chosen
+    * so a TRUE pair at cosine exactly `tau` is missed with probability
+    * ≤ 1e-8 (pairs above tau miss even less). Deterministic given (n,
+    * tau). */
+  def srpParams(n: Long, tau: Double): (Int, Int) = {
+    val bits = math.max(8, math.min(16,
+      math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
+    val pPlane = 1.0 - math.acos(tau) / math.Pi // P[one hyperplane agrees]
+    val pBand = math.pow(pPlane, bits)
+    val bands = math.max(4,
+      math.ceil(math.log(1e-8) / math.log1p(-pBand)).toInt)
+    (bands, bits)
+  }
+
+  /** Distributed embedding-cosine near-duplicate pairs (cosine ≥ tau):
+    * SRP-LSH candidate generation ([[lshCandidates]]) + the join-based
+    * codegen'd scorer ([[VectorKernels.scorePairs]]). End-to-end
+    * distributed — the one action besides the result is a count() used
+    * for parameter selection; no row data ever touches the driver. The
+    * dense broadcast kernel ([[VectorKernels.cosinePairs]]) survives only
+    * as the test-scale cross-check in SimilaritySpec.
+    *
+    * At 100 TB: persist `e` (it feeds the banding pass + both scorer
+    * joins) and the miss bound covers the oracle — at τ = 0.99 a missed
+    * pair needs all `bands` 8-16-bit sign blocks to disagree
+    * (P ≤ 1e-8). */
+  def embCosPairs(e: DataFrame, tau: Double): DataFrame = {
+    val (bands, bits) = srpParams(e.count(), tau)
+    VectorKernels.scorePairs(lshCandidates(e, bands, bits), e, tau)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -92,12 +145,13 @@ object Similarity {
     }),
 
     // Embedding-cosine near-duplicate pairs (≥ 0.99) over the augmented
-    // corpus — all-pairs via the broadcast dense kernel
-    // ([[VectorKernels.cosinePairs]]; the expression formulation measured
-    // ~100× slower — interpreted HOF lambdas). LSH below is the 100 TB
-    // route; SimilaritySpec checks they agree here.
+    // corpus — fully distributed: adaptive SRP-LSH candidates + the
+    // join-based codegen'd scorer. The DuckDB oracle is exact all-pairs;
+    // it stays green because the band count bounds the miss probability
+    // of a τ-level pair at ≤ 1e-8 (verified hash-green at sf0.001/0.01/
+    // 0.1). SimilaritySpec cross-checks against the dense kernel.
     "dedup_embcos" -> ((s, d) => {
-      VectorKernels.cosinePairs(embWithNearDups(s, d), 0.99)
+      embCosPairs(embWithNearDups(s, d), 0.99)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -109,7 +163,8 @@ object Similarity {
     // true 100 TB route. Hash-dependent recall → rows-only check here;
     // recall measured in SimilaritySpec.
     "knn_lsh" -> ((s, d) => {
-      val e = embWithNearDups(s, d).withColumn("key", srpKey(col("emb"), 8))
+      val e = embWithNearDups(s, d).withColumn("key",
+        element_at(graft.dedup.SignatureExprs.srpBands(col("emb"), 1, 8), 1))
       val a = e.select(col("vec_id").as("id_a"), col("key"))
       val b = e.select(col("vec_id").as("id_b"), col("key"))
       val cand = a.join(b, Seq("key")).filter(col("id_a") < col("id_b"))

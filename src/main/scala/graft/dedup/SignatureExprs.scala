@@ -2,7 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, CodegenFallback, ExprCode}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types._
@@ -90,10 +90,95 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Sign-random-projection band-key kernel, shared by interpreted eval and
+  * generated code. Plane p's component for dimension i is ±1 from the
+  * parity of `xxhash64(i, p)` (seed-42 chain: hash(p, hash(i, 42))) —
+  * bit-identical to the Column spec [[graft.ann.Similarity.srpKey]]
+  * (asserted in SimilaritySpec). The sign matrix is deterministic, so a
+  * process-wide cache keyed by (planes, dim) is safe and makes the hot
+  * loop a pure multiply-add over primitive arrays. */
+object SrpKernel {
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Array[Array[Double]]]()
+
+  private def signs(planes: Int, dim: Int): Array[Array[Double]] =
+    cache.computeIfAbsent((planes, dim), { case (p0, d0) =>
+      Array.tabulate(p0, d0) { (p, i) =>
+        val h = XxHash64Function.hash(p, IntegerType,
+          XxHash64Function.hash(i, IntegerType, 42L))
+        // pmod(h, 2) == 0  ⇔  h is even
+        if ((h & 1L) == 0L) 1.0 else -1.0
+      }
+    })
+
+  /** `bands` keys; band b's key packs the signs of planes
+    * [b·bits, (b+1)·bits) into bits [0, bits). Band 0 with bits = 8 is
+    * exactly the legacy single-key [[graft.ann.Similarity.srpKey]]. */
+  def bandKeys(a: ArrayData, bands: Int, bits: Int): ArrayData = {
+    val v = a.toDoubleArray()
+    val m = signs(bands * bits, v.length)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val s = m(b * bits + j)
+        var proj = 0.0
+        var i = 0
+        while (i < v.length) { proj += v(i) * s(i); i += 1 }
+        if (proj > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+}
+
+/** Codegen'd SRP banding of an `array<double>` embedding: `bands` 64-bit
+  * keys of `bitsPerBand` sign bits each. This is the bucketing pass of the
+  * LSH similarity/dedup operators — it runs once over the WHOLE corpus, so
+  * unlike the per-pair scorer it must be scan-speed: the interpreted HOF
+  * formulation (8 planes × dim boxed lambdas per row) measured ~100× slower
+  * on the same shape. */
+case class SrpBandsExpr(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 63,
+    s"srp_bands: need 1..n bands of 1..63 bits, got $bands×$bitsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"srp_bands requires an array<double> argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SrpKernel.bandKeys(v.asInstanceOf[ArrayData], bands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.SrpKernel.bandKeys($a, $bands, $bitsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SignatureExprs {
   def simhash64Fast(text: Column): Column =
     CatalystBridge.column(SimHash64Expr(CatalystBridge.expression(text)))
   def minhashFast(shingles: Column, k: Int): Column =
     CatalystBridge.column(
       MinHashSignatureExpr(CatalystBridge.expression(shingles), k))
+  def srpBands(emb: Column, bands: Int, bitsPerBand: Int): Column =
+    CatalystBridge.column(
+      SrpBandsExpr(CatalystBridge.expression(emb), bands, bitsPerBand))
 }

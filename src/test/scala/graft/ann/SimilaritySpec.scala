@@ -48,7 +48,8 @@ class SimilaritySpec extends SparkSpec {
   }
 
   test("LSH near-dup recall vs brute force on planted pairs") {
-    val brute = Similarity.queries("dedup_embcos")(spark, sf0001)
+    val brute = VectorKernels
+      .cosinePairs(Similarity.embWithNearDups(spark, sf0001), 0.99)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val lsh = Similarity.queries("knn_lsh")(spark, sf0001)
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -57,6 +58,47 @@ class SimilaritySpec extends SparkSpec {
     // 8-bit SRP keys: a ~5° perturbation rarely flips any of 8 signs;
     // recall should be high but is hash-dependent — bound it loosely
     assert(recall > 0.8, s"LSH recall $recall")
+  }
+
+  test("srpBands (native codegen expr) band 0 is bit-identical to srpKey spec") {
+    val e = Similarity.embWithNearDups(spark, sf0001)
+    val mismatches = e.select(
+      Similarity.srpKey(col("emb"), 8).as("spec"),
+      element_at(graft.dedup.SignatureExprs.srpBands(col("emb"), 1, 8), 1)
+        .as("fast"))
+      .filter(col("spec") =!= col("fast")).count()
+    assert(mismatches == 0L)
+    // bands are independent bit blocks: with 2×8 bands, band 0 still
+    // equals the 8-plane spec key (planes 0..7 at bits 0..7)
+    val m2 = e.select(Similarity.srpKey(col("emb"), 8).as("spec"),
+      element_at(graft.dedup.SignatureExprs.srpBands(col("emb"), 2, 8), 1)
+        .as("fast"))
+      .filter(col("spec") =!= col("fast")).count()
+    assert(m2 == 0L)
+  }
+
+  test("distributed embCosPairs equals the dense all-pairs kernel") {
+    val e = Similarity.embWithNearDups(spark, sf0001)
+    val dense = VectorKernels.cosinePairs(e, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val dist = Similarity.embCosPairs(e, 0.99)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(dist == dense) // same pairs AND bit-identical cos6 values
+  }
+
+  test("srpParams: bits scales with log2(n), bands bounds the miss rate") {
+    val (bandsSmall, bitsSmall) = Similarity.srpParams(1000L, 0.99)
+    assert(bitsSmall == 8 && bandsSmall == 16) // the sf0.01 query config
+    val (bandsBig, bitsBig) = Similarity.srpParams(100000L, 0.99)
+    assert(bitsBig > bitsSmall)   // buckets stay small as n grows
+    assert(bandsBig >= bandsSmall) // recall bound maintained
+    // miss bound holds at the query's tau for both configs
+    def miss(bands: Int, bits: Int): Double = {
+      val p = 1.0 - math.acos(0.99) / math.Pi
+      math.pow(1.0 - math.pow(p, bits), bands)
+    }
+    assert(miss(bandsSmall, bitsSmall) <= 1e-8)
+    assert(miss(bandsBig, bitsBig) <= 1e-8)
   }
 
   test("IVF knn: recall vs brute force, candidates only from probed cells") {
