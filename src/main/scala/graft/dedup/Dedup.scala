@@ -234,9 +234,24 @@ object Dedup {
     * component's diameter exceeds `maxRounds`. At 1000-executor scale
     * this loop is the standard dataflow CC; the large-star/small-star
     * variant (Kiveris et al., "Connected Components in MapReduce")
-    * halves round count if diameters grow. */
+    * halves round count if diameters grow.
+    *
+    * Fault tolerance: the default lineage truncation is `localCheckpoint`
+    * — cheapest (executor-local blocks, one job per round) but NOT
+    * fault-tolerant: blocks die with their executor and the truncated
+    * lineage leaves no recompute path, so a single lost executor after
+    * round k kills the job. Fine on local[*]; on a real cluster pass
+    * `reliableCheckpointEvery = n` to write a RELIABLE checkpoint (HDFS/
+    * object store via `SparkContext.setCheckpointDir`) every n rounds —
+    * each one costs an extra job + a DFS write, and the ≤ 2ⁿ⁻¹-fold plan
+    * growth between checkpoints trades off against that cost. Results are
+    * identical in both modes (min-label propagation is deterministic;
+    * asserted in DedupSpec). */
   def connectedComponents(nodes: DataFrame, pairs: DataFrame,
-      maxRounds: Int = 32): DataFrame = {
+      maxRounds: Int = 32, reliableCheckpointEvery: Int = 0): DataFrame = {
+    if (reliableCheckpointEvery > 0)
+      require(nodes.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "reliable connectedComponents needs SparkContext.setCheckpointDir")
     val edges = pairs.select(col("id_a"), col("id_b"))
       .union(pairs.select(col("id_b"), col("id_a")))
       .toDF("src", "dst").cache()
@@ -247,20 +262,24 @@ object Dedup {
     while (changed > 0 && rounds < maxRounds) {
       val nbrMin = edges.join(labels, edges("dst") === labels("doc_id"))
         .groupBy(col("src")).agg(min(col("cluster")).as("nbr_min"))
-      // localCheckpoint truncates lineage — without it the logical plan
-      // doubles every round (`labels` feeds both the neighbor pass and
-      // the outer join): exponential plan growth that OOMs the driver
-      // around round 10. LAZY checkpoint: the convergence count below is
-      // the materializing action, so each round runs ONE job, not two.
-      // Old round blocks are released by the ContextCleaner once
+      // Lineage truncation — without it the logical plan doubles every
+      // round (`labels` feeds both the neighbor pass and the outer join):
+      // exponential plan growth that OOMs the driver around round 10.
+      // LAZY checkpoint: the convergence count below is the materializing
+      // action, so the local mode runs ONE job per round (a reliable
+      // checkpoint adds the DFS-write job Spark schedules after the
+      // count). Old round blocks are released by the ContextCleaner once
       // unreferenced. Carrying the previous label through the pass makes
       // convergence a filter-count, not an extra comparison join.
-      val next = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
+      val stepped = labels.join(nbrMin, labels("doc_id") === nbrMin("src"), "left")
         .select(labels("doc_id"),
           least(col("cluster"), coalesce(col("nbr_min"), col("cluster")))
             .as("cluster"),
           col("cluster").as("__old"))
-        .localCheckpoint(false)
+      val next =
+        if (reliableCheckpointEvery <= 0) stepped.localCheckpoint(false)
+        else if ((rounds + 1) % reliableCheckpointEvery == 0) stepped.checkpoint(false)
+        else stepped // lineage grows ≤ 2^(n-1)-fold between checkpoints
       changed = next.filter(col("cluster") =!= col("__old")).count()
       labels = next.drop("__old")
       rounds += 1

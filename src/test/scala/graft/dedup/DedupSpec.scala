@@ -48,6 +48,35 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("not converged"))
   }
 
+  test("connectedComponents: reliable-checkpoint mode matches local mode") {
+    import spark.implicits._
+    val nodes = ((0L to 9L) :+ 100L).toDF("doc_id")
+    val chain = (0L until 9L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    // without a checkpoint dir the reliable mode must refuse up front
+    val sc = spark.sparkContext
+    assert(sc.getCheckpointDir.isEmpty)
+    val e = intercept[IllegalArgumentException](
+      Dedup.connectedComponents(nodes, chain, reliableCheckpointEvery = 4))
+    assert(e.getMessage.contains("setCheckpointDir"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    sc.setCheckpointDir(dir.toString)
+    try {
+      val local = Dedup.connectedComponents(nodes, chain)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val reliable = Dedup
+        .connectedComponents(nodes, chain, reliableCheckpointEvery = 4)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(reliable == local)
+      // the reliable run actually wrote checkpoint data to the dir
+      def nFiles(p: java.io.File): Int =
+        if (p.isDirectory) p.listFiles.map(nFiles).sum else 1
+      assert(nFiles(dir.toFile) > 0)
+    } finally {
+      // shared JVM-wide session: don't leak the checkpoint dir setting
+      sc.setCheckpointDir(null)
+    }
+  }
+
   test("exact dedup collapses identical texts only") {
     import spark.implicits._
     val out = Dedup.queries("dedup_exact")(spark, sf0001)
