@@ -155,6 +155,16 @@ object EmfStreaming {
           s"$eqAttrs and order attr $orderAttr")
     }
     require(eqAttrs.nonEmpty, "windowed streaming needs ≥ 1 equality attr")
+    // the state keys order groups by cast-to-long: a fractional order
+    // attribute would silently TRUNCATE (merging e.g. 1.4 and 1.5) where
+    // the batch planner keeps them distinct — require integral, loudly
+    schema.find(_.name == orderAttr).map(_.dataType).foreach {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"windowed streaming order attribute '$orderAttr' must be an " +
+          s"integral type, got $other — fractional order values would be " +
+          "truncated by the state key; use microBatch(...) instead")
+    }
     require(q.groupAttrs.toSet == (eqAttrs :+ orderAttr).toSet &&
       !eqAttrs.contains(orderAttr),
       s"grouping set ${q.groupAttrs} must be exactly equality attrs " +

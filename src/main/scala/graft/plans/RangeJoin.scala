@@ -31,6 +31,12 @@ object RangeJoin {
       require(!points.columns.contains(n) && !intervals.columns.contains(n),
         s"pointInInterval reserves column name $n")
     }
+    // the bucket join would emit ambiguous duplicate columns for any name
+    // present on both sides — require disjoint schemas (alias one side)
+    val overlap = points.columns.toSet intersect intervals.columns.toSet
+    require(overlap.isEmpty,
+      s"pointInInterval: column name collision ${overlap.mkString(", ")} " +
+        "between points and intervals — rename/alias one side first")
     val epoch = lit("1970-01-01").cast("date")
     def bucketOf(c: Column): Column =
       floor(datediff(c.cast("date"), epoch) / widthDays)

@@ -102,6 +102,25 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("windowed streaming rejects a fractional order attribute loudly") {
+    // order attr `month` as DOUBLE: the long state key would truncate
+    // (1.4 and 1.5 merge) where the batch planner keeps groups distinct
+    val fCols = Set("cust", "month", "quant")
+    val q = EmfParser.parseOne(
+      """cust,month,sum_quant_before
+        |1
+        |cust,month
+        |sum_quant_before
+        |{MF.cust.sum_quant_before}[=]{cust}:{MF.month.sum_quant_before}[<]{month}""".stripMargin, fCols)
+    val stream = MemoryStream[(String, Double, Int)](spark)
+    val df = stream.toDF().toDF("cust", "month", "quant")
+    // two layers refuse it: the classifier already demotes a fractional-
+    // order variable to DEPENDENT (→ "use microBatch"), and the explicit
+    // order-attr type guard backs that up should classification change
+    val e = intercept[IllegalArgumentException](EmfStreaming.planWindowed(q, df))
+    assert(e.getMessage.contains("microBatch") || e.getMessage.contains("integral"))
+  }
+
   test("windowed streaming: HAVING applies on the snapshot; all-SIMPLE rejected") {
     val qHaving = EmfParser.parseOne(
       """cust,month,avg_quant_b

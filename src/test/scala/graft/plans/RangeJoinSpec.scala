@@ -28,4 +28,16 @@ class RangeJoinSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"),
       s"range join fell back to a nested loop:\n${plan.take(1500)}")
   }
+
+  test("column-name collisions between the two sides are rejected loudly") {
+    val pts = Tables.lineitem(spark, sf0001)
+      .select(col("l_shipdate"), col("l_orderkey").as("okey"))
+    val ivs = Tables.orders(spark, sf0001)
+      .select(col("o_orderdate"), col("o_orderkey").as("okey"))
+    // a shared non-join column would surface as ambiguous duplicates in
+    // the joined output — refuse up front
+    val e = intercept[IllegalArgumentException](
+      RangeJoin.pointInInterval(pts, "l_shipdate", ivs, "o_orderdate", 7))
+    assert(e.getMessage.contains("okey"))
+  }
 }
