@@ -16,7 +16,18 @@ object Bench {
     // (hash-ordered) first query
     Tables.lineitem(spark, sfDir).count()
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // the ngram pair frame is memoized across dedup_* queries — charge
+    // its build to its own metric line, so per-query numbers are
+    // individually honest instead of the build landing on whichever
+    // dedup query the name sort happens to run first
+    val tShared = System.nanoTime()
+    try graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count()
+    catch { case e: Throwable =>
+      failed += "_shared_ngram_build"
+      System.err.println(s"[bench] _shared_ngram_build FAILED: ${e.getMessage}")
+    }
+    val sharedSec = (System.nanoTime() - tShared) / 1e9
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name
@@ -27,6 +38,7 @@ object Bench {
       graft.emf.EmfPlanner.unpersistAll()
       name -> dt
     }.toMap
+    val results = results0 + ("_shared_ngram_build" -> sharedSec)
     graft.dedup.Dedup.clearCache()
     // keep the line SHORT (3-dp values): the driver parses it from a
     // bounded tail of the process output, so a long line gets truncated.
