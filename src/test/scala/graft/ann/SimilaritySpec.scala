@@ -113,6 +113,47 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.4, s"IVF recall@3 = $recall")
   }
 
+  test("IVF: cell-partitioned persisted layout prunes probes at file level") {
+    // The Ivf scaladoc claims assign output "you'd persist
+    // partitioned-by-cell so probes prune at the file level" — prove it.
+    val e = Similarity.embWithNearDups(spark, sf0001)
+    val sample = e.orderBy("vec_id").limit(256)
+      .select("emb").as[Seq[Double]].collect().map(_.toArray)
+    val model = Ivf.train(sample, 8, 3)
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivf_cells").toString
+    graft.sources.Sources.writePartitioned(Ivf.assign(e, model), dir, "cell")
+
+    val probed = Seq(0, 1)
+    val back = spark.read.parquet(dir).filter(col("cell").isin(probed: _*))
+    val expected = Ivf.assign(e, model).filter(col("cell").isin(probed: _*)).count()
+    // collect() (not count()) so the metrics below belong to THIS plan
+    assert(back.collect().length.toLong == expected)
+
+    def filesUnder(cells: Seq[Int]): Int = cells.map { c =>
+      val d = new java.io.File(s"$dir/cell=$c")
+      if (d.exists()) d.listFiles().count(_.getName.endsWith(".parquet")) else 0
+    }.sum
+    val allCells = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("cell=")).map(_.getName.stripPrefix("cell=").toInt).toSeq
+    assert(allCells.size > probed.size, s"degenerate cell layout: $allCells")
+
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val plan = back.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val scan = plan.collectLeaves()
+      .collectFirst { case f: FileSourceScanExec => f }
+      .getOrElse(fail(s"no FileSourceScanExec in:\n$plan"))
+    // the probe predicate landed in the partition filters, not a row filter
+    assert(scan.partitionFilters.nonEmpty, scan.toString)
+    // file-level proof: the scan touched only the probed cells' files
+    assert(scan.metrics("numFiles").value == filesUnder(probed).toLong,
+      s"numFiles=${scan.metrics("numFiles").value} probedFiles=${filesUnder(probed)}")
+    assert(filesUnder(probed) < filesUnder(allCells))
+  }
+
   test("rolling hash is order-sensitive; fingerprint query deterministic") {
     val df = Seq("a b c", "c b a").toDF("text")
     val h = df.select(graft.text.TextAnalysis.rollingHash(col("text"))).collect()
