@@ -29,6 +29,22 @@ class SourcesSpec extends SparkSpec {
       region.orderBy("r_regionkey").collect().toSeq)
   }
 
+  test("jdbc round-trip through embedded Derby, predicate pushed to the DB") {
+    val base = tmp("derby")
+    System.setProperty("derby.stream.error.file", s"$base/derby.log")
+    val url = s"jdbc:derby:$base/db;create=true"
+    val nation = Tables.nation(spark, sf0001)
+    Sources.writeJdbc(nation, url, "nation")
+    val back = Sources.readJdbc(spark, url, "nation")
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // the filter must reach the database, not run in Spark post-fetch
+    val filtered = back.filter(col("n_regionkey") === 1)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+    assert(filtered.count() == nation.filter(col("n_regionkey") === 1).count())
+  }
+
   test("partitioned parquet sink enables partition pruning") {
     val li = Tables.lineitem(spark, sf0001)
       .select(col("l_orderkey"), col("l_quantity"), col("l_returnflag"))
