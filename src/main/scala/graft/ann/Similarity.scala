@@ -45,13 +45,18 @@ object Similarity {
   def cosineFast(a: Column, b: Column): Column = CosineSimExpr.cosineFast(a, b)
 
   /** embeddings ∪ deterministic near-duplicates (0.9·x + 0.01 per
-    * component, vec_id + 10000, cosine ≈ 0.996 to the original). */
+    * component, vec_id + stride, cosine ≈ 0.996 to the original). The id
+    * stride is corpus-derived (max(vec_id)+1, broadcast 1-row frame): a
+    * fixed offset collides with base ids once the corpus outgrows it —
+    * +10000 broke at the 20k-vector sf1 rehearsal. */
   def embWithNearDups(s: SparkSession, d: String): DataFrame = {
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
-    val near = e.select((col("vec_id") + 10000).as("vec_id"),
-      transform(col("emb"), x => x * 0.9 + 0.01).as("emb"))
+    val stride = e.agg((max(col("vec_id")) + 1).as("__stride"))
+    val near = e.crossJoin(broadcast(stride))
+      .select((col("vec_id") + col("__stride")).as("vec_id"),
+        transform(col("emb"), x => x * 0.9 + 0.01).as("emb"))
     e.unionByName(near)
   }
 
@@ -197,7 +202,7 @@ object Similarity {
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 10000,
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
         |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
         |  FROM embeddings),
         |ex AS (

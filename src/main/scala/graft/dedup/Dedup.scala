@@ -63,12 +63,16 @@ object Dedup {
   }
 
   /** documents ∪ deterministic near-duplicate copies (first word dropped,
-    * doc_id + 100000) — gives the near-dup operators real positives on the
-    * synthetic corpus (whose 500 base texts are all unique). */
+    * doc_id + stride) — gives the near-dup operators real positives on the
+    * synthetic corpus (whose base texts are all unique). The id stride is
+    * corpus-derived (max(doc_id)+1, a broadcast 1-row frame — no driver
+    * action): a fixed offset would collide with base ids once the corpus
+    * outgrows it, silently merging a near-dup with an unrelated base doc. */
   def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
-    val near = docs.select(
-      (col("doc_id") + 100000).as("doc_id"),
+    val stride = docs.agg((max(col("doc_id")) + 1).as("__stride"))
+    val near = docs.crossJoin(broadcast(stride)).select(
+      (col("doc_id") + col("__stride")).as("doc_id"),
       array_join(slice(split(col("text"), " "), 2, 1000000), " ").as("text"))
     docs.unionByName(near)
   }
@@ -346,7 +350,7 @@ object Dedup {
     s"""docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
-       |  SELECT doc_id + 100000,
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
        |         array_to_string(string_split(text, ' ')[2:], ' ')
        |  FROM documents),
        |sh0 AS (
@@ -378,7 +382,7 @@ object Dedup {
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000,
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
         |         array_to_string(string_split(text, ' ')[2:], ' ')
         |  FROM documents)
         |SELECT min(doc_id) AS doc_id, count(1) AS n_copies

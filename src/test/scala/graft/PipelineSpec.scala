@@ -11,7 +11,9 @@ class PipelineSpec extends SparkSpec {
       // near-dups (the 500 planted copies) must be gone; base corpus
       // survives quality filtering at least in part
       assert(n > 100 && n <= 500, s"unexpected survivor count $n")
-      assert(out.filter(col("doc_id") >= 100000).count() < 500) // copies dropped
+      val stride = graft.Tables.documents(spark, sf0001)
+        .agg(org.apache.spark.sql.functions.max(col("doc_id"))).head.getLong(0) + 1
+      assert(out.filter(col("doc_id") >= stride).count() < 500) // copies dropped
       val schema = out.schema.fieldNames.toSet
       assert(Set("doc_id", "quality", "lang_guess", "n_tokens",
         "fingerprint", "shard").subsetOf(schema))

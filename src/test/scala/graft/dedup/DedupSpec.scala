@@ -5,6 +5,11 @@ import org.apache.spark.sql.functions._
 
 class DedupSpec extends SparkSpec {
 
+  /** Planted near-dup id offset = corpus-derived stride (max(doc_id)+1,
+    * mirroring [[Dedup.docsWithNearDups]]). */
+  private lazy val docStride: Long = graft.Tables.documents(spark, sf0001)
+    .agg(max(col("doc_id"))).head.getLong(0) + 1
+
   test("dedup_clusters: label propagation equals transitive closure of pairs") {
     val pairs = Dedup.queriesNgramPairs(spark, sf0001)
       .select("id_a", "id_b").collect()
@@ -92,7 +97,7 @@ class DedupSpec extends SparkSpec {
       .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // verification step makes precision exact; recall on the ~0.95-jaccard
     // planted pairs must be total at 8 bands × 4 rows
-    val planted = exact.filter { case (a, b) => b == a + 100000 }
+    val planted = exact.filter { case (a, b) => b == a + docStride }
     assert(planted.nonEmpty)
     assert(planted.subsetOf(lsh),
       s"missed ${(planted -- lsh).size} of ${planted.size} planted pairs")
@@ -104,7 +109,7 @@ class DedupSpec extends SparkSpec {
     val out = Dedup.queries("dedup_simhash")(spark, sf0001)
     val pairs = out.select("id_a", "id_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val planted = pairs.filter { case (a, b) => b == a + 100000 }
+    val planted = pairs.filter { case (a, b) => b == a + docStride }
     // single-word deletion flips few bits; expect most planted pairs found
     assert(planted.size > 400, s"only ${planted.size} planted pairs within distance")
   }
