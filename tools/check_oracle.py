@@ -11,7 +11,7 @@ DECIMAL and ARRAY columns and be bit-deterministic.
 
 Usage: check_oracle.py <sfDir> <verifyOutDir> [query ...]
 """
-import sys, json
+import os, sys, json
 import duckdb
 import pandas as pd
 
@@ -32,8 +32,11 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(path):  # Spark-written table = directory of parts
+            path += "/*.parquet"
         con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_ok = n_bad = 0
     for name, sql in sorted(oracles.items()):
