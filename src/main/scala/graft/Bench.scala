@@ -40,21 +40,51 @@ object Bench {
     }.toMap
     val results = results0 + ("_shared_ngram_build" -> sharedSec)
     graft.dedup.Dedup.clearCache()
-    // keep the line SHORT (3-dp values): the driver parses it from a
-    // bounded tail of the process output, so a long line gets truncated.
-    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
-    def fmt(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failedJson,"load1m":${fmt(load)},"sf":"$sfDir"}""")
+    println(summaryLine(results, failed.toSeq, load, sfDir, writeFull = true))
     spark.stop()
+  }
+
+  /** Max length of the stdout summary line. The driver keeps only the LAST
+    * 2000 chars of process output, and sbt appends a ~80-char
+    * "[success] Total time: ..." epilogue AFTER our line — so anything over
+    * ~1900 chars gets its head truncated and fails to parse (this exactly
+    * happened in rounds 3 and 4 once the suite grew past ~85 queries).
+    */
+  val MaxLineLen = 1700
+
+  /** One parseable JSON line, hard-capped at [[MaxLineLen]] chars.
+    *
+    * `value` is the total over ALL queries; the `queries` map carries the
+    * slowest entries that fit the budget (they are the ones worth comparing
+    * against BASELINE.md), with `omitted` counting the fast tail left out.
+    * The complete per-query map goes to bench_full.json next to the repo
+    * root for the full record.
+    */
+  def summaryLine(results: Map[String, Double], failed: Seq[String],
+                  load: Double, sfDir: String, writeFull: Boolean): String = {
+    // Locale.ROOT: a comma-decimal default locale would emit invalid JSON.
+    def fmt(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val allEntries = results.toSeq.sortBy { case (k, v) => (-v, k) }
+      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+    if (writeFull) {
+      val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${allEntries.mkString("{", ",", "}")},"failed":$failedJson,"load1m":${fmt(load)},"sf":"$sfDir"}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        (full + "\n").getBytes("UTF-8"))
+    }
+    def line(entries: Seq[String], omitted: Int): String =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${entries.mkString("{", ",", "}")},"omitted":$omitted,"full":"bench_full.json","failed":$failedJson,"load1m":${fmt(load)},"sf":"$sfDir"}"""
+    // greedy: keep the slowest entries while the line stays under budget
+    var kept = allEntries
+    while (kept.nonEmpty && line(kept, allEntries.size - kept.size).length > MaxLineLen)
+      kept = kept.dropRight(1)
+    line(kept, allEntries.size - kept.size)
   }
 }

@@ -100,16 +100,30 @@ object Similarity {
     * the lever that keeps LSH near-linear at 100 TB; bands is then chosen
     * so a TRUE pair at cosine exactly `tau` is missed with probability
     * ≤ 1e-8 (pairs above tau miss even less). Deterministic given (n,
-    * tau). */
+    * tau).
+    *
+    * Bands are capped at [[MaxSrpBands]]: the 1e-8 bound explodes for low
+    * tau (tau=0.9/bits=16 needs ~211 bands, tau=0.8 ~712 — hundreds of
+    * emitted keys PER ROW in [[lshCandidates]], which is a scan-volume
+    * multiplier, not an LSH). When the cap binds, the miss bound degrades
+    * gracefully (still exponential in bands); callers needing low-tau
+    * recall should lower `bits` instead, trading bucket size for bands. */
   def srpParams(n: Long, tau: Double): (Int, Int) = {
     val bits = math.max(8, math.min(16,
       math.ceil(math.log(math.max(n, 1L) / 64.0) / math.log(2.0)).toInt))
     val pPlane = 1.0 - math.acos(tau) / math.Pi // P[one hyperplane agrees]
     val pBand = math.pow(pPlane, bits)
-    val bands = math.max(4,
+    val bands0 = math.max(4,
       math.ceil(math.log(1e-8) / math.log1p(-pBand)).toInt)
-    (bands, bits)
+    if (bands0 > MaxSrpBands)
+      System.err.println(s"[srpParams] band cap binds: tau=$tau bits=$bits " +
+        s"wants $bands0 bands, capped at $MaxSrpBands (miss bound weakened)")
+    (math.min(bands0, MaxSrpBands), bits)
   }
+
+  /** Upper bound on SRP bands — caps per-row key fan-out in
+    * [[lshCandidates]] (each band is one emitted (band, key) row). */
+  val MaxSrpBands = 64
 
   /** Distributed embedding-cosine near-duplicate pairs (cosine ≥ tau):
     * SRP-LSH candidate generation ([[lshCandidates]]) + the join-based

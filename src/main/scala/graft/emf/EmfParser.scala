@@ -147,8 +147,8 @@ object EmfParser {
         val field =
           if (body.contains('.')) body.substring(0, body.lastIndexOf('.'))
           else body
-        // an MF-valued rhs uses the same between-first-and-last-dot field
-        // extraction as the lhs (reference `src/QueryProcessor1.java:259-261`
+        // an MF-valued rhs strips the trailing `.<tag>` segment, exactly
+        // like the lhs above (reference `src/QueryProcessor1.java:259-261`
         // requires the `MF.<field>.<tag>` form; we also accept the bare
         // `MF.<field>` two-token spelling)
         val rhs: Operand =

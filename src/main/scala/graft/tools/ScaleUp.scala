@@ -39,8 +39,13 @@ import graft.Tables
   */
 object ScaleUp {
 
-  private def stride(df: DataFrame, key: String): Long =
-    df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+  private def stride(df: DataFrame, key: String): Long = {
+    val row = df.agg(max(col(key).cast("long"))).head
+    // an empty source table has a NULL max — fail with the table/key name
+    // instead of an opaque NPE from getLong
+    require(!row.isNullAt(0), s"empty source table: cannot take stride of $key")
+    row.getLong(0) + 1L
+  }
 
   /** df × copies 0..factor-1, with a `__k` copy column (broadcast range —
     * one scan of the source, factor× output, no shuffle). */
@@ -56,15 +61,21 @@ object ScaleUp {
     when(col("__k") === 0, col(c))
       .otherwise(concat(col(c), lit("_"), col("__k").cast("string")))
 
-  /** Replace every 3rd word with a copy+position token for copies k>0.
-    * Every 3-gram shingle spans a replaced position → cross-copy shingle
-    * sets are disjoint. */
+  /** Injective per-copy word renaming for copies k>0: w → "c<k>_w".
+    *
+    * Injectivity means shingle sets (and word multisets) map 1:1, so every
+    * within-copy Jaccard value is EXACTLY the copy-0 value — near-dup pair
+    * structure (fixture pairs AND naturally-similar template pairs)
+    * replicates per copy and pair counts scale exactly linearly. Every
+    * word carries the copy tag, so cross-copy shingle sets are disjoint.
+    * Unrelated docs within a copy share exactly the words they naturally
+    * share in copy 0 — no artificial shared-token drift (the flaw of the
+    * earlier every-3rd-word position-token scheme, which gave unrelated
+    * docs ~1/3 identical token multisets). */
   private def perturbedText(c: String): Column =
     when(col("__k") === 0, col(c)).otherwise(
-      concat_ws(" ", transform(split(col(c), " "), (w, i) =>
-        when(pmod(i, lit(3)) === 0,
-          concat(lit("c"), col("__k").cast("string"), lit("w"), i.cast("string")))
-          .otherwise(w))))
+      concat_ws(" ", transform(split(col(c), " "),
+        w => concat(lit("c"), col("__k").cast("string"), lit("_"), w))))
 
   /** Component-wise multiplicative noise x·(1+u), u ∈ [-1,1] from
     * xxhash64(k, vec_id, i); identity for copy 0. */

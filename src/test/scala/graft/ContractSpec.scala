@@ -56,6 +56,37 @@ class ContractSpec extends AnyFunSuite {
     graft.dedup.Dedup.clearCache()
   }
 
+  test("Bench summary line fits the driver's 2000-char output tail at the current query count") {
+    // rounds 3 and 4 lost their bench numbers to exactly this: the driver
+    // keeps the LAST 2000 chars of process output, sbt appends ~80 chars
+    // after our line, and 89 per-query entries overflowed the window.
+    val fakeResults = (SparkEntry.queries.keySet + "_shared_ngram_build")
+      .toSeq.sortBy(identity).zipWithIndex
+      .map { case (k, i) => k -> (0.05 + (i % 97) * 0.131) }.toMap
+    val line = Bench.summaryLine(fakeResults, Seq.empty, 3.427,
+      "/root/testdata/sf0.1", writeFull = false)
+    assert(line.length <= Bench.MaxLineLen, s"line too long: ${line.length}")
+    assert(line.length <= 1900, "would be truncated by the driver tail")
+    // must parse as strict JSON (jackson ships with Spark)
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(line)
+    assert(node.get("metric").asText == "total")
+    val shown = node.get("queries").size
+    assert(shown + node.get("omitted").asInt == fakeResults.size)
+    // total covers ALL queries, not just the shown subset
+    val expected = fakeResults.values.sum
+    assert(math.abs(node.get("value").asDouble - expected) < 0.01)
+    // the slowest queries are the ones kept
+    val keptMin = {
+      val it = node.get("queries").elements()
+      var m = Double.MaxValue
+      while (it.hasNext) m = math.min(m, it.next().asDouble)
+      m
+    }
+    val droppedMax = fakeResults.values.toSeq.sorted.reverse.drop(shown)
+      .headOption.getOrElse(0.0)
+    assert(keptMin >= droppedMax - 1e-9, "kept entries are not the slowest")
+  }
+
   test("every query is deterministic-output shaped (ends ordered or is a single row)") {
     // structural guard: all queries ORDER BY or aggregate to one row —
     // enforced by convention; spot-check the newest entries exist

@@ -99,6 +99,12 @@ class SimilaritySpec extends SparkSpec {
     }
     assert(miss(bandsSmall, bitsSmall) <= 1e-8)
     assert(miss(bandsBig, bitsBig) <= 1e-8)
+    // low tau wants hundreds of bands (tau=0.8/bits=16 → ~712) — the cap
+    // bounds per-row key fan-out in lshCandidates to MaxSrpBands
+    for (tau <- Seq(0.8, 0.9, 0.95)) {
+      val (bands, _) = Similarity.srpParams(100000L, tau)
+      assert(bands <= Similarity.MaxSrpBands, s"tau=$tau bands=$bands")
+    }
   }
 
   test("IVF knn: recall vs brute force, candidates only from probed cells") {

@@ -81,4 +81,27 @@ class ScaleUpSpec extends SparkSpec {
     val scaled = graft.dedup.Dedup.queriesNgramPairs(spark, outDir).count()
     assert(scaled == factor * base, s"base=$base scaled=$scaled")
   }
+
+  test("simhash pairs stay within-copy and near-linear (no shared-token drift)") {
+    // word-multiset signatures are the sensitive case: if perturbation
+    // tokens were shared across docs of a copy (the pre-fix behavior),
+    // unrelated within-copy docs would drift toward each other in hamming
+    // space and the pair count would grow super-linearly. The injective
+    // word renaming re-rolls per-word hashes per copy, so counts are
+    // hash-luck around the base value rather than exactly equal — assert
+    // the structure (zero cross-copy pairs) and a linearity envelope.
+    val base = graft.SparkEntry.queries("dedup_simhash")(spark, sf0001).count()
+    val pairs = graft.SparkEntry.queries("dedup_simhash")(spark, outDir)
+    // scaled doc space: base docs in [0, 3·ds), fixture near-dups shifted
+    // by 3·ds — copy of any id is (id mod 3·ds) div ds
+    def copyOf(c: org.apache.spark.sql.Column) =
+      pmod(c, lit(factor * docStride)).divide(lit(docStride)).cast("int")
+    val cross = pairs.filter(copyOf(col("id_a")) =!= copyOf(col("id_b"))).count()
+    assert(cross == 0, s"cross-copy simhash pairs: $cross")
+    val perCopy = pairs.groupBy(copyOf(col("id_a")).as("k")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(perCopy.keySet == (0 until factor).toSet, s"copies seen: $perCopy")
+    for ((k, n) <- perCopy)
+      assert(n >= base / 2 && n <= base * 2, s"copy $k: $n vs base $base")
+  }
 }
