@@ -40,6 +40,7 @@ object Bench {
     }.toMap
     val results = results0 + ("_shared_ngram_build" -> sharedSec)
     graft.dedup.Dedup.clearCache()
+    graft.ann.Similarity.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing

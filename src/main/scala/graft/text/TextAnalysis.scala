@@ -18,8 +18,18 @@ object TextAnalysis {
 
   private def words(c: Column): Column = split(c, " ")
 
-  private def countIn(ws: Column, dict: Seq[String]): Column =
+  /** Executable SPEC of dictionary-word counting — interpreted HOF, one
+    * boxed lambda per word. The query entries use the codegen'd
+    * [[TextExprs.dictWordCount]] (value-identical; asserted in
+    * TextAnalysisSpec) — the HOF form measured 8.4 s on the sf1
+    * `text_quality_filter` (2 corpus passes of per-word lambda dispatch)
+    * vs scan-speed for the native expression. */
+  private[text] def countIn(ws: Column, dict: Seq[String]): Column =
     size(filter(ws, w => w.isin(dict: _*)))
+
+  /** Hot-path form: codegen'd dictionary count straight off the text. */
+  private def countInFast(text: Column, dict: Seq[String]): Column =
+    TextExprs.dictWordCount(text, dict)
 
   /** Rabin–Karp polynomial rolling hash over words, mod 1e9+7. Library
     * form (exact polynomial; exercised in TextSpec). The oracle-checked
@@ -45,12 +55,11 @@ object TextAnalysis {
       val de = Seq("der", "und", "die", "nicht", "ein")
       val es = Seq("el", "la", "de", "que", "los")
       Tables.documents(s, d)
-        .withColumn("ws", words(col("text")))
         .select(
           col("doc_id"), col("lang"),
-          countIn(col("ws"), en).as("s_en"),
-          countIn(col("ws"), de).as("s_de"),
-          countIn(col("ws"), es).as("s_es"))
+          countInFast(col("text"), en).as("s_en"),
+          countInFast(col("text"), de).as("s_de"),
+          countInFast(col("text"), es).as("s_es"))
         .withColumn("predicted",
           when(col("s_en") >= col("s_de") && col("s_en") >= col("s_es"), "en")
             .when(col("s_de") >= col("s_es"), "de")
@@ -63,7 +72,7 @@ object TextAnalysis {
     "text_quality" -> ((s, d) => {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
-      val nStop = countIn(ws, Stop).cast("double")
+      val nStop = countInFast(col("text"), Stop).cast("double")
       val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
       val nChars = length(col("text")).cast("double")
       Tables.documents(s, d)
@@ -88,7 +97,7 @@ object TextAnalysis {
     "text_quality_filter" -> ((s, d) => {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
-      val nStop = countIn(ws, Stop).cast("double")
+      val nStop = countInFast(col("text"), Stop).cast("double")
       val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
       val nChars = length(col("text")).cast("double")
       val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),

@@ -24,4 +24,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(dropped.count() == total.values.sum - kept.values.sum)
     out.unpersist()
   }
+
+  test("dictWordCount (native codegen expr) equals the HOF countIn spec") {
+    val dict = Seq("the", "a", "an", "and", "of", "to", "in", "is")
+    // corpus parity — every doc, exact equality
+    val mismatches = graft.Tables.documents(spark, sf0001)
+      .select(
+        TextAnalysis.countIn(split(col("text"), " "), dict).as("spec"),
+        TextExprs.dictWordCount(col("text"), dict).as("fast"))
+      .filter(col("spec") =!= col("fast")).count()
+    assert(mismatches == 0L)
+    // tokenization edges: empties from consecutive/trailing separators,
+    // multiplicity, no-match, and the empty string
+    val df = spark.createDataFrame(
+      Seq("the the  the ", "", "  ", "xyz", "of", " of").map(Tuple1.apply))
+      .toDF("text")
+    val rows = df.select(
+      TextAnalysis.countIn(split(col("text"), " "), dict).as("spec"),
+      TextExprs.dictWordCount(col("text"), dict).as("fast")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
 }
