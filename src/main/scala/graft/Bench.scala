@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // testdata tables are a handful of MB-sized files; the 128 MB
+      // default bin-packs them into ONE scan split, serializing every
+      // CPU-bound per-row pipeline (shingles, signatures, regex). 4 MB
+      // keeps ~file-per-split here; at warehouse scale the default is
+      // right because scans have thousands of splits regardless.
+      .config("spark.sql.files.maxPartitionBytes", "4m")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -38,6 +38,7 @@ object SparkEntry {
     ) ++
       graft.operators.RelationalQueries.queries ++
       graft.operators.Scale.queries ++
+      graft.operators.Layout.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
@@ -56,6 +57,7 @@ object SparkEntry {
     GoldenQueries.oracle ++
       graft.operators.RelationalQueries.oracle ++
       graft.operators.Scale.oracle ++
+      graft.operators.Layout.oracle ++
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++

@@ -50,9 +50,13 @@ object Similarity {
     * fixed offset collides with base ids once the corpus outgrows it —
     * +10000 broke at the 20k-vector sf1 rehearsal. */
   def embWithNearDups(s: SparkSession, d: String): DataFrame = {
+    // spread before the CPU-bound banding/scoring passes — the testdata
+    // embeddings are a few MB-sized single-row-group files that bin-pack
+    // into one scan split (see Dedup.docsWithNearDups for the full note)
     val e = Tables.embeddings(s, d)
       .select(col("vec_id"),
         transform(col("embedding"), x => x.cast("double")).as("emb"))
+      .repartition(s.sparkContext.defaultParallelism)
     val stride = e.agg((max(col("vec_id")) + 1).as("__stride"))
     val near = e.crossJoin(broadcast(stride))
       .select((col("vec_id") + col("__stride")).as("vec_id"),

@@ -69,7 +69,15 @@ object Dedup {
     * action): a fixed offset would collide with base ids once the corpus
     * outgrows it, silently merging a near-dup with an unrelated base doc. */
   def docsWithNearDups(s: SparkSession, d: String): DataFrame = {
+    // spread the corpus across the cores BEFORE the CPU-bound signature/
+    // shingle derivations: the testdata arrives as one or a few MB-sized
+    // parquet files whose single row groups bin-pack into one scan split,
+    // which would serialize everything downstream (measured: the sf1
+    // ngram build and minhash pass ran 1-task). The shuffled bytes are
+    // just the raw text (MBs); at warehouse scale the scan has thousands
+    // of splits and this becomes a no-op-sized rebalance.
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism)
     val stride = docs.agg((max(col("doc_id")) + 1).as("__stride"))
     val near = docs.crossJoin(broadcast(stride)).select(
       (col("doc_id") + col("__stride")).as("doc_id"),

@@ -1,0 +1,174 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Storage-layout operators — the levers that decide whether a 100 TB
+  * query reads 100 TB or 100 GB:
+  *
+  *  - '''Bucketed co-located join''' ([[bucketedOrdersCustomer]]): both
+  *    join sides pre-hashed into the same bucket scheme at WRITE time, so
+  *    the join runs with ZERO exchanges — the shuffle was paid once, at
+  *    ingest, and every subsequent join on the key is map-side. This is
+  *    Spark's answer to the "co-located join" every warehouse engine
+  *    offers; at 100 TB it turns the nightly fact×dim join from the
+  *    dominant shuffle into a local merge. Bucket pruning is the second
+  *    dividend: a point predicate on the bucket key scans 1/N of the
+  *    files (asserted in LayoutSpec).
+  *
+  *  - '''Z-order clustering''' ([[zvalue]]): interleave the bits of two
+  *    sort dimensions so range predicates on EITHER dimension map to
+  *    contiguous z-ranges — files sorted by z-value carry tight min/max
+  *    stats on BOTH columns, and parquet row-group/file skipping prunes
+  *    2-D box queries that a single-column sort can only prune in one
+  *    dimension. The z-value is pure codegen'd bit arithmetic
+  *    (oracle-checkable); LayoutSpec proves the pruning effect by
+  *    counting files a box query touches under z-sorted vs random
+  *    layout.
+  *
+  *  - '''Mergeable-sketch re-aggregation''' ([[Layout.queries]]
+  *    `agg_hll_merge`): per-shard HLL sketches (DataSketches
+  *    `hll_sketch_agg`) union into an exact-merge global sketch
+  *    (`hll_union_agg`) — the pattern that lets a 1000-shard ingest keep
+  *    per-shard distinct-count state (KBs each) and answer corpus-wide
+  *    NDV without ever re-scanning. Unlike `approx_count_distinct`, the
+  *    sketch is a COLUMN — storable, re-groupable, unionable across
+  *    days/shards. HLL updates/merges are register-max operations, so
+  *    the estimate is partitioning- and order-independent (asserted in
+  *    LayoutSpec).
+  *
+  * Reference has nothing comparable (single-table nested loops,
+  * SURVEY.md §2.2) — this module is 100 TB north-star surface.
+  */
+object Layout {
+
+  /** Z-value of two non-negative dimensions: interleaves the low
+    * `bitsPer` bits of `x` (even positions) and `y` (odd positions) into
+    * one long. Pure bit arithmetic — identical in any engine, so the
+    * query is hash-checkable against DuckDB. */
+  def zvalue(x: Column, y: Column, bitsPer: Int = 16): Column = {
+    require(bitsPer >= 1 && bitsPer <= 31, s"zvalue: bitsPer=$bitsPer")
+    val xs = x.cast("long"); val ys = y.cast("long")
+    (0 until bitsPer).flatMap { b =>
+      Seq(
+        shiftleft(shiftright(xs, b).bitwiseAND(lit(1L)), 2 * b),
+        shiftleft(shiftright(ys, b).bitwiseAND(lit(1L)), 2 * b + 1))
+    }.reduce(_ bitwiseOR _)
+  }
+
+  /** The same interleave as ANSI SQL (DuckDB bit operators), kept next to
+    * [[zvalue]] so the Spark and oracle forms cannot drift. */
+  private[operators] def zvalueSql(x: String, y: String, bitsPer: Int = 16): String =
+    (0 until bitsPer).flatMap { b =>
+      Seq(s"(((($x) >> $b) & 1) << ${2 * b})",
+        s"(((($y) >> $b) & 1) << ${2 * b + 1})")
+    }.mkString("(", " | ", ")")
+
+  /** One-time-per-(session, dir) bucketed copies of orders + customer,
+    * both bucketed 8 ways on the customer key and sorted within buckets.
+    * This is the INGEST-TIME shuffle a co-located layout pays once;
+    * [[Layout.queries]] `join_bucketed` then joins them exchange-free
+    * (asserted in LayoutSpec). `repartition(8, key)` before the write
+    * gives exactly one file per bucket, which also preserves the sortBy
+    * guarantee for merge joins. Registered as external tables under the
+    * JVM tmpdir; overwritten on rebuild. */
+  def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
+    bucketMemo.getOrElseUpdate((s, d), {
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
+      val ordT = s"graft_orders_b_$tag"
+      val custT = s"graft_customer_b_$tag"
+      Tables.orders(s, d)
+        .repartition(8, col("o_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .option("path", s"$base/orders")
+        .saveAsTable(ordT)
+      Tables.customer(s, d)
+        .repartition(8, col("c_custkey"))
+        .write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .option("path", s"$base/customer")
+        .saveAsTable(custT)
+      (ordT, custT)
+    })
+
+  private val bucketMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Co-located fact×dim join over the bucketed layout: merge join with
+    // NO exchange on either side (the ingest write paid the shuffle once;
+    // LayoutSpec asserts zero ShuffleExchange below the join). The merge
+    // hint keeps the demonstration honest — without it the tiny dim side
+    // would broadcast and never exercise the bucketing. Values equal the
+    // plain join (oracle runs it on the raw parquet).
+    "join_bucketed" -> ((s, d) => {
+      val (ordT, custT) = bucketedOrdersCustomer(s, d)
+      val o = s.table(ordT).hint("merge")
+      val c = s.table(custT).hint("merge")
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(
+          count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // Z-order clustering key over (customer, price): the layout sort key
+    // that makes 2-D box predicates prunable. Emitted per order so the
+    // bit interleave itself is hash-checked; the pruning effect is
+    // proven in LayoutSpec (z-sorted files touched by a box query vs
+    // random layout). 16 bits/dimension: o_custkey and floor(price) both
+    // fit (asserted by the range filter both engines apply).
+    "layout_zorder" -> ((s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          pmod(col("o_custkey"), lit(65536)).as("zx"),
+          pmod(floor(col("o_totalprice")), lit(65536)).as("zy"))
+        .select(col("o_orderkey"), zvalue(col("zx"), col("zy")).as("zval"))
+        .orderBy(col("zval"), col("o_orderkey"))
+    }),
+
+    // Mergeable-sketch NDV: per-shard HLL sketches unioned into one
+    // global estimate — the re-aggregatable distinct-count state a
+    // sharded 100 TB ingest keeps. Sketch bytes are hash-derived → no
+    // SQL oracle (rows-only); LayoutSpec asserts the estimate equals the
+    // direct single-pass sketch, is partitioning-independent, and lands
+    // within HLL error of the exact NDV.
+    "agg_hll_merge" -> ((s, d) => {
+      val perShard = Tables.lineitem(s, d)
+        .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+        .groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
+          count(lit(1)).as("shard_rows"))
+      perShard.agg(
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_parts"),
+        count(lit(1)).as("n_shards"),
+        sum(col("shard_rows")).as("total_rows"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "join_bucketed" ->
+      """SELECT c_mktsegment,
+        |  count(1) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin,
+    "layout_zorder" -> {
+      val z = zvalueSql("zx", "zy")
+      s"""WITH t AS (
+         |  SELECT o_orderkey,
+         |    o_custkey % 65536 AS zx,
+         |    CAST(floor(o_totalprice) AS BIGINT) % 65536 AS zy
+         |  FROM orders)
+         |SELECT o_orderkey, $z AS zval
+         |FROM t ORDER BY zval, o_orderkey""".stripMargin
+    },
+  )
+}

@@ -100,10 +100,40 @@ object TextAnalysis {
       val nStop = countInFast(col("text"), Stop).cast("double")
       val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
       val nChars = length(col("text")).cast("double")
-      val scored = Tables.documents(s, d).select(col("doc_id"), col("lang"),
-        ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
+      // repartition: the regex + split scoring is CPU-bound and the
+      // testdata scan is one split (MB-sized files) — spread it first
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
       val cut = scored.groupBy(col("lang"))
         .agg(expr("percentile(quality, 0.25)").as("q25"))
+      scored.join(broadcast(cut), Seq("lang"))
+        .filter(col("quality") >= col("q25"))
+        .select(col("doc_id"), col("lang"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // The 100 TB form of the percentile cutoff: exact percentile() holds
+    // EVERY group value in aggregation state (memory ∝ group size — a
+    // non-starter when one lang has 10¹⁰ docs); percentile_approx is a
+    // bounded-memory, mergeable quantile sketch, so the cutoff costs one
+    // map-side-combinable agg at any scale. Sketch output is
+    // merge-order-dependent → rows-only here; TextAnalysisSpec pins the
+    // approx cutoff to the exact p25 within sketch accuracy and checks
+    // the kept fraction.
+    "text_quality_filter_approx" -> ((s, d) => {
+      val ws = words(col("text"))
+      val nWords = size(ws).cast("double")
+      val nStop = countInFast(col("text"), Stop).cast("double")
+      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nChars = length(col("text")).cast("double")
+      val scored = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("doc_id"), col("lang"),
+          ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
+      val cut = scored.groupBy(col("lang"))
+        .agg(percentile_approx(col("quality"), lit(0.25), lit(10000)).as("q25"))
       scored.join(broadcast(cut), Seq("lang"))
         .filter(col("quality") >= col("q25"))
         .select(col("doc_id"), col("lang"), col("quality"))

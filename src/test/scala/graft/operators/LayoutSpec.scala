@@ -1,0 +1,146 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+class LayoutSpec extends SparkSpec {
+
+  private def executed(df: org.apache.spark.sql.DataFrame) = {
+    df.collect() // materialize so AQE finalizes the plan
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  test("bucketed join runs with zero exchanges; values equal the plain join") {
+    val out = Layout.queries("join_bucketed")(spark, sf0001)
+    val plan = executed(out)
+    // the ingest write paid the only shuffle; the join itself is
+    // co-located. The final groupBy/orderBy MAY shuffle — assert that no
+    // exchange repartitions on the JOIN keys and both scans read
+    // bucketed. (String-level: AQE wraps the join in query stages whose
+    // subtrees TreeNode.collect does not descend into.)
+    val ps = plan.toString
+    assert(ps.contains("SortMergeJoin"), s"expected a SortMergeJoin:\n$ps")
+    assert(!ps.contains("Exchange hashpartitioning(o_custkey") &&
+      !ps.contains("Exchange hashpartitioning(c_custkey"),
+      s"bucketed join should not shuffle either side:\n$ps")
+    assert(ps.split("Bucketed: true").length >= 3, // both scans bucketed
+      s"expected two bucketed scans:\n$ps")
+
+    // same values as the unbucketed formulation
+    val plain = graft.Tables.orders(spark, sf0001)
+      .join(graft.Tables.customer(spark, sf0001),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+          .as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+      .collect().toSeq
+    assert(out.collect().toSeq == plain)
+  }
+
+  test("bucket pruning: a point predicate on the bucket key scans 1 of 8 buckets") {
+    val (ordT, _) = Layout.bucketedOrdersCustomer(spark, sf0001)
+    val someKey = spark.table(ordT).select(col("o_custkey")).head.getLong(0)
+    // DisableUnnecessaryBucketedScan turns bucketed reading off for a
+    // bare filter (no operator wants the hash distribution) — but that
+    // also forfeits bucket PRUNING, which is exactly what a point lookup
+    // on the bucket key wants. Pin the scan to bucketed for this test.
+    val key = "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+    val prev = spark.conf.get(key)
+    try {
+      spark.conf.set(key, "false")
+      val q = spark.table(ordT).filter(col("o_custkey") === someKey)
+      val plan = executed(q)
+      assert(plan.toString.contains("SelectedBucketsCount: 1 out of 8"),
+        s"expected bucket pruning in:\n$plan")
+    } finally spark.conf.set(key, prev)
+  }
+
+  test("zvalue: bit interleave is exact and order-embeds both dimensions") {
+    val df = spark.createDataFrame(Seq(
+      (0L, 0L), (1L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (65535L, 65535L)
+    )).toDF("x", "y")
+    val got = df.select(Layout.zvalue(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    // interleave x at even bits, y at odd: z(1,0)=1, z(0,1)=2, z(1,1)=3,
+    // z(2,3) = (x bits 10 → 0b100) | (y bits 11 → 0b1010) = 0b1110 = 14
+    assert(got == Seq(0L, 1L, 2L, 3L, 14L, (1L << 32) - 1))
+  }
+
+  test("z-sorted layout prunes 2-D box queries that random layout cannot") {
+    val orders = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"),
+        pmod(col("o_custkey"), lit(65536)).as("x"),
+        pmod(floor(col("o_totalprice")), lit(65536)).as("y"))
+      .withColumn("z", Layout.zvalue(col("x"), col("y")))
+    val nFiles = 8
+    val zDir = java.nio.file.Files.createTempDirectory("graft_zorder").toString
+    val rDir = java.nio.file.Files.createTempDirectory("graft_random").toString
+    orders.repartitionByRange(nFiles, col("z")).write.mode("overwrite").parquet(zDir)
+    orders.repartition(nFiles).write.mode("overwrite").parquet(rDir)
+
+    // box predicate on BOTH dimensions (~1/16 of each axis)
+    val (xLo, xHi, yLo, yHi) = (0L, 24L, 0L, 9999L)
+    def box(df: org.apache.spark.sql.DataFrame) =
+      df.filter(col("x").between(xLo, xHi) && col("y").between(yLo, yHi))
+    def filesTouched(dir: String): Int =
+      new java.io.File(dir).listFiles()
+        .filter(f => f.getName.endsWith(".parquet"))
+        .count(f => box(spark.read.parquet(f.getPath)).limit(1).count() > 0)
+
+    val matches = box(spark.read.parquet(zDir)).count()
+    assert(matches > 0, "empty box — test data drifted")
+    assert(box(spark.read.parquet(rDir)).count() == matches)
+    val zTouched = filesTouched(zDir)
+    val rTouched = filesTouched(rDir)
+    // random layout spreads the box everywhere; z-clustering confines it
+    assert(zTouched < rTouched,
+      s"z-order should touch fewer files: z=$zTouched random=$rTouched")
+    assert(zTouched <= nFiles / 2, s"weak clustering: z=$zTouched of $nFiles")
+  }
+
+  test("HLL sketch merge: shard-union == direct, partitioning-independent, within error") {
+    val li = graft.Tables.lineitem(spark, sf0001)
+    val exact = li.select(countDistinct(col("l_partkey"))).head.getLong(0)
+    def mergedEstimate(parts: Int): Long =
+      li.repartition(parts)
+        .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
+        .groupBy(col("shard"))
+        .agg(hll_sketch_agg(col("l_partkey")).as("sk"))
+        .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+        .head.getLong(0)
+    val direct = li
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("l_partkey"))).as("est"))
+      .head.getLong(0)
+    val m4 = mergedEstimate(4)
+    val m32 = mergedEstimate(32)
+    // register-max semantics: same registers regardless of partitioning
+    // or shard split — merge must be lossless
+    assert(m4 == m32, s"partitioning-dependent estimate: $m4 vs $m32")
+    assert(m4 == direct, s"shard merge lost information: $m4 vs direct $direct")
+    // lgConfigK=12 default → relative error ~1.6%/sqrt bound; allow 5%
+    assert(math.abs(m4 - exact).toDouble / exact < 0.05,
+      s"estimate $m4 vs exact $exact")
+  }
+
+  test("approx percentile cutoff tracks the exact p25 per lang") {
+    val exact = graft.text.TextAnalysis
+      .queries("text_quality_filter")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val approx = graft.text.TextAnalysis
+      .queries("text_quality_filter_approx")(spark, sf0001)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // percentile() INTERPOLATES between order statistics; the sketch
+    // returns an actual dataset element ≤ the interpolated value — so a
+    // few docs between the two cutoffs legitimately flip. Allow 2%,
+    // never a gross drift.
+    val sym = (exact diff approx) ++ (approx diff exact)
+    assert(sym.size <= math.max(2, exact.size / 50),
+      s"approx filter drifted: |exact|=${exact.size} |approx|=${approx.size} sym=${sym.size}")
+  }
+}
