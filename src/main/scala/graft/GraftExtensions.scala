@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(HammingDistance.functionDescription)
     e.injectFunction(graft.functions.ProductAgg.functionDescription)
     e.injectFunction(graft.ann.CosineSimExpr.functionDescription)
+    e.injectFunction(graft.text.TextExprs.functionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

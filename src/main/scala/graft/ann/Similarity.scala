@@ -207,24 +207,48 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // LSH-bucketed near-dup: same semantics as dedup_embcos but only
-    // same-bucket pairs are scored — bucketing is a distributed shuffle
-    // on the key, and scoring joins candidates back to the embedding
-    // table with the codegen'd CosineSimExpr kernel (identical
-    // arithmetic, nothing driver-side) — end-to-end distributed, the
-    // true 100 TB route. Hash-dependent recall → rows-only check here;
-    // recall measured in SimilaritySpec.
-    "knn_lsh" -> ((s, d) => {
-      val e = embWithNearDupsCached(s, d).withColumn("key",
-        element_at(graft.dedup.SignatureExprs.srpBands(col("emb"), 1, 8), 1))
-      val a = e.select(col("vec_id").as("id_a"), col("key"))
-      val b = e.select(col("vec_id").as("id_b"), col("key"))
-      val cand = a.join(b, Seq("key")).filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
-      VectorKernels.scorePairs(cand, e.select("vec_id", "emb"), 0.99)
-        .orderBy(col("id_a"), col("id_b"))
-    }),
+    // LSH-bucketed top-k SEARCH — the scale path for the knn_brute
+    // semantics: only rows sharing an SRP band with a query are scored,
+    // so per-query cost is O(bands × bucket) ≈ constant in corpus size
+    // (adaptive bits keep buckets ~16 docs as n grows), vs knn_brute's
+    // O(n). Banding is the codegen'd SrpBandsExpr over the cached
+    // corpus; the query side is 5 rows → its banded keys broadcast-join
+    // against the corpus banding; scoring is the codegen'd
+    // CosineSimExpr. Nothing driver-side. Hash-dependent candidate set →
+    // rows-only; SimilaritySpec asserts recall@1 = 1 on the planted
+    // near-dups and that returned cosines match knn_brute's exactly.
+    "knn_lsh" -> ((s, d) => knnLsh(embWithNearDupsCached(s, d),
+      maxQid = 5, k = 3)),
   )
+
+  /** LSH-bucketed approximate top-`k` cosine search for the query rows
+    * (`vec_id < maxQid`): srpParams-adaptive banding over the corpus, a
+    * broadcast join on (band, key) against the queries' bands, exact
+    * scoring of the candidate union, per-query top-k window. Ranks use
+    * the same (cos desc, vec_id) tiebreak as knn_brute so overlapping
+    * results agree bit-for-bit. */
+  def knnLsh(e: DataFrame, maxQid: Int, k: Int): DataFrame = {
+    val (bands, bits) = srpParams(e.count(), 0.99)
+    val banded = e.select(col("vec_id"),
+      posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
+        .as(Seq("band", "key")))
+    val qBands = banded.filter(col("vec_id") < maxQid)
+      .select(col("vec_id").as("qid"), col("band"), col("key"))
+    val cand = banded.join(broadcast(qBands), Seq("band", "key"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nid"))
+      .dropDuplicates("qid", "nid")
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("emb").as("qemb")), Seq("qid"))
+      .join(e.select(col("vec_id").as("nid"), col("emb").as("nemb")), Seq("nid"))
+      .withColumn("cos", cosineFast(col("qemb"), col("nemb")))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cos").desc, col("nid"))
+    scored.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("qid"), col("nid"), col("rnk"), round(col("cos"), 6).as("cos6"))
+      .orderBy(col("qid"), col("rnk"))
+  }
 
   def oracle: Map[String, String] = Map(
     "knn_brute" ->

@@ -73,7 +73,7 @@ object TextAnalysis {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
       val nStop = countInFast(col("text"), Stop).cast("double")
-      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nPunct = TextExprs.punctCount(col("text")).cast("double")
       val nChars = length(col("text")).cast("double")
       Tables.documents(s, d)
         .select(
@@ -98,10 +98,10 @@ object TextAnalysis {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
       val nStop = countInFast(col("text"), Stop).cast("double")
-      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nPunct = TextExprs.punctCount(col("text")).cast("double")
       val nChars = length(col("text")).cast("double")
-      // repartition: the regex + split scoring is CPU-bound and the
-      // testdata scan is one split (MB-sized files) — spread it first
+      // repartition: the per-doc scoring is CPU-bound and the testdata
+      // scan is one split (MB-sized files) — spread it first
       val scored = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
@@ -126,7 +126,7 @@ object TextAnalysis {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
       val nStop = countInFast(col("text"), Stop).cast("double")
-      val nPunct = regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).cast("double")
+      val nPunct = TextExprs.punctCount(col("text")).cast("double")
       val nChars = length(col("text")).cast("double")
       val scored = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)

@@ -23,6 +23,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val c = s.sql(
         "SELECT cosine_sim(array(1.0d, 0.0d), array(0.6d, 0.8d)) AS c")
       assert(math.abs(c.head.getDouble(0) - 0.6) < 1e-12)
+      val d = s.sql(
+        "SELECT dict_word_count('the cat and the hat', 'the', 'and') AS n")
+      assert(d.head.getInt(0) == 3)
+      // dictionary args must be literals — a column reference is rejected
+      val ex = intercept[Exception] {
+        s.sql("SELECT dict_word_count('a b', CAST(rand() AS STRING)) AS n")
+          .collect()
+      }
+      assert(ex.getMessage.contains("string literals"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)

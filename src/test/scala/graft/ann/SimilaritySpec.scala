@@ -47,17 +47,29 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
-  test("LSH near-dup recall vs brute force on planted pairs") {
-    val brute = VectorKernels
-      .cosinePairs(Similarity.embWithNearDups(spark, sf0001), 0.99)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+  test("LSH top-k search: recall@1 = 1 on planted near-dups, cosines exact") {
+    val e = Similarity.embWithNearDups(spark, sf0001)
+    // exact top-3 over the SAME corpus (dense kernel; same tiebreak)
+    val exact = VectorKernels.topK(e, (0L until 5L).toSet, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     val lsh = Similarity.queries("knn_lsh")(spark, sf0001)
-      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(lsh.subsetOf(brute)) // exact verification after bucketing
-    val recall = lsh.size.toDouble / brute.size
-    // 8-bit SRP keys: a ~5° perturbation rarely flips any of 8 signs;
-    // recall should be high but is hash-dependent — bound it loosely
-    assert(recall > 0.8, s"LSH recall $recall")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    // rank 1 is the planted near-dup at cos ≈ 0.996: the srpParams miss
+    // bound (≤ 1e-8 at τ=0.99) makes finding it effectively certain
+    val exactR1 = exact.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    val lshR1 = lsh.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    assert(lshR1 == exactR1, s"rank-1 recall broken: $lshR1 vs $exactR1")
+    // any (qid, nid) both return must carry the identical 6-dp cosine —
+    // LSH only prunes candidates, it never approximates the score
+    val exactCos = exact.map(t => (t._1, t._2) -> t._4).toMap
+    lsh.foreach { case (q, n, _, c) =>
+      exactCos.get((q, n)).foreach(ec => assert(ec == c, s"cos drift ($q,$n)"))
+    }
+    // shape: at most k rows per query, ranks contiguous from 1
+    lsh.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.length <= 3)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"ranks for $q")
+    }
   }
 
   test("srpBands (native codegen expr) band 0 is bit-identical to srpKey spec") {

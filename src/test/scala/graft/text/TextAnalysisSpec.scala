@@ -44,4 +44,25 @@ class TextAnalysisSpec extends SparkSpec {
       TextExprs.dictWordCount(col("text"), dict).as("fast")).collect()
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
   }
+
+  test("punctCount (native byte-walk expr) equals regexp_count on the class") {
+    // corpus parity
+    val mismatches = graft.Tables.documents(spark, sf0001)
+      .select(
+        regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("spec"),
+        TextExprs.punctCount(col("text")).as("fast"))
+      .filter(col("spec") =!= col("fast")).count()
+    assert(mismatches == 0L)
+    // unicode edges: multi-byte code points count ONCE (like Java regex),
+    // astral (surrogate-pair) chars too; ASCII class members don't count
+    val df = spark.createDataFrame(Seq(
+      "a.b,c!", "héllo", "naïve café", "emoji 😀 end", "™", "",
+      "A1 z9", "tab\tnl\n").map(Tuple1.apply)).toDF("text")
+    val rows = df.select(
+      regexp_count(col("text"), lit("[^A-Za-z0-9 ]")).as("spec"),
+      TextExprs.punctCount(col("text")).as("fast"),
+      col("text")).collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
+      s"'${r.getString(2)}': regex=${r.getInt(0)} native=${r.getInt(1)}"))
+  }
 }
