@@ -211,10 +211,14 @@ object Dedup {
     //    hashes equal the string counts up to hash collisions (~2⁻⁶⁴ per
     //    shingle pair — at 1e12 corpus shingles, expected collisions ≪ 1;
     //    a collision only nudges one pair's Jaccard by 1/|union|).
+    // shingleHashes fuses split → n-gram strings → array_distinct →
+    // xxhash64 into one zero-allocation byte walk (bit-identical values;
+    // DedupSpec) — the string-building form materialized ~20M shingle
+    // strings per pass at the sf1 rehearsal
     val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
     val docs = docsWithNearDups(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"), 3)).as("s0"))
-      .select(col("doc_id"), xxhash64(col("s0")).as("sh"))
+      .select(col("doc_id"),
+        explode(SignatureExprs.shingleHashes(col("text"), 3)).as("sh"))
       .withColumn("__df", count(lit(1)).over(wdf))
       .filter(col("__df") <= maxShingleDf)
       .drop("__df")
@@ -315,10 +319,8 @@ object Dedup {
     // cached: feeds four subtrees (both banded self-join sides + the two
     // candidate set joins) — the shingle/signature pass runs once
     val docs = docsWithNearDups(s, d)
-      .withColumn("s0", shingles(col("text"), 3))
-      .withColumn("hsh", transform(col("s0"), x => xxhash64(x)))
-      .withColumn("mh", SignatureExprs.minhashFast(col("s0"), k))
-      .drop("s0")
+      .withColumn("hsh", SignatureExprs.shingleHashes(col("text"), 3))
+      .withColumn("mh", SignatureExprs.minhashFromHashes(col("hsh"), k))
       .cache()
     innerCaches.put(docs, ())
     // the band explode/shuffle carries ONLY (doc_id, band, key) — the

@@ -90,6 +90,132 @@ case class MinHashSignatureExpr(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Zero-allocation word-n-gram hash kernel. A shingle's string form
+  * (`array_join(slice(split(text, " "), i+1, n), " ")`) is byte-for-byte
+  * the original text region from word i's start to word i+n-1's end —
+  * split-on-single-space loses exactly one separator byte between
+  * consecutive words, and a space can never occur inside a UTF-8
+  * multi-byte sequence. So each shingle's xxhash64 can be computed
+  * straight off the text's bytes: no word array, no n-gram string, no
+  * per-shingle allocation. At the sf1 rehearsal the string-building form
+  * materialized ~20M shingle strings per corpus pass on the hottest
+  * query of the suite (the shared exact-Jaccard pair build). */
+object ShingleKernel {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** Distinct seed-42 xxhash64 values of the word `n`-grams of `text`,
+    * first-occurrence order — element-identical to
+    * `transform(Dedup.shingles(text, n), xxhash64)` (asserted in
+    * DedupSpec), including the short-text edge (fewer than n words →
+    * one shingle of all words) and empty-word runs. */
+  def hashes(text: UTF8String, n: Int): ArrayData = {
+    val nb = text.numBytes()
+    var m = 1 // word count = separators + 1 (split keeps trailing empties)
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) m += 1; i += 1 }
+    val ws = new Array[Int](m + 1) // word start offsets; ws(m) sentinel
+    var w = 1
+    i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) { ws(w) = i + 1; w += 1 }; i += 1 }
+    ws(m) = nb + 1 // virtual start just past a trailing separator
+    val cnt = math.max(m - n, 0) + 1 // sequence(0, greatest(m - n, 0))
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    val out = new Array[Long](cnt)
+    val seen = new java.util.HashSet[java.lang.Long](cnt * 2)
+    var k = 0
+    i = 0
+    while (i < cnt) {
+      val s = ws(i)
+      val last = math.min(i + n, m) - 1 // slice() stops at the last word
+      val e = ws(last + 1) - 1
+      val h = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+      if (seen.add(h)) { out(k) = h; k += 1 }
+      i += 1
+    }
+    new GenericArrayData(
+      if (k == cnt) out else java.util.Arrays.copyOf(out, k))
+  }
+}
+
+/** Codegen'd distinct shingle-hash set of a text column: the fused form
+  * of `transform(array_distinct(<n-gram strings>), xxhash64)` used by the
+  * n-gram Jaccard and MinHash pipelines. Distinctness commutes with
+  * hashing up to 2⁻⁶⁴ collisions — the same contract those pipelines
+  * already carry for their join keys. */
+case class ShingleHashesExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 1, s"shingle_hashes: n must be >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"shingle_hashes requires a string argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    ShingleKernel.hashes(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.dedup.ShingleKernel.hashes($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** MinHash signature straight from a shingle-HASH array: mh[i] = min over
+  * hashes h of xxhash64(i, seed = h) — the identical chain
+  * [[MinHashSignatureExpr]] computes after hashing the string (h is its
+  * h1), so `minhashFromHashes(shingleHashes(text, n), k)` is
+  * element-identical to `minhashFast(shingles(text, n), k)` (asserted in
+  * DedupSpec) while skipping the string materialization entirely. */
+case class MinHashFromHashesExpr(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_from_hashes"
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"minhash_from_hashes requires array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val mins = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h1 = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val hi = XxHash64Function.hash(i, IntegerType, h1)
+        if (hi < mins(i)) mins(i) = hi
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 /** Sign-random-projection band-key kernel, shared by interpreted eval and
   * generated code. Plane p's component for dimension i is ±1 from the
   * parity of `xxhash64(i, p)` (seed-42 chain: hash(p, hash(i, 42))) —
@@ -178,6 +304,12 @@ object SignatureExprs {
   def minhashFast(shingles: Column, k: Int): Column =
     CatalystBridge.column(
       MinHashSignatureExpr(CatalystBridge.expression(shingles), k))
+  def shingleHashes(text: Column, n: Int): Column =
+    CatalystBridge.column(
+      ShingleHashesExpr(CatalystBridge.expression(text), n))
+  def minhashFromHashes(hashes: Column, k: Int): Column =
+    CatalystBridge.column(
+      MinHashFromHashesExpr(CatalystBridge.expression(hashes), k))
   def srpBands(emb: Column, bands: Int, bitsPerBand: Int): Column =
     CatalystBridge.column(
       SrpBandsExpr(CatalystBridge.expression(emb), bands, bitsPerBand))

@@ -51,7 +51,10 @@ class ContractSpec extends AnyFunSuite {
       "knn_lsh no longer scores through the native join-based kernel")
     val ngram = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan.toString
-    assert(ngram.contains("xxhash64"),
+    // round 5: the hash moved INTO the fused shingle kernel — the join
+    // key is still the 8-byte hash, now computed without materializing
+    // shingle strings at all
+    assert(ngram.contains("shingle_hashes("),
       "dedup_ngram self-join key is no longer the 8-byte shingle hash")
     graft.dedup.Dedup.clearCache()
   }

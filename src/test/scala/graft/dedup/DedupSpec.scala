@@ -137,4 +137,37 @@ class DedupSpec extends SparkSpec {
     assert(got(1) == Set("a b"))
     assert(got(2) == Set("x"))
   }
+
+  test("shingleHashes (fused byte-walk) equals hash-of-string-shingles") {
+    import spark.implicits._
+    // corpus parity: element order AND values (first-occurrence distinct)
+    val corpus = graft.Tables.documents(spark, sf0001)
+      .select(
+        transform(Dedup.shingles(col("text"), 3), x => xxhash64(x)).as("ref"),
+        SignatureExprs.shingleHashes(col("text"), 3).as("fast"))
+      .filter(col("ref") =!= col("fast")).count()
+    assert(corpus == 0L)
+    // edges: short text, single word, empty string, repeated shingles
+    // (dedup keeps first occurrence), multi-space (empty words), trailing
+    // space, multi-byte UTF-8 words
+    val edges = Seq("a b c d", "a b", "x", "", "a  b", "a b ",
+      "a b a b a b a b", "héllo wörld a b", "a b c a b c")
+      .toDF("text")
+      .select(
+        transform(Dedup.shingles(col("text"), 3), x => xxhash64(x)).as("ref"),
+        SignatureExprs.shingleHashes(col("text"), 3).as("fast"),
+        col("text"))
+      .collect()
+    edges.foreach { r =>
+      assert(r.getSeq[Long](0) == r.getSeq[Long](1), s"'${r.getString(2)}'")
+    }
+    // minhash from hashes == minhash from strings (same h1 chain)
+    val mh = graft.Tables.documents(spark, sf0001).limit(100)
+      .select(
+        SignatureExprs.minhashFast(Dedup.shingles(col("text"), 3), 8).as("ref"),
+        SignatureExprs.minhashFromHashes(
+          SignatureExprs.shingleHashes(col("text"), 3), 8).as("fast"))
+      .collect()
+    mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
 }
