@@ -46,6 +46,27 @@ object DatasetPrep {
         .orderBy(col("doc_id"))
     }),
 
+    // Symmetric int8 embedding quantization (max-abs scale): 4× smaller
+    // than float32 before the corpus ships to an ANN index or a training
+    // run. One codegen'd zero-shuffle pass (QuantizeI8Expr); rounding is
+    // half-away-from-zero with exact tie detection, mirroring C/DuckDB
+    // round(double) bit-for-bit. float→double widening is exact, so both
+    // engines quantize identical values.
+    "emb_quantize" -> ((s, d) => {
+      val q = graft.ann.QuantExprs.quantizeI8(
+        col("embedding").cast("array<double>"))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), q.as("q"))
+        .select(
+          col("vec_id"),
+          col("q.dim").as("dim"),
+          col("q.scale").as("scale"),
+          // serialized form: the compare layer (driver + check_oracle)
+          // stringifies values, so array columns ship as joined strings
+          array_join(col("q.qvec").cast("array<string>"), ",").as("qvec"))
+        .orderBy(col("vec_id"))
+    }),
+
     // Stratified split audit: deterministic 80/10/10 by a
     // multiply-xorshift mix of doc_id (a bare multiplicative mod-10
     // would collapse to doc_id's last digit — the xorshift folds the
@@ -78,6 +99,21 @@ object DatasetPrep {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
         |    / 512) AS BIGINT) AS bin_id
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "emb_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, emb,
+        |    list_max(list_transform(emb, x -> abs(x))) AS scale
+        |  FROM e)
+        |SELECT vec_id,
+        |  CAST(len(emb) AS INT) AS dim,
+        |  scale,
+        |  array_to_string(
+        |    CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+        |         ELSE list_transform(emb, x -> CAST(round(x * 127 / scale) AS INT))
+        |    END, ',') AS qvec
+        |FROM s ORDER BY vec_id""".stripMargin,
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,

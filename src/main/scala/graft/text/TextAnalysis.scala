@@ -163,6 +163,30 @@ object TextAnalysis {
         .orderBy(col("doc_id"), col("rnk"))
     }),
 
+    // Gopher/MassiveText-style repetition filter features: duplicate-word
+    // fraction and most-frequent-bigram fraction per document — the
+    // standard screens for boilerplate / keyword-stuffed / decode-loop
+    // docs. One codegen'd zero-shuffle pass (NgramRepStatsExpr); the
+    // naive form shuffles every bigram occurrence of the corpus. The
+    // fractions are single integer-over-integer double divisions —
+    // IEEE-exact in both engines.
+    "text_repetition" -> ((s, d) => {
+      val st = TextExprs.ngramRepStats(col("text"), 2)
+      Tables.documents(s, d)
+        .select(col("doc_id"), st.as("st"))
+        .select(
+          col("doc_id"),
+          col("st.n_words").as("n_words"),
+          col("st.distinct_words").as("distinct_words"),
+          col("st.top_ngram_count").as("top_bigram_count"),
+          ((col("st.n_words") - col("st.distinct_words")).cast("double") /
+            col("st.n_words")).as("dup_word_frac"),
+          when(col("st.n_words") > 1,
+            col("st.top_ngram_count").cast("double") / (col("st.n_words") - 1))
+            .otherwise(lit(0.0)).as("top_bigram_frac"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Token counting: whitespace tokens + BPE-ish regex token classes
     // (letter runs / digit runs / single punctuation), chars-per-token.
     "text_tokens" -> ((s, d) => {
@@ -277,6 +301,27 @@ object TextAnalysis {
         |  FROM tf JOIN df ON df.term = tf.term)
         |SELECT doc_id, term, tf, df, rnk
         |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "text_repetition" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+        |idx AS (
+        |  SELECT doc_id, w, unnest(range(1, len(w))) AS i FROM t),
+        |bg AS (
+        |  SELECT doc_id, w[i] || ' ' || w[i+1] AS bigram FROM idx),
+        |top AS (
+        |  SELECT doc_id, max(cnt) AS top_cnt FROM (
+        |    SELECT doc_id, bigram, count(*) AS cnt
+        |    FROM bg GROUP BY doc_id, bigram) GROUP BY doc_id)
+        |SELECT t.doc_id,
+        |  CAST(len(w) AS BIGINT) AS n_words,
+        |  CAST(len(list_distinct(w)) AS BIGINT) AS distinct_words,
+        |  CAST(coalesce(top.top_cnt, 0) AS BIGINT) AS top_bigram_count,
+        |  CAST(len(w) - len(list_distinct(w)) AS DOUBLE) / len(w) AS dup_word_frac,
+        |  CASE WHEN len(w) > 1
+        |    THEN CAST(coalesce(top.top_cnt, 0) AS DOUBLE) / (len(w) - 1)
+        |    ELSE CAST(0 AS DOUBLE) END AS top_bigram_frac
+        |FROM t LEFT JOIN top ON top.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
     "text_tokens" ->
       """SELECT doc_id,
         | CAST(len(string_split(text,' ')) AS INT) AS ws_tokens,

@@ -139,6 +139,103 @@ object PunctCountExpr {
   }
 }
 
+/** Per-document repetition statistics — the Gopher/MassiveText-style
+  * repetition filter features (duplicate-word fraction, most-frequent
+  * n-gram fraction) that pre-training pipelines use to drop degenerate
+  * documents (boilerplate, keyword stuffing, decode loops).
+  *
+  * One zero-shuffle pass per row: word offsets are walked once off the
+  * UTF-8 bytes (same byte-identity argument as
+  * [[graft.dedup.ShingleKernel]] — an n-gram's string form is exactly the
+  * text region from its first word's start to its last word's end), words
+  * and n-grams are counted by their xxhash64 under the repo-wide
+  * 2⁻⁶⁴-collision contract the dedup join keys already carry. At corpus
+  * scale this is a scan-speed map with NO aggregation shuffle — the
+  * naive explode(n-grams) → groupBy(doc, gram) → max(count) form
+  * shuffles every n-gram occurrence of every document. */
+case class NgramRepStatsExpr(child: Expression, n: Int)
+    extends UnaryExpression {
+  require(n >= 2, s"ngram_rep_stats: n must be >= 2, got $n")
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("distinct_words", LongType, nullable = false),
+    StructField("top_ngram_count", LongType, nullable = false)))
+  override def prettyName: String = "ngram_rep_stats"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"ngram_rep_stats requires a string argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    NgramRepStatsExpr.stats(v.asInstanceOf[UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.text.NgramRepStatsExpr.stats($t, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object NgramRepStatsExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** (word count, distinct words, max n-gram multiplicity) of the
+    * single-space word sequence of `text`. Tokenization matches
+    * `split(text, " ")` / DuckDB `string_split`: separators + 1 words,
+    * empties kept. A document with fewer than n words has ZERO n-grams
+    * (top count 0) — unlike the dedup shingle edge, a repetition
+    * statistic must not invent an n-gram that isn't there. */
+  def stats(text: UTF8String, n: Int): InternalRow = {
+    val nb = text.numBytes()
+    var m = 1
+    var i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) m += 1; i += 1 }
+    val ws = new Array[Int](m + 1)
+    var w = 1
+    i = 0
+    while (i < nb) { if (text.getByte(i) == 0x20) { ws(w) = i + 1; w += 1 }; i += 1 }
+    ws(m) = nb + 1 // virtual start just past a trailing separator
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
+    // distinct words: hash each word's byte region
+    val wordSet = new java.util.HashSet[java.lang.Long](m * 2)
+    i = 0
+    while (i < m) {
+      val s = ws(i)
+      val e = ws(i + 1) - 1
+      wordSet.add(XXH64.hashUnsafeBytes(base, off + s, e - s, 42L))
+      i += 1
+    }
+    // n-gram multiplicities: count by hash, track the max
+    val cnt = m - n + 1
+    var top = 0L
+    if (cnt > 0) {
+      val freq = new java.util.HashMap[java.lang.Long, Array[Int]](cnt * 2)
+      i = 0
+      while (i < cnt) {
+        val s = ws(i)
+        val e = ws(i + n) - 1
+        val h = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
+        var c = freq.get(h)
+        if (c == null) { c = new Array[Int](1); freq.put(h, c) }
+        c(0) += 1
+        if (c(0) > top) top = c(0)
+        i += 1
+      }
+    }
+    InternalRow(m.toLong, wordSet.size.toLong, top)
+  }
+}
+
 object TextExprs {
   /** Codegen'd count of code points outside [A-Za-z0-9 ] — the hot-path
     * form of `regexp_count(text, lit("[^A-Za-z0-9 ]"))`. */
@@ -150,6 +247,12 @@ object TextExprs {
   def dictWordCount(text: Column, dict: Seq[String]): Column =
     CatalystBridge.column(
       DictWordCountExpr(CatalystBridge.expression(text), dict))
+
+  /** Codegen'd per-doc repetition stats: struct(n_words, distinct_words,
+    * top_ngram_count) for word `n`-grams. */
+  def ngramRepStats(text: Column, n: Int): Column =
+    CatalystBridge.column(
+      NgramRepStatsExpr(CatalystBridge.expression(text), n))
 
   /** SQL registration: `dict_word_count(text, 'the', 'a', ...)` — the
     * dictionary arguments must be foldable string literals (they become

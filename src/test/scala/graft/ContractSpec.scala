@@ -10,7 +10,7 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    assert(qs.size >= 87, s"query surface shrank: ${qs.size}")
+    assert(qs.size >= 94, s"query surface shrank: ${qs.size}")
   }
 
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {

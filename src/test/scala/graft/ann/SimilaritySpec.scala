@@ -26,6 +26,47 @@ class SimilaritySpec extends SparkSpec {
     rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1))) // exact ==
   }
 
+  test("quantizeI8: parity with the HOF spec, exact tie/zero/range edges") {
+    // corpus parity vs the interpreted Column form (Spark round(col, 0)
+    // is BigDecimal HALF_UP = away from zero on exact decimals; the
+    // corpus has no binary-representable .5 ties, so forms must agree)
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("emb"))
+    val specScale = array_max(transform(col("emb"), x => abs(x)))
+    val spec = e.select(col("vec_id"), specScale.as("s"),
+      when(specScale === 0.0, transform(col("emb"), _ => lit(0)))
+        .otherwise(transform(col("emb"),
+          x => round(x * 127.0 / specScale).cast("int"))).as("q"))
+    val fast = e.select(col("vec_id"),
+      QuantExprs.quantizeI8(col("emb")).as("qq"))
+      .select(col("vec_id"), col("qq.scale").as("fs"), col("qq.qvec").as("fq"),
+        col("qq.dim").as("fd"))
+    val joined = spec.join(fast, Seq("vec_id"))
+    assert(joined.filter(col("s") =!= col("fs") ||
+      col("q") =!= col("fq") || col("fd") =!= size(col("q"))).count() == 0L)
+
+    // roundAway mirrors C/DuckDB round(double): ties away from zero,
+    // detected exactly (no |x|+0.5 half-ulp artifact)
+    assert(QuantizeI8Expr.roundAway(2.5) == 3.0)
+    assert(QuantizeI8Expr.roundAway(-2.5) == -3.0)
+    assert(QuantizeI8Expr.roundAway(0.49999999999999994) == 0.0)
+    assert(QuantizeI8Expr.roundAway(-0.49999999999999994) == -0.0)
+
+    // crafted vectors: exact .5 tie, zero vector, max-abs lands on ±127
+    val crafted = Seq(
+      (1L, Seq(127.0, 2.5, -2.5)),   // scale 127: q = (127, 3, -3)
+      (2L, Seq(0.0, 0.0)),           // zero vector -> zeros, scale 0
+      (3L, Seq(-64.0, 32.0))         // max |x| negative -> q0 = -127
+    ).toDF("vec_id", "emb")
+    val rows = crafted.select(col("vec_id"),
+      QuantExprs.quantizeI8(col("emb")).as("q")).orderBy(col("vec_id"))
+      .select(col("q.scale"), col("q.qvec")).collect()
+    assert(rows(0).getDouble(0) == 127.0)
+    assert(rows(0).getSeq[Int](1) == Seq(127, 3, -3))
+    assert(rows(1).getDouble(0) == 0.0 && rows(1).getSeq[Int](1) == Seq(0, 0))
+    assert(rows(2).getSeq[Int](1) == Seq(-127, 64))
+  }
+
   test("dense kernels refuse corpus-scale driver materialization") {
     val big = spark.range(0, VectorKernels.maxBroadcastRows + 1L)
       .select(col("id").as("vec_id"), array(lit(1.0), lit(2.0)).as("emb"))

@@ -25,6 +25,69 @@ class TextAnalysisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("ngramRepStats equals the explode-groupBy spec on the corpus + edges") {
+    // naive Column spec: bigram strings via slice/array_join, counted by
+    // an aggregation shuffle — exactly what the kernel's zero-shuffle
+    // per-row walk replaces
+    def specStats(df: org.apache.spark.sql.DataFrame) = {
+      val ws = split(col("text"), " ")
+      val n = size(ws)
+      // sequence(1, 0) is DESCENDING [1, 0] in Spark — a 1-word doc
+      // needs an explicitly empty index array
+      val idx = when(n >= 2, sequence(lit(1), n - 1))
+        .otherwise(array().cast("array<int>"))
+      val bg = transform(idx,
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1)))
+      df.select(
+        col("doc_id"),
+        n.cast("long").as("s_words"),
+        size(array_distinct(ws)).cast("long").as("s_distinct"),
+        coalesce(array_max(transform(array_distinct(bg),
+          b => size(filter(bg, x => x === b)))), lit(0))
+          .cast("long").as("s_top"))
+    }
+    val docs = graft.Tables.documents(spark, sf0001)
+    val fast = docs.select(col("doc_id"),
+      TextExprs.ngramRepStats(col("text"), 2).as("st"))
+      .select(col("doc_id"), col("st.n_words"), col("st.distinct_words"),
+        col("st.top_ngram_count"))
+    val mism = specStats(docs).join(fast, Seq("doc_id"))
+      .filter(col("s_words") =!= col("n_words") ||
+        col("s_distinct") =!= col("distinct_words") ||
+        col("s_top") =!= col("top_ngram_count")).count()
+    assert(mism == 0L)
+
+    // edges: single word (no bigram), exact repeats, empty-word runs,
+    // multi-byte UTF-8, and a doc that is one long repeated bigram
+    val edge = Seq(
+      "solo",                       // 1 word, 0 bigrams
+      "a b a b a b",                // "a b" x3, "b a" x2 -> top 3
+      "x  x  x",                    // empty words between doubles
+      "é ü é ü",                    // multi-byte
+      "w w w w w w")                // "w w" x5
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val edf = spark.createDataFrame(edge).toDF("doc_id", "text")
+    val got = edf.select(col("doc_id"),
+      TextExprs.ngramRepStats(col("text"), 2).as("st"))
+      .select(col("st.n_words"), col("st.distinct_words"),
+        col("st.top_ngram_count"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got(0) == ((1L, 1L, 0L)))
+    assert(got(1) == ((6L, 2L, 3L)))
+    assert(got(2) == ((5L, 2L, 2L)))   // words: x,'',x,'',x -> top ('x ') pairs
+    assert(got(3) == ((4L, 2L, 2L)))   // "é ü" twice
+    assert(got(4) == ((6L, 1L, 5L)))
+    // spec parity on the same edges (hash-vs-string distinctness agrees)
+    val em = specStats(edf).join(
+      edf.select(col("doc_id"), TextExprs.ngramRepStats(col("text"), 2).as("st"))
+        .select(col("doc_id"), col("st.n_words"), col("st.distinct_words"),
+          col("st.top_ngram_count")), Seq("doc_id"))
+      .filter(col("s_words") =!= col("n_words") ||
+        col("s_distinct") =!= col("distinct_words") ||
+        col("s_top") =!= col("top_ngram_count")).count()
+    assert(em == 0L)
+  }
+
   test("dictWordCount (native codegen expr) equals the HOF countIn spec") {
     val dict = Seq("the", "a", "an", "and", "of", "to", "in", "is")
     // corpus parity — every doc, exact equality
