@@ -23,6 +23,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(graft.functions.ProductAgg.functionDescription)
     e.injectFunction(graft.ann.CosineSimExpr.functionDescription)
     e.injectFunction(graft.text.TextExprs.functionDescription)
+    e.injectFunction(graft.text.TextExprs.repStatsFunctionDescription)
+    e.injectFunction(graft.ann.QuantExprs.functionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -93,4 +93,18 @@ object QuantExprs {
     * struct(dim, scale, qvec). */
   def quantizeI8(emb: Column): Column =
     CatalystBridge.column(QuantizeI8Expr(CatalystBridge.expression(emb)))
+
+  /** SQL registration: `quantize_i8(array<double>)`. Injected by
+    * [[graft.GraftExtensions]]. */
+  val functionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("quantize_i8"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[QuantizeI8Expr].getName, "quantize_i8"),
+      exprs => {
+        require(exprs.length == 1,
+          s"quantize_i8 takes one array<double> argument, got ${exprs.length}")
+        QuantizeI8Expr(exprs.head)
+      })
 }

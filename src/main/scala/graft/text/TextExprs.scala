@@ -273,4 +273,22 @@ object TextExprs {
         }
         DictWordCountExpr(exprs.head, dict)
       })
+
+  /** SQL registration: `ngram_rep_stats(text, n)` → struct(n_words,
+    * distinct_words, top_ngram_count); `n` must be an int literal.
+    * Injected by [[graft.GraftExtensions]]. */
+  val repStatsFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("ngram_rep_stats"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[NgramRepStatsExpr].getName, "ngram_rep_stats"),
+      exprs => {
+        require(exprs.length == 2,
+          s"ngram_rep_stats takes (text, n), got ${exprs.length} args")
+        val n = exprs(1)
+        require(n.foldable && n.dataType == IntegerType,
+          s"ngram_rep_stats n must be an int literal, got $n")
+        NgramRepStatsExpr(exprs.head, n.eval().asInstanceOf[Int])
+      })
 }

@@ -32,6 +32,14 @@ class GraftExtensionsSpec extends AnyFunSuite {
           .collect()
       }
       assert(ex.getMessage.contains("string literals"))
+      val rep = s.sql(
+        "SELECT r.n_words, r.distinct_words, r.top_ngram_count FROM " +
+          "(SELECT ngram_rep_stats('a b a b', 2) AS r)")
+      val rr = rep.head
+      assert(rr.getLong(0) == 4L && rr.getLong(1) == 2L && rr.getLong(2) == 2L)
+      val q = s.sql(
+        "SELECT quantize_i8(array(2.0d, -1.0d, 0.5d)).qvec AS qv")
+      assert(q.head.getSeq[Int](0) == Seq(127, -64, 32))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
