@@ -20,26 +20,48 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** 64-bit SimHash of the word multiset of a string; bit-for-bit equal to
-  * [[Dedup.simhash64]] (same `xxhash64` word hashes, seed 42). */
+  * [[Dedup.simhash64]] (same `xxhash64` word hashes, seed 42). Fused
+  * byte-walk: words are hashed straight off their text byte regions
+  * (split-on-single-space ⇒ word string == byte region, as in
+  * [[ShingleKernel]]) — no String[] split, no per-word allocation. */
 case class SimHash64Expr(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
 
-  override protected def nullSafeEval(v: Any): Any = {
-    // same tokenization as split(text, " "): Java regex, keep empties
-    val words = v.asInstanceOf[UTF8String].toString.split(" ", -1)
+  override protected def nullSafeEval(v: Any): Any =
+    SimHash64Expr.simhash(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.dedup.SimHash64Expr.simhash($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
+}
+
+object SimHash64Expr {
+  import org.apache.spark.sql.catalyst.expressions.XXH64
+
+  /** One pass: walk word byte regions, hash each (seed 42 — identical
+    * to `xxhash64(word)` on the word string), vote per bit. */
+  def simhash(text: UTF8String): Long = {
+    val nb = text.numBytes()
+    val base = text.getBaseObject
+    val off = text.getBaseOffset
     val votes = new Array[Int](64)
-    var wi = 0
-    while (wi < words.length) {
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(words(wi)), StringType, 42L)
-      var b = 0
-      while (b < 64) {
-        if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
-        b += 1
+    var s = 0 // current word start
+    var i = 0
+    while (i <= nb) {
+      if (i == nb || text.getByte(i) == 0x20) {
+        val h = XXH64.hashUnsafeBytes(base, off + s, i - s, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) votes(b) += 1 else votes(b) -= 1
+          b += 1
+        }
+        s = i + 1
       }
-      wi += 1
+      i += 1
     }
     var sig = 0L
     var b = 0
@@ -49,8 +71,6 @@ case class SimHash64Expr(child: Expression)
     }
     sig
   }
-
-  override protected def withNewChildInternal(c: Expression): Expression = copy(c)
 }
 
 /** MinHash signature (k seeded min-hashes) of a string-array column;
@@ -122,7 +142,7 @@ object ShingleKernel {
     val base = text.getBaseObject
     val off = text.getBaseOffset
     val out = new Array[Long](cnt)
-    val seen = new java.util.HashSet[java.lang.Long](cnt * 2)
+    val seen = new LongSet(cnt) // primitive open-addressing: no boxing
     var k = 0
     i = 0
     while (i < cnt) {

@@ -206,8 +206,9 @@ object NgramRepStatsExpr {
     ws(m) = nb + 1 // virtual start just past a trailing separator
     val base = text.getBaseObject
     val off = text.getBaseOffset
-    // distinct words: hash each word's byte region
-    val wordSet = new java.util.HashSet[java.lang.Long](m * 2)
+    // distinct words: hash each word's byte region (primitive
+    // open-addressed set — no per-word boxing)
+    val wordSet = new graft.dedup.LongSet(m)
     i = 0
     while (i < m) {
       val s = ws(i)
@@ -219,16 +220,13 @@ object NgramRepStatsExpr {
     val cnt = m - n + 1
     var top = 0L
     if (cnt > 0) {
-      val freq = new java.util.HashMap[java.lang.Long, Array[Int]](cnt * 2)
+      val freq = new graft.dedup.LongCounter(cnt)
       i = 0
       while (i < cnt) {
         val s = ws(i)
         val e = ws(i + n) - 1
-        val h = XXH64.hashUnsafeBytes(base, off + s, e - s, 42L)
-        var c = freq.get(h)
-        if (c == null) { c = new Array[Int](1); freq.put(h, c) }
-        c(0) += 1
-        if (c(0) > top) top = c(0)
+        val c = freq.inc(XXH64.hashUnsafeBytes(base, off + s, e - s, 42L))
+        if (c > top) top = c
         i += 1
       }
     }

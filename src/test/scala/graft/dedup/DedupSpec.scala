@@ -121,11 +121,34 @@ class DedupSpec extends SparkSpec {
       Dedup.simhash64(col("text")).as("ref"),
       SignatureExprs.simhash64Fast(col("text")).as("fast")).collect()
     sim.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+    // byte-walk tokenization edges: empty string (one empty word),
+    // leading/trailing/consecutive separators, multi-byte words
+    val edges = Seq("", " ", "  a  b ", "é ü é", "single")
+      .toDF("text")
+      .select(Dedup.simhash64(col("text")).as("ref"),
+        SignatureExprs.simhash64Fast(col("text")).as("fast")).collect()
+    edges.foreach(r => assert(r.getLong(0) == r.getLong(1)))
     val mh = docs
       .withColumn("sh", Dedup.shingles(col("text"), 3))
       .select(Dedup.minhash(col("sh"), 8).as("ref"),
         SignatureExprs.minhashFast(col("sh"), 8).as("fast")).collect()
     mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
+  test("LongSet/LongCounter: growth, zero key, collision chains") {
+    val s = new LongSet(2) // forces several grows
+    val rnd = new scala.util.Random(7)
+    val ks = Array.fill(5000)(rnd.nextLong()) ++ Array(0L, 0L, Long.MinValue)
+    val ref = scala.collection.mutable.Set[Long]()
+    ks.foreach { k => assert(s.add(k) == ref.add(k)) }
+    assert(s.size == ref.size)
+    val c = new LongCounter(2)
+    val refC = scala.collection.mutable.Map[Long, Int]()
+    val keyed = Array.fill(3000)(rnd.nextLong() & 0xFFL) :+ 0L :+ 0L // heavy repeats
+    keyed.foreach { k =>
+      val want = refC.updateWith(k)(v => Some(v.getOrElse(0) + 1)).get
+      assert(c.inc(k) == want)
+    }
   }
 
   test("shingles: n-gram construction and short-text edge cases") {
