@@ -49,7 +49,8 @@ object SparkEntry {
       graft.plans.AsOfJoin.queries ++
       graft.plans.RangeJoin.queries ++
       graft.ann.Ivf.queries ++
-      graft.pipeline.DatasetPrep.queries
+      graft.pipeline.DatasetPrep.queries ++
+      graft.pipeline.CorpusOps.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -67,5 +68,6 @@ object SparkEntry {
       graft.functions.Custom.oracle ++
       graft.plans.AsOfJoin.oracle ++
       graft.plans.RangeJoin.oracle ++
-      graft.pipeline.DatasetPrep.oracle
+      graft.pipeline.DatasetPrep.oracle ++
+      graft.pipeline.CorpusOps.oracle
 }

@@ -1,0 +1,270 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.dedup.SignatureExprs
+
+/** Corpus-curation operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer (north-star surface; the reference's
+  * single `sales` table has nothing comparable — SURVEY.md §2.2):
+  *
+  *  - '''Benchmark decontamination''' (`decontaminate`): flag training
+  *    documents sharing n-gram shingles with an evaluation set. The eval
+  *    side of the join is benchmark data — MBs even for large suites —
+  *    so it is distinct-reduced and BROADCAST; the train side stays a
+  *    single narrow scan (codegen'd shingle hashing, no string
+  *    materialization) and the only shuffle is the per-doc overlap
+  *    aggregation, keyed by doc_id. At 100 TB this is scan + broadcast
+  *    probe + one uniform-key shuffle — the plan you'd want.
+  *  - '''Passage-level dedup''' (`line_dedup`, the RefinedWeb/C4
+  *    line-dedup shape): cut each document into fixed 10-word passages,
+  *    count corpus-wide passage frequency, report per-doc duplicate-mass.
+  *    Passages travel as 8-byte xxhash64 keys (string-count ≡ hash-count
+  *    up to ~2⁻⁶⁴ collisions, same argument as the ngram dedup family);
+  *    frequency is a window count over the passage key, so the frame
+  *    arrives at the per-doc rollup already partitioned. Two uniform
+  *    shuffles total, no skew (boilerplate passages cap at corpus
+  *    frequency, and the count is a partial-agg-friendly sum).
+  *  - '''Mixture resampling''' (`mix_resample`): deterministic balanced
+  *    downsampling to the smallest language's mass. Per-lang counts are
+  *    KBs → broadcast back; the keep-decision is integer arithmetic on a
+  *    multiplicative-xorshift hash of the stable doc id
+  *    (`bucket·n_lang < min·10⁶` — no floating point, no RNG), so
+  *    membership is reproducible under any partitioning and any rerun,
+  *    and rates compose exactly with [[DatasetPrep]]'s `sample_split`.
+  *  - '''PII redaction''' (`text_redact`): regex scrub of emails and long
+  *    digit runs, with per-doc match counts. The synthetic corpus is
+  *    clean word soup, so the query first derives a deterministic dirty
+  *    column from doc_id (the redaction itself, not the injection, is
+  *    the operator). Pure per-row codegen'd regexps — scan-speed, zero
+  *    shuffles beyond the oracle ORDER BY.
+  *  - '''Rarity scoring''' (`text_surprisal`): per-doc mean-inverse-
+  *    frequency mass — the shuffle-free cousin of a perplexity filter:
+  *    rare-word-heavy docs score high, boilerplate scores low. Unigram
+  *    counts are one word-count-shaped shuffle; the count table is
+  *    vocabulary-sized (≪ corpus; ~10⁷ rows even web-scale) → broadcast
+  *    probe, then one per-doc aggregation. The score is fixed-point ppm
+  *    (integer division) — exact, summation-order-independent, and
+  *    bit-stable cross-engine with no rounding semantics to match.
+  *  - '''Embedding centroids''' (`emb_centroid`): per-label mean vector,
+  *    computed as (label, dim) partial aggregates — posexplode is a
+  *    narrow transform, the single shuffle carries labels×dim rows, and
+  *    map-side combine collapses each partition's contribution first.
+  *    Fixed-point 2⁻²⁰ accumulation makes the result partitioning-
+  *    independent. This is the k-means/IVF training inner loop and the
+  *    class-prototype op of embedding-space dataset pruning.
+  */
+object CorpusOps {
+
+  /** Eval-set membership: every 97th doc id. Deterministic, so the
+    * train/eval split needs no side table; a real pipeline would join a
+    * benchmark corpus here instead. */
+  private def isEval: Column = pmod(col("doc_id"), lit(97)) === 0
+
+  /** Multiplicative-xorshift bucket in [0, 1e6): same mix as
+    * DatasetPrep's `sample_split` (id folded mod a prime first so the
+    * product never overflows at any id scale). */
+  private def bucket1M(id: Column): Column = {
+    val m = pmod(id, lit(1000003L)) * lit(2654435761L)
+    pmod(m.bitwiseXOR(shiftright(m, 13)), lit(1000000L))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Train-vs-eval 3-gram overlap: per train doc, how many of its
+    // distinct shingles appear in ANY eval doc. Shingles travel hashed
+    // (codegen'd ShingleHashesExpr); eval set is distinct + broadcast.
+    "decontaminate" -> ((s, d) => {
+      val sh = Tables.documents(s, d).select(col("doc_id"),
+        explode(SignatureExprs.shingleHashes(col("text"), 3)).as("sh"))
+      val evalSh = sh.filter(isEval).select(col("sh")).distinct()
+        .withColumn("__hit", lit(1))
+      sh.filter(!isEval)
+        .join(broadcast(evalSh), Seq("sh"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_sh"), count(col("__hit")).as("n_shared"))
+        .filter(col("n_shared") > 0)
+        .withColumn("frac", col("n_shared").cast("double") / col("n_sh"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // RefinedWeb-style passage dedup: 10-word chunks, corpus-frequency
+    // via a window over the chunk hash, per-doc duplicate passage count.
+    "line_dedup" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val nCh = ceil(size(ws) / lit(10.0)).cast("int")
+      val chunks = transform(sequence(lit(0), nCh - 1),
+        i => xxhash64(array_join(slice(ws, i * 10 + 1, lit(10)), " ")))
+      val ch = Tables.documents(s, d)
+        .select(col("doc_id"), explode(chunks).as("ch"))
+      ch.withColumn("f", count(lit(1)).over(Window.partitionBy(col("ch"))))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_passages"),
+          count(when(col("f") > 1, 1)).as("n_dup"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Balanced language mixture: downsample every lang to the smallest
+    // lang's count, deterministically (integer-exact keep rule).
+    "mix_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_before"))
+      val minCnt = counts.agg(min(col("n_before")).as("min_cnt"))
+      docs.select(col("lang"), bucket1M(col("doc_id")).as("bucket"))
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minCnt))
+        .filter(col("bucket") * col("n_before") < col("min_cnt") * lit(1000000L))
+        .groupBy(col("lang"), col("n_before"))
+        .agg(count(lit(1)).as("n_after"))
+        .orderBy(col("lang"))
+    }),
+
+    // Email + long-digit-run scrub with per-doc match counts. The dirty
+    // column is derived deterministically from doc_id (corpus has no
+    // natural PII); patterns stay in the Java∩RE2 common subset so both
+    // engines match identically.
+    "text_redact" -> ((s, d) => {
+      val email = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val digits = "[0-9]{4,}"
+      val dirty = concat(
+        col("text"),
+        lit(" contact user"), col("doc_id"), lit("@example.com ref "),
+        col("doc_id") * lit(7919L) + lit(100000L),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" cc user"), col("doc_id"), lit("@alt.example.org")))
+          .otherwise(lit("")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), dirty.as("dirty"))
+        .select(
+          col("doc_id"),
+          regexp_count(col("dirty"), lit(email)).as("n_email"),
+          regexp_count(regexp_replace(col("dirty"), email, "[EMAIL]"),
+            lit(digits)).as("n_num"),
+          regexp_replace(regexp_replace(col("dirty"), email, "[EMAIL]"),
+            digits, "[NUM]").as("redacted"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-doc rarity mass: sum over tokens of the corpus inverse
+    // frequency, fixed-point ppm (integer division — exact, summation-
+    // order-independent, nothing for two engines to round differently).
+    "text_surprisal" -> ((s, d) => {
+      val w = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      val cnt = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val tot = w.agg(count(lit(1)).as("t"))
+      w.join(broadcast(cnt), Seq("w"))
+        .crossJoin(broadcast(tot))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          sum(expr("(t * 1000000L) div c")).as("rarity_ppm"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Per-label mean embedding, as (label, pos) cells (pos is 1-based to
+    // match SQL array subscripts). Fixed-point accumulation at 2⁻²⁰:
+    // v·2²⁰ is an EXACT IEEE multiply (power-of-two scaling shifts the
+    // exponent, never the mantissa), floor is exact, integer sums are
+    // exact and order-independent, and the one final division is a
+    // single correctly-rounded IEEE op — so the result is bit-identical
+    // on any engine and any partitioning. (DECIMAL accumulation was
+    // tried first and is NOT portable here: decimal→double casts are
+    // not correctly rounded the same way across engines at high scale.)
+    // Quantization error ≤ 2⁻²⁰ per element — asserted against the
+    // exact double sum in CorpusOpsSpec.
+    "emb_centroid" -> ((s, d) => {
+      Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("p", "v")))
+        .groupBy(col("label"), (col("p") + 1).as("pos"))
+        .agg(
+          (sum(floor(col("v") * lit(1048576.0d))).cast("double") /
+            (count(lit(1)) * lit(1048576L)).cast("double")).as("centroid"),
+          count(lit(1)).as("n"))
+        .orderBy(col("label"), col("pos"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "decontaminate" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+        |tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 97 <> 0)
+        |SELECT tr.doc_id, count(1) AS n_sh, count(ev.sh) AS n_shared,
+        |  CAST(count(ev.sh) AS DOUBLE) / count(1) AS frac
+        |FROM tr LEFT JOIN ev ON tr.sh = ev.sh
+        |GROUP BY tr.doc_id HAVING count(ev.sh) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "line_dedup" ->
+      """WITH ch AS (
+        |  SELECT doc_id,
+        |    array_to_string(
+        |      string_split(text, ' ')[(i*10+1):(i*10+10)], ' ') AS ch
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(0,
+        |      CAST(ceil(len(string_split(text, ' ')) / 10.0) AS BIGINT) - 1))
+        |      AS i)),
+        |f AS (SELECT doc_id, count(1) OVER (PARTITION BY ch) AS f FROM ch)
+        |SELECT doc_id, count(1) AS n_passages,
+        |  count(1) FILTER (WHERE f > 1) AS n_dup
+        |FROM f GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "mix_resample" ->
+      """WITH c AS (SELECT lang, count(1) AS n_before FROM documents GROUP BY 1),
+        |mc AS (SELECT min(n_before) AS min_cnt FROM c),
+        |b AS (
+        |  SELECT lang,
+        |    xor((doc_id % 1000003) * 2654435761,
+        |        ((doc_id % 1000003) * 2654435761) >> 13) % 1000000 AS bucket
+        |  FROM documents)
+        |SELECT b.lang, c.n_before, count(1) AS n_after
+        |FROM b JOIN c USING (lang) CROSS JOIN mc
+        |WHERE bucket * n_before < min_cnt * 1000000
+        |GROUP BY 1, 2 ORDER BY lang""".stripMargin,
+    "text_redact" ->
+      """WITH dirty AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@example.com ref '
+        |      || (doc_id * 7919 + 100000)
+        |      || CASE WHEN doc_id % 3 = 0
+        |              THEN ' cc user' || doc_id || '@alt.example.org'
+        |              ELSE '' END AS dirty
+        |  FROM documents)
+        |SELECT doc_id,
+        |  len(regexp_extract_all(dirty,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS n_email,
+        |  len(regexp_extract_all(regexp_replace(dirty,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{4,}')) AS n_num,
+        |  regexp_replace(regexp_replace(dirty,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '[0-9]{4,}', '[NUM]', 'g') AS redacted
+        |FROM dirty ORDER BY doc_id""".stripMargin,
+    "text_surprisal" ->
+      """WITH w AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(1) AS c FROM w GROUP BY 1),
+        |tot AS (SELECT count(1) AS t FROM w)
+        |SELECT doc_id, count(1) AS n_tok,
+        |  CAST(sum((t * 1000000) // c) AS BIGINT) AS rarity_ppm
+        |FROM w JOIN cnt USING (w) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "emb_centroid" ->
+      """WITH x AS (
+        |  SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |    unnest(CAST(embedding AS DOUBLE[])) AS v
+        |  FROM embeddings)
+        |SELECT label, pos,
+        |  CAST(sum(CAST(floor(v * 1048576.0) AS BIGINT)) AS DOUBLE)
+        |    / CAST(count(1) * 1048576 AS DOUBLE) AS centroid,
+        |  count(1) AS n
+        |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+  )
+}

@@ -1,0 +1,97 @@
+package graft.pipeline
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CorpusOpsSpec extends SparkSpec {
+
+  private def run(name: String) = CorpusOps.queries(name)(spark, sf0001)
+
+  test("decontaminate broadcasts the eval shingle set and excludes eval docs") {
+    val df = run("decontaminate")
+    val physical = df.queryExecution.executedPlan.toString
+    // the eval side must arrive as a broadcast, not a shuffle join: at
+    // corpus scale the train side is 100 TB and the benchmark side is MBs
+    assert(physical.contains("BroadcastHashJoin"), physical.take(800))
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(0) % 97 != 0), "eval docs leaked into output")
+    rows.foreach { r =>
+      val (nSh, nShared) = (r.getLong(1), r.getLong(2))
+      assert(nShared >= 1 && nShared <= nSh)
+      assert(math.abs(r.getDouble(3) - nShared.toDouble / nSh) == 0.0)
+    }
+  }
+
+  test("line_dedup passage accounting is self-consistent") {
+    val out = run("line_dedup").cache()
+    // every doc appears exactly once, n_dup bounded by n_passages
+    val docs = graft.Tables.documents(spark, sf0001).count()
+    assert(out.count() == docs)
+    assert(out.filter(col("n_dup") > col("n_passages")).count() == 0)
+    // total passages = sum over docs of ceil(words/10)
+    val expected = graft.Tables.documents(spark, sf0001)
+      .select(ceil(size(split(col("text"), " ")) / lit(10.0)).cast("long").as("c"))
+      .agg(sum(col("c"))).head.getLong(0)
+    assert(out.agg(sum(col("n_passages"))).head.getLong(0) == expected)
+    out.unpersist()
+  }
+
+  test("mix_resample downsamples toward the smallest lang, deterministically") {
+    val a = run("mix_resample").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    val b = run("mix_resample").collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(a.sameElements(b), "resample must be deterministic")
+    val minBefore = a.map(_._2).min
+    a.foreach { case (lang, before, after) =>
+      assert(after <= before, s"$lang grew")
+      // hash-uniformity tolerance: within the binomial 4-sigma band of
+      // the target rate min/before at these counts
+      val target = minBefore.toDouble
+      val sigma = math.sqrt(target)
+      assert(math.abs(after - target) <= 4 * sigma + 1,
+        s"$lang: after=$after target=$target")
+    }
+    // the smallest lang keeps (nearly) everything: rate = 1 means the
+    // keep rule bucket*n < min*1e6 admits every bucket
+    val smallest = a.minBy(_._2)
+    assert(smallest._3 == smallest._2, "rate-1 lang must keep all docs")
+  }
+
+  test("text_redact leaves no addresses or long digit runs behind") {
+    val rows = run("text_redact").collect()
+    rows.foreach { r =>
+      val (id, nEmail, nNum, red) =
+        (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))
+      assert(nEmail == (if (id % 3 == 0) 2 else 1))
+      assert(nNum >= 1) // the injected ref number
+      assert(!red.contains("@"), s"doc $id: unredacted email")
+      assert(!"[0-9]{4,}".r.findFirstIn(red).isDefined,
+        s"doc $id: unredacted digit run")
+      assert(red.contains("[EMAIL]") && red.contains("[NUM]"))
+    }
+  }
+
+  test("text_surprisal ppm mass bounds: every token contributes >= 1e6") {
+    // t/c >= 1 for every word, so floor(t*1e6/c) >= 1e6 per token
+    val bad = run("text_surprisal")
+      .filter(col("rarity_ppm") < col("n_tok") * lit(1000000L)).count()
+    assert(bad == 0)
+  }
+
+  test("emb_centroid fixed-point result is within 2^-20 of the exact mean") {
+    val exact = graft.Tables.embeddings(spark, sf0001)
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<double>")).as(Seq("p", "v")))
+      .groupBy(col("label"), (col("p") + 1).as("pos"))
+      .agg(avg(col("v")).as("exact"))
+    val got = run("emb_centroid")
+    val worst = got.join(exact, Seq("label", "pos"))
+      .select(max(abs(col("centroid") - col("exact")))).head.getDouble(0)
+    assert(worst <= math.pow(2, -20), s"quantization error $worst")
+    // partial aggregation must be active: the exploded frame shuffles
+    // only (label, pos) cells, not raw rows
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("HashAggregate"), plan.take(500))
+  }
+}
