@@ -197,38 +197,55 @@ object Dedup {
   private[dedup] val maxShingleDf = 32
 
   private def buildNgramPairs(s: SparkSession, d: String): DataFrame = {
-    // cached: this subtree feeds the self-join twice plus the sizes agg —
-    // without it the scan + shingle explode runs three times. The df cap
-    // is a window count over the same shuffle key (`sh`) the self-join
-    // uses, so the capped, cached frame is already hash-partitioned on sh.
+    // Grouped-postings formulation: ONE hash aggregation groups each
+    // shingle's posting list into a sorted array; the df cap is an
+    // array-size filter; candidate pairs stream out of the array via
+    // codegen'd generators. Value-identical to the window + self-join
+    // formulation (and to the oracle SQL), but with zero sorts: the
+    // window form paid a full sort of the posting list (window over sh)
+    // and a sort-merge self-join of the same rows — both gone here.
+    // Remaining shuffles, all uniform-keyed and partial-agg reduced:
+    //   1. groupBy(sh): E = Σ per-doc distinct shingles rows in, one row
+    //      per distinct shingle out (map-side combine collapses the
+    //      near-dup copies' repeats before the wire);
+    //   2. sizes groupBy(doc_id): E rows (re-exploded from the compact
+    //      cached postings, not rescanned);
+    //   3. pair groupBy(id_a, id_b): ≤ maxDf²/2 rows per shingle,
+    //      bounded by the cap exactly as before.
     //
-    // Two shuffle-size levers, values unchanged vs the string/DISTINCT
-    // oracle formulation:
-    //  - shingles() already array_distincts per doc, so (doc_id, sh) is
+    // Shuffle-size levers unchanged vs the string/DISTINCT oracle
+    // formulation:
+    //  - shingleHashes array_distincts per doc, so (doc_id, sh) is
     //    globally distinct with NO extra shuffle;
-    //  - the join/count key is xxhash64(sh) (8 bytes), not the ~25-byte
-    //    shingle string. Intersection/size counts over 64-bit shingle
-    //    hashes equal the string counts up to hash collisions (~2⁻⁶⁴ per
-    //    shingle pair — at 1e12 corpus shingles, expected collisions ≪ 1;
-    //    a collision only nudges one pair's Jaccard by 1/|union|).
-    // shingleHashes fuses split → n-gram strings → array_distinct →
-    // xxhash64 into one zero-allocation byte walk (bit-identical values;
-    // DedupSpec) — the string-building form materialized ~20M shingle
-    // strings per pass at the sf1 rehearsal
-    val wdf = org.apache.spark.sql.expressions.Window.partitionBy(col("sh"))
-    val docs = docsWithNearDups(s, d)
+    //  - keys are xxhash64(sh) (8 bytes), not ~25-byte shingle strings.
+    //    Counts over 64-bit hashes equal the string counts up to
+    //    collisions (~2⁻⁶⁴ per shingle pair; at 1e12 corpus shingles a
+    //    collision nudges one pair's Jaccard by 1/|union|).
+    //  - shingleHashes fuses split → n-grams → distinct → xxhash64 into
+    //    one zero-allocation byte walk (bit-identical; DedupSpec).
+    // The cached frame is one compact row per distinct shingle (ids
+    // array ≤ maxDf longs) — far smaller than the E-row posting list
+    // the previous formulation pinned in memory.
+    val posts = docsWithNearDups(s, d)
       .select(col("doc_id"),
         explode(SignatureExprs.shingleHashes(col("text"), 3)).as("sh"))
-      .withColumn("__df", count(lit(1)).over(wdf))
-      .filter(col("__df") <= maxShingleDf)
-      .drop("__df")
+      .groupBy(col("sh"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) <= maxShingleDf)
       .cache()
-    innerCaches.put(docs, ())
-    val sizes = docs.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val a = docs.alias("a"); val b = docs.alias("b")
-    val inter = a.join(b, col("a.sh") === col("b.sh") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+    innerCaches.put(posts, ())
+    val sizes = posts.select(explode(col("ids")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // pair generation: posexplode picks id_a at position i, the inner
+    // explode emits every later id as id_b — ids are sorted, so
+    // id_a < id_b by construction. Both generators + slice are
+    // codegen'd; the (i, ids)-carrying intermediate never leaves the
+    // stage.
+    val inter = posts
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")

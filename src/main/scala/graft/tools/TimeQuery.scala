@@ -1,0 +1,43 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev tool: time named SparkEntry queries (plus the shared ngram build
+  * as `_shared_ngram_build`) on a given sf dir, printing seconds per
+  * query per iteration. Not part of the shipped surface.
+  *
+  * Usage: `runMain graft.tools.TimeQuery <sfDir> <iters> <name> [name ...]`
+  */
+object TimeQuery {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val iters = args(1).toInt
+    val names = args.drop(2)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.files.maxPartitionBytes", "4m")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables.lineitem(spark, sfDir).count() // warmup
+    for (it <- 1 to iters; name <- names) {
+      val t0 = System.nanoTime()
+      val n =
+        if (name == "_shared_ngram_build")
+          graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count()
+        else graft.SparkEntry.queries(name)(spark, sfDir).count()
+      val dt = (System.nanoTime() - t0) / 1e9
+      println(f"[time] iter=$it $name%-24s ${dt}%8.3f s  ($n rows)")
+      graft.emf.EmfPlanner.unpersistAll()
+      if (it < iters) { // fresh rebuild per iteration
+        graft.dedup.Dedup.clearCache()
+        graft.ann.Similarity.clearCache()
+      }
+    }
+    spark.stop()
+  }
+}
