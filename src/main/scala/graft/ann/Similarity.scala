@@ -105,17 +105,26 @@ object Similarity {
 
   /** Candidate pairs sharing ≥ 1 SRP band key. The banding pass is the
     * codegen'd [[graft.dedup.SrpBandsExpr]] (scan-speed, one tight JVM
-    * loop per row); the ONLY shuffle is the self-join on (band, key),
-    * which distributes uniformly (keys are sign-hash buckets). Output is
-    * distinct (id_a < id_b) pairs — nothing driver-side anywhere. */
+    * loop per row). Grouped-postings pair generation (the
+    * [[graft.dedup.Dedup]] ngram shape): ONE hash aggregation groups
+    * each (band, key) bucket into a sorted id array — uniform sign-hash
+    * keys, map-side combine, no sorts — and pairs stream out of
+    * codegen'd posexplode/slice/explode generators (ids sorted ⇒
+    * id_a < id_b by construction). The previous sort-merge self-join on
+    * (band, key) paid two full sorts of the banded frame for the same
+    * rows. Output is distinct pairs — nothing driver-side anywhere. */
   def lshCandidates(e: DataFrame, bands: Int, bits: Int): DataFrame = {
-    val banded = e.select(col("vec_id"),
+    val posts = e.select(col("vec_id"),
       posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
         .as(Seq("band", "key")))
-    val a = banded.select(col("vec_id").as("id_a"), col("band"), col("key"))
-    val b = banded.select(col("vec_id").as("id_b"), col("band"), col("key"))
-    a.join(b, Seq("band", "key")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").dropDuplicates("id_a", "id_b")
+      .groupBy(col("band"), col("key"))
+      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    posts
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** SRP-LSH parameter selection for near-dup detection at threshold

@@ -141,18 +141,28 @@ object Dedup {
     // d≤6 filter is total. (At cluster scale prefer 4×16 bands — smaller
     // buckets — accepting the d≤3 guarantee, or multi-probe the bands.)
     "dedup_simhash" -> ((s, d) => {
+      // Grouped-postings per (band, key) bucket — each bucket's
+      // (doc_id, sig) members become one sorted struct array (sorted by
+      // doc_id, the struct's leading field), pairs stream out of
+      // codegen'd generators with id_a < id_b by construction, and the
+      // hamming filter still runs BEFORE the distinct shuffle: only
+      // near-pairs (thousands) move, not every same-bucket candidate.
+      // Replaces a window-less but sort-heavy SMJ self-join of the
+      // banded frame with one hash aggregation.
       val docs = docsWithNearDups(s, d)
         .withColumn("sig", SignatureExprs.simhash64Fast(col("text")))
-      val banded = docs.select(col("doc_id"), col("sig"),
+      val posts = docs.select(col("doc_id"), col("sig"),
         posexplode(array((0 until 8).map(i =>
           shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
-      val a = banded.alias("a"); val b = banded.alias("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
+        .filter(size(col("ms")) >= 2)
+      posts
+        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        // filter BEFORE the dedup shuffle: the distinct then moves only
-        // the near-pairs (thousands), not every same-bucket candidate
         .filter(col("hamming") <= 6)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
@@ -342,20 +352,23 @@ object Dedup {
     innerCaches.put(docs, ())
     // the band explode/shuffle carries ONLY (doc_id, band, key) — the
     // shingle sets would be duplicated ×bands through the shuffle
-    // otherwise; candidates (few) join them back below
-    val banded0 = docs.select(col("doc_id"),
+    // otherwise; candidates (few) join them back below. Grouped-postings
+    // pair generation (the buildNgramPairs shape): one hash aggregation
+    // into sorted per-bucket id arrays (no sorts, map-side combined);
+    // slice(1, maxBucket) keeps the first maxBucket ids — identical to
+    // the previous row_number-over-(doc_id-ordered-window) cap, without
+    // the window's full sort of the banded frame or the SMJ self-join.
+    val posts = docs.select(col("doc_id"),
       posexplode(array((0 until bands).map(bd =>
         xxhash64((slice(col("mh"), bd * rows + 1, rows) +: Seq(lit(bd))): _*)): _*))
         .as(Seq("band", "key")))
-    val bw = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("band"), col("key")).orderBy(col("doc_id"))
-    val banded = banded0
-      .withColumn("__bn", row_number().over(bw))
-      .filter(col("__bn") <= maxBucket).drop("__bn")
-    val a = banded.alias("a"); val b = banded.alias("b")
-    val cand = a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-        col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      .groupBy(col("band"), col("key"))
+      .agg(slice(sort_array(collect_list(col("doc_id"))), 1, maxBucket).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val cand = posts
+      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
       .dropDuplicates("id_a", "id_b")
     val sets = docs.select(col("doc_id"), col("hsh"))
     cand
