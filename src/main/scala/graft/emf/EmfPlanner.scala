@@ -78,15 +78,18 @@ object EmfPlanner {
     // both each dependent pass and the final join-back; persist it so
     // scan-0 computes once (one row per group — executor storage cost is
     // negligible, and Spark drops it under pressure).
-    if (depVars.nonEmpty) {
+    if (depVars.exists(v => complementInfo(v, q).isEmpty)) {
       mf = mf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       persistedFrames.add(mf)
     }
-    for (v <- topoSort(depVars, aggNames)) {
-      val varAgg = dependentPass(v, mf, base, q, schema)
-      mf = mf.join(varAgg, q.groupAttrs, "left")
-      if (v.agg.func == "count")
-        mf = mf.withColumn(v.agg.name, coalesce(col(v.agg.name), lit(0L)))
+    for (v <- topoSort(depVars, aggNames)) complementInfo(v, q) match {
+      case Some((eqAttrs, antiAttr)) =>
+        mf = complementPass(v, mf, base, q, schema, eqAttrs, antiAttr)
+      case None =>
+        val varAgg = dependentPass(v, mf, base, q, schema)
+        mf = mf.join(varAgg, q.groupAttrs, "left")
+        if (v.agg.func == "count")
+          mf = mf.withColumn(v.agg.name, coalesce(col(v.agg.name), lit(0L)))
     }
 
     // ---- HAVING, then project the select list in order
@@ -126,6 +129,74 @@ object EmfPlanner {
   /** WHERE conjunction to a Column (exposed for streaming). */
   private[emf] def whereColumn(conds: Seq[Cond], schema: StructType): Column =
     conds.map(tupleCond(_, schema, None)).reduceOption(_ && _).getOrElse(lit(true))
+
+  /** Complement-decomposable variable: every MF condition is a same-attr
+    * equality on a grouping attr plus EXACTLY ONE same-attr `<>`/`!=` on
+    * a grouping attr, no EMF dependencies, and a subtractable aggregate.
+    * Returns (equality attrs E, anti attr c) when the identity
+    * `f({x: x.E = g.E ∧ x.c ≠ g.c}) = f({x: x.E = g.E}) ⊖
+    *  f({x: x.E = g.E ∧ x.c = g.c})`
+    * applies (sum/count subtract; avg = sum diff / count diff). */
+  private def complementInfo(v: GroupingVar, q: EmfQuery)
+      : Option[(Seq[String], String)] = {
+    if (!Set("sum", "count", "avg").contains(v.agg.func)) return None
+    if (v.dependsOn(q.aggNames).nonEmpty) return None
+    // = / <> are symmetric, so both operand orders qualify
+    def attrOf(c: Cond, ops: Set[String]): Option[String] = c match {
+      case Cond(TupleCol(a), op, MfField(b))
+        if ops(op) && a == b && q.groupAttrs.contains(a) => Some(a)
+      case Cond(MfField(b), op, TupleCol(a))
+        if ops(op) && a == b && q.groupAttrs.contains(a) => Some(a)
+      case _ => None
+    }
+    val eqs   = v.mfConds.flatMap(attrOf(_, Set("=", "==")))
+    val antis = v.mfConds.flatMap(attrOf(_, Set("<>", "!=")))
+    if (eqs.size + antis.size == v.mfConds.size && antis.size == 1)
+      Some((eqs.distinct, antis.head))
+    else None
+  }
+
+  /** Lower a complement-decomposable variable ([[complementInfo]]) as two
+    * LINEAR aggregations of the (tuple-filtered) fact table — totals per
+    * equality attrs E, own contribution per E ∪ {c} — joined back to the
+    * MF frame, instead of the dependent pass's group×tuple join whose
+    * output is quadratic in key popularity (every tuple pairs with every
+    * OTHER group sharing its E value; corpus q4 at the sf1 rehearsal:
+    * |MF|≈180k rows × fact tuples per prod). Floating sums stay in
+    * DECIMAL through the subtraction (exact ⇒ identical to aggregating
+    * the complement subset directly); empty complements surface as NULL
+    * (count: 0) exactly like the reference's never-updated aggregate. */
+  private def complementPass(v: GroupingVar, mf: DataFrame, base: DataFrame,
+      q: EmfQuery, schema: StructType,
+      eqAttrs: Seq[String], antiAttr: String): DataFrame = {
+    val t = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
+    val c0 = col(v.agg.column)
+    val floating = isFloating(v.agg.column, schema)
+    val sumIn = if (floating) c0.cast(exactDec) else c0
+    val ownKeys = (eqAttrs :+ antiAttr).distinct
+    val tot =
+      if (eqAttrs.nonEmpty)
+        t.groupBy(eqAttrs.map(col): _*)
+          .agg(sum(sumIn).as("__t_sum"), count(c0).as("__t_cnt"))
+      else t.agg(sum(sumIn).as("__t_sum"), count(c0).as("__t_cnt"))
+    val own = t.groupBy(ownKeys.map(col): _*)
+      .agg(sum(sumIn).as("__o_sum"), count(c0).as("__o_cnt"))
+    val joined =
+      (if (eqAttrs.nonEmpty) mf.join(tot, eqAttrs, "left")
+       else mf.crossJoin(broadcast(tot))) // keyless: totals are ONE row
+        .join(own, ownKeys, "left")
+    val sumDiff = coalesce(col("__t_sum"), lit(0)) - coalesce(col("__o_sum"), lit(0))
+    val cntDiff = coalesce(col("__t_cnt"), lit(0L)) - coalesce(col("__o_cnt"), lit(0L))
+    val value = v.agg.func match {
+      case "count" => cntDiff
+      case "sum" =>
+        val s = when(cntDiff > 0, sumDiff)
+        if (floating) s.cast("double") else s
+      case "avg" => when(cntDiff > 0, sumDiff.cast("double") / cntDiff)
+    }
+    joined.withColumn(v.agg.name, value)
+      .drop("__t_sum", "__t_cnt", "__o_sum", "__o_cnt")
+  }
 
   /** One dependent-variable pass: join MF frame with the fact table on the
     * variable's defining predicates, aggregate per group, return

@@ -98,6 +98,47 @@ class EmfPlannerSpec extends SparkSpec {
     assert(got.collect().toSeq == want.collect().toSeq)
   }
 
+  test("complement rewrite: eq+<> variable avoids the anti-join, edges stay exact") {
+    // q4 shape: same-prod, other-cust average
+    val q = EmfParser.parseOne(
+      """cust,prod,avg_quant_oth
+        |1
+        |cust,prod
+        |avg_quant_oth
+        |{MF.prod.avg_quant_oth}[=]{prod}:{MF.cust.avg_quant_oth}[<>]{cust}""".stripMargin, cols)
+    sales.createOrReplaceTempView("s_comp_spec")
+    val got = EmfPlanner.plan(q, sales).orderBy("cust", "prod")
+    val want = spark.sql(
+      """SELECT g.cust, g.prod, o.avg_quant_oth
+        |FROM (SELECT DISTINCT cust, prod FROM s_comp_spec) g
+        |LEFT JOIN (
+        |  SELECT g2.cust, g2.prod,
+        |    CAST(sum(t.quant) AS DOUBLE)/count(t.quant) AS avg_quant_oth
+        |  FROM (SELECT DISTINCT cust, prod FROM s_comp_spec) g2
+        |  JOIN s_comp_spec t ON t.prod = g2.prod AND t.cust <> g2.cust
+        |  GROUP BY 1, 2) o
+        |USING (cust, prod) ORDER BY cust, prod""".stripMargin)
+    assert(got.collect().toSeq == want.collect().toSeq)
+    // ("A","BC") has no same-prod other cust → complement empty → NULL
+    assert(got.filter($"cust" === "A").head.isNullAt(2))
+    // plan shape: the lowering must be two equi-joined aggregations, not
+    // the dependent pass's MF×fact join carrying the <> predicate
+    val opt = EmfPlanner.plan(q, sales).queryExecution.optimizedPlan.toString
+    assert(!opt.contains("NOT ("), opt)
+  }
+
+  test("complement rewrite: count of an empty complement is 0, sum is NULL") {
+    val q = EmfParser.parseOne(
+      """cust,count_quant_oth,sum_quant_oth
+        |2
+        |cust
+        |count_quant_oth,sum_quant_oth
+        |{MF.cust.count_quant_oth}[<>]{cust},{MF.cust.sum_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val one = Seq(("X", 5), ("X", 7)).toDF("cust", "quant")
+    val out = EmfPlanner.plan(q, one).collect()
+    assert(out.head == Row("X", 0L, null))
+  }
+
   test("windowed lowering: subset-equality and order variables use Window, not join") {
     // corpus q2 shape: sum within group + per-prod total (subset equality)
     val q2 = EmfParser.parseOne(
