@@ -10,6 +10,11 @@ import graft.dedup.SignatureExprs
   * between raw crawl and tokenizer (north-star surface; the reference's
   * single `sales` table has nothing comparable — SURVEY.md §2.2):
   *
+  *  - '''Incremental refresh''' (`corpus_upsert`): last-write-wins MERGE
+  *    of a delta batch into the base corpus as delta ∪ (base anti-join
+  *    delta-keys) — the base is never wide-shuffled; the anti join
+  *    broadcasts while the delta is small and shuffles only keys beyond
+  *    that. The nightly-crawl-refresh primitive.
   *  - '''Benchmark decontamination''' (`decontaminate`): flag training
   *    documents sharing n-gram shingles with an evaluation set. The eval
   *    side of the join is benchmark data — MBs even for large suites —
@@ -72,6 +77,37 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // CDC-style corpus refresh: last-write-wins MERGE of a delta batch
+    // (updates + net-new docs, here derived deterministically from the
+    // base so the operator needs no side table) into the base corpus.
+    // The merge is delta ∪ (base ANTI-JOIN delta-keys) — NOT a window
+    // row_number over the union: the anti join carries only the 8-byte
+    // key from the delta side, AQE broadcasts it while the delta fits
+    // (the common incremental-refresh regime) and degrades to a
+    // key-partitioned shuffle join when it doesn't — either way the base
+    // corpus is never wide-shuffled for a version sort it doesn't need.
+    "corpus_upsert" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // id namespace for inserted docs: corpus-derived stride, same
+      // argument as Similarity.embWithNearDups (fixed offsets collide
+      // once the corpus outgrows them)
+      val stride = docs.agg((max(col("doc_id")) + 1).as("__st"))
+      val updates = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select(col("doc_id"), concat(lit("v2 "), col("text")).as("text"))
+      val inserts = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .crossJoin(broadcast(stride))
+        .select((col("doc_id") + col("__st")).as("doc_id"),
+          concat(lit("new "), col("text")).as("text"))
+      val delta = updates.unionByName(inserts)
+      val merged = delta.withColumn("src", lit("delta"))
+        .unionByName(
+          docs.join(delta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+            .withColumn("src", lit("base")))
+      merged
+        .select(col("doc_id"), col("src"), length(col("text")).as("n_chars_new"))
+        .orderBy(col("doc_id"))
+    }),
 
     // Train-vs-eval 3-gram overlap: per train doc, how many of its
     // distinct shingles appear in ANY eval doc. Shingles travel hashed
@@ -188,6 +224,21 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "corpus_upsert" ->
+      """WITH st AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |delta AS (
+        |  SELECT doc_id, 'v2 ' || text AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + s, 'new ' || text
+        |  FROM documents CROSS JOIN st WHERE doc_id % 13 = 0),
+        |merged AS (
+        |  SELECT doc_id, text, 'delta' AS src FROM delta
+        |  UNION ALL
+        |  SELECT doc_id, text, 'base' AS src FROM documents
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM delta))
+        |SELECT doc_id, src, CAST(length(text) AS INT) AS n_chars_new
+        |FROM merged ORDER BY doc_id""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

@@ -34,6 +34,23 @@ object EventStreams {
         sum(col("value").cast("decimal(18,2)")).as("sum_value"))
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
 
+  /** First-arrival-wins dedup: one event per (user_id, event_type), the
+    * earliest by (ts, event_id). Batch form is a single hash aggregation
+    * of `min(struct(ts, event_id, value))` — lexicographic struct min ≡
+    * first arrival, with map-side partial aggregation and ONE uniform
+    * shuffle on the dedup key — not a window row_number, which would sort
+    * every partition for a per-key minimum. Streaming form is
+    * `dropDuplicates` over the same key with a watermark bounding state
+    * ([[graft.streaming.StreamingSpec]] proves batch/stream agreement on
+    * a time-ordered stream). */
+  def firstArrival(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(min(struct(col("ts"), col("event_id"), col("value"))).as("f"))
+      .select(col("user_id"), col("event_type"),
+        col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"),
+        col("f.value").as("first_value"))
+
   /** Gap-based session windows (10 min) per user. */
   def sessions(events: DataFrame): DataFrame =
     events
@@ -59,6 +76,9 @@ object EventStreams {
     "stream_session" -> ((s, d) =>
       sumValueAsDouble(sessions(Tables.events(s, d)))
         .orderBy(col("user_id"), col("session_start"))),
+    "stream_dedup" -> ((s, d) =>
+      firstArrival(Tables.events(s, d))
+        .orderBy(col("user_id"), col("event_type"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -97,5 +117,16 @@ object EventStreams {
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // row_number ≡ struct-min because event_id is unique (no (ts,
+    // event_id) ties); value travels with the picked row, no arithmetic
+    "stream_dedup" ->
+      """WITH r AS (
+        |  SELECT user_id, event_type, ts, event_id, value,
+        |    row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ts AS first_ts,
+        |  event_id AS first_event_id, value AS first_value
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
   )
 }

@@ -237,6 +237,55 @@ object TextAnalysis {
             lit(1000000007L)).as("fingerprint"))
         .orderBy(col("doc_id"))
     }),
+
+    // BM25 retrieval scoring (k1=1.2, b=0.75) of the whole corpus against
+    // a fixed query-term set — the relevance ranking a data pipeline runs
+    // to mine query-matched training examples. Scale shape: per-doc term
+    // frequencies are one codegen'd byte-walk per term (no token explode,
+    // no shuffle); the corpus stats the formula needs (N, Σdl, per-term
+    // document frequencies) are ONE tiny aggregate broadcast back — so
+    // the whole operator is a scan + a 1-row broadcast join + a top-k
+    // (TakeOrderedAndProject), zero wide shuffles at any corpus size.
+    // Numerics: ln is the one op here with no cross-engine bit guarantee
+    // (correctly-rounded to within 1 ulp on each side, not THE same ulp),
+    // so the idf — the only transcendental — is rounded to 6 dp at its
+    // source; every downstream op is then an identical-input IEEE
+    // multiply/divide/add in a fixed tree shape, and the final 6-dp round
+    // compares bit-identical doubles. Residual risk: one of |terms|
+    // distinct idf values landing within ~1e-15 of a 5e-7 rounding
+    // boundary — not 20 free-form scores doing so.
+    "text_bm25" -> ((s, d) => {
+      val terms = Seq("spark", "join", "window")
+      val k1 = 1.2
+      val b = 0.75
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+        .withColumn("dl", size(words(col("text"))))
+      val tf = terms.zipWithIndex.foldLeft(docs) { case (df0, (t, i)) =>
+        df0.withColumn(s"tf$i", countInFast(col("text"), Seq(t)))
+      }.drop("text")
+      // one pass over the tf frame: N, Σdl, df per term (docs containing it)
+      val statAggs =
+        Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+          terms.indices.map(i =>
+            sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+      val stats = tf.agg(statAggs.head, statAggs.tail: _*)
+      val withStats = tf.crossJoin(broadcast(stats))
+      val avgdl = col("sum_dl").cast("double") / col("n_docs").cast("double")
+      def score(i: Int): Column = {
+        val tfi = col(s"tf$i").cast("double")
+        val idf = round(log((col("n_docs").cast("double") - col(s"df$i") + 0.5) /
+          (col(s"df$i") + 0.5) + 1.0), 6)
+        // dl·b (not b·dl) only for Column-API reasons: IEEE multiply is
+        // commutative bit-for-bit, so this matches the oracle's 0.75*dl
+        val denom = tfi +
+          lit(k1) * (lit(1.0) - b + col("dl").cast("double") * b / avgdl)
+        idf * (tfi * (k1 + 1)) / denom
+      }
+      val total = terms.indices.map(score).reduce(_ + _)
+      withStats
+        .select(col("doc_id"), col("dl"), round(total, 6).as("bm25"))
+        .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -351,5 +400,36 @@ object TextAnalysis {
         |  LATERAL (SELECT unnest(string_split(text,' ')) AS w,
         |           generate_subscripts(string_split(text,' '),1) AS i)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // idf rounded to 6 dp at its source (the only transcendental), then a
+    // fixed left-associated double expression tree — mirrors the Spark
+    // plan op for op (see the query entry's numerics note)
+    "text_bm25" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS INT) AS dl,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'spark')) AS INT) AS tf0,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'join')) AS INT) AS tf1,
+        |    CAST(len(list_filter(string_split(text, ' '), w -> w = 'window')) AS INT) AS tf2
+        |  FROM documents),
+        |s AS (
+        |  SELECT count(1) AS n_docs, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+        |    sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+        |    sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+        |  FROM t)
+        |SELECT doc_id, dl,
+        |  round(
+        |    round(ln((CAST(n_docs AS DOUBLE) - df0 + 0.5) / (df0 + 0.5) + 1.0), 6)
+        |      * (CAST(tf0 AS DOUBLE) * (1.2 + 1))
+        |      / (CAST(tf0 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |  + round(ln((CAST(n_docs AS DOUBLE) - df1 + 0.5) / (df1 + 0.5) + 1.0), 6)
+        |      * (CAST(tf1 AS DOUBLE) * (1.2 + 1))
+        |      / (CAST(tf1 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |  + round(ln((CAST(n_docs AS DOUBLE) - df2 + 0.5) / (df2 + 0.5) + 1.0), 6)
+        |      * (CAST(tf2 AS DOUBLE) * (1.2 + 1))
+        |      / (CAST(tf2 AS DOUBLE) + 1.2 * (1 - 0.75 + 0.75 * CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n_docs AS DOUBLE))))
+        |  , 6) AS bm25
+        |FROM t CROSS JOIN s
+        |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
   )
 }

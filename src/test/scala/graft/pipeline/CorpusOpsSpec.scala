@@ -7,6 +7,30 @@ class CorpusOpsSpec extends SparkSpec {
 
   private def run(name: String) = CorpusOps.queries(name)(spark, sf0001)
 
+  test("corpus_upsert: delta wins, base survives untouched, inserts land") {
+    val base = graft.Tables.documents(spark, sf0001)
+    val nBase = base.count()
+    val df = run("corpus_upsert")
+    val rows = df.collect()
+    val byId = rows.map(r => r.getLong(0) -> (r.getString(1), r.getInt(2))).toMap
+    val nUpd = base.filter(col("doc_id") % 7 === 0).count()
+    val nIns = base.filter(col("doc_id") % 13 === 0).count()
+    assert(rows.length == nBase + nIns, "merged size = base + net-new")
+    // every updated id carries the delta version ('v2 ' prefix = +3 chars)
+    val origLen = base.select(col("doc_id"), length(col("text")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    var updSeen = 0
+    origLen.foreach { case (id, n) =>
+      if (id % 7 == 0) { assert(byId(id) == ("delta", n + 3)); updSeen += 1 }
+      else assert(byId(id) == ("base", n))
+    }
+    assert(updSeen == nUpd && updSeen > 0)
+    // no wide shuffle of the base side: with a small delta the anti join
+    // must resolve (statically or via AQE) to a broadcast hash join
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("BroadcastHashJoin"), physical.take(500))
+  }
+
   test("decontaminate broadcasts the eval shingle set and excludes eval docs") {
     val df = run("decontaminate")
     val physical = df.queryExecution.executedPlan.toString

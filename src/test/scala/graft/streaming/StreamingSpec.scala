@@ -74,6 +74,28 @@ class StreamingSpec extends SparkSpec {
     assert(spark.table("dd").count() == 2)
   }
 
+  test("stream_dedup: streaming dropDuplicates keeps the same first arrivals as batch") {
+    // one partition + ts-ordered feed: "first encountered" in the
+    // streaming dedup state store IS first-arrival. The batch min-struct
+    // formulation must agree key-for-key and row-for-row.
+    val stream = MemoryStream[Ev](1)(implicitly, spark.sqlContext)
+    stream.addData(batchEvents.orderBy($"ts", $"event_id").as[Ev].collect().toIndexedSeq)
+    val q = stream.toDF()
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates(Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("sdd")
+      .outputMode(OutputMode.Update).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("sdd")
+      .select($"user_id", $"event_type", $"ts", $"event_id", $"value")
+      .orderBy($"user_id", $"event_type").collect().toSeq
+    val batch = EventStreams.firstArrival(batchEvents)
+      .select($"user_id", $"event_type", $"first_ts".as("ts"),
+        $"first_event_id".as("event_id"), $"first_value".as("value"))
+      .orderBy($"user_id", $"event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts") {
     val stream = MemoryStream[Ev](spark)
     val counted = stream.toDS()

@@ -25,6 +25,38 @@ class TextAnalysisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("text_bm25: scores rank by term mass and match a scalar re-derivation") {
+    val rows = TextAnalysis.queries("text_bm25")(spark, sf0001).collect()
+    assert(rows.length == 20)
+    // monotone by construction of the ORDER BY
+    val scores = rows.map(_.getDouble(2))
+    assert(scores.sameElements(scores.sorted(Ordering[Double].reverse)))
+    assert(scores.head > 0.0)
+    // re-derive the top doc's score from first principles (plain Scala,
+    // same formula, independent of the Column tree)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val terms = Seq("spark", "join", "window")
+    val lens = docs.map { case (_, t) => t.split(" ", -1).length }
+    val n = docs.size.toDouble
+    val avgdl = lens.sum.toDouble / n
+    def tf(text: String, w: String) = text.split(" ", -1).count(_ == w)
+    val dfs = terms.map(t => docs.values.count(x => tf(x, t) > 0).toDouble)
+    val top = rows.head
+    val dl = docs(top.getLong(0)).split(" ", -1).length.toDouble
+    val expect = terms.zip(dfs).map { case (t, dfc) =>
+      val tfi = tf(docs(top.getLong(0)), t).toDouble
+      val idf = BigDecimal(math.log((n - dfc + 0.5) / (dfc + 0.5) + 1.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      idf * (tfi * 2.2) / (tfi + 1.2 * (0.25 + 0.75 * dl / avgdl))
+    }.sum
+    val expectR = BigDecimal(expect)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(top.getDouble(2) == expectR,
+      s"bm25 ${top.getDouble(2)} vs rederived $expectR")
+  }
+
   test("ngramRepStats equals the explode-groupBy spec on the corpus + edges") {
     // naive Column spec: bigram strings via slice/array_join, counted by
     // an aggregation shuffle — exactly what the kernel's zero-shuffle
