@@ -22,6 +22,14 @@ object Sources {
   def readJson(s: SparkSession, path: String): DataFrame =
     s.read.json(path)
 
+  def readOrc(s: SparkSession, path: String): DataFrame =
+    s.read.orc(path)
+
+  /** Line-oriented text source (one `value` column) — the raw-crawl
+    * ingest shape before any schema exists. */
+  def readText(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+
   def readJdbc(s: SparkSession, url: String, table: String,
       props: java.util.Properties = new java.util.Properties): DataFrame =
     s.read.jdbc(url, table, props)
@@ -38,6 +46,12 @@ object Sources {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).json(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
+  def writeText(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).text(path)
 
   /** Partitioned sink — the layout that makes downstream partition
     * pruning work at 100 TB (one directory per partition value). */

@@ -19,6 +19,29 @@ class SourcesSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq)
   }
 
+  test("orc round-trip preserves data and pushes filters to the scan") {
+    val nation = Tables.nation(spark, sf0001)
+    val dir = tmp("orc")
+    Sources.writeOrc(nation, dir)
+    val back = Sources.readOrc(spark, dir)
+    assert(back.orderBy("n_nationkey").collect().toSeq ==
+      nation.orderBy("n_nationkey").collect().toSeq)
+    // ORC is the second columnar format with real pushdown: the filter
+    // must reach the scan, not evaluate post-scan only
+    val plan = back.filter(col("n_regionkey") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("n_regionkey"), plan)
+  }
+
+  test("text source reads raw lines as one value column") {
+    val dir = tmp("text")
+    Sources.writeText(
+      Tables.documents(spark, sf0001).select(col("text")), dir)
+    val back = Sources.readText(spark, dir)
+    assert(back.columns.toSeq == Seq("value"))
+    assert(back.count() == Tables.documents(spark, sf0001).count())
+  }
+
   test("json round-trip preserves data") {
     val region = Tables.region(spark, sf0001)
     val dir = tmp("json")
