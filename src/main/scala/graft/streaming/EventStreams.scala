@@ -35,14 +35,21 @@ object EventStreams {
       .select(col("w.start").as("wstart"), col("event_type"), col("n"), col("sum_value"))
 
   /** First-arrival-wins dedup: one event per (user_id, event_type), the
-    * earliest by (ts, event_id). Batch form is a single hash aggregation
-    * of `min(struct(ts, event_id, value))` — lexicographic struct min ≡
-    * first arrival, with map-side partial aggregation and ONE uniform
-    * shuffle on the dedup key — not a window row_number, which would sort
-    * every partition for a per-key minimum. Streaming form is
-    * `dropDuplicates` over the same key with a watermark bounding state
-    * ([[graft.streaming.StreamingSpec]] proves batch/stream agreement on
-    * a time-ordered stream). */
+    * earliest by (ts, event_id). Batch form is one aggregation of
+    * `min(struct(ts, event_id, value))` — lexicographic struct min ≡
+    * first arrival, payload riding along, so the whole dedup is a single
+    * pass. Plan reality (audited in PLANS.md): the struct-typed buffer is
+    * not hash-aggregable, so Spark plans SortAggregate — each scan split
+    * sorts locally by the GROUP key before partial aggregation. That
+    * local sort is the price of carrying the payload in one pass; the
+    * shuffle still carries only per-split per-key minima (partial agg),
+    * which is the lever that matters at corpus scale. The window
+    * row_number alternative shuffles EVERY event to sort whole
+    * partitions; the hash-friendly alternative (min over an encoded
+    * scalar, then join back for the payload) pays a second corpus-wide
+    * join. Streaming form is `dropDuplicates` over the same key with a
+    * watermark bounding state ([[graft.streaming.StreamingSpec]] proves
+    * batch/stream agreement on a time-ordered stream). */
   def firstArrival(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"), col("event_type"))
