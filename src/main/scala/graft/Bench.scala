@@ -18,9 +18,25 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session/codegen/parquet-footer costs land here, not on the
-    // (hash-ordered) first query
+    // Warmup, two layers. (1) session/parquet-footer costs. (2) a full
+    // sweep of every query at sf0.001 (~6k rows — data cost is noise):
+    // whole-stage codegen classes are keyed by plan shape, not data, so
+    // this JIT-compiles each query's generated code BEFORE its timed
+    // sf-target run. Without it every per-query number includes one
+    // first-execution compile (~0.1-0.3 s — comparable to most queries'
+    // actual work), which is JVM accounting, not plan cost; what the
+    // timed loop should measure is the steady-state cost a warmed
+    // executor fleet pays. Methodology recorded in BASELINE.md round 5.
     Tables.lineitem(spark, sfDir).count()
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      SparkEntry.queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        graft.emf.EmfPlanner.unpersistAll()
+      }
+      graft.dedup.Dedup.clearCache()
+      graft.ann.Similarity.clearCache()
+    }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // the ngram pair frame is memoized across dedup_* queries — charge
     // its build to its own metric line, so per-query numbers are
