@@ -49,6 +49,7 @@ object SparkEntry {
       graft.plans.AsOfJoin.queries ++
       graft.plans.RangeJoin.queries ++
       graft.ann.Ivf.queries ++
+      graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries
 
@@ -68,6 +69,7 @@ object SparkEntry {
       graft.functions.Custom.oracle ++
       graft.plans.AsOfJoin.oracle ++
       graft.plans.RangeJoin.oracle ++
+      graft.ann.KMeans.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle
 }

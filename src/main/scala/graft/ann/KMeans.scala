@@ -1,0 +1,146 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed k-means over the embedding corpus — the semantic-
+  * clustering primitive of embedding-space data curation (cluster-then-
+  * sample, per-cluster quality triage, SemDeDup-style near-cluster
+  * pruning). Complements [[Ivf]]: IVF trains its coarse quantizer on a
+  * bounded driver-side sample because a few KB of centroids is all a
+  * probe needs; THIS operator is the full-corpus clustering a curation
+  * pipeline runs, so every step is distributed — assignment is a
+  * broadcast of the k-row centroid frame against the corpus scan, and
+  * the centroid update is a (cell, dim)-keyed partial aggregation. No
+  * driver-side model materialization anywhere.
+  *
+  * '''Exactness construction (why this is oracle-checkable).''' Lloyd's
+  * iterations on doubles are not portable: distance sums and mean
+  * divisions round differently across engines, and one flipped argmin
+  * cascades. Instead everything lives on a 2⁻¹⁰ fixed-point grid:
+  *
+  *  - inputs quantize once: `q = floor(x·1024)` (exact IEEE ops);
+  *  - squared L2 distance is then INTEGER arithmetic — components ≤
+  *    ~2¹¹, squares ≤ 2²², a 64-dim distance ≤ 2²⁸ — exact in long,
+  *    ORDER-INDEPENDENT, so any partitioning and any engine agree
+  *    bit-for-bit;
+  *  - argmin ties break to the lowest cell id via lexicographic
+  *    `min(struct(dist, cell))`;
+  *  - centroid update = integer sums + ONE integer division per
+  *    dimension (`sum div count`, truncation toward zero — Spark's
+  *    `div` and DuckDB's `//` agree, verified over negatives), landing
+  *    the new centroid back on the grid with zero accumulated error.
+  *
+  * The DuckDB oracle replays the identical two unrolled iterations in
+  * CTEs — not a weaker invariant check: the full assignment + update +
+  * inertia pipeline is bit-compared. Overflow headroom: per-row
+  * distance ≤ 2²⁸ sums exactly in long up to ~2³⁵ rows per cell; dim
+  * sums ≤ 2¹¹·|cell| stay in long to ~2⁵² rows. At 100 TB the
+  * assignment is a scan × k-row broadcast (map-only) and the update
+  * shuffles (k × dim) partials — the same shape as
+  * [[graft.pipeline.CorpusOps]]'s `emb_centroid`, which is the inner
+  * loop of exactly this operator.
+  */
+object KMeans {
+
+  private val P = 1024L // 2^-10 grid
+  private val K = 4
+  private val Iters = 2
+
+  /** floor(x·2¹⁰) per component — the only float→fixed crossing. */
+  private def quantize(emb: Column): Column =
+    transform(emb, x => floor(x.cast("double") * P).cast("long"))
+
+  /** Integer squared L2 between two quantized vectors. */
+  private def sqDistFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** `Iters` unrolled Lloyd iterations; returns the final assignment
+    * frame (vec_id, qe, dist, cell) where dist is against the centroids
+    * the final assignment used. A cell that receives no members simply
+    * drops out of the next round's centroid frame (deterministic, and
+    * mirrored in the oracle). */
+  private[ann] def iterate(e: DataFrame, iters: Int = Iters): DataFrame = {
+    val w = Window.orderBy(col("vec_id"))
+    var cent = e.orderBy(col("vec_id")).limit(K)
+      .select((row_number().over(w) - 1).cast("int").as("cell"),
+        col("qe").as("qc"))
+    var assigned: DataFrame = null
+    for (_ <- 1 to iters) {
+      assigned = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("qe"),
+          struct(sqDistFp(col("qe"), col("qc")).as("dist"),
+            col("cell").as("cell")).as("dc"))
+        .groupBy(col("vec_id"), col("qe"))
+        .agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("qe"),
+          col("m.dist").as("dist"), col("m.cell").as("cell"))
+      cent = assigned
+        .select(col("cell"), posexplode(col("qe")).as(Seq("pos", "q")))
+        .groupBy(col("cell"), col("pos"))
+        .agg(expr("sum(q) div count(1)").as("c"))
+        .groupBy(col("cell"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), col("c")))),
+          s => s.getField("c")).as("qc"))
+    }
+    assigned
+  }
+
+  private[ann] def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), quantize(col("embedding")).as("qe"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_kmeans" -> ((s, d) => {
+      val e = quantized(s, d)
+      iterate(e)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia_fp"))
+        .orderBy(col("cell"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // the same two unrolled Lloyd iterations on the same 2^-10 grid;
+    // `//` (DuckDB) and `div` (Spark) both truncate toward zero
+    "emb_kmeans" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+        |         qe AS qc
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+        |d1 AS (
+        |  SELECT e.vec_id, e.qe, i.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
+        |  FROM e CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, qe, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
+        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
+        |      generate_subscripts(qe, 1) AS pos) u
+        |    GROUP BY cell, u.pos)
+        |  GROUP BY cell),
+        |d2 AS (
+        |  SELECT e.vec_id, e.qe, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)
+        |SELECT cell, count(1) AS n, CAST(sum(dist) AS BIGINT) AS inertia_fp
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin)
+}

@@ -1,0 +1,33 @@
+package graft.ann
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends SparkSpec {
+
+  private def corpus = KMeans.quantized(spark, sf0001)
+
+  test("emb_kmeans partitions the whole corpus and is partitioning-independent") {
+    val out = KMeans.queries("emb_kmeans")(spark, sf0001).collect()
+    val total = graft.Tables.embeddings(spark, sf0001).count()
+    assert(out.map(_.getLong(1)).sum == total, "every vector assigned exactly once")
+    assert(out.forall(r => r.getInt(0) >= 0 && r.getInt(0) < 4))
+    // fixed-point arithmetic is order-independent: an adversarial
+    // repartition of the input must produce the identical result
+    val shuffled = KMeans.iterate(corpus.repartition(7))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia_fp"))
+      .orderBy(col("cell")).collect()
+    assert(shuffled.toSeq == out.toSeq)
+  }
+
+  test("Lloyd monotonicity: iteration 2 inertia does not exceed iteration 1") {
+    def inertia(iters: Int): Long =
+      KMeans.iterate(corpus, iters).agg(sum(col("dist"))).head().getLong(0)
+    val i1 = inertia(1)
+    val i2 = inertia(2)
+    // exact theory gives i2 <= i1; grid-truncated centroids can slip by
+    // at most one grid cell per dimension per centroid — allow that slack
+    assert(i2 <= i1 + 64, s"inertia rose: $i1 -> $i2")
+  }
+}
