@@ -58,6 +58,46 @@ object EventStreams {
         col("f.ts").as("first_ts"), col("f.event_id").as("first_event_id"),
         col("f.value").as("first_value"))
 
+  /** Sessionized event TRAJECTORIES: per (user, 10-min-gap session),
+    * the ordered sequence of event types — the shaping step that turns
+    * a raw event log into sequence-model training examples. The
+    * sessionization is the same lag→flag→running-sum window as
+    * [[sessions]]; the sequence itself is `sort_array(collect_list(
+    * struct(ts, event_id, type)))` — collect_list alone has NO ordering
+    * guarantee under parallel execution, the struct sort is what makes
+    * the trajectory deterministic ((ts, event_id) is unique). One
+    * user-keyed shuffle for the windows, one (user, session) hash
+    * aggregation for the collect; at corpus scale sequences are bounded
+    * by session length, not corpus size. */
+  def sessionTrajectories(events: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      // strict < gap, matching session_window's boundary convention
+      // (events exactly one gap apart start a new session — pinned in
+      // StreamingSpec); integer microsecond arithmetic, exact in both
+      // engines
+      .withColumn("new_s",
+        when(col("prev_ts").isNotNull &&
+          unix_micros(col("ts")) - unix_micros(col("prev_ts")) < 600000000L, 0)
+          .otherwise(1))
+      .withColumn("sid", sum(col("new_s")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("user_id"), col("sid"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        count(lit(1)).as("n_events"),
+        array_join(
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type")))),
+            s => s.getField("event_type")),
+          ">").as("trajectory"))
+      .drop("sid")
+  }
+
   /** Gap-based session windows (10 min) per user. */
   def sessions(events: DataFrame): DataFrame =
     events
@@ -86,6 +126,9 @@ object EventStreams {
     "stream_dedup" -> ((s, d) =>
       firstArrival(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
+    "session_trajectories" -> ((s, d) =>
+      sessionTrajectories(Tables.events(s, d))
+        .orderBy(col("user_id"), col("session_start"))),
   )
 
   def oracle: Map[String, String] = Map(
@@ -135,5 +178,23 @@ object EventStreams {
         |SELECT user_id, event_type, ts AS first_ts,
         |  event_id AS first_event_id, value AS first_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // same lag→flag→running-sum sessionization (strict < 10-min gap in
+    // integer microseconds), trajectory = types ordered by (ts, event_id)
+    "session_trajectories" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |           PARTITION BY user_id ORDER BY ts, event_id))
+        |         < 600000000 THEN 0 ELSE 1 END AS new_s
+        |  FROM events),
+        |numbered AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM flagged)
+        |SELECT user_id, min(ts) AS session_start, count(1) AS n_events,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
   )
 }

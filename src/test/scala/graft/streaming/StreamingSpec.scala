@@ -96,6 +96,23 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("session_trajectories carve the same sessions as session_window") {
+    // two independent sessionizations (lag/cumsum vs Spark's
+    // session_window state logic) must agree on every boundary
+    val traj = EventStreams.sessionTrajectories(batchEvents)
+      .select($"user_id", $"session_start", $"n_events")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    val sess = EventStreams.sessions(batchEvents)
+      .select($"user_id", $"session_start", $"n_events")
+      .orderBy($"user_id", $"session_start").collect().toSeq
+    assert(traj == sess)
+    // trajectories have exactly n_events - 1 separators
+    EventStreams.sessionTrajectories(batchEvents).collect().foreach { r =>
+      val (n, t) = (r.getAs[Long]("n_events"), r.getAs[String]("trajectory"))
+      assert(t.count(_ == '>') == n - 1, s"$n vs $t")
+    }
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts") {
     val stream = MemoryStream[Ev](spark)
     val counted = stream.toDS()
