@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -67,6 +67,60 @@ object DatasetPrep {
         .orderBy(col("vec_id"))
     }),
 
+    // Overlapping sliding-window chunking (the RAG / retrieval-index
+    // layout): 50-word chunks on a 40-word stride, so consecutive
+    // chunks share 10 words and no query phrase straddles a boundary
+    // unseen. Chunk generation is IN-ROW (sequence → slice → explode, a
+    // narrow ~1.25× row expansion) — no join, no shuffle; at 100 TB
+    // chunking is scan-bound. The final ORDER BY is oracle determinism
+    // only.
+    "chunk_overlap" -> ((s, d) => {
+      val ck = 50
+      val stride = 40
+      val ws = split(col("text"), " ")
+      // ceil(n/stride) in exact int arithmetic (int+int `/` is a double
+      // divide in Spark — exact at these magnitudes, floor recovers it)
+      val num = floor((size(ws) + lit(stride - 1)) / lit(stride)).cast("int")
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(0), num - 1), i =>
+            struct(i.as("chunk_id"),
+              slice(ws, i * stride + 1, lit(ck)).as("cw")))).as("c"))
+        .select(col("doc_id"),
+          col("c.chunk_id").as("chunk_id"),
+          size(col("c.cw")).as("n_chunk_words"),
+          array_join(col("c.cw"), " ").as("chunk"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+    }),
+
+    // Skip-gram (center, context) pair counts, forward window 1..2 —
+    // the extraction pass of word-embedding training data. Pairs are
+    // generated IN-ROW from the token array (two shifted zips — narrow,
+    // ~2 rows out per token) and counted by ONE pair-keyed hash
+    // aggregation with map-side combine: shuffle volume is bounded by
+    // distinct pairs per partition (≲ vocab²), NOT corpus tokens. The
+    // positional self-join formulation (token table joined to itself on
+    // doc and pos-distance) shuffles every token occurrence twice; the
+    // oracle uses exactly that formulation as the independent mirror.
+    "skipgram_pairs" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val n = size(ws)
+      // (center, context-at-+dist) pairs as two shifted slices zipped;
+      // greatest(...) keeps the slice length at 0 for docs shorter than
+      // the window (sequence/when formulations hit Spark's descending-
+      // sequence and empty-array-typing traps here)
+      def shifted(dist: Int): Column =
+        zip_with(
+          slice(ws, lit(1), greatest(n - dist, lit(0))),
+          slice(ws, lit(dist + 1), greatest(n - dist, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))
+      Tables.documents(s, d)
+        .select(explode(concat(shifted(1), shifted(2))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("w1"), col("w2"))
+    }),
+
     // Stratified split audit: deterministic 80/10/10 by a
     // multiply-xorshift mix of doc_id (a bare multiplicative mod-10
     // would collapse to doc_id's last digit — the xorshift folds the
@@ -114,6 +168,32 @@ object DatasetPrep {
         |         ELSE list_transform(emb, x -> CAST(round(x * 127 / scale) AS INT))
         |    END, ',') AS qvec
         |FROM s ORDER BY vec_id""".stripMargin,
+    // list slicing l[a:b] is 1-based inclusive in DuckDB ≡ Spark
+    // slice(l, a, b-a+1); chunk starts every 40 words, 50-word windows
+    "chunk_overlap" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |         len(string_split(text, ' ')) AS n
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, CAST(i AS INT) AS chunk_id,
+        |    ws[i*40+1 : i*40+50] AS cw
+        |  FROM t, LATERAL (SELECT unnest(range((n + 39) // 40)) AS i))
+        |SELECT doc_id, chunk_id,
+        |  CAST(len(cw) AS INT) AS n_chunk_words,
+        |  array_to_string(cw, ' ') AS chunk
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    // independent formulation: positional token self-join on doc +
+    // pos-distance — mirrors the in-row zip exactly
+    "skipgram_pairs" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.w, u.pos FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos) u)
+        |SELECT a.w AS w1, b.w AS w2, count(1) AS n
+        |FROM w a JOIN w b
+        |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
+        |GROUP BY 1, 2 ORDER BY n DESC, w1, w2""".stripMargin,
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,

@@ -23,6 +23,36 @@ class DatasetPrepSpec extends SparkSpec {
     }
   }
 
+  test("chunk_overlap: every chunk is exactly its 50-word window at 40-word stride") {
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ", -1)).toMap
+    val chunks = DatasetPrep.queries("chunk_overlap")(spark, sf0001).collect()
+    val perDoc = chunks.groupBy(_.getLong(0))
+    docs.foreach { case (id, ws) =>
+      val expectNum = (ws.length + 39) / 40
+      val got = perDoc(id).sortBy(_.getInt(1))
+      assert(got.length == expectNum, s"doc $id chunk count")
+      got.foreach { r =>
+        val i = r.getInt(1)
+        val expect = ws.slice(i * 40, i * 40 + 50)
+        assert(r.getString(3) == expect.mkString(" "), s"doc $id chunk $i")
+        assert(r.getInt(2) == expect.length)
+      }
+    }
+  }
+
+  test("skipgram_pairs: pair mass equals the per-doc shifted-window count") {
+    val lens = graft.Tables.documents(spark, sf0001)
+      .select(size(split(col("text"), " "))).collect().map(_.getInt(0))
+    val expect = lens.map(n => math.max(n - 1, 0).toLong + math.max(n - 2, 0)).sum
+    val rows = DatasetPrep.queries("skipgram_pairs")(spark, sf0001).collect()
+    assert(rows.map(_.getLong(2)).sum == expect)
+    // counts are sorted descending with deterministic tie order
+    val ns = rows.map(_.getLong(2))
+    assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
+  }
+
   test("sample_split: deterministic, stratified, roughly 80/10/10") {
     val out = DatasetPrep.queries("sample_split")(spark, sf0001)
     val a = out.collect().toSeq
