@@ -70,12 +70,27 @@ object KMeans {
         col("qe").as("qc"))
     var assigned: DataFrame = null
     for (_ <- 1 to iters) {
-      assigned = e.crossJoin(broadcast(cent))
+      // Assignment is IN-ROW: the centroid frame collapses to ONE row
+      // holding a cell-sorted array of (cell, qc) structs, broadcast
+      // against the corpus scan; the argmin folds over that array per
+      // vector. The alternative (crossJoin to an n×k frame + min(struct)
+      // groupBy) shuffles and sorts k× the corpus PER ITERATION — this
+      // formulation shuffles nothing at all for assignment. Strict <
+      // over the cell-ascending array ≡ min(struct(dist, cell)): ties
+      // keep the lowest cell.
+      val centArr = cent
+        .agg(sort_array(collect_list(struct(col("cell"), col("qc"))))
+          .as("cents"))
+      assigned = e.crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("qe"),
-          struct(sqDistFp(col("qe"), col("qc")).as("dist"),
-            col("cell").as("cell")).as("dc"))
-        .groupBy(col("vec_id"), col("qe"))
-        .agg(min(col("dc")).as("m"))
+          aggregate(col("cents"),
+            struct(lit(Long.MaxValue).as("dist"), lit(-1).as("cell")),
+            (acc, c) => {
+              val dist = sqDistFp(col("qe"), c.getField("qc"))
+              when(dist < acc.getField("dist"),
+                struct(dist.as("dist"), c.getField("cell").as("cell")))
+                .otherwise(acc)
+            }).as("m"))
         .select(col("vec_id"), col("qe"),
           col("m.dist").as("dist"), col("m.cell").as("cell"))
       cent = assigned
