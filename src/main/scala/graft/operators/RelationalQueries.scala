@@ -234,6 +234,34 @@ object RelationalQueries {
       filled.crossJoin(dropped)
     }),
 
+    // Data profiling — the catalog/schema probe grown up: per-column
+    // non-null/null/distinct counts and min/max in ONE aggregation pass
+    // (Catalyst expands the multi-distinct into one Expand + aggregate),
+    // then a stack() unpivot of the single stats row into a row per
+    // column. min/max surface as strings so one schema serves every
+    // column type (bigint/varchar here; doubles are excluded because
+    // float-to-string rendering differs across engines). At 100 TB the
+    // exact distincts swap for approx_count_distinct (agg_approx_distinct
+    // is that variant); everything else is a map-side-combined scan.
+    "profile_columns" -> ((s, d) => {
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      val aggs = cols.flatMap { c =>
+        Seq(
+          count(col(c)).as(s"${c}__n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+          countDistinct(col(c)).as(s"${c}__distinct"),
+          min(col(c)).cast("string").as(s"${c}__min"),
+          max(col(c)).cast("string").as(s"${c}__max"))
+      }
+      Tables.orders(s, d).agg(aggs.head, aggs.tail: _*)
+        .selectExpr(
+          s"stack(${cols.size}, " + cols.map(c =>
+            s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+            .mkString(", ") +
+            ") as (col_name, n_nonnull, n_null, n_distinct, min_val, max_val)")
+        .orderBy(col("col_name"))
+    }),
+
     // bag-semantics variants (multiplicity-preserving)
     "setop_intersect_all" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
@@ -495,6 +523,16 @@ object RelationalQueries {
 
   /** DuckDB oracle SQL — column names/types matched to the Spark side. */
   def oracle: Map[String, String] = Map(
+    "profile_columns" ->
+      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             | count(DISTINCT $c) AS n_distinct,
+             | CAST(min($c) AS VARCHAR) AS min_val,
+             | CAST(max($c) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
