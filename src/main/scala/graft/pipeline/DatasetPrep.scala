@@ -121,6 +121,33 @@ object DatasetPrep {
         .orderBy(col("n").desc, col("w1"), col("w2"))
     }),
 
+    // Tokenization against a corpus-learned vocabulary: word ids by
+    // frequency rank (ties alphabetical — fully deterministic), then
+    // every document re-emitted as its id sequence. The vocab build is
+    // one word-count shuffle (vocab-sized output) + one rank sort of
+    // the VOCAB (not the corpus); the corpus-side encoding is ZERO
+    // shuffle — the vocab ships as a broadcast map column and the id
+    // lookup is an in-row transform over the token array, so encoding
+    // 100 TB is scan-bound. (At web-scale vocab the single-partition
+    // rank sort becomes a two-level rank — count-bucket then within —
+    // same output, still vocab-sized.)
+    "tokenize_ids" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+      val vocab = docs.select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(col("w"), row_number().over(
+          Window.orderBy(col("n").desc, col("w"))).as("id"))
+      val vmap = vocab
+        .agg(map_from_entries(collect_list(struct(col("w"), col("id"))))
+          .as("vm"))
+      docs.crossJoin(broadcast(vmap))
+        .select(col("doc_id"), size(ws).as("n_tok"),
+          array_join(transform(ws,
+            w => element_at(col("vm"), w).cast("string")), ",").as("ids"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Stratified split audit: deterministic 80/10/10 by a
     // multiply-xorshift mix of doc_id (a bare multiplicative mod-10
     // would collapse to doc_id's last digit — the xorshift folds the
@@ -194,6 +221,21 @@ object DatasetPrep {
         |FROM w a JOIN w b
         |  ON a.doc_id = b.doc_id AND b.pos - a.pos BETWEEN 1 AND 2
         |GROUP BY 1, 2 ORDER BY n DESC, w1, w2""".stripMargin,
+    // same rank rule (count desc, word asc); ids reassembled in token
+    // order via the positional unnest
+    "tokenize_ids" ->
+      """WITH w AS (
+        |  SELECT doc_id, u.w, u.pos FROM documents,
+        |    LATERAL (SELECT unnest(string_split(text, ' ')) AS w,
+        |      generate_subscripts(string_split(text, ' '), 1) AS pos) u),
+        |vocab AS (
+        |  SELECT w, CAST(row_number() OVER (ORDER BY count(1) DESC, w)
+        |    AS INT) AS id
+        |  FROM w GROUP BY w)
+        |SELECT doc_id, CAST(count(1) AS INT) AS n_tok,
+        |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
+        |FROM w JOIN vocab USING (w)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,

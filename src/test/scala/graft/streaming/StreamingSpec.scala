@@ -113,6 +113,23 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("event_outliers: flags match a scalar re-derivation of the 3-sigma rule") {
+    val rows = EventStreams.queries("event_outliers")(spark, sf0001).collect()
+    val raw = batchEvents.select($"event_type", $"value").collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    rows.foreach { r =>
+      val ws = raw(r.getString(0))
+      val (n, s, q) = (ws.length.toLong, ws.sum, ws.map(x => x * x).sum)
+      val expect = ws.count { w =>
+        val dev = n.toDouble * w.toDouble - s.toDouble
+        dev * dev > 9.0 * (n.toDouble * q.toDouble - s.toDouble * s.toDouble)
+      }
+      assert(r.getLong(1) == n && r.getLong(2) == expect.toLong, s"${r.getString(0)}")
+    }
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts") {
     val stream = MemoryStream[Ev](spark)
     val counted = stream.toDS()
