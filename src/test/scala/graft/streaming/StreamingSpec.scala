@@ -130,6 +130,37 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("stream-static join: live events flagged against batch-trained stats") {
+    // the streaming twin of event_outliers: moments are trained in
+    // batch (the static side, broadcastable), and the live stream is
+    // scored row-by-row via a stream-static join — the standard
+    // "anomaly-detect against a trained profile" deployment shape.
+    val w = (col("value").cast("decimal(18,2)") * 100).cast("long")
+    val stats = batchEvents.select($"event_type", w.as("w"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"w").as("sw"),
+        sum($"w" * $"w").as("qw"))
+    def d2(c: org.apache.spark.sql.Column) = c.cast("double")
+    val dev = d2($"n") * d2(w) - d2($"sw")
+    val rhs = lit(9.0) * (d2($"n") * d2($"qw") - d2($"sw") * d2($"sw"))
+    val stream = MemoryStream[Ev](spark)
+    stream.addData(batchEvents.as[Ev].collect().toIndexedSeq)
+    val q = stream.toDF()
+      .join(stats, "event_type") // stream-static equi join
+      .withColumn("outlier", dev * dev > rhs)
+      .writeStream.format("memory").queryName("ssj")
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.table("ssj")
+      .groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when($"outlier", 1L).otherwise(0L)).as("n_outliers"))
+      .orderBy($"event_type").collect().toSeq
+    val batch = EventStreams.queries("event_outliers")(spark, sf0001)
+      .collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts") {
     val stream = MemoryStream[Ev](spark)
     val counted = stream.toDS()
