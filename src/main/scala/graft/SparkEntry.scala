@@ -35,6 +35,9 @@ object SparkEntry {
       // EMF via the MF-SQL frontend over the events table; the planner's
       // decimal-exact avg over floating columns is bit-stable cross-engine
       "emf_events" -> ((s: SparkSession, d: String) => GoldenQueries.runEventsMf(s, d)),
+      // the whole corpus as ONE batch over a shared cached fact frame
+      // (multi-query optimization; the reference's own workload shape)
+      "emf_batch" -> ((s: SparkSession, d: String) => GoldenQueries.runBatch(s, d)),
     ) ++
       graft.operators.RelationalQueries.queries ++
       graft.operators.Scale.queries ++

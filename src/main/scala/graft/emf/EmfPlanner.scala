@@ -337,6 +337,12 @@ object EmfPlanner {
   private val persistedFrames =
     java.util.concurrent.ConcurrentHashMap.newKeySet[DataFrame]()
 
+  /** Register an externally persisted frame for [[unpersistAll]] cleanup
+    * — used by [[GoldenQueries.runBatch]]'s shared fact cache so batch
+    * callers inherit the same lifecycle as planner-internal MF frames. */
+  private[emf] def registerPersisted(df: DataFrame): Unit =
+    persistedFrames.add(df)
+
   /** Unpersist every MF frame [[plan]] has persisted since the last call.
     * Safe to call any time after the dependent plans' actions complete
     * (re-running such a plan afterwards recomputes scan-0 per pass). */

@@ -10,6 +10,26 @@ import org.apache.spark.sql.Row
 class EmfPlannerSpec extends SparkSpec {
   import spark.implicits._
 
+  test("runBatch: shared-fact batch matches every individual run") {
+    val counts = GoldenQueries.runBatch(spark, sf0001).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(counts.keySet == (1 to 7).toSet)
+    (1 to 7).foreach { i =>
+      assert(counts(i) == GoldenQueries.run(i)(spark, sf0001).count(), s"q$i count")
+    }
+    // full-frame agreement on the dependent-pass query (q4): planning
+    // against the batch's cached fact frame is row-identical to the
+    // per-query path
+    val fact = graft.Tables.salesView(spark, sf0001).cache()
+    val q4 = GoldenQueries.parsed(3)
+    val viaBatch = EmfPlanner.plan(q4, fact)
+      .orderBy(q4.groupAttrs.map(org.apache.spark.sql.functions.col): _*)
+      .collect().toSeq
+    assert(viaBatch == GoldenQueries.run(4)(spark, sf0001).collect().toSeq)
+    fact.unpersist()
+    EmfPlanner.unpersistAll()
+  }
+
   private val cols = Set("cust", "prod", "month", "state", "quant")
 
   private def sales = Seq(
