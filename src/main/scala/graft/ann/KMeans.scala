@@ -116,6 +116,24 @@ object KMeans {
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia_fp"))
         .orderBy(col("cell"))
+    }),
+
+    // Prototype / coreset selection: the 10 vectors nearest their
+    // cluster centroid per cell — the distillation and SemDeDup-style
+    // representative-picking primitive, reusing the exact-integer
+    // k-means assignment (distances are already exact longs, ties break
+    // on vec_id). The per-cell top-m here is a rank window over k cells;
+    // at 100 TB the same result comes from a two-level top-m (bounded
+    // per-split top-m partials, then the k-way merge) — the window form
+    // is kept because its semantics are the oracle's row_number exactly.
+    "emb_prototypes" -> ((s, d) => {
+      val w = Window.partitionBy(col("cell"))
+        .orderBy(col("dist"), col("vec_id"))
+      iterate(quantized(s, d))
+        .select(col("vec_id"), col("cell"), col("dist"),
+          row_number().over(w).as("rnk"))
+        .filter(col("rnk") <= 10)
+        .orderBy(col("cell"), col("rnk"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -157,5 +175,47 @@ object KMeans {
         |    SELECT *, row_number() OVER (PARTITION BY vec_id
         |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)
         |SELECT cell, count(1) AS n, CAST(sum(dist) AS BIGINT) AS inertia_fp
-        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin)
+        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // same two-iteration assignment, then rank within cell by exact
+    // integer distance (ties on vec_id)
+    "emb_prototypes" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+        |         qe AS qc
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+        |d1 AS (
+        |  SELECT e.vec_id, e.qe, i.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
+        |  FROM e CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, qe, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
+        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
+        |      generate_subscripts(qe, 1) AS pos) u
+        |    GROUP BY cell, u.pos)
+        |  GROUP BY cell),
+        |d2 AS (
+        |  SELECT e.vec_id, e.qe, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)
+        |SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist,
+        |  CAST(row_number() OVER (PARTITION BY cell
+        |    ORDER BY dist, vec_id) AS INT) AS rnk
+        |FROM a2 QUALIFY rnk <= 10
+        |ORDER BY cell, rnk""".stripMargin)
 }

@@ -21,6 +21,21 @@ class KMeansSpec extends SparkSpec {
     assert(shuffled.toSeq == out.toSeq)
   }
 
+  test("emb_prototypes: each prototype's distance bounds its cell's selection") {
+    val protos = KMeans.queries("emb_prototypes")(spark, sf0001).collect()
+    val all = KMeans.iterate(corpus).collect()
+      .map(r => (r.getInt(3), r.getLong(2), r.getLong(0))) // (cell, dist, vec)
+    protos.groupBy(_.getInt(1)).foreach { case (cell, rows) =>
+      assert(rows.length == math.min(10, all.count(_._1 == cell)))
+      val cut = rows.map(_.getLong(2)).max
+      // nothing outside the selection is strictly closer than the cutoff
+      val closerOutside = all.filter(_._1 == cell)
+        .filterNot(a => rows.exists(_.getLong(0) == a._3))
+        .count(_._2 < cut)
+      assert(closerOutside == 0, s"cell $cell")
+    }
+  }
+
   test("Lloyd monotonicity: iteration 2 inertia does not exceed iteration 1") {
     def inertia(iters: Int): Long =
       KMeans.iterate(corpus, iters).agg(sum(col("dist"))).head().getLong(0)
