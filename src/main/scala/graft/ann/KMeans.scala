@@ -118,6 +118,32 @@ object KMeans {
         .orderBy(col("cell"))
     }),
 
+    // Clustering-quality diagnostic: per-cell label histogram collapsed
+    // to the majority label and its purity fraction — the check a
+    // curation pipeline runs to decide whether unsupervised cells track
+    // a known taxonomy. Counts are exact integers; purity is ONE IEEE
+    // division of exact operands (bit-identical cross-engine). The
+    // label join keys on vec_id against the already-small assignment
+    // frame; the histogram is a (cell, label) aggregation — k×|labels|
+    // rows — so everything after the scan is negligible at any scale.
+    "cluster_purity" -> ((s, d) => {
+      val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
+      val counts = iterate(quantized(s, d)).select(col("vec_id"), col("cell"))
+        .join(lab, "vec_id")
+        .groupBy(col("cell"), col("label"))
+        .agg(count(lit(1)).as("nl"))
+      val byCell = Window.partitionBy(col("cell"))
+      counts
+        .withColumn("rnk",
+          row_number().over(byCell.orderBy(col("nl").desc, col("label"))))
+        .withColumn("n", sum(col("nl")).over(byCell))
+        .filter(col("rnk") === 1)
+        .select(col("cell"), col("n"), col("label").as("majority_label"),
+          col("nl").as("n_majority"),
+          (col("nl").cast("double") / col("n").cast("double")).as("purity"))
+        .orderBy(col("cell"))
+    }),
+
     // Prototype / coreset selection: the 10 vectors nearest their
     // cluster centroid per cell — the distillation and SemDeDup-style
     // representative-picking primitive, reusing the exact-integer
@@ -217,5 +243,56 @@ object KMeans {
         |  CAST(row_number() OVER (PARTITION BY cell
         |    ORDER BY dist, vec_id) AS INT) AS rnk
         |FROM a2 QUALIFY rnk <= 10
-        |ORDER BY cell, rnk""".stripMargin)
+        |ORDER BY cell, rnk""".stripMargin,
+    // same assignment, then the per-cell label histogram collapsed to
+    // its mode (ties → lowest label) with purity = nl/n (one exact
+    // division)
+    "cluster_purity" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |init AS (
+        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+        |         qe AS qc
+        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+        |d1 AS (
+        |  SELECT e.vec_id, e.qe, i.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
+        |  FROM e CROSS JOIN init i),
+        |a1 AS (
+        |  SELECT vec_id, qe, cell, dist FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+        |c1 AS (
+        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
+        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
+        |      generate_subscripts(qe, 1) AS pos) u
+        |    GROUP BY cell, u.pos)
+        |  GROUP BY cell),
+        |d2 AS (
+        |  SELECT e.vec_id, c.cell,
+        |    list_sum(list_transform(range(1, 65),
+        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
+        |  FROM e CROSS JOIN c1 c),
+        |a2 AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1),
+        |h AS (
+        |  SELECT a2.cell, emb.label, count(1) AS nl
+        |  FROM a2 JOIN embeddings emb USING (vec_id)
+        |  GROUP BY 1, 2)
+        |SELECT cell, CAST(n AS BIGINT) AS n, label AS majority_label,
+        |  CAST(nl AS BIGINT) AS n_majority,
+        |  CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+        |FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY cell
+        |      ORDER BY nl DESC, label) AS rnk,
+        |    sum(nl) OVER (PARTITION BY cell) AS n
+        |  FROM h) WHERE rnk = 1
+        |ORDER BY cell""".stripMargin)
 }

@@ -36,6 +36,29 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("cluster_purity: masses reconcile and the mode dominates") {
+    val rows = KMeans.queries("cluster_purity")(spark, sf0001).collect()
+    val total = graft.Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getLong(1)).sum == total, "cell masses cover the corpus")
+    // independent mode re-derivation: per cell, the reported majority
+    // label must carry the true maximum count (ties -> lowest label)
+    val labels = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hist = KMeans.iterate(corpus).collect()
+      .map(r => (r.getInt(3), labels(r.getLong(0))))
+      .groupBy(_._1).view.mapValues(_.groupBy(_._2).view.mapValues(_.length).toMap).toMap
+    rows.foreach { r =>
+      val (cell, n, maj, nMaj, purity) =
+        (r.getInt(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getDouble(4))
+      val h = hist(cell)
+      assert(h.values.sum.toLong == n)
+      val best = h.toSeq.sortBy { case (l, c) => (-c, l) }.head
+      assert((best._1, best._2.toLong) == (maj, nMaj), s"cell $cell mode")
+      assert(purity == nMaj.toDouble / n.toDouble)
+    }
+  }
+
   test("Lloyd monotonicity: iteration 2 inertia does not exceed iteration 1") {
     def inertia(iters: Int): Long =
       KMeans.iterate(corpus, iters).agg(sum(col("dist"))).head().getLong(0)
