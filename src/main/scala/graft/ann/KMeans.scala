@@ -162,137 +162,78 @@ object KMeans {
         .orderBy(col("cell"), col("rnk"))
     }))
 
+  /** The assignment pipeline (quantize → init → two Lloyd iterations),
+    * shared verbatim by all three oracles below so the replayed
+    * semantics cannot drift between them. `a2` ends with columns
+    * (vec_id, qe, cell, dist). */
+  private val assignCtes: String =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+      |  FROM embeddings),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+      |         qe AS qc
+      |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
+      |d1 AS (
+      |  SELECT e.vec_id, e.qe, i.cell,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
+      |  FROM e CROSS JOIN init i),
+      |a1 AS (
+      |  SELECT vec_id, qe, cell, dist FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
+      |c1 AS (
+      |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
+      |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+      |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
+      |      generate_subscripts(qe, 1) AS pos) u
+      |    GROUP BY cell, u.pos)
+      |  GROUP BY cell),
+      |d2 AS (
+      |  SELECT e.vec_id, e.qe, c.cell,
+      |    list_sum(list_transform(range(1, 65),
+      |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
+      |  FROM e CROSS JOIN c1 c),
+      |a2 AS (
+      |  SELECT vec_id, qe, cell, dist FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY vec_id
+      |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     // the same two unrolled Lloyd iterations on the same 2^-10 grid;
     // `//` (DuckDB) and `div` (Spark) both truncate toward zero
     "emb_kmeans" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |init AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
-        |         qe AS qc
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-        |d1 AS (
-        |  SELECT e.vec_id, e.qe, i.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
-        |  FROM e CROSS JOIN init i),
-        |a1 AS (
-        |  SELECT vec_id, qe, cell, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
-        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
-        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
-        |      generate_subscripts(qe, 1) AS pos) u
-        |    GROUP BY cell, u.pos)
-        |  GROUP BY cell),
-        |d2 AS (
-        |  SELECT e.vec_id, e.qe, c.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cell, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)
-        |SELECT cell, count(1) AS n, CAST(sum(dist) AS BIGINT) AS inertia_fp
-        |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
-    // same two-iteration assignment, then rank within cell by exact
-    // integer distance (ties on vec_id)
+      s"""WITH $assignCtes
+         |SELECT cell, count(1) AS n, CAST(sum(dist) AS BIGINT) AS inertia_fp
+         |FROM a2 GROUP BY cell ORDER BY cell""".stripMargin,
+    // assignment, then rank within cell by exact integer distance
+    // (ties on vec_id)
     "emb_prototypes" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |init AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
-        |         qe AS qc
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-        |d1 AS (
-        |  SELECT e.vec_id, e.qe, i.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
-        |  FROM e CROSS JOIN init i),
-        |a1 AS (
-        |  SELECT vec_id, qe, cell, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
-        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
-        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
-        |      generate_subscripts(qe, 1) AS pos) u
-        |    GROUP BY cell, u.pos)
-        |  GROUP BY cell),
-        |d2 AS (
-        |  SELECT e.vec_id, e.qe, c.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cell, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)
-        |SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist,
-        |  CAST(row_number() OVER (PARTITION BY cell
-        |    ORDER BY dist, vec_id) AS INT) AS rnk
-        |FROM a2 QUALIFY rnk <= 10
-        |ORDER BY cell, rnk""".stripMargin,
-    // same assignment, then the per-cell label histogram collapsed to
-    // its mode (ties → lowest label) with purity = nl/n (one exact
+      s"""WITH $assignCtes
+         |SELECT vec_id, cell, CAST(dist AS BIGINT) AS dist,
+         |  CAST(row_number() OVER (PARTITION BY cell
+         |    ORDER BY dist, vec_id) AS INT) AS rnk
+         |FROM a2 QUALIFY rnk <= 10
+         |ORDER BY cell, rnk""".stripMargin,
+    // assignment, then the per-cell label histogram collapsed to its
+    // mode (ties -> lowest label) with purity = nl/n (one exact
     // division)
     "cluster_purity" ->
-      """WITH e AS (
-        |  SELECT vec_id,
-        |    list_transform(embedding,
-        |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-        |  FROM embeddings),
-        |init AS (
-        |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
-        |         qe AS qc
-        |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-        |d1 AS (
-        |  SELECT e.vec_id, e.qe, i.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist
-        |  FROM e CROSS JOIN init i),
-        |a1 AS (
-        |  SELECT vec_id, qe, cell, dist FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d1) WHERE rn = 1),
-        |c1 AS (
-        |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
-        |    SELECT cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
-        |    FROM a1, LATERAL (SELECT unnest(qe) AS q,
-        |      generate_subscripts(qe, 1) AS pos) u
-        |    GROUP BY cell, u.pos)
-        |  GROUP BY cell),
-        |d2 AS (
-        |  SELECT e.vec_id, c.cell,
-        |    list_sum(list_transform(range(1, 65),
-        |      j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS dist
-        |  FROM e CROSS JOIN c1 c),
-        |a2 AS (
-        |  SELECT vec_id, cell FROM (
-        |    SELECT *, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1),
-        |h AS (
-        |  SELECT a2.cell, emb.label, count(1) AS nl
-        |  FROM a2 JOIN embeddings emb USING (vec_id)
-        |  GROUP BY 1, 2)
-        |SELECT cell, CAST(n AS BIGINT) AS n, label AS majority_label,
-        |  CAST(nl AS BIGINT) AS n_majority,
-        |  CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) AS purity
-        |FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY cell
-        |      ORDER BY nl DESC, label) AS rnk,
-        |    sum(nl) OVER (PARTITION BY cell) AS n
-        |  FROM h) WHERE rnk = 1
-        |ORDER BY cell""".stripMargin)
+      s"""WITH $assignCtes,
+         |h AS (
+         |  SELECT a2.cell, emb.label, count(1) AS nl
+         |  FROM a2 JOIN embeddings emb USING (vec_id)
+         |  GROUP BY 1, 2)
+         |SELECT cell, CAST(n AS BIGINT) AS n, label AS majority_label,
+         |  CAST(nl AS BIGINT) AS n_majority,
+         |  CAST(nl AS DOUBLE) / CAST(n AS DOUBLE) AS purity
+         |FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY cell
+         |      ORDER BY nl DESC, label) AS rnk,
+         |    sum(nl) OVER (PARTITION BY cell) AS n
+         |  FROM h) WHERE rnk = 1
+         |ORDER BY cell""".stripMargin)
 }
