@@ -130,6 +130,29 @@ object EventStreams {
       sessionTrajectories(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
 
+    // Conversion-funnel analysis: users who viewed, then clicked
+    // STRICTLY AFTER their first view, then purchased strictly after
+    // that click — the ordered-sequence semantics (not mere
+    // set-intersection of event types). Three stage frames, each a
+    // user-keyed min-aggregation of a type-filtered scan joined to the
+    // previous stage; every intermediate is ≤ |users| rows, every
+    // shuffle is user-keyed and uniform, and the filters sit on the
+    // scan. Timestamps compare exactly in both engines.
+    "event_funnel" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
+      val g1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val g2 = ev.filter(col("event_type") === "click")
+        .join(g1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val g3 = ev.filter(col("event_type") === "purchase")
+        .join(g2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      g1.agg(count(lit(1)).as("n_view_users"))
+        .crossJoin(g2.agg(count(lit(1)).as("n_click_users")))
+        .crossJoin(g3.agg(count(lit(1)).as("n_purchase_users")))
+    }),
+
     // 3σ outlier counts per event type, with NO sqrt and NO division:
     // (x−μ)² > 9σ² ⟺ (n·x − S)² > 9·(n·Q − S²) where S=Σx, Q=Σx² —
     // the moments are EXACT integer fixed-point (value·100 as long;
@@ -222,6 +245,23 @@ object EventStreams {
         |  string_agg(event_type, '>' ORDER BY ts, event_id) AS trajectory
         |FROM numbered GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // identical stage chain: first view, first click after it, first
+    // purchase after that
+    "event_funnel" ->
+      """WITH g1 AS (
+        |  SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |g2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t2 FROM events e
+        |  JOIN g1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > g1.t1 GROUP BY 1),
+        |g3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t3 FROM events e
+        |  JOIN g2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > g2.t2 GROUP BY 1)
+        |SELECT (SELECT count(1) FROM g1) AS n_view_users,
+        |       (SELECT count(1) FROM g2) AS n_click_users,
+        |       (SELECT count(1) FROM g3) AS n_purchase_users""".stripMargin,
     // identical integer moments, identical double expression tree
     "event_outliers" ->
       """WITH ev AS (

@@ -161,6 +161,31 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("event_funnel: stage counts are monotone and match a scalar replay") {
+    val r = EventStreams.queries("event_funnel")(spark, sf0001).head()
+    val (v, c, p) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(v >= c && c >= p, s"funnel not monotone: $v $c $p")
+    // scalar replay of the ordered-stage semantics
+    val byUser = batchEvents.select($"user_id", $"event_type", $"ts").collect()
+      .map(r0 => (r0.getLong(0), r0.getString(1), r0.getTimestamp(2)))
+      .groupBy(_._1)
+    var (ev, ec, ep) = (0L, 0L, 0L)
+    byUser.values.foreach { rows =>
+      val views = rows.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        ev += 1
+        val t1 = views.min
+        val clicks = rows.filter(x => x._2 == "click" && x._3.after(t1)).map(_._3)
+        if (clicks.nonEmpty) {
+          ec += 1
+          val t2 = clicks.min
+          if (rows.exists(x => x._2 == "purchase" && x._3.after(t2))) ep += 1
+        }
+      }
+    }
+    assert((v, c, p) == ((ev, ec, ep)))
+  }
+
   test("custom state: flatMapGroupsWithState running per-user counts") {
     val stream = MemoryStream[Ev](spark)
     val counted = stream.toDS()
