@@ -148,19 +148,103 @@ object KMeans {
     // cluster centroid per cell — the distillation and SemDeDup-style
     // representative-picking primitive, reusing the exact-integer
     // k-means assignment (distances are already exact longs, ties break
-    // on vec_id). The per-cell top-m here is a rank window over k cells;
-    // at 100 TB the same result comes from a two-level top-m (bounded
-    // per-split top-m partials, then the k-way merge) — the window form
-    // is kept because its semantics are the oracle's row_number exactly.
+    // on vec_id). TWO-LEVEL top-m: a single rank window partitioned by
+    // cell alone funnels the ENTIRE corpus through k partitions (k=4
+    // here — 4 tasks sort ~n/4 rows each no matter how many executors
+    // exist; at 100 TB that is the job). Level 1 ranks within
+    // (cell, salt) — Salts× the parallelism, each partition bounded at
+    // ~n/(k·Salts) — and keeps 10; level 2 ranks the ≤ k·Salts·10
+    // survivors. EXACT, not approximate: the global top-10 of a cell is
+    // contained in the union of its per-salt top-10s (any globally
+    // kept row is also top-10 within its own salt class), so level 2
+    // sees every global winner. Equality with the one-window form is
+    // asserted in KMeansSpec; the oracle keeps the one-window
+    // semantics, which this plan reproduces bit-for-bit.
     "emb_prototypes" -> ((s, d) => {
-      val w = Window.partitionBy(col("cell"))
+      val lvl1 = Window.partitionBy(col("cell"), col("salt"))
+        .orderBy(col("dist"), col("vec_id"))
+      val lvl2 = Window.partitionBy(col("cell"))
         .orderBy(col("dist"), col("vec_id"))
       iterate(quantized(s, d))
+        .withColumn("salt", pmod(col("vec_id"), lit(Salts)))
+        .withColumn("r1", row_number().over(lvl1))
+        .filter(col("r1") <= 10)
         .select(col("vec_id"), col("cell"), col("dist"),
-          row_number().over(w).as("rnk"))
+          row_number().over(lvl2).as("rnk"))
         .filter(col("rnk") <= 10)
         .orderBy(col("cell"), col("rnk"))
+    }),
+
+    // Cluster-then-sample: deterministic downsampling of every k-means
+    // cell to the SMALLEST cell's mass — embedding-space-balanced corpus
+    // curation (the semantic analogue of mix_resample's per-language
+    // balance: over-represented regions of embedding space are thinned,
+    // rare regions kept whole), with a per-cell quality audit proving
+    // the sample didn't shift quality. The keep rule is the same
+    // integer cross-multiplication on a multiplicative-xorshift hash of
+    // the stable id (`bucket·n_cell < min·10⁶`) as mix_resample /
+    // sample_split — no RNG, no floats, reproducible under any
+    // partitioning, and rates COMPOSE with those operators. Quality is
+    // integer ppm (stop-word and punctuation rates scaled to 10⁶ with
+    // truncating div), so the kept-vs-all audit columns are exact
+    // integers, not an IEEE mean. Scale shape: assignment is the k-row
+    // broadcast scan ([[iterate]]); the doc join is id-keyed (embedding
+    // and text corpora co-partition on the shared id at a real
+    // deployment); cell counts are a k-row broadcast back — the only
+    // corpus-sized work is one scan and one id join.
+    "cluster_sample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), qualityPpm(col("text")).as("q_ppm"))
+      val assigned = iterate(quantized(s, d))
+        .select(col("vec_id"), col("cell"))
+        .join(docs, col("vec_id") === col("doc_id"))
+      val counts = assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_before"))
+      val minCnt = counts.agg(min(col("n_before")).as("min_cnt"))
+      assigned
+        .select(col("cell"), col("q_ppm"), bucket1M(col("vec_id")).as("bucket"))
+        .join(broadcast(counts), Seq("cell"))
+        .crossJoin(broadcast(minCnt))
+        .withColumn("kept",
+          col("bucket") * col("n_before") < col("min_cnt") * lit(1000000L))
+        .groupBy(col("cell"), col("n_before"))
+        .agg(
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_after"),
+          expr("sum(q_ppm) div count(1)").as("q_ppm_all"),
+          expr("sum(if(kept, q_ppm, 0)) div nullif(sum(if(kept, 1, 0)), 0)")
+            .as("q_ppm_kept"))
+        .orderBy(col("cell"))
     }))
+
+  /** Level-1 fan-out of the two-level top-m. Test-scale value; at a
+    * real deployment this scales with the executor count so level-1
+    * partitions stay bounded. */
+  private val Salts = 8
+
+  /** Integer-ppm composite quality — the fixed-point twin of
+    * text_quality's IEEE composite (2·stop_ratio − 5·punct_ratio,
+    * scaled to 10⁶ with integer division so cross-engine bit-equality
+    * is trivial). Both divisions have POSITIVE operands, so
+    * floor(a/b) = a div b = DuckDB `//` with no sign subtlety; the
+    * double intermediate is exact (numerators ≤ ~10⁹ ≪ 2⁵³ and the
+    * quotient can only cross an integer when the remainder is 0).
+    * Codegen'd counts, zero shuffles. */
+  private def qualityPpm(text: Column): Column = {
+    val nWords = size(split(text, " ")).cast("long")
+    val nStop = graft.text.TextExprs.dictWordCount(text,
+      Seq("the", "a", "an", "and", "of", "to", "in", "is")).cast("long")
+    val nPunct = graft.text.TextExprs.punctCount(text).cast("long")
+    floor(nStop * 2000000L / nWords).cast("long") -
+      floor(nPunct * 5000000L / length(text).cast("long")).cast("long")
+  }
+
+  /** Multiplicative-xorshift bucket in [0, 1e6) — the shared sampling
+    * hash of mix_resample / sample_split (id folded mod a prime first
+    * so the product never overflows at any id scale). */
+  private def bucket1M(id: Column): Column = {
+    val m = pmod(id, lit(1000003L)) * lit(2654435761L)
+    pmod(m.bitwiseXOR(shiftright(m, 13)), lit(1000000L))
+  }
 
   /** The assignment pipeline (quantize → init → two Lloyd iterations),
     * shared verbatim by all three oracles below so the replayed
@@ -218,6 +302,42 @@ object KMeans {
          |    ORDER BY dist, vec_id) AS INT) AS rnk
          |FROM a2 QUALIFY rnk <= 10
          |ORDER BY cell, rnk""".stripMargin,
+    // assignment, then the integer-ppm quality join, the multiplicative-
+    // xorshift bucket, and the same cross-multiplied keep rule; all
+    // audit columns are integer sums / truncating divisions (CASTs
+    // because DuckDB sums to HUGEINT, which .df() would float)
+    "cluster_sample" ->
+      s"""WITH $assignCtes,
+         |q AS (
+         |  SELECT doc_id,
+         |    (CAST(len(list_filter(string_split(text,' '),
+         |       w -> w IN ('the','a','an','and','of','to','in','is')))
+         |       AS BIGINT) * 2000000)
+         |      // CAST(len(string_split(text,' ')) AS BIGINT)
+         |    - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+         |       AS BIGINT) * 5000000)
+         |      // CAST(length(text) AS BIGINT) AS q_ppm
+         |  FROM documents),
+         |a AS (
+         |  SELECT a2.cell, q.q_ppm,
+         |    xor((a2.vec_id % 1000003) * 2654435761,
+         |        ((a2.vec_id % 1000003) * 2654435761) >> 13) % 1000000
+         |      AS bucket
+         |  FROM a2 JOIN q ON a2.vec_id = q.doc_id),
+         |c AS (SELECT cell, count(1) AS n_before FROM a GROUP BY cell),
+         |m AS (SELECT min(n_before) AS min_cnt FROM c)
+         |SELECT a.cell, c.n_before,
+         |  CAST(sum(CASE WHEN a.bucket * c.n_before < m.min_cnt * 1000000
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  CAST(sum(a.q_ppm) // count(1) AS BIGINT) AS q_ppm_all,
+         |  CAST(sum(CASE WHEN a.bucket * c.n_before < m.min_cnt * 1000000
+         |      THEN a.q_ppm ELSE 0 END)
+         |    // nullif(sum(CASE WHEN a.bucket * c.n_before
+         |      < m.min_cnt * 1000000 THEN 1 ELSE 0 END), 0) AS BIGINT)
+         |    AS q_ppm_kept
+         |FROM a JOIN c USING (cell) CROSS JOIN m
+         |GROUP BY a.cell, c.n_before
+         |ORDER BY a.cell""".stripMargin,
     // assignment, then the per-cell label histogram collapsed to its
     // mode (ties -> lowest label) with purity = nl/n (one exact
     // division)

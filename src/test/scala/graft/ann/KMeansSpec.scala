@@ -36,6 +36,40 @@ class KMeansSpec extends SparkSpec {
     }
   }
 
+  test("emb_prototypes: two-level top-m equals the one-window form") {
+    // the shipped plan ranks within (cell, salt) first (bounded level-1
+    // partitions) and merges survivors; prove it reproduces the global
+    // per-cell top-10 bit-for-bit, including under an adversarial
+    // repartition
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("cell")).orderBy(col("dist"), col("vec_id"))
+    val oneWindow = KMeans.iterate(corpus.repartition(7))
+      .select(col("vec_id"), col("cell"), col("dist"),
+        row_number().over(w).as("rnk"))
+      .filter(col("rnk") <= 10)
+      .orderBy(col("cell"), col("rnk")).collect()
+    val twoLevel = KMeans.queries("emb_prototypes")(spark, sf0001).collect()
+    assert(twoLevel.toSeq == oneWindow.toSeq)
+  }
+
+  test("cluster_sample: keep rule is deterministic, bounded, and keeps min cells whole") {
+    val rows = KMeans.queries("cluster_sample")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    val minBefore = rows.map(_._2).min
+    rows.foreach { case (cell, nBefore, nAfter, _, _) =>
+      assert(nAfter <= nBefore, s"cell $cell grew")
+      // bucket·n < min·1e6 is vacuously true when n == min: the
+      // smallest cell is never thinned
+      if (nBefore == minBefore) assert(nAfter == nBefore, s"min cell $cell thinned")
+    }
+    // second run = identical sample (hash rule, no RNG)
+    val again = KMeans.queries("cluster_sample")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4))))
+    assert(again.toSeq == rows.toSeq)
+  }
+
   test("cluster_purity: masses reconcile and the mode dominates") {
     val rows = KMeans.queries("cluster_purity")(spark, sf0001).collect()
     val total = graft.Tables.embeddings(spark, sf0001).count()
