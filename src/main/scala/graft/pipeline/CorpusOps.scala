@@ -221,6 +221,54 @@ object CorpusOps {
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))
     }),
+
+    // Per-source distribution-drift monitor: the ingest gate a
+    // multi-source corpus pipeline runs to catch a feed whose content
+    // mix silently shifted (a crawler that lost a language, a partner
+    // feed that started sending only short snippets). Each source's
+    // distribution over (lang × length-bin) buckets is compared to the
+    // corpus-wide reference with TOTAL-VARIATION distance — computed on
+    // the CROSS-MULTIPLIED integer form |n_sb·N − n_b·N_s| so there is
+    // no per-bucket float division to round: sums of exact integers,
+    // one truncating div to ppm at the end, bit-stable cross-engine.
+    // Missing buckets still contribute (the grid is sources × buckets,
+    // built by cross join, with absent counts coalesced to 0) — a
+    // source that DROPS a language entirely is exactly the drift this
+    // must catch. The worst bucket is reported alongside (ties → lowest
+    // bucket label). Scale shape: the corpus is touched by ONE scan
+    // feeding the (source, bucket) count shuffle (map-side combine,
+    // |sources|·|buckets| rows out); everything after — grid, window,
+    // rollup — runs on KB-sized frames, so the monitor costs one scan
+    // at any corpus size. Overflow headroom: n_sb·N ≤ N², exact in
+    // long to N ~ 3·10⁹ docs; past that the same query runs on
+    // DECIMAL(38,0) unchanged.
+    "source_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("source"),
+        concat(col("lang"), lit("|"),
+          least(floor(col("n_chars").cast("double") / 500).cast("long"),
+            lit(3L)).cast("string")).as("bucket"))
+      val nsb = docs.groupBy(col("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_sb"))
+      val nb = docs.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
+      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
+      val tot = docs.agg(count(lit(1)).as("n_tot"))
+      val grid = ns.crossJoin(broadcast(nb)).crossJoin(broadcast(tot))
+        .join(nsb, Seq("source", "bucket"), "left")
+        .withColumn("dev",
+          abs(coalesce(col("n_sb"), lit(0L)) * col("n_tot") -
+            col("n_b") * col("n_s")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("dev").desc, col("bucket"))
+      grid.withColumn("rnk", row_number().over(w))
+        .groupBy(col("source"), col("n_s"))
+        .agg(sum(col("dev")).as("tv_num"), max(col("n_tot")).as("n_tot"),
+          max(when(col("rnk") === 1, col("bucket"))).as("top_bucket"),
+          max(when(col("rnk") === 1, col("dev"))).as("top_dev"))
+        .select(col("source"), col("n_s").as("n_docs"),
+          expr("tv_num * 1000000 div (2 * n_tot * n_s)").as("tv_ppm"),
+          col("top_bucket"), col("top_dev"))
+        .orderBy(col("source"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -317,5 +365,33 @@ object CorpusOps {
         |    / CAST(count(1) * 1048576 AS DOUBLE) AS centroid,
         |  count(1) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // same bucketing, same source×bucket grid with coalesced-0 counts,
+    // same cross-multiplied integer deviations; CASTs because DuckDB
+    // sums to HUGEINT (which .df() would float)
+    "source_drift" ->
+      """WITH docs AS (
+        |  SELECT source, lang || '|' || CAST(least(
+        |    CAST(floor(n_chars / 500) AS BIGINT), 3) AS VARCHAR) AS bucket
+        |  FROM documents),
+        |nsb AS (SELECT source, bucket, count(1) AS n_sb
+        |        FROM docs GROUP BY 1, 2),
+        |nb AS (SELECT bucket, count(1) AS n_b FROM docs GROUP BY 1),
+        |ns AS (SELECT source, count(1) AS n_s FROM docs GROUP BY 1),
+        |tot AS (SELECT count(1) AS n_tot FROM docs),
+        |grid AS (
+        |  SELECT ns.source, ns.n_s, nb.bucket, nb.n_b, tot.n_tot,
+        |    abs(coalesce(nsb.n_sb, 0) * tot.n_tot - nb.n_b * ns.n_s) AS dev
+        |  FROM ns CROSS JOIN nb CROSS JOIN tot
+        |  LEFT JOIN nsb ON nsb.source = ns.source AND nsb.bucket = nb.bucket),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY dev DESC, bucket) AS rnk
+        |  FROM grid)
+        |SELECT source, CAST(n_s AS BIGINT) AS n_docs,
+        |  CAST(sum(dev) * 1000000 // (2 * max(n_tot) * n_s) AS BIGINT)
+        |    AS tv_ppm,
+        |  max(CASE WHEN rnk = 1 THEN bucket END) AS top_bucket,
+        |  CAST(max(CASE WHEN rnk = 1 THEN dev END) AS BIGINT) AS top_dev
+        |FROM ranked GROUP BY source, n_s ORDER BY source""".stripMargin,
   )
 }

@@ -118,4 +118,31 @@ class CorpusOpsSpec extends SparkSpec {
     val plan = got.queryExecution.executedPlan.toString
     assert(plan.contains("HashAggregate"), plan.take(500))
   }
+
+  test("source_drift: scalar replay of the TV arithmetic agrees") {
+    val raw = graft.Tables.documents(spark, sf0001)
+      .select(col("source"), col("lang"), col("n_chars")).collect()
+      .map(r => (r.getString(0),
+        r.getString(1) + "|" + math.min(r.getLong(2) / 500, 3L)))
+    val nTot = raw.length.toLong
+    val nB = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val bySrc = raw.groupBy(_._1)
+    val got = run("source_drift").collect()
+    assert(got.map(_.getString(0)).toSeq == bySrc.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (src, nDocs, tvPpm, topB, topDev) = (r.getString(0), r.getLong(1),
+        r.getLong(2), r.getString(3), r.getLong(4))
+      val docs = bySrc(src)
+      assert(nDocs == docs.length.toLong)
+      val nSb = docs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // full grid: buckets the source never hit still contribute n_b·n_s
+      val devs = nB.map { case (b, nb) =>
+        b -> math.abs(nSb.getOrElse(b, 0L) * nTot - nb * nDocs)
+      }
+      assert(tvPpm == devs.values.sum * 1000000L / (2 * nTot * nDocs), src)
+      val best = devs.toSeq.sortBy { case (b, dv) => (-dv, b) }.head
+      assert((topB, topDev) == best, s"$src worst bucket")
+      assert(tvPpm >= 0 && tvPpm <= 1000000L)
+    }
+  }
 }
