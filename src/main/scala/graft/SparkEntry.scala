@@ -54,7 +54,8 @@ object SparkEntry {
       graft.ann.Ivf.queries ++
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
-      graft.pipeline.CorpusOps.queries
+      graft.pipeline.CorpusOps.queries ++
+      graft.sketch.CountMin.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -74,5 +75,6 @@ object SparkEntry {
       graft.plans.RangeJoin.oracle ++
       graft.ann.KMeans.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
-      graft.pipeline.CorpusOps.oracle
+      graft.pipeline.CorpusOps.oracle ++
+      graft.sketch.CountMin.oracle
 }
