@@ -278,6 +278,32 @@ class StreamingSpec extends SparkSpec {
     assert(seen.map(_._2).sum == 3 && seen.size >= 2)
   }
 
+  test("incremental MinHash index equals batch banding, pair-for-pair") {
+    // stream the near-dup corpus in three micro-batches through the
+    // foreachBatch indexer; the union of per-batch candidates (new-vs-
+    // index + new-vs-new) must equal one-shot banding of the full corpus
+    val docs = graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("mhidx").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = MinHashIndex.start(stream.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", s"$dir/chk")
+    try docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
+      .select($"doc_id", $"text")
+    val batch = MinHashIndex.withinPairs(MinHashIndex.postings(full))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty, "fixture near-dups must collide in some band")
+    // the index table holds every posting exactly once
+    assert(spark.read.parquet(s"$dir/index").count() ==
+      MinHashIndex.postings(full).count())
+  }
+
   test("session_window boundary: events exactly one gap apart") {
     // Pins Spark's boundary semantics (measured, Spark 4.1) so the DuckDB
     // oracle's lag-comparison operator provably matches: an event at
