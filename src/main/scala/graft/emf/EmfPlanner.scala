@@ -340,7 +340,7 @@ object EmfPlanner {
   /** Register an externally persisted frame for [[unpersistAll]] cleanup
     * — used by [[GoldenQueries.runBatch]]'s shared fact cache so batch
     * callers inherit the same lifecycle as planner-internal MF frames. */
-  private[emf] def registerPersisted(df: DataFrame): Unit =
+  private[graft] def registerPersisted(df: DataFrame): Unit =
     persistedFrames.add(df)
 
   /** Unpersist every MF frame [[plan]] has persisted since the last call.

@@ -247,13 +247,24 @@ object CorpusOps {
         concat(col("lang"), lit("|"),
           least(floor(col("n_chars").cast("double") / 500).cast("long"),
             lit(3L)).cast("string")).as("bucket"))
+      // ONE corpus scan: (source, bucket) is the finest marginal — the
+      // bucket, source, and grand totals all re-aggregate the KB-sized
+      // nsb frame instead of re-scanning the corpus (without this,
+      // Catalyst plans four parquet scans, one per count subtree)
       val nsb = docs.groupBy(col("source"), col("bucket"))
         .agg(count(lit(1)).as("n_sb"))
-      val nb = docs.groupBy(col("bucket")).agg(count(lit(1)).as("n_b"))
-      val ns = docs.groupBy(col("source")).agg(count(lit(1)).as("n_s"))
-      val tot = docs.agg(count(lit(1)).as("n_tot"))
-      val grid = ns.crossJoin(broadcast(nb)).crossJoin(broadcast(tot))
+        .persist() // KB frame, 3 consumers; registry reclaims post-action
+      graft.emf.EmfPlanner.registerPersisted(nsb)
+      val nb = nsb.groupBy(col("bucket")).agg(sum(col("n_sb")).as("n_b"))
+      val ns = nsb.groupBy(col("source")).agg(sum(col("n_sb")).as("n_s"))
+      // the grand total is NOT a separate corpus aggregate: each
+      // source's grid carries every bucket exactly once, so summing
+      // n_b within the source re-derives N on the KB frame (a fourth
+      // corpus subtree would defeat the exchange reuse)
+      val grid = ns.crossJoin(broadcast(nb))
         .join(nsb, Seq("source", "bucket"), "left")
+        .withColumn("n_tot",
+          sum(col("n_b")).over(Window.partitionBy(col("source"))))
         .withColumn("dev",
           abs(coalesce(col("n_sb"), lit(0L)) * col("n_tot") -
             col("n_b") * col("n_s")))
