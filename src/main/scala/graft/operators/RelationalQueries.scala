@@ -370,6 +370,38 @@ object RelationalQueries {
         .orderBy(col("l_returnflag"))
     }),
 
+    // Histogram quantiles — the 100 TB quantile path. agg_median's
+    // exact percentile() buffers every value per group; percentile_
+    // approx (KLL-ish) is bounded but not cross-engine-replayable
+    // (text_quality_filter_approx stays rows-only for that reason).
+    // A FIXED-GRID histogram is both: one (type, bin) count
+    // aggregation — map-side combined, shuffle bounded at
+    // groups×bins regardless of row count — then the quantile is the
+    // lower edge of the first bin whose running mass reaches
+    // ceil(q·n), all integer arithmetic the oracle replays
+    // bit-for-bit. Error is bounded by bin width (here 10 on a 0-500
+    // domain), the estimate is deterministic, and the histogram
+    // MERGES across shards/days (counter addition, like sketch_cms).
+    "quantile_hist" -> ((s, d) => {
+      val bins = Tables.events(s, d)
+        .select(col("event_type"),
+          (floor(col("value") / 10).cast("long") * 10).as("bin_lo"))
+        .groupBy(col("event_type"), col("bin_lo"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      bins
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n") * 25, col("bin_lo"))).as("p25_lo"),
+          min(when(col("cum") * 100 >= col("n") * 50, col("bin_lo"))).as("p50_lo"),
+          min(when(col("cum") * 100 >= col("n") * 90, col("bin_lo"))).as("p90_lo"))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H Q6 shape: pure filter + global aggregate — the minimal
     // pushdown showcase (all three predicates reach the parquet scan).
     "q6_revenue_delta" -> ((s, d) => {
@@ -728,6 +760,28 @@ object RelationalQueries {
         | CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
         |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin,
+    // identical fixed-grid histogram + integer cross-multiplied
+    // thresholds (CASTs: DuckDB window sums are HUGEINT)
+    "quantile_hist" ->
+      """WITH b AS (
+        |  SELECT event_type,
+        |    CAST(floor(value / 10) AS BIGINT) * 10 AS bin_lo,
+        |    count(1) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |c AS (
+        |  SELECT event_type, bin_lo,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM b)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 25 THEN bin_lo END)
+        |    AS BIGINT) AS p25_lo,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin_lo END)
+        |    AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin_lo END)
+        |    AS BIGINT) AS p90_lo
+        |FROM c GROUP BY event_type, n ORDER BY event_type""".stripMargin,
     "agg_groupingsets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

@@ -143,4 +143,41 @@ class LayoutSpec extends SparkSpec {
     assert(sym.size <= math.max(2, exact.size / 50),
       s"approx filter drifted: |exact|=${exact.size} |approx|=${approx.size} sym=${sym.size}")
   }
+
+  test("quantile_hist: bins bracket the nearest-rank exact percentiles; histograms merge") {
+    val rows = RelationalQueries.queries("quantile_hist")(spark, sf0001).collect()
+    val vals = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    assert(rows.map(_.getString(0)).toSet == vals.keySet)
+    rows.foreach { r =>
+      val (t, n) = (r.getString(0), r.getLong(1))
+      val sorted = vals(t).map(_._2).sorted
+      assert(n == sorted.length.toLong)
+      val ps = Seq(25 -> r.getLong(2), 50 -> r.getLong(3), 90 -> r.getLong(4))
+      ps.foreach { case (q, lo) =>
+        // the first bin with cum·100 ≥ n·q contains the nearest-rank
+        // element, so the true percentile sits inside [lo, lo+width)
+        val exact = sorted(math.ceil(n.toDouble * q / 100).toInt - 1)
+        assert(lo <= exact && exact < lo + 10,
+          s"$t p$q: exact $exact outside [$lo, ${lo + 10})")
+      }
+      assert(ps(0)._2 <= ps(1)._2 && ps(1)._2 <= ps(2)._2)
+    }
+    // linearity: per-shard histograms sum to the corpus histogram (the
+    // property that lets shards/days merge without re-reading rows)
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"),
+        (floor(col("value") / 10).cast("long") * 10).as("bin_lo"))
+      .groupBy(col("event_type"), col("bin_lo")).count().collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+    val (ha, hb) = (hist(ev.filter(col("event_id") % 2 === 0)),
+      hist(ev.filter(col("event_id") % 2 =!= 0)))
+    val whole = hist(ev)
+    assert(whole.keySet == (ha.keySet ++ hb.keySet))
+    whole.foreach { case (k, v) =>
+      assert(v == ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L), s"$k")
+    }
+  }
 }
