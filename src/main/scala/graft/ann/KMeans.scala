@@ -221,30 +221,12 @@ object KMeans {
     * partitions stay bounded. */
   private val Salts = 8
 
-  /** Integer-ppm composite quality — the fixed-point twin of
-    * text_quality's IEEE composite (2·stop_ratio − 5·punct_ratio,
-    * scaled to 10⁶ with integer division so cross-engine bit-equality
-    * is trivial). Both divisions have POSITIVE operands, so
-    * floor(a/b) = a div b = DuckDB `//` with no sign subtlety; the
-    * double intermediate is exact (numerators ≤ ~10⁹ ≪ 2⁵³ and the
-    * quotient can only cross an integer when the remainder is 0).
-    * Codegen'd counts, zero shuffles. */
-  private def qualityPpm(text: Column): Column = {
-    val nWords = size(split(text, " ")).cast("long")
-    val nStop = graft.text.TextExprs.dictWordCount(text,
-      Seq("the", "a", "an", "and", "of", "to", "in", "is")).cast("long")
-    val nPunct = graft.text.TextExprs.punctCount(text).cast("long")
-    floor(nStop * 2000000L / nWords).cast("long") -
-      floor(nPunct * 5000000L / length(text).cast("long")).cast("long")
-  }
-
-  /** Multiplicative-xorshift bucket in [0, 1e6) — the shared sampling
-    * hash of mix_resample / sample_split (id folded mod a prime first
-    * so the product never overflows at any id scale). */
-  private def bucket1M(id: Column): Column = {
-    val m = pmod(id, lit(1000003L)) * lit(2654435761L)
-    pmod(m.bitwiseXOR(shiftright(m, 13)), lit(1000000L))
-  }
+  /** Shared deterministic-sampling primitives (one definition with
+    * [[graft.pipeline.CorpusOps]] so rates and audits compose). */
+  private def qualityPpm(text: Column): Column =
+    graft.pipeline.CorpusOps.qualityPpm(text)
+  private def bucket1M(id: Column): Column =
+    graft.pipeline.CorpusOps.bucket1M(id)
 
   /** The assignment pipeline (quantize → init → two Lloyd iterations),
     * shared verbatim by all three oracles below so the replayed

@@ -70,10 +70,30 @@ object CorpusOps {
 
   /** Multiplicative-xorshift bucket in [0, 1e6): same mix as
     * DatasetPrep's `sample_split` (id folded mod a prime first so the
-    * product never overflows at any id scale). */
-  private def bucket1M(id: Column): Column = {
+    * product never overflows at any id scale). Shared by every
+    * deterministic sampler (mix_resample, sample_weighted,
+    * cluster_sample) so their rates compose. */
+  private[graft] def bucket1M(id: Column): Column = {
     val m = pmod(id, lit(1000003L)) * lit(2654435761L)
     pmod(m.bitwiseXOR(shiftright(m, 13)), lit(1000000L))
+  }
+
+  /** Integer-ppm composite quality — the fixed-point twin of
+    * text_quality's IEEE composite (2·stop_ratio − 5·punct_ratio,
+    * scaled to 10⁶ with integer division so cross-engine bit-equality
+    * is trivial). Both divisions have POSITIVE operands, so
+    * floor(a/b) = a div b = DuckDB `//` with no sign subtlety; the
+    * double intermediate is exact (numerators ≤ ~10⁹ ≪ 2⁵³ and the
+    * quotient can only cross an integer when the remainder is 0).
+    * Codegen'd counts, zero shuffles. Shared by cluster_sample and
+    * sample_weighted. */
+  private[graft] def qualityPpm(text: Column): Column = {
+    val nWords = size(split(text, " ")).cast("long")
+    val nStop = graft.text.TextExprs.dictWordCount(text,
+      Seq("the", "a", "an", "and", "of", "to", "in", "is")).cast("long")
+    val nPunct = graft.text.TextExprs.punctCount(text).cast("long")
+    floor(nStop * 2000000L / nWords).cast("long") -
+      floor(nPunct * 5000000L / length(text).cast("long")).cast("long")
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -220,6 +240,33 @@ object CorpusOps {
             (count(lit(1)) * lit(1048576L)).cast("double")).as("centroid"),
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))
+    }),
+
+    // Quality-weighted (importance) sampling: each document survives
+    // with probability proportional to its quality — keep iff
+    // bucket(doc_id) < clamp(q_ppm, 0, 10⁶) — so the kept corpus
+    // SHIFTS toward high quality (the designed effect, unlike
+    // cluster_sample's shift-free audit; both use the same hash, so
+    // rates compose). No RNG, no floats: the ppm quality IS the keep
+    // probability in parts-per-million, the comparison is two longs,
+    // and membership is reproducible under any partitioning/rerun.
+    // Per-lang audit: realized keep rate (ppm) and kept-vs-all quality
+    // as integer truncating divisions. One scan, one lang-keyed
+    // aggregation whose output is |langs| rows.
+    "sample_weighted" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"),
+        qualityPpm(col("text")).as("q_ppm"),
+        bucket1M(col("doc_id")).as("bucket"))
+        .withColumn("kept",
+          col("bucket") < greatest(lit(0L), least(col("q_ppm"), lit(1000000L))))
+      docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          expr("sum(if(kept, 1000000, 0)) div count(1)").as("keep_rate_ppm"),
+          expr("sum(q_ppm) div count(1)").as("q_ppm_all"),
+          expr("sum(if(kept, q_ppm, 0)) div nullif(sum(if(kept, 1, 0)), 0)")
+            .as("q_ppm_kept"))
+        .orderBy(col("lang"))
     }),
 
     // Per-source distribution-drift monitor: the ingest gate a
@@ -376,6 +423,34 @@ object CorpusOps {
         |    / CAST(count(1) * 1048576 AS DOUBLE) AS centroid,
         |  count(1) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // identical ppm quality, bucket hash, and clamp-compare keep rule;
+    // audit divisions with `//` (truncating, like Spark's div)
+    "sample_weighted" ->
+      """WITH q AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','an','and','of','to','in','is')))
+        |       AS BIGINT) * 2000000)
+        |      // CAST(len(string_split(text,' ')) AS BIGINT)
+        |    - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]'))
+        |       AS BIGINT) * 5000000)
+        |      // CAST(length(text) AS BIGINT) AS q_ppm,
+        |    xor((doc_id % 1000003) * 2654435761,
+        |        ((doc_id % 1000003) * 2654435761) >> 13) % 1000000
+        |      AS bucket
+        |  FROM documents),
+        |k AS (SELECT lang, q_ppm,
+        |        bucket < greatest(0, least(q_ppm, 1000000)) AS kept
+        |      FROM q)
+        |SELECT lang, count(1) AS n_before,
+        |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN kept THEN 1000000 ELSE 0 END) // count(1)
+        |    AS BIGINT) AS keep_rate_ppm,
+        |  CAST(sum(q_ppm) // count(1) AS BIGINT) AS q_ppm_all,
+        |  CAST(sum(CASE WHEN kept THEN q_ppm ELSE 0 END)
+        |    // nullif(sum(CASE WHEN kept THEN 1 ELSE 0 END), 0)
+        |    AS BIGINT) AS q_ppm_kept
+        |FROM k GROUP BY lang ORDER BY lang""".stripMargin,
     // same bucketing, same source×bucket grid with coalesced-0 counts,
     // same cross-multiplied integer deviations; CASTs because DuckDB
     // sums to HUGEINT (which .df() would float)

@@ -119,6 +119,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(500))
   }
 
+  test("sample_weighted: scalar keep-rule replay; quality shifts upward") {
+    val got = run("sample_weighted").collect()
+    // scalar replay: quality-clamped keep probability on the same hash
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map { r =>
+        val (id, lang, text) = (r.getLong(0), r.getString(1), r.getString(2))
+        val words = text.split(" ", -1)
+        val stop = Set("the", "a", "an", "and", "of", "to", "in", "is")
+        val nStop = words.count(stop).toLong
+        val nPunct = text.count(c => !((c >= 'A' && c <= 'Z') ||
+          (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9') || c == ' ')).toLong
+        val q = nStop * 2000000L / words.length - nPunct * 5000000L / text.length
+        val m = (id % 1000003L) * 2654435761L
+        val bucket = (m ^ (m >> 13)) % 1000000L
+        (lang, q, bucket < math.max(0L, math.min(q, 1000000L)))
+      }
+    val byLang = docs.groupBy(_._1)
+    got.foreach { r =>
+      val lang = r.getString(0)
+      val d = byLang(lang)
+      val kept = d.filter(_._3)
+      assert(r.getLong(1) == d.length.toLong, s"$lang n_before")
+      assert(r.getLong(2) == kept.length.toLong, s"$lang n_kept")
+      assert(r.getLong(3) == kept.length.toLong * 1000000L / d.length)
+      assert(r.getLong(4) == d.map(_._2).sum / d.length)
+      if (kept.nonEmpty)
+        assert(r.getLong(5) == kept.map(_._2).sum / kept.length)
+      // importance sampling SHIFTS quality upward (deterministic
+      // fixture fact — the keep probability is monotone in quality)
+      if (kept.nonEmpty)
+        assert(r.getLong(5) >= r.getLong(4), s"$lang quality did not rise")
+    }
+    assert(run("sample_weighted").collect().toSeq == got.toSeq, "deterministic")
+  }
+
   test("source_drift: scalar replay of the TV arithmetic agrees") {
     val raw = graft.Tables.documents(spark, sf0001)
       .select(col("source"), col("lang"), col("n_chars")).collect()
