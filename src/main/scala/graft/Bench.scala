@@ -36,19 +36,29 @@ object Bench {
       }
       graft.dedup.Dedup.clearCache()
       graft.ann.Similarity.clearCache()
+      graft.ann.KMeans.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
-    // the ngram pair frame is memoized across dedup_* queries — charge
-    // its build to its own metric line, so per-query numbers are
-    // individually honest instead of the build landing on whichever
-    // dedup query the name sort happens to run first
-    val tShared = System.nanoTime()
-    try graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count()
-    catch { case e: Throwable =>
-      failed += "_shared_ngram_build"
-      System.err.println(s"[bench] _shared_ngram_build FAILED: ${e.getMessage}")
+    // shared memoized frames (the ngram pair frame across dedup_*, the
+    // k-means assignment across emb_kmeans/cluster_*/emb_prototypes) —
+    // charge each build to its own metric line, so per-query numbers
+    // are individually honest instead of the build landing on whichever
+    // consumer the name sort happens to run first
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      try body catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+      }
+      name -> (System.nanoTime() - t0) / 1e9
     }
-    val sharedSec = (System.nanoTime() - tShared) / 1e9
+    val shared = Seq(
+      timed("_shared_ngram_build") {
+        graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count(); ()
+      },
+      timed("_shared_kmeans_assign") {
+        graft.ann.KMeans.assignmentCached(spark, sfDir).count(); ()
+      })
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
@@ -60,9 +70,10 @@ object Bench {
       graft.emf.EmfPlanner.unpersistAll()
       name -> dt
     }.toMap
-    val results = results0 + ("_shared_ngram_build" -> sharedSec)
+    val results = results0 ++ shared
     graft.dedup.Dedup.clearCache()
     graft.ann.Similarity.clearCache()
+    graft.ann.KMeans.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing

@@ -109,10 +109,28 @@ object KMeans {
     Tables.embeddings(s, d)
       .select(col("vec_id"), quantize(col("embedding")).as("qe"))
 
+  /** The final assignment frame, memoized per (session, dir): FOUR
+    * queries consume it (emb_kmeans, cluster_purity, emb_prototypes,
+    * cluster_sample) and a curation pipeline computes the clustering
+    * ONCE and feeds every downstream diagnostic from it — re-running
+    * two Lloyd iterations per consumer is the dishonest shape. Bench
+    * charges the build to its own `_shared_kmeans_assign` line (the
+    * Dedup ngram-pair convention); [[clearCache]] evicts. */
+  def assignmentCached(s: SparkSession, d: String): DataFrame =
+    assignMemo.getOrElseUpdate((s, d), iterate(quantized(s, d)).cache())
+
+  private val assignMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  /** Evict the memoized assignment frames; the next call rebuilds. */
+  def clearCache(): Unit = {
+    assignMemo.values.foreach(_.unpersist(blocking = false))
+    assignMemo.clear()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "emb_kmeans" -> ((s, d) => {
-      val e = quantized(s, d)
-      iterate(e)
+      assignmentCached(s, d)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n"), sum(col("dist")).as("inertia_fp"))
         .orderBy(col("cell"))
@@ -128,7 +146,7 @@ object KMeans {
     // rows — so everything after the scan is negligible at any scale.
     "cluster_purity" -> ((s, d) => {
       val lab = Tables.embeddings(s, d).select(col("vec_id"), col("label"))
-      val counts = iterate(quantized(s, d)).select(col("vec_id"), col("cell"))
+      val counts = assignmentCached(s, d).select(col("vec_id"), col("cell"))
         .join(lab, "vec_id")
         .groupBy(col("cell"), col("label"))
         .agg(count(lit(1)).as("nl"))
@@ -165,7 +183,7 @@ object KMeans {
         .orderBy(col("dist"), col("vec_id"))
       val lvl2 = Window.partitionBy(col("cell"))
         .orderBy(col("dist"), col("vec_id"))
-      iterate(quantized(s, d))
+      assignmentCached(s, d)
         .withColumn("salt", pmod(col("vec_id"), lit(Salts)))
         .withColumn("r1", row_number().over(lvl1))
         .filter(col("r1") <= 10)
@@ -195,7 +213,7 @@ object KMeans {
     "cluster_sample" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), qualityPpm(col("text")).as("q_ppm"))
-      val assigned = iterate(quantized(s, d))
+      val assigned = assignmentCached(s, d)
         .select(col("vec_id"), col("cell"))
         .join(docs, col("vec_id") === col("doc_id"))
       val counts = assigned.groupBy(col("cell"))
