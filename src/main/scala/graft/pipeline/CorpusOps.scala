@@ -242,6 +242,38 @@ object CorpusOps {
         .orderBy(col("label"), col("pos"))
     }),
 
+    // Temperature-based language rebalancing (the mT5/XLM-R α-sampling
+    // standard): keep probability ∝ n_lang^(α−1) with α = 0.5, so
+    // big languages are thinned ∝ 1/√n and small ones kept whole —
+    // SOFTER than mix_resample's hard equalization to the minimum
+    // (that is α = 0: after it every language has the min's mass;
+    // here mass grows as √n, preserving more head-language data, which
+    // is why multilingual pretraining uses it). Bit-exactness: the
+    // keep rate is floor(10⁶·√(n_min/n_lang)) — the ratio, the √, and
+    // the ×10⁶ are each ONE correctly-rounded IEEE op on exact-integer
+    // inputs (√ IS correctly rounded per IEEE-754, unlike ln/exp — the
+    // same argument as text_bm25's 6-dp idf but with no rounding
+    // needed), and the oracle replays the identical op sequence. The
+    // keep decision is then the shared integer hash rule. One scan,
+    // one lang-count broadcast back, |langs| rows out.
+    "temperature_resample" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"))
+      val counts = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_before"))
+      val minCnt = counts.agg(min(col("n_before")).as("n_min"))
+      docs
+        .join(broadcast(counts), Seq("lang"))
+        .crossJoin(broadcast(minCnt))
+        .withColumn("keep_ppm",
+          floor(sqrt(col("n_min").cast("double") / col("n_before").cast("double"))
+            * 1000000d).cast("long"))
+        .withColumn("kept", bucket1M(col("doc_id")) < col("keep_ppm"))
+        .groupBy(col("lang"), col("n_before"), col("keep_ppm"))
+        .agg(sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    }),
+
     // Quality-weighted (importance) sampling: each document survives
     // with probability proportional to its quality — keep iff
     // bucket(doc_id) < clamp(q_ppm, 0, 10⁶) — so the kept corpus
@@ -423,6 +455,25 @@ object CorpusOps {
         |    / CAST(count(1) * 1048576 AS DOUBLE) AS centroid,
         |  count(1) AS n
         |FROM x GROUP BY 1, 2 ORDER BY label, pos""".stripMargin,
+    // the identical IEEE op sequence: exact-int ratio -> one sqrt ->
+    // one multiply -> floor; then the shared xorshift keep rule
+    "temperature_resample" ->
+      """WITH c AS (SELECT lang, count(1) AS n_before
+        |           FROM documents GROUP BY lang),
+        |m AS (SELECT min(n_before) AS n_min FROM c),
+        |k AS (
+        |  SELECT d.doc_id, d.lang, c.n_before,
+        |    CAST(floor(sqrt(CAST(m.n_min AS DOUBLE)
+        |      / CAST(c.n_before AS DOUBLE)) * 1000000) AS BIGINT)
+        |      AS keep_ppm,
+        |    xor((d.doc_id % 1000003) * 2654435761,
+        |        ((d.doc_id % 1000003) * 2654435761) >> 13) % 1000000
+        |      AS bucket
+        |  FROM documents d JOIN c USING (lang) CROSS JOIN m)
+        |SELECT lang, n_before, keep_ppm,
+        |  CAST(sum(CASE WHEN bucket < keep_ppm THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_kept
+        |FROM k GROUP BY lang, n_before, keep_ppm ORDER BY lang""".stripMargin,
     // identical ppm quality, bucket hash, and clamp-compare keep rule;
     // audit divisions with `//` (truncating, like Spark's div)
     "sample_weighted" ->

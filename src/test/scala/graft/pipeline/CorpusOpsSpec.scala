@@ -119,6 +119,39 @@ class CorpusOpsSpec extends SparkSpec {
     assert(plan.contains("HashAggregate"), plan.take(500))
   }
 
+  test("temperature_resample: scalar replay; sqrt softening sits between equalize and keep-all") {
+    val got = run("temperature_resample").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val byLang = docs.groupBy(_._2)
+    val nMin = byLang.values.map(_.length).min.toLong
+    got.foreach { case (lang, nBefore, keepPpm, nKept) =>
+      val d = byLang(lang)
+      assert(nBefore == d.length.toLong)
+      // replay the exact IEEE sequence: ratio, sqrt, scale, floor
+      assert(keepPpm ==
+        math.floor(math.sqrt(nMin.toDouble / nBefore.toDouble) * 1000000d).toLong)
+      val kept = d.count { case (id, _) =>
+        val m = (id % 1000003L) * 2654435761L
+        ((m ^ (m >> 13)) % 1000000L) < keepPpm
+      }
+      assert(nKept == kept.toLong, lang)
+      // the smallest language is kept whole (keep_ppm = 1e6 > any bucket)
+      if (nBefore == nMin) assert(nKept == nBefore, s"$lang min-lang thinned")
+      // α=0.5 sits strictly between α=0 (equalize: expected mass ~n_min)
+      // and α=1 (keep all): expected kept mass is √(n_min·n_before)
+      assert(nKept <= nBefore)
+    }
+    // keep rate is monotone non-increasing in language size
+    val sorted = got.sortBy(_._2)
+    sorted.sliding(2).foreach {
+      case Array((_, _, p1, _), (_, _, p2, _)) => assert(p2 <= p1)
+      case _ =>
+    }
+  }
+
   test("sample_weighted: scalar keep-rule replay; quality shifts upward") {
     val got = run("sample_weighted").collect()
     // scalar replay: quality-clamped keep probability on the same hash
