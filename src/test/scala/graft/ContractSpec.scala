@@ -10,7 +10,18 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    assert(qs.size >= 94, s"query surface shrank: ${qs.size}")
+    assert(qs.size >= 120, s"query surface shrank: ${qs.size}")
+    // the rows-only set is CLOSED: every query without an oracle must be
+    // on this documented allowlist (each entry is hash/algorithm-specific
+    // — HLL, MinHash/SimHash buckets, LSH/IVF candidates, KLL percentile
+    // — and carries a spec-level substitute). A new query missing its
+    // oracle fails here instead of silently weakening the driver gate.
+    val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
+      "dedup_minhash", "dedup_simhash", "knn_ivf", "knn_lsh",
+      "text_quality_filter_approx")
+    assert((qs -- os) == rowsOnlyAllowed,
+      s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
+        s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")
   }
 
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {
