@@ -50,6 +50,22 @@ object MinHashIndex {
           .as(Seq("band", "key")))
   }
 
+  /** SimHash variant of [[postings]]: 8×8-bit banded buckets of the
+    * 64-bit sign-vote signature (the batch `dedup_simhash` banding).
+    * Everything downstream — cross/within pair generation, the
+    * foreachBatch bookkeeping — is signature-agnostic, so the SAME
+    * incremental indexer maintains a SimHash index by swapping this in
+    * (stream ≡ batch asserted in StreamingSpec for both). Candidates
+    * here still need the hamming≤d verify join against stored
+    * signatures, exactly as in batch. */
+  def simhashPostings(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("sig", SignatureExprs.simhash64Fast(col("text")))
+      .select(col("doc_id"),
+        posexplode(array((0 until 8).map(i =>
+          shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*))
+          .as(Seq("band", "key")))
+
   /** Normalized candidate pairs (id_a < id_b) between two posting
     * frames joined on (band, key). */
   private[graft] def crossPairs(a: DataFrame, b: DataFrame): DataFrame =
@@ -72,14 +88,18 @@ object MinHashIndex {
 
   /** Start the incremental indexer: `docs` is a STREAMING (doc_id,
     * text) frame; postings accumulate under `indexDir`, candidate pairs
-    * under `pairsDir`. */
+    * under `pairsDir`. `banding` maps a (doc_id, text) batch to its
+    * (doc_id, band, key) postings — [[postings]] (MinHash, default) and
+    * [[simhashPostings]] both fit; the bookkeeping is
+    * signature-agnostic. */
   def start(docs: DataFrame, indexDir: String, pairsDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String,
+      banding: DataFrame => DataFrame = postings(_)): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val s = batch.sparkSession
-        val np = postings(batch).cache()
+        val np = banding(batch).cache()
         try {
           val existing = new java.io.File(indexDir).exists()
           val vs =

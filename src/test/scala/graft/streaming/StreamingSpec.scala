@@ -304,6 +304,27 @@ class StreamingSpec extends SparkSpec {
       MinHashIndex.postings(full).count())
   }
 
+  test("incremental SimHash index: the same indexer generalizes, stream equals batch") {
+    val docs = graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val dir = java.nio.file.Files.createTempDirectory("shidx").toString
+    val stream = MemoryStream[(Long, String)](spark)
+    val q = MinHashIndex.start(stream.toDF().toDF("doc_id", "text"),
+      s"$dir/index", s"$dir/pairs", s"$dir/chk",
+      banding = MinHashIndex.simhashPostings)
+    try docs.grouped(docs.length / 3 + 1).foreach { chunk =>
+      stream.addData(chunk.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.read.parquet(s"$dir/pairs").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = MinHashIndex.withinPairs(MinHashIndex.simhashPostings(
+      graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
+        .select($"doc_id", $"text")))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch)
+    assert(streamed.nonEmpty)
+  }
+
   test("session_window boundary: events exactly one gap apart") {
     // Pins Spark's boundary semantics (measured, Spark 4.1) so the DuckDB
     // oracle's lag-comparison operator provably matches: an event at
