@@ -155,6 +155,42 @@ object DatasetPrep {
     // The id is reduced mod 1000003 (prime) BEFORE the multiply so the
     // product stays < 2.7e15 — no ANSI overflow at any corpus id scale
     // (ids 1000003 apart share a split, which is harmless for splitting).
+    // Deterministic fixed-size per-group sample — reservoir-sampling
+    // SEMANTICS (exactly k uniform-at-random docs per language) without
+    // the RNG: rank every doc by the shared multiplicative-xorshift
+    // hash of its stable id and keep the k smallest, ties broken by
+    // doc_id. Hash order is uniform, so the k kept docs are a uniform
+    // k-subset — but unlike a streamed reservoir the result is
+    // reproducible under any partitioning, any arrival order, and any
+    // rerun, and it COMPOSES with the other hash samplers (a doc's keep
+    // fate everywhere is one function of its id). Scale shape: a naive
+    // rank-per-group is one sort of the whole group; instead level 1
+    // takes top-k within (lang, salt-of-16) — Spark's window top-k
+    // filter prunes these sorts to per-partition heaps of k — and
+    // level 2 re-ranks the surviving ≤ 16k rows per lang. The global
+    // top-k is always inside the union of per-salt top-ks, so the
+    // two-level form is EXACT (the emb_prototypes argument), and the
+    // wide shuffle carries (lang, salt)-keyed slivers, never whole
+    // languages.
+    "sample_reservoir" -> ((s, d) => {
+      val k = 8
+      val lvl1 = Window.partitionBy(col("lang"), col("salt"))
+        .orderBy(col("bucket"), col("doc_id"))
+      val lvl2 = Window.partitionBy(col("lang"))
+        .orderBy(col("bucket"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          CorpusOps.bucket1M(col("doc_id")).as("bucket"))
+        .withColumn("salt", pmod(col("doc_id"), lit(16)))
+        .withColumn("r1", row_number().over(lvl1))
+        .filter(col("r1") <= k)
+        .select(col("lang"), col("doc_id"), col("bucket"),
+          row_number().over(lvl2).as("rnk"))
+        .filter(col("rnk") <= k)
+        .select(col("lang"), col("rnk"), col("doc_id"), col("bucket"))
+        .orderBy(col("lang"), col("rnk"))
+    }),
+
     "sample_split" -> ((s, d) => {
       val m = pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
       val bucket = pmod(m.bitwiseXOR(shiftright(m, 13)), lit(10))
@@ -236,6 +272,21 @@ object DatasetPrep {
         |  string_agg(CAST(id AS VARCHAR), ',' ORDER BY pos) AS ids
         |FROM w JOIN vocab USING (w)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // single-level rank over the same hash — the two-level Spark form
+    // is exact, so the flat formulation is a true independent mirror
+    "sample_reservoir" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    xor((doc_id % 1000003) * 2654435761,
+        |        ((doc_id % 1000003) * 2654435761) >> 13) % 1000000 AS bucket
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, bucket,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY bucket, doc_id) AS rnk
+        |  FROM b)
+        |SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, bucket
+        |FROM r WHERE rnk <= 8 ORDER BY lang, rnk""".stripMargin,
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,

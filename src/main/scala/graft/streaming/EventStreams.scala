@@ -178,6 +178,63 @@ object EventStreams {
           sum(when(dev * dev > rhs, 1L).otherwise(0L)).as("n_outliers"))
         .orderBy(col("event_type"))
     }),
+
+    // Per-DAY distribution-drift monitor — the temporal twin of
+    // CorpusOps' per-source `source_drift`: each day's distribution over
+    // (event_type × value-bin) buckets vs the whole-log reference, as
+    // integer total-variation distance on the cross-multiplied form
+    // |n_db·N − n_b·N_d| (no per-bucket float division to round; one
+    // truncating div to ppm at the end — bit-stable cross-engine). The
+    // day that a feed broke, an event type vanished, or values shifted
+    // magnitude pops out as a TV spike with the worst bucket named.
+    // Missing buckets still contribute (days × buckets grid with
+    // coalesced-0 counts): a day that DROPS an event type entirely is
+    // exactly the drift this must catch. Scale shape: ONE event-log scan
+    // feeding the (day, bucket) count shuffle (map-side combine,
+    // |days|·|buckets| rows out); the grid / window / rollup all run on
+    // that KB-sized marginal — the monitor costs one scan at any log
+    // size, and the value-bin edges are static so the binning is
+    // codegen'd scan-side. Overflow headroom: n_db·N ≤ N², exact in
+    // long to N ~ 3·10⁹ events (same argument as source_drift).
+    "temporal_drift" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        to_date(col("ts")).as("day"),
+        // value ∈ [0, ~500): 125-wide bins capped at 3 — one IEEE
+        // division + exact floor, identical on identical doubles
+        concat(col("event_type"), lit("|"),
+          least(floor(col("value") / 125.0d).cast("long"), lit(3L))
+            .cast("string")).as("bucket"))
+      // ONE log scan: (day, bucket) is the finest marginal; day, bucket,
+      // and grand totals all re-aggregate this KB frame (without the
+      // persist Catalyst would plan a parquet scan per count subtree)
+      val ndb = ev.groupBy(col("day"), col("bucket"))
+        .agg(count(lit(1)).as("n_db"))
+        .persist() // KB frame, 3 consumers; registry reclaims post-action
+      graft.emf.EmfPlanner.registerPersisted(ndb)
+      val nb = ndb.groupBy(col("bucket")).agg(sum(col("n_db")).as("n_b"))
+      val nd = ndb.groupBy(col("day")).agg(sum(col("n_db")).as("n_d"))
+      // each day's grid carries every bucket exactly once, so summing
+      // n_b within the day re-derives N on the KB frame
+      val grid = nd.crossJoin(broadcast(nb))
+        .join(ndb, Seq("day", "bucket"), "left")
+        .withColumn("n_tot",
+          sum(col("n_b")).over(Window.partitionBy(col("day"))))
+        .withColumn("dev",
+          abs(coalesce(col("n_db"), lit(0L)) * col("n_tot") -
+            col("n_b") * col("n_d")))
+      val w = Window.partitionBy(col("day"))
+        .orderBy(col("dev").desc, col("bucket"))
+      grid.withColumn("rnk", row_number().over(w))
+        .groupBy(col("day"), col("n_d"))
+        .agg(sum(col("dev")).as("tv_num"), max(col("n_tot")).as("n_tot"),
+          max(when(col("rnk") === 1, col("bucket"))).as("top_bucket"),
+          max(when(col("rnk") === 1, col("dev"))).as("top_dev"))
+        .select(col("day"), col("n_d").as("n_events"),
+          expr("tv_num * 1000000 div (2 * n_tot * n_d)").as("tv_ppm"),
+          col("top_bucket"), col("top_dev"))
+        .orderBy(col("day"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -282,5 +339,35 @@ object EventStreams {
         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
         |FROM ev JOIN st USING (event_type)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // same day truncation (nanos ts → date), same static value bins,
+    // same day×bucket grid with coalesced-0 counts, same
+    // cross-multiplied integer deviations; CASTs because DuckDB sums to
+    // HUGEINT (which .df() would float)
+    "temporal_drift" ->
+      """WITH ev AS (
+        |  SELECT CAST(ts AS DATE) AS day,
+        |    event_type || '|' || CAST(least(
+        |      CAST(floor(value / 125.0) AS BIGINT), 3) AS VARCHAR) AS bucket
+        |  FROM events),
+        |ndb AS (SELECT day, bucket, count(1) AS n_db
+        |        FROM ev GROUP BY 1, 2),
+        |nb AS (SELECT bucket, count(1) AS n_b FROM ev GROUP BY 1),
+        |nd AS (SELECT day, count(1) AS n_d FROM ev GROUP BY 1),
+        |tot AS (SELECT count(1) AS n_tot FROM ev),
+        |grid AS (
+        |  SELECT nd.day, nd.n_d, nb.bucket, nb.n_b, tot.n_tot,
+        |    abs(coalesce(ndb.n_db, 0) * tot.n_tot - nb.n_b * nd.n_d) AS dev
+        |  FROM nd CROSS JOIN nb CROSS JOIN tot
+        |  LEFT JOIN ndb ON ndb.day = nd.day AND ndb.bucket = nb.bucket),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY day
+        |    ORDER BY dev DESC, bucket) AS rnk
+        |  FROM grid)
+        |SELECT day, CAST(n_d AS BIGINT) AS n_events,
+        |  CAST(sum(dev) * 1000000 // (2 * max(n_tot) * n_d) AS BIGINT)
+        |    AS tv_ppm,
+        |  max(CASE WHEN rnk = 1 THEN bucket END) AS top_bucket,
+        |  CAST(max(CASE WHEN rnk = 1 THEN dev END) AS BIGINT) AS top_dev
+        |FROM ranked GROUP BY day, n_d ORDER BY day""".stripMargin,
   )
 }

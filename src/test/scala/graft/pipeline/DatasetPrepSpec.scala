@@ -86,4 +86,41 @@ class DatasetPrepSpec extends SparkSpec {
     val trainLangs = a.filter(_.getString(1) == "train").map(_.getString(0)).toSet
     assert(trainLangs == langs)
   }
+
+  test("sample_reservoir: two-level top-k equals a flat scalar rank replay") {
+    val k = 8
+    // the shared multiplicative-xorshift bucket, replayed scalar-side
+    // (operands stay non-negative, so plain % matches pmod)
+    def bucket(id: Long): Long = {
+      val m = (id % 1000003L) * 2654435761L
+      (m ^ (m >>> 13)) % 1000000L
+    }
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), col("doc_id")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = docs.groupBy(_._1).view.mapValues { ds =>
+      ds.map(d => (bucket(d._2), d._2)).sorted.take(k).toSeq
+    }.toMap
+    val df = DatasetPrep.queries("sample_reservoir")(spark, sf0001)
+    val got = df.collect()
+    assert(got.map(_.getString(0)).toSet == expect.keySet)
+    got.groupBy(_.getString(0)).foreach { case (lang, rows) =>
+      assert(rows.length == math.min(k, docs.count(_._1 == lang)), lang)
+      rows.sortBy(_.getInt(1)).zip(expect(lang)).zipWithIndex.foreach {
+        case ((r, (b, id)), i) =>
+          assert(r.getInt(1) == i + 1 && r.getLong(2) == id &&
+            r.getLong(3) == b, s"$lang rank ${i + 1}")
+      }
+    }
+    // the hash sample must not degenerate to a head-of-table sample:
+    // at least one lang keeps an id outside its k smallest doc_ids
+    val headSample = docs.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted.take(k).toSet).toMap
+    assert(got.exists(r => !headSample(r.getString(0)).contains(r.getLong(2))))
+    // scale lever: both rank passes must plan as WindowGroupLimit
+    // (per-partition top-k heaps), not whole-partition sorts feeding a
+    // post-hoc filter
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("WindowGroupLimit"), physical.take(800))
+  }
 }

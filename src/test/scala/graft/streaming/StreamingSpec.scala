@@ -358,4 +358,32 @@ class StreamingSpec extends SparkSpec {
       .orderBy($"user_id", $"session_start").collect().toSeq
     assert(streamed == batch)
   }
+
+  test("temporal_drift: scalar replay of the per-day TV arithmetic agrees") {
+    val raw = batchEvents
+      .select(to_date($"ts").as("day"), $"event_type", $"value").collect()
+      .map(r => (r.getDate(0).toString,
+        r.getString(1) + "|" +
+          math.min(math.floor(r.getDouble(2) / 125.0).toLong, 3L)))
+    val nTot = raw.length.toLong
+    val nB = raw.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val byDay = raw.groupBy(_._1)
+    val got = EventStreams.queries("temporal_drift")(spark, sf0001).collect()
+    assert(got.map(_.getDate(0).toString).toSeq == byDay.keys.toSeq.sorted)
+    got.foreach { r =>
+      val (day, nEv, tvPpm, topB, topDev) = (r.getDate(0).toString,
+        r.getLong(1), r.getLong(2), r.getString(3), r.getLong(4))
+      val evs = byDay(day)
+      assert(nEv == evs.length.toLong)
+      val nDb = evs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+      // full grid: buckets the day never hit still contribute n_b·n_d
+      val devs = nB.map { case (b, nb) =>
+        b -> math.abs(nDb.getOrElse(b, 0L) * nTot - nb * nEv)
+      }
+      assert(tvPpm == devs.values.sum * 1000000L / (2 * nTot * nEv), day)
+      val best = devs.toSeq.sortBy { case (b, dv) => (-dv, b) }.head
+      assert((topB, topDev) == best, s"$day worst bucket")
+      assert(tvPpm >= 0 && tvPpm <= 1000000L)
+    }
+  }
 }
