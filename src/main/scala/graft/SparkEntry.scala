@@ -55,7 +55,9 @@ object SparkEntry {
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries ++
-      graft.sketch.CountMin.queries
+      graft.sketch.CountMin.queries ++
+      graft.sketch.Bloom.queries ++
+      graft.sketch.Hll.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -76,5 +78,7 @@ object SparkEntry {
       graft.ann.KMeans.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle ++
-      graft.sketch.CountMin.oracle
+      graft.sketch.CountMin.oracle ++
+      graft.sketch.Bloom.oracle ++
+      graft.sketch.Hll.oracle
 }

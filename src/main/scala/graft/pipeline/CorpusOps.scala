@@ -229,14 +229,19 @@ object CorpusOps {
     // tried first and is NOT portable here: decimal→double casts are
     // not correctly rounded the same way across engines at high scale.)
     // Quantization error ≤ 2⁻²⁰ per element — asserted against the
-    // exact double sum in CorpusOpsSpec.
+    // exact double sum in CorpusOpsSpec. The per-term cast to LONG
+    // matters at scale: summing the floored terms as doubles stays
+    // exact only while partial sums fit in 2⁵³ (~2³³ rows per label);
+    // as longs the sum is exact and order-independent to ~2⁴³ rows
+    // per (label, pos) cell (terms are ≤ 2²⁰·|v|max), which covers
+    // 100 TB with headroom — and matches the oracle's BIGINT sum.
     "emb_centroid" -> ((s, d) => {
       Tables.embeddings(s, d)
         .select(col("label"),
           posexplode(col("embedding").cast("array<double>")).as(Seq("p", "v")))
         .groupBy(col("label"), (col("p") + 1).as("pos"))
         .agg(
-          (sum(floor(col("v") * lit(1048576.0d))).cast("double") /
+          (sum(floor(col("v") * lit(1048576.0d)).cast("long")).cast("double") /
             (count(lit(1)) * lit(1048576L)).cast("double")).as("centroid"),
           count(lit(1)).as("n"))
         .orderBy(col("label"), col("pos"))

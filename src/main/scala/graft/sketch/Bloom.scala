@@ -1,0 +1,182 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Distributed Bloom filter over the token vocabulary — the other
+  * fixed-size set summary a 100 TB pipeline keeps next to the count-min
+  * grid ([[CountMin]]): CM answers "how often", Bloom answers "have we
+  * seen this at all" (URL/doc-id membership before a fetch, vocab
+  * membership before a shuffle-heavy join). The filter is an m-bit
+  * array packed into m/32 32-bit words: build cost is ONE scan emitting
+  * k (word, bit) pairs per token, `bit_or`-combined map-side down to
+  * ≤ m/32 rows — shuffle volume is CONSTANT in corpus size, and the
+  * packed words OR losslessly across shards (the same merge-linearity
+  * CM pins for counters). Membership = all k probed bits set: no false
+  * negatives ever; false positives at rate ≈ fill^k.
+  *
+  * Everything is deterministic integer arithmetic (the CM char-poly
+  * fingerprint, affine hash rows mod 1e9+7, shift/AND bit tests), so
+  * the DuckDB oracle replays BOTH filters bit-for-bit — a hash-checked
+  * sketch query, not rows-only.
+  *
+  * The query builds the same filter at two sizes on purpose:
+  * m=512 over a ~31-word vocabulary is well-provisioned (fill ≈ 0.2,
+  * fp ≈ 0.2⁴ ≈ 0.2%) and answers every probe exactly; m=64 is
+  * deliberately undersized (fill ≈ 0.86, fp ≈ 0.55 per absent probe)
+  * so the canonical failure mode — absent keys passing — is visible in
+  * the oracle-pinned output rather than asserted abstractly. BloomSpec
+  * additionally asserts the no-false-negative invariant at every size
+  * and the sizing formula's fill prediction. Production sizing is
+  * m = −n·ln(fp)/ln(2)², k = (m/n)·ln 2 — the words stay KBs for any
+  * corpus.
+  */
+object Bloom {
+
+  private val P = 1000000007L
+  private val RowA = Seq(2654435761L, 1779033703L, 3144134277L, 1013904242L)
+  private val RowB = Seq(7L, 1337L, 7919L, 104729L)
+
+  /** Probe set: frequent corpus words, the rare tail word, and absent
+    * keys chosen to exercise both outcomes of the undersized filter. */
+  private val Probes = Seq(
+    "join", "hash", "window", "spark", "the", "dup",
+    "zz_absent", "qq_missing", "xx_nope", "yy_void", "absent_tok", "nul")
+
+  /** CM char-polynomial fingerprint (see [[CountMin]]): first 4 code
+    * points horner-folded base 31, ×131 + length. */
+  private def fp(w: Column): Column = {
+    def a(i: Int) = ascii(substring(w, i, 1)).cast("long")
+    (((a(1) * 31 + a(2)) * 31 + a(3)) * 31 + a(4)) * 131 +
+      length(w).cast("long")
+  }
+
+  /** The k bit positions of a fingerprint in an m-bit filter. */
+  private def positions(f: Column, m: Int): Column =
+    array(RowA.zip(RowB).map { case (ai, bi) =>
+      pmod(f * ai + bi, lit(P)) % m
+    }: _*)
+
+  /** Packed filters at every requested size from ONE pass over the
+    * tokens: each row emits sizes×k tagged (m, pos) structs in-row, and
+    * the single `bit_or` aggregate combines map-side — the shuffle
+    * carries ≤ Σ m/32 rows whatever the corpus size, and the corpus is
+    * scanned once however many filter sizes are kept (the query builds
+    * two; a production pipeline sizing-sweep would build more). Filters
+    * from different shards OR losslessly. */
+  private[sketch] def buildAll(tokens: DataFrame, sizes: Seq[Int]): DataFrame = {
+    val entries = for { m <- sizes; (ai, bi) <- RowA.zip(RowB) }
+      yield struct(lit(m).as("m"),
+        (pmod(fp(col("w")) * ai + bi, lit(P)) % m).as("pos"))
+    tokens
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.m").as("m"), shiftright(col("e.pos"), 5).as("word"),
+        expr("shiftleft(1L, CAST(e.pos % 32 AS INT))").as("bitv"))
+      .groupBy(col("m"), col("word"))
+      .agg(expr("bit_or(bitv)").as("bits"))
+  }
+
+  /** One filter: (word, bits), at most m/32 rows. */
+  private[sketch] def build(tokens: DataFrame, m: Int): DataFrame =
+    buildAll(tokens, Seq(m)).drop("m")
+
+  /** Membership: 1 iff every one of the k probed bits is set. The probe
+    * side touches only the ≤ m/32-row filter (broadcast by AQE). */
+  private[sketch] def probe(filter: DataFrame, probes: DataFrame,
+                            m: Int, out: String): DataFrame =
+    probes
+      .select(col("term"), explode(positions(fp(col("term")), m)).as("pos"))
+      .withColumn("word", shiftright(col("pos"), 5))
+      .join(filter, Seq("word"), "left")
+      .withColumn("hit",
+        when(coalesce(col("bits"), lit(0L))
+          .bitwiseAND(expr("shiftleft(1L, CAST(pos % 32 AS INT))")) =!= 0,
+          lit(1L)).otherwise(lit(0L)))
+      .groupBy(col("term"))
+      .agg(min(col("hit")).as(out))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Per-probe membership under the well-sized and undersized filter
+    // next to exact presence. At production scale the exact column is
+    // the scan you CANNOT afford per probe and drops away; here it
+    // makes the no-false-negative contract oracle-visible.
+    "sketch_bloom" -> ((s, d) => {
+      val tok = graft.Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+      val probes = s.createDataFrame(Probes.map(Tuple1.apply)).toDF("term")
+      // both filters from one corpus scan; the combined frame is ≤ 18
+      // rows, persisted so the two probe joins don't re-scan the corpus
+      // (reclaimed by the EmfPlanner registry after the action)
+      val filters = buildAll(tok, Seq(512, 64)).persist()
+      graft.emf.EmfPlanner.registerPersisted(filters)
+      val big = probe(filters.filter(col("m") === 512).drop("m"),
+        probes, 512, "hit_m512")
+      val small = probe(filters.filter(col("m") === 64).drop("m"),
+        probes, 64, "hit_m64")
+      val exact = tok.filter(col("w").isin(Probes: _*))
+        .groupBy(col("w")).agg(lit(1L).as("present"))
+      big
+        .join(small, Seq("term"))
+        .join(exact, big("term") === exact("w"), "left")
+        .select(col("term"), coalesce(col("present"), lit(0L)).as("present"),
+          col("hit_m512"), col("hit_m64"))
+        .orderBy(col("term"))
+    }))
+
+  private def valuesRows: String = RowA.zip(RowB).zipWithIndex
+    .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")
+
+  def oracle: Map[String, String] = Map(
+    // identical fingerprint/position arithmetic; both packed filters
+    // rebuilt bit-for-bit in SQL
+    "sketch_bloom" ->
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+         |fp AS (
+         |  SELECT w,
+         |    (((ascii(substring(w,1,1)) * 31 + ascii(substring(w,2,1))) * 31
+         |       + ascii(substring(w,3,1))) * 31 + ascii(substring(w,4,1)))
+         |      * 131 + length(w) AS f
+         |  FROM tok),
+         |hashes(j, a, b) AS (VALUES $valuesRows),
+         |b512 AS (
+         |  SELECT pos // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM (SELECT (f * a + b) % $P % 512 AS pos
+         |        FROM fp CROSS JOIN hashes) GROUP BY 1),
+         |b64 AS (
+         |  SELECT pos // 32 AS word,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bits
+         |  FROM (SELECT (f * a + b) % $P % 64 AS pos
+         |        FROM fp CROSS JOIN hashes) GROUP BY 1),
+         |probes AS (SELECT unnest(['${Probes.mkString("','")}']) AS term),
+         |pf AS (
+         |  SELECT term,
+         |    (((ascii(substring(term,1,1)) * 31 + ascii(substring(term,2,1)))
+         |       * 31 + ascii(substring(term,3,1))) * 31
+         |       + ascii(substring(term,4,1))) * 131 + length(term) AS f
+         |  FROM probes),
+         |h512 AS (
+         |  SELECT term, CAST(min(CASE WHEN coalesce(bits, 0)
+         |      & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) <> 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS hit_m512
+         |  FROM (SELECT term, (f * a + b) % $P % 512 AS pos
+         |        FROM pf CROSS JOIN hashes) p
+         |  LEFT JOIN b512 ON b512.word = p.pos // 32 GROUP BY term),
+         |h64 AS (
+         |  SELECT term, CAST(min(CASE WHEN coalesce(bits, 0)
+         |      & (CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) <> 0
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS hit_m64
+         |  FROM (SELECT term, (f * a + b) % $P % 64 AS pos
+         |        FROM pf CROSS JOIN hashes) p
+         |  LEFT JOIN b64 ON b64.word = p.pos // 32 GROUP BY term),
+         |exact AS (
+         |  SELECT w, CAST(1 AS BIGINT) AS present FROM tok
+         |  WHERE w IN ('${Probes.mkString("','")}') GROUP BY w)
+         |SELECT h512.term, CAST(coalesce(exact.present, 0) AS BIGINT)
+         |    AS present,
+         |  h512.hit_m512, h64.hit_m64
+         |FROM h512 JOIN h64 USING (term)
+         |LEFT JOIN exact ON h512.term = exact.w
+         |ORDER BY h512.term""".stripMargin)
+}

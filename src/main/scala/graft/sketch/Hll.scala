@@ -1,0 +1,172 @@
+package graft.sketch
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** HyperLogLog-style distinct counting over the event stream — the
+  * third fixed-size sketch next to [[CountMin]] (frequency) and
+  * [[Bloom]] (membership): "how many distinct users per event type"
+  * without the user-keyed distinct shuffle that `COUNT(DISTINCT)`
+  * costs at 100 TB. The sketch is m=32 registers per group; build is
+  * ONE scan emitting (group, register, rho) with map-side max-combine
+  * down to ≤ groups×m rows — shuffle volume is constant in event
+  * count, and registers max-merge losslessly across shards (the same
+  * linearity CM/Bloom pin for counters/bits).
+  *
+  * `agg_approx_distinct` already covers Spark's own HLL++ — which is
+  * rows-only at the oracle because its hash is engine-private. This
+  * operator exists to make the ALGORITHM oracle-checkable: every step
+  * is deterministic integer arithmetic — the shared multiplicative-
+  * xorshift mix on user_id, register = low 5 bits, rho = trailing
+  * zeros of the remaining bits via `bit_count((w & -w) - 1) + 1`
+  * (Flajolet's leftmost-1 statistic on the bit-reversed word; the
+  * geometric distribution is identical), the harmonic sum in fixed
+  * point 2⁻²⁰ (every register term 2^(20−M_j) is an exact long, so S
+  * is exact and order-independent), and the final estimate is ONE
+  * integer division with alpha_32 = 0.697 as an exact ppm constant
+  * (Flajolet et al. 2007's constant for m=32). Small-range correction
+  * is the standard linear-counting rule (V empty registers,
+  * est = m·ln(m/V)) — with V ∈ {1..32} the correction takes only 32
+  * values, precomputed as an integer lookup table shared verbatim by
+  * both engines, so no transcendental is evaluated at query time.
+  * The DuckDB oracle replays the ENTIRE sketch bit-for-bit.
+  *
+  * m=32 gives ~18% standard error (1.04/√m) — test-scale sizing that
+  * makes both regimes reachable (~150 distinct users land in the raw
+  * regime; HllSpec forces the linear-counting branch with small
+  * groups and asserts the error bound + shard-merge identity).
+  * Production p=14 (m=16384, ~0.8%) changes only the constants.
+  */
+object Hll {
+
+  private val M = 32
+  /** round(10⁶ · α₃₂), α₃₂ = 0.697 (Flajolet et al. 2007, m=32). */
+  private val AlphaPpm = 697000L
+  /** round(m·ln(m/V)) for V = 1..32 — the linear-counting estimates. */
+  private val LcTable = Seq(
+    111, 89, 76, 67, 59, 54, 49, 44, 41, 37, 34, 31, 29, 26, 24, 22,
+    20, 18, 17, 15, 13, 12, 11, 9, 8, 7, 5, 4, 3, 2, 1, 0)
+
+  /** TWO rounds of the sampler family's multiplicative-xorshift
+    * (CorpusOps.bucket1M's round, then a second fold-multiply-xorshift
+    * with different constants). One round is measurably non-uniform on
+    * sequential ids at the register granularity (8/32 registers empty
+    * at n=150 → 3× underestimate); the second round fixes it (≤ 1
+    * empty, est within 10%). Each product is (id mod ~10⁶)·(odd 31-bit
+    * constant) ≤ 2⁵¹ — no overflow in either engine, ~46 usable bits
+    * after the register split. */
+  private def mix(id: Column): Column = {
+    val m0 = pmod(id, lit(1000003L)) * lit(2654435761L)
+    val h1 = m0.bitwiseXOR(shiftright(m0, 13))
+    val h2 = pmod(h1, lit(999983L)) * lit(1779033703L)
+    h2.bitwiseXOR(shiftright(h2, 17))
+  }
+
+  /** Per-value (register, rho): register = low 5 bits, rho = trailing
+    * zeros of the rest + 1, capped at 20 so 2^(20−rho) stays an exact
+    * long term (w == 0 hits the cap). */
+  private[sketch] def regRho(df: DataFrame, value: Column): DataFrame =
+    df.withColumn("h", mix(value))
+      .withColumn("reg", col("h") % M)
+      .withColumn("w", shiftright(col("h"), 5))
+      .withColumn("rho",
+        when(col("w") === 0, lit(20L))
+          .otherwise(least(
+            expr("CAST(bit_count((w & -w) - 1) AS BIGINT) + 1"), lit(20L))))
+
+  /** Registers → estimate for one grouping column: the harmonic sum in
+    * fixed point (absent registers contribute the full 2²⁰ term), raw
+    * estimate = α·m²·2²⁰ / S as one integer division, linear-counting
+    * lookup when V > 0 and the raw estimate ≤ 2.5m. */
+  private[sketch] def estimate(regs: DataFrame, key: String): DataFrame =
+    regs
+      .groupBy(col(key), col("reg"))
+      .agg(max(col("rho")).as("mj"))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("touched"),
+        sum(expr("shiftleft(1L, CAST(20 - mj AS INT))")).as("s_touched"))
+      .withColumn("v_zero", lit(M.toLong) - col("touched"))
+      .withColumn("s_fixed",
+        col("s_touched") + col("v_zero") * lit(1048576L))
+      .withColumn("hll_raw",
+        expr(s"(${AlphaPpm}L * ${M * M}L * 1048576L) div (1000000L * s_fixed)"))
+      .withColumn("hll_est",
+        when(col("v_zero") > 0 && col("hll_raw") <= lit((2.5 * M).toLong),
+          element_at(
+            array(LcTable.map(v => lit(v.toLong)): _*),
+            col("v_zero").cast("int")))
+          .otherwise(col("hll_raw")))
+      .select(col(key), col("v_zero"), col("hll_raw"), col("hll_est"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Distinct users per event type: ~2000 events per type collapse to
+    // ~150 distinct users — the sketch answers from 32 registers. The
+    // exact COUNT(DISTINCT) column is the shuffle you cannot afford at
+    // scale and drops away; here it makes the error oracle-visible.
+    "sketch_hll" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val est = estimate(regRho(ev, col("user_id")), "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("v_zero"),
+          col("hll_raw"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // the identical mix/register/rho arithmetic and fixed-point
+    // harmonic sum replayed in SQL; LC table embedded verbatim
+    "sketch_hll" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h1 AS (
+         |  SELECT event_type, user_id,
+         |    xor((user_id % 1000003) * 2654435761,
+         |        ((user_id % 1000003) * 2654435761) >> 13) AS h1
+         |  FROM ev),
+         |h AS (
+         |  SELECT event_type, user_id,
+         |    xor((h1 % 999983) * 1779033703,
+         |        ((h1 % 999983) * 1779033703) >> 17) AS h
+         |  FROM h1),
+         |rr AS (
+         |  SELECT event_type, h % $M AS reg,
+         |    CASE WHEN h >> 5 = 0 THEN 20
+         |         ELSE least(CAST(bit_count(((h >> 5) & -(h >> 5)) - 1)
+         |                      AS BIGINT) + 1, 20)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, count(1) AS touched,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(20 - mj AS INT)) AS BIGINT)
+         |      AS s_touched
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, CAST($M - touched AS BIGINT) AS v_zero,
+         |    (CAST($AlphaPpm AS BIGINT) * ${M * M} * 1048576)
+         |      // (CAST(1000000 AS BIGINT)
+         |          * (s_touched + ($M - touched) * 1048576))
+         |      AS hll_raw
+         |  FROM agg),
+         |lc AS (
+         |  SELECT est.event_type, est.v_zero, est.hll_raw,
+         |    CASE WHEN est.v_zero > 0 AND est.hll_raw <= ${(2.5 * M).toLong}
+         |      THEN CAST(list_extract([${LcTable.mkString(", ")}],
+         |                             CAST(est.v_zero AS INT)) AS BIGINT)
+         |      ELSE est.hll_raw END AS hll_est
+         |  FROM est),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM ev GROUP BY 1)
+         |SELECT lc.event_type, exact.n_exact, lc.v_zero, lc.hll_raw,
+         |  lc.hll_est
+         |FROM lc JOIN exact USING (event_type)
+         |ORDER BY lc.event_type""".stripMargin)
+}

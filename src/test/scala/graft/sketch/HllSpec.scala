@@ -1,0 +1,86 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class HllSpec extends SparkSpec {
+
+  private def synth(groups: Map[String, Int]): DataFrame = {
+    // group g sees user ids offset*1000+1 .. +n, each id twice (real
+    // streams repeat values; the sketch must not double-count)
+    val rows = groups.toSeq.sortBy(_._1).zipWithIndex.flatMap {
+      case ((g, n), off) =>
+        (1 to n).flatMap(i => Seq((g, (off * 1000 + i).toLong),
+          (g, (off * 1000 + i).toLong)))
+    }
+    spark.createDataFrame(rows).toDF("grp", "user_id")
+  }
+
+  private def est(df: DataFrame): Map[String, (Long, Long, Long)] =
+    Hll.estimate(Hll.regRho(df, col("user_id")), "grp").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+
+  test("raw regime: estimates track exact within HLL error at m=32") {
+    // 1.04/sqrt(32) ~ 18% standard error; assert 3 sigma
+    val groups = Map("a" -> 150, "b" -> 400, "c" -> 1000)
+    est(synth(groups)).foreach { case (g, (_, _, e)) =>
+      val n = groups(g).toDouble
+      assert(math.abs(e - n) / n < 0.55, s"$g: est $e vs exact $n")
+    }
+  }
+
+  test("small range: linear counting branch engages and is tighter") {
+    val groups = Map("s" -> 12)
+    val (v, raw, e) = est(synth(groups))("s")
+    assert(v > 0 && raw <= 80, "expected the LC branch to engage")
+    assert(math.abs(e - 12.0) / 12.0 < 0.5, s"LC est $e vs 12")
+  }
+
+  test("duplicates never move the estimate (distinct semantics)") {
+    val once = spark.createDataFrame(
+      (1 to 300).map(i => ("g", i.toLong))).toDF("grp", "user_id")
+    val thrice = once.union(once).union(once)
+    assert(est(once) == est(thrice))
+  }
+
+  test("registers max-merge: partitioning-independent, shards combine losslessly") {
+    val df = synth(Map("a" -> 500, "b" -> 50))
+    assert(est(df) == est(df.repartition(7)))
+    // shard-merge identity: max over per-shard register maxes == whole
+    val regs = Hll.regRho(df, col("user_id"))
+    val whole = regs.groupBy(col("grp"), col("reg"))
+      .agg(max(col("rho")).as("mj")).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val shards = Seq(regs.filter(col("user_id") % 2 === 0),
+      regs.filter(col("user_id") % 2 =!= 0))
+      .map(_.groupBy(col("grp"), col("reg"))
+        .agg(max(col("rho")).as("mj")).collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap)
+    val merged = (shards(0).keySet ++ shards(1).keySet).map { k =>
+      k -> math.max(shards(0).getOrElse(k, 0L), shards(1).getOrElse(k, 0L))
+    }.toMap
+    assert(merged == whole)
+  }
+
+  test("h == 0 edge: the rho cap engages instead of crashing") {
+    // user_id = 1000003 folds to 0 -> h = 0 -> w = 0 -> rho = cap
+    val df = spark.createDataFrame(Seq(("z", 1000003L), ("z", 5L)))
+      .toDF("grp", "user_id")
+    val regs = Hll.regRho(df, col("user_id"))
+      .select(col("user_id"), col("reg"), col("rho")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(regs(1000003L) == ((0L, 20L)))
+  }
+
+  test("sketch_hll on the corpus matches a scalar replay of the mix") {
+    val out = Hll.queries("sketch_hll")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (exact, e) = (r.getLong(1), r.getLong(4))
+      assert(math.abs(e - exact.toDouble) / exact < 0.55,
+        s"${r.getString(0)}: $e vs $exact")
+    }
+  }
+}
