@@ -56,7 +56,7 @@ object Hll {
     * empty, est within 10%). Each product is (id mod ~10⁶)·(odd 31-bit
     * constant) ≤ 2⁵¹ — no overflow in either engine, ~46 usable bits
     * after the register split. */
-  private def mix(id: Column): Column = {
+  private[sketch] def mix(id: Column): Column = {
     val m0 = pmod(id, lit(1000003L)) * lit(2654435761L)
     val h1 = m0.bitwiseXOR(shiftright(m0, 13))
     val h2 = pmod(h1, lit(999983L)) * lit(1779033703L)

@@ -54,6 +54,39 @@ class BloomSpec extends SparkSpec {
     }
   }
 
+  test("keyed filter: every inserted long key passes (join pre-filter contract)") {
+    val keys = spark.createDataFrame(
+      (1L to 500L).map(i => Tuple1(i * 37 + 11))).toDF("k")
+    val fmap = Bloom.packKeyed(keys, 65536)
+    val missed = keys.crossJoin(fmap)
+      .filter(!Bloom.passes(col("k"), col("fmap"), 65536))
+    assert(missed.count() == 0, "false negative in the keyed filter")
+  }
+
+  test("join_bloom: aggregate equals the plain join exactly; pre-filter actually filters") {
+    val row = Bloom.queries("join_bloom")(spark, sf0001).collect()(0)
+    val (nCand, nMatch, rev) = (row.getLong(0), row.getLong(1), row.getDouble(2))
+    assert(nCand >= nMatch, "bloom dropped a matching row (false negative)")
+    // independent plain-join replay — the technique's correctness claim
+    val sel = graft.Tables.orders(spark, sf0001)
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
+      .select(col("o_orderkey"))
+    val plain = graft.Tables.lineitem(spark, sf0001)
+      .join(sel, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)") *
+          (lit(1).cast("decimal(18,2)") -
+            col("l_discount").cast("decimal(18,2)")))
+          .cast("double").as("rev")).collect()(0)
+    assert(nMatch == plain.getLong(0))
+    assert(rev == plain.getDouble(1), s"$rev vs ${plain.getDouble(1)}")
+    // effectiveness: candidates are a tiny slice of the fact table
+    val total = graft.Tables.lineitem(spark, sf0001).count()
+    assert(nCand < total / 10, s"prefilter passed $nCand of $total rows")
+  }
+
   test("sketch_bloom on the corpus: present words always hit, and the result is partitioning-independent") {
     val out = Bloom.queries("sketch_bloom")(spark, sf0001).collect()
     out.foreach { r =>
