@@ -135,12 +135,13 @@ object Bloom {
           col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1995-04-01").cast("timestamp"))
         .select(col("o_orderkey"))
-      val fmap = packKeyed(sel.select(col("o_orderkey").as("k")), JoinM)
+      val fwords = packKeyed(sel.select(col("o_orderkey").as("k")), JoinM)
       val cand = graft.Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
-        .crossJoin(broadcast(fmap))
-        .filter(passes(col("l_orderkey"), col("fmap"), JoinM))
-        .drop("fmap")
+        .withColumn("hf", foldedKey(col("l_orderkey")))
+        .crossJoin(broadcast(fwords))
+        .filter(passesFolded(col("hf"), col("fwords"), JoinM))
+        .drop("fwords", "hf")
         .persist() // candidates are ~the match set; the two consumers
                    // below must not re-scan the fact table
       graft.emf.EmfPlanner.registerPersisted(cand)
@@ -181,10 +182,19 @@ object Bloom {
     * stays ≪ 10⁻³ into the hundreds of thousands of keys; a narrower
     * fold (10⁶) was measurably the dominant fp source at 15k probed
     * keys. */
-  private def keyPositions(k: Column, m: Int): Seq[Column] = {
-    val hf = pmod(Hll.mix(k), lit(2147483647L))
+  private def foldedPositions(hf: Column, m: Int): Seq[Column] =
     RowA.zip(RowB).map { case (ai, bi) => pmod(hf * ai + bi, lit(P)) % m }
-  }
+
+  /** The folded key hash, as its own column: computing it ONCE in a
+    * codegen'd scan-side Project (rather than letting each of the k
+    * conjuncts of the filter re-derive it inside the join condition,
+    * which BroadcastNestedLoopJoin evaluates interpreted) keeps the
+    * per-row interpreted work to 4 affine-map array lookups. */
+  private[sketch] def foldedKey(k: Column): Column =
+    pmod(Hll.mix(k), lit(2147483647L))
+
+  private def keyPositions(k: Column, m: Int): Seq[Column] =
+    foldedPositions(foldedKey(k), m)
 
   /** Packed filter over a frame of long keys (column `k`). */
   private[sketch] def buildKeyed(keys: DataFrame, m: Int): DataFrame =
@@ -195,17 +205,30 @@ object Bloom {
       .groupBy(col("word"))
       .agg(expr("bit_or(bitv)").as("bits"))
 
-  /** The filter as ONE map-typed row, broadcastable next to any scan. */
+  /** The filter as ONE row holding a DENSE array of m/32 packed words
+    * (index = word id, missing words zero-filled), broadcastable next
+    * to any scan. Dense-array indexing matters: `element_at` on an
+    * ARRAY is O(1), while on a MAP it is a linear scan of all entries
+    * (Spark's ArrayBasedMapData carries no hash index) — the map form
+    * measured 50× slower on the fact-side filter at m = 2¹⁶. The
+    * one-time densification walks the KB-sized word map once. */
   private[sketch] def packKeyed(keys: DataFrame, m: Int): DataFrame =
     buildKeyed(keys, m)
       .agg(map_from_arrays(collect_list(col("word")),
-        collect_list(col("bits"))).as("fmap"))
+        collect_list(col("bits"))).as("wm"))
+      .select(transform(sequence(lit(0L), lit((m / 32 - 1).toLong)),
+        i => coalesce(element_at(col("wm"), i), lit(0L))).as("fwords"))
 
-  /** All-k-bits-set test against the packed map column — pure codegen'd
-    * per-row arithmetic (map lookups + shift/AND), no join, no shuffle. */
-  private[sketch] def passes(key: Column, fmap: Column, m: Int): Column =
-    keyPositions(key, m).map { pos =>
-      coalesce(element_at(fmap, shiftright(pos, 5)), lit(0L))
+  /** All-k-bits-set test against the packed dense-array column — pure
+    * per-row arithmetic (O(1) array indexing + shift/AND), no join, no
+    * shuffle. */
+  private[sketch] def passes(key: Column, fwords: Column, m: Int): Column =
+    passesFolded(foldedKey(key), fwords, m)
+
+  /** Same test over a pre-folded key column (see [[foldedKey]]). */
+  private[sketch] def passesFolded(hf: Column, fwords: Column, m: Int): Column =
+    foldedPositions(hf, m).map { pos =>
+      element_at(fwords, (shiftright(pos, 5) + 1).cast("int"))
         .bitwiseAND(call_function("shiftleft", lit(1L),
           (pos % 32).cast("int"))) =!= 0
     }.reduce(_ && _)

@@ -57,9 +57,9 @@ class BloomSpec extends SparkSpec {
   test("keyed filter: every inserted long key passes (join pre-filter contract)") {
     val keys = spark.createDataFrame(
       (1L to 500L).map(i => Tuple1(i * 37 + 11))).toDF("k")
-    val fmap = Bloom.packKeyed(keys, 65536)
-    val missed = keys.crossJoin(fmap)
-      .filter(!Bloom.passes(col("k"), col("fmap"), 65536))
+    val fwords = Bloom.packKeyed(keys, 65536)
+    val missed = keys.crossJoin(fwords)
+      .filter(!Bloom.passes(col("k"), col("fwords"), 65536))
     assert(missed.count() == 0, "false negative in the keyed filter")
   }
 
