@@ -55,6 +55,9 @@ object SparkEntry {
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries ++
+      graft.pipeline.Incremental.queries ++
+      graft.operators.Mining.queries ++
+      graft.dedup.EditNeighbors.queries ++
       graft.sketch.CountMin.queries ++
       graft.sketch.Bloom.queries ++
       graft.sketch.Hll.queries
@@ -78,6 +81,9 @@ object SparkEntry {
       graft.ann.KMeans.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle ++
+      graft.pipeline.Incremental.oracle ++
+      graft.operators.Mining.oracle ++
+      graft.dedup.EditNeighbors.oracle ++
       graft.sketch.CountMin.oracle ++
       graft.sketch.Bloom.oracle ++
       graft.sketch.Hll.oracle

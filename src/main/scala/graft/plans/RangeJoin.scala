@@ -52,6 +52,51 @@ object RangeJoin {
       .drop("__bucket")
   }
 
+  /** Inner interval-OVERLAP join: pairs (a, b) with
+    * `[aStart, aEnd) ∩ [bStart, bEnd) ≠ ∅` (the standard
+    * `aStart < bEnd AND bStart < aEnd` predicate). Harder than
+    * point-in-interval — BOTH sides are ranges, so both sides replicate:
+    * each interval is exploded to every `bucketDays`-wide bucket it
+    * touches (`sequence(bucket(start), bucket(end − 1 day))`), the join
+    * runs on the bucket key, and the exact predicate filters residually.
+    * A pair can then share MANY buckets; it is kept only in the FIRST
+    * bucket both intervals occupy — `bucket = greatest(bucket(aStart),
+    * bucket(bStart))` — so every true pair surfaces exactly once with no
+    * post-join distinct (the bucket ranges are contiguous, hence their
+    * intersection's first element is the max of the two range starts).
+    * Replication factor = length/bucketDays + 1 per row: pick
+    * `bucketDays` near the typical interval length for ≤2 replicas. The
+    * shuffle keys on time buckets (uniform for event-like data), and the
+    * per-bucket candidate set is only what genuinely co-occurs in that
+    * window — never a nested loop over the corpus. */
+  def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
+      b: DataFrame, bStart: String, bEnd: String, bucketDays: Int): DataFrame = {
+    require(bucketDays > 0, "bucket width must be positive")
+    Seq("__bucket", "__b0", "__b1").foreach { n =>
+      require(!a.columns.contains(n) && !b.columns.contains(n),
+        s"intervalOverlap reserves column name $n")
+    }
+    val overlap = a.columns.toSet intersect b.columns.toSet
+    require(overlap.isEmpty,
+      s"intervalOverlap: column name collision ${overlap.mkString(", ")} " +
+        "between sides — rename/alias one side first")
+    val epoch = lit("1970-01-01").cast("date")
+    def bucketOf(c: Column): Column =
+      floor(datediff(c.cast("date"), epoch) / bucketDays)
+    def replicate(df: DataFrame, s: String, e: String): DataFrame = df
+      .withColumn("__b0", bucketOf(col(s)))
+      // [s, e): the last occupied bucket holds e − 1 day
+      .withColumn("__b1", bucketOf(date_sub(col(e).cast("date"), 1)))
+      .withColumn("__bucket", explode(sequence(col("__b0"), col("__b1"))))
+      .drop("__b1")
+    val ra = replicate(a, aStart, aEnd).withColumnRenamed("__b0", "__ba")
+    val rb = replicate(b, bStart, bEnd).withColumnRenamed("__b0", "__bb")
+    ra.join(rb, Seq("__bucket"))
+      .filter(col("__bucket") === greatest(col("__ba"), col("__bb")))
+      .filter(col(aStart) < col(bEnd) && col(bStart) < col(aEnd))
+      .drop("__bucket", "__ba", "__bb")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Demand-surge probe: per order, how many HIGH-QUANTITY lineitems
@@ -71,6 +116,29 @@ object RangeJoin {
           coalesce(col("n_shipped"), lit(0L)).as("n_shipped"))
         .orderBy(col("o_orderkey"))
     }),
+
+    // Fulfillment-window contention: for each top-3%-value order, how
+    // many OTHER top-value orders' 7-day fulfillment windows overlap its
+    // own. Interval × interval, no equi-key — the bucketed overlap join
+    // keeps it hash-shaped (bucket width = interval width ⇒ exactly 2
+    // replicas per row).
+    "interval_join" -> ((s, d) => {
+      def side(p: String) = Tables.orders(s, d)
+        .filter(col("o_totalprice") > 480000)
+        .select(col("o_orderkey").as(s"${p}_key"),
+          col("o_orderdate").cast("date").as(s"${p}_start"),
+          date_add(col("o_orderdate").cast("date"), 7).as(s"${p}_end"))
+      val pairs = intervalOverlap(side("a"), "a_start", "a_end",
+          side("b"), "b_start", "b_end", 7)
+        .filter(col("a_key") =!= col("b_key"))
+        .groupBy(col("a_key")).agg(count(lit(1)).as("n_overlap"))
+      side("a").select(col("a_key").as("o_orderkey"))
+        .join(pairs.withColumnRenamed("a_key", "o_orderkey"),
+          Seq("o_orderkey"), "left")
+        .select(col("o_orderkey"),
+          coalesce(col("n_overlap"), lit(0L)).as("n_overlap"))
+        .orderBy(col("o_orderkey"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -81,6 +149,18 @@ object RangeJoin {
         |  ON l.l_quantity > 49
         | AND l.l_shipdate >= o.o_orderdate
         | AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the plain θ self-join the bucketed plan must reproduce exactly
+    "interval_join" ->
+      """WITH hv AS (
+        |  SELECT o_orderkey, CAST(o_orderdate AS DATE) AS s,
+        |         CAST(o_orderdate AS DATE) + 7 AS e
+        |  FROM orders WHERE o_totalprice > 480000)
+        |SELECT a.o_orderkey,
+        |  CAST(count(b.o_orderkey) AS BIGINT) AS n_overlap
+        |FROM hv a LEFT JOIN hv b
+        |  ON b.o_orderkey != a.o_orderkey
+        | AND a.s < b.e AND b.s < a.e
         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

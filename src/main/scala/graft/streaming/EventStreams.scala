@@ -235,6 +235,43 @@ object EventStreams {
           col("top_bucket"), col("top_dev"))
         .orderBy(col("day"))
     }),
+
+    // Freshness-weighted (exponentially decayed) event statistics — the
+    // recency weighting a training-data pipeline applies so last week's
+    // data outweighs last year's. The decay weight is EXACT integer
+    // arithmetic: half-life = 7 days, weight = 1024 >> (age div 7) — a
+    // bit shift, no exp()/pow() to round differently across engines
+    // (2^-k IS exponential decay, just sampled at half-life steps). The
+    // anchor is the log's last day as a literal (a production run passes
+    // "now"; current_date would make the result non-reproducible).
+    // Scale shape: the weight depends only on (event_type, day), so the
+    // corpus scan collapses to the (type, day) marginal FIRST (one
+    // map-side-combinable shuffle, |types|·|days| rows out) and the
+    // reweighting runs on that KB frame — re-decaying under a different
+    // half-life or anchor never rescans the log. Overflow headroom:
+    // term ≤ 1024·sum(cents per type-day); the per-type weighted sum
+    // stays exact in long to ~1.8e11 events per type (max-weight worst
+    // case — widen to decimal(38,0) beyond). decayed_avg_cents is one
+    // truncating div on positive operands (Spark `div` ≡ DuckDB `//`).
+    "temporal_decay" -> ((s, d) => {
+      val anchor = lit("2024-01-31").cast("date")
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val marginal = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), cents.as("c"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n_de"), sum(col("c")).as("s_de"))
+      marginal
+        .withColumn("k",
+          least(floor(datediff(anchor, col("day")) / 7).cast("int"), lit(10)))
+        .withColumn("w", expr("shiftright(1024L, k)"))
+        .groupBy(col("event_type"))
+        .agg(sum(col("n_de")).as("n_events"),
+          sum(col("w") * col("n_de")).as("decayed_n"),
+          sum(col("w") * col("s_de")).as("decayed_cents"))
+        .withColumn("decayed_avg_cents",
+          expr("decayed_cents div decayed_n"))
+        .orderBy(col("event_type"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -369,5 +406,26 @@ object EventStreams {
         |  max(CASE WHEN rnk = 1 THEN bucket END) AS top_bucket,
         |  CAST(max(CASE WHEN rnk = 1 THEN dev END) AS BIGINT) AS top_dev
         |FROM ranked GROUP BY day, n_d ORDER BY day""".stripMargin,
+    // identical (type, day) marginal, identical bit-shift weight
+    // (DuckDB >> on BIGINT), identical truncating final division
+    "temporal_decay" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(1) AS n_de,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS BIGINT) AS s_de
+        |  FROM events GROUP BY 1, 2),
+        |w AS (
+        |  SELECT *, 1024 >> least(
+        |    CAST(floor(date_diff('day', day, DATE '2024-01-31') / 7)
+        |      AS INTEGER), 10) AS w
+        |  FROM m)
+        |SELECT event_type,
+        |  CAST(sum(n_de) AS BIGINT) AS n_events,
+        |  CAST(sum(w * n_de) AS BIGINT) AS decayed_n,
+        |  CAST(sum(w * s_de) AS BIGINT) AS decayed_cents,
+        |  CAST(sum(w * s_de) // sum(w * n_de) AS BIGINT)
+        |    AS decayed_avg_cents
+        |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -29,6 +29,37 @@ class RangeJoinSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n${plan.take(1500)}")
   }
 
+  test("bucketed interval-overlap equals the naive theta-join, each pair exactly once") {
+    def side(p: String) = Tables.orders(spark, sf0001)
+      .filter(col("o_totalprice") > 400000)
+      .select(col("o_orderkey").as(s"${p}_key"),
+        col("o_orderdate").cast("date").as(s"${p}_start"),
+        // varied lengths: 3..10 days, so intervals span 1..3 buckets and
+        // pairs share up to 3 — the first-common-bucket dedup must fire
+        date_add(col("o_orderdate").cast("date"),
+          (pmod(col("o_orderkey"), lit(8)) + 3).cast("int")).as(s"${p}_end"))
+    val a = side("a"); val b = side("b")
+
+    val bucketed = RangeJoin.intervalOverlap(a, "a_start", "a_end",
+        b, "b_start", "b_end", 4)
+      .select(col("a_key"), col("b_key"))
+    val naive = a.join(b,
+        col("a_start") < col("b_end") && col("b_start") < col("a_end"))
+      .select(col("a_key"), col("b_key"))
+
+    val bp = bucketed.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val np = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // multiset equality: no pair lost, no pair duplicated by replication
+    assert(bp.length == bp.distinct.length,
+      "replicated pair emitted more than once")
+    assert(bp.sorted.toSeq == np.sorted.toSeq && bp.nonEmpty)
+
+    val plan = RangeJoin.queries("interval_join")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap fell back to a nested loop:\n${plan.take(1500)}")
+  }
+
   test("column-name collisions between the two sides are rejected loudly") {
     val pts = Tables.lineitem(spark, sf0001)
       .select(col("l_shipdate"), col("l_orderkey").as("okey"))

@@ -386,4 +386,30 @@ class StreamingSpec extends SparkSpec {
       assert(tvPpm >= 0 && tvPpm <= 1000000L)
     }
   }
+
+  test("temporal_decay: scalar replay of the bit-shift decay weights agrees") {
+    val anchor = java.time.LocalDate.parse("2024-01-31")
+    val raw = batchEvents
+      .select(to_date($"ts").as("day"), $"event_type", $"value").collect()
+      .map { r =>
+        val age = java.time.temporal.ChronoUnit.DAYS.between(
+          r.getDate(0).toLocalDate, anchor)
+        val w = 1024L >> math.min(age / 7, 10L).toInt
+        val cents = BigDecimal(r.getDouble(2))
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLong
+        (r.getString(1), w, cents)
+      }
+    val got = EventStreams.queries("temporal_decay")(spark, sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val evs = raw.filter(_._1 == r.getString(0))
+      val (wn, wc) = (evs.map(_._2).sum, evs.map(e => e._2 * e._3).sum)
+      assert(r.getLong(1) == evs.length.toLong, "n_events")
+      assert(r.getLong(2) == wn, "decayed_n")
+      assert(r.getLong(3) == wc, "decayed_cents")
+      assert(r.getLong(4) == wc / wn, "decayed_avg_cents")
+      // decay is real: weighted mass strictly below unweighted max-weight
+      assert(wn < 1024L * evs.length)
+    }
+  }
 }
