@@ -51,9 +51,14 @@ object EditNeighbors {
       .join(v.select(col("id").as("b_id"), col("s").as("b_name"), col("key")),
         Seq("key"))
       .filter(col("a_id") < col("b_id"))
+      // exact check BEFORE the pair distinct: the codegen'd levenshtein
+      // runs map-side on the candidate stream, so the distinct exchange
+      // carries only TRUE pairs (≈ output size), not every candidate.
+      // The threshold form runs the BANDED DP — O(len) per candidate
+      // instead of O(len²), and candidates dominate this operator's cost
+      .filter(levenshtein(col("a_name"), col("b_name"), 1) === 1)
       .select(col("a_id"), col("a_name"), col("b_id"), col("b_name"))
       .distinct()
-      .filter(levenshtein(col("a_name"), col("b_name")) === 1)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
