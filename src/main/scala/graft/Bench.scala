@@ -37,6 +37,7 @@ object Bench {
       graft.dedup.Dedup.clearCache()
       graft.ann.Similarity.clearCache()
       graft.ann.KMeans.clearCache()
+      graft.operators.Mining.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // shared memoized frames (the ngram pair frame across dedup_*, the
@@ -58,6 +59,9 @@ object Bench {
       },
       timed("_shared_kmeans_assign") {
         graft.ann.KMeans.assignmentCached(spark, sfDir).count(); ()
+      },
+      timed("_shared_basket_pairs") {
+        graft.operators.Mining.pairsCached(spark, sfDir).count(); ()
       })
     val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
@@ -74,6 +78,7 @@ object Bench {
     graft.dedup.Dedup.clearCache()
     graft.ann.Similarity.clearCache()
     graft.ann.KMeans.clearCache()
+    graft.operators.Mining.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing

@@ -60,7 +60,8 @@ object SparkEntry {
       graft.dedup.EditNeighbors.queries ++
       graft.sketch.CountMin.queries ++
       graft.sketch.Bloom.queries ++
-      graft.sketch.Hll.queries
+      graft.sketch.Hll.queries ++
+      graft.sketch.HeavyHitters.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -86,5 +87,6 @@ object SparkEntry {
       graft.dedup.EditNeighbors.oracle ++
       graft.sketch.CountMin.oracle ++
       graft.sketch.Bloom.oracle ++
-      graft.sketch.Hll.oracle
+      graft.sketch.Hll.oracle ++
+      graft.sketch.HeavyHitters.oracle
 }

@@ -36,28 +36,104 @@ object Mining {
   private val MaxBasket = 8
   private val MinSupport = 2
 
+  /** Support-filtered co-occurrence pair counts (part_a < part_b,
+    * n_orders ≥ MinSupport). The full capped-basket pipeline described
+    * above. */
+  private def pairCounts(s: SparkSession, d: String): DataFrame = {
+    val items = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val rn = row_number().over(
+      Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey")))
+    val baskets = items
+      .withColumn("rn", rn).filter(col("rn") <= MaxBasket)
+      .groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
+    baskets
+      .select(explode(expr(
+        """flatten(transform(parts, (x, i) ->
+          |  transform(slice(parts, i + 2, size(parts)),
+          |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+        .as("pr"))
+      .groupBy(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= MinSupport)
+  }
+
+  /** The pair frame, memoized per (session, dir): `basket_pairs` and
+    * `graph_triangles` both consume it — a curation pipeline mines the
+    * affinity table once and feeds every downstream graph diagnostic
+    * from it. Bench charges the build to `_shared_basket_pairs` (the
+    * Dedup/KMeans convention); [[clearCache]] evicts. */
+  def pairsCached(s: SparkSession, d: String): DataFrame =
+    pairMemo.getOrElseUpdate((s, d), pairCounts(s, d).cache())
+
+  private val pairMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), DataFrame]()
+
+  def clearCache(): Unit = {
+    pairMemo.values.foreach(_.unpersist(blocking = false))
+    pairMemo.clear()
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Parts co-ordered in the same order, support ≥ 2 — the affinity
     // table a "frequently bought together" model trains on.
-    "basket_pairs" -> ((s, d) => {
-      val items = Tables.lineitem(s, d)
-        .select(col("l_orderkey"), col("l_partkey")).distinct()
-      val rn = row_number().over(
-        Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey")))
-      val baskets = items
-        .withColumn("rn", rn).filter(col("rn") <= MaxBasket)
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_list(col("l_partkey"))).as("parts"))
-      baskets
-        .select(explode(expr(
-          """flatten(transform(parts, (x, i) ->
-            |  transform(slice(parts, i + 2, size(parts)),
-            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("pr"))
-        .groupBy(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
-        .agg(count(lit(1)).as("n_orders"))
-        .filter(col("n_orders") >= MinSupport)
-        .orderBy(col("part_a"), col("part_b"))
+    "basket_pairs" -> ((s, d) =>
+      pairsCached(s, d).orderBy(col("part_a"), col("part_b"))),
+
+    // Triangle census of the co-purchase graph (edges = the support-≥2
+    // pair frame): the density diagnostic that separates a genuinely
+    // clustered affinity graph from hub noise. The quadratic danger is
+    // wedge enumeration at hubs (a degree-D node yields D(D−1)/2
+    // wedges); the standard fix — used by every distributed triangle
+    // counter since Cohen's MapReduce construction — is DEGREE-ORDERED
+    // ORIENTATION: direct each edge from its lower-(degree, id)
+    // endpoint to the higher, so every out-degree is O(√|E|) and each
+    // triangle has EXACTLY ONE vertex owning both oriented edges (its
+    // min-rank corner) — counted once, no post-dedup, no D² hub blowup.
+    // Plan shape: the KB degree frame broadcasts onto the edge scan,
+    // the wedge self-join keys on the oriented source (bounded fanout
+    // by construction), and closure is a semi join against the
+    // canonical edge set. Everything downstream of the shared pair
+    // frame is |E|-sized, never |corpus|.
+    "graph_triangles" -> ((s, d) => {
+      val e = pairsCached(s, d)
+        .select(col("part_a").as("u"), col("part_b").as("v")) // u < v
+      // deg and oriented each feed several count subtrees below —
+      // persist the KB/|E|-sized frames so Catalyst doesn't replay the
+      // degree shuffle + broadcast joins once per aggregate (measured
+      // 3.5s → sub-second at sf0.1); the registry reclaims post-action
+      val deg = e.select(col("u").as("x"))
+        .unionAll(e.select(col("v").as("x")))
+        .groupBy(col("x")).agg(count(lit(1)).as("dg"))
+        .persist()
+      graft.emf.EmfPlanner.registerPersisted(deg)
+      val du = deg.select(col("x").as("u"), col("dg").as("du"))
+      val dv = deg.select(col("x").as("v"), col("dg").as("dv"))
+      val srcFirst = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
+      val oriented = e.join(broadcast(du), "u").join(broadcast(dv), "v")
+        .select(when(srcFirst, col("u")).otherwise(col("v")).as("src"),
+          when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
+        .persist()
+      graft.emf.EmfPlanner.registerPersisted(oriented)
+      // wedge COUNT needs no join at all: Σ C(outdeg, 2) over sources
+      val nWedges = oriented.groupBy(col("src"))
+        .agg(count(lit(1)).as("od"))
+        .agg(sum(expr("od * (od - 1) div 2")).as("n_wedges"))
+      // the wedge join runs ONCE, only for closure
+      val tri = oriented.select(col("src"), col("dst").as("w1"))
+        .join(oriented.select(col("src"), col("dst").as("w2")), "src")
+        .filter(col("w1") < col("w2"))
+        .join(e.select(col("u").as("w1"), col("v").as("w2")),
+          Seq("w1", "w2"), "left_semi")
+      deg.agg(count(lit(1)).as("n_nodes"))
+        .crossJoin(e.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(nWedges)
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        // oriented-wedge closure rate (exact integer ppm)
+        .withColumn("closure_ppm",
+          expr("n_triangles * 1000000 div n_wedges"))
     }),
   )
 
@@ -77,5 +153,44 @@ object Mining {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2 HAVING count(1) >= 2
         |ORDER BY part_a, part_b""".stripMargin,
+    // identical edges, identical (degree, id) orientation, identical
+    // min-rank-corner wedge counting
+    "graph_triangles" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM it)
+        |  WHERE rn <= 8),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |deg AS (
+        |  SELECT x, count(1) AS dg FROM (
+        |    SELECT u AS x FROM e UNION ALL SELECT v FROM e)
+        |  GROUP BY 1),
+        |o AS (
+        |  SELECT
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.u ELSE e.v END AS src,
+        |    CASE WHEN du.dg < dv.dg OR (du.dg = dv.dg AND e.u < e.v)
+        |         THEN e.v ELSE e.u END AS dst
+        |  FROM e JOIN deg du ON du.x = e.u JOIN deg dv ON dv.x = e.v),
+        |w AS (
+        |  SELECT o1.src, o1.dst AS w1, o2.dst AS w2
+        |  FROM o o1 JOIN o o2 ON o1.src = o2.src AND o1.dst < o2.dst),
+        |t AS (
+        |  SELECT 1 FROM w
+        |  WHERE EXISTS (SELECT 1 FROM e WHERE e.u = w.w1 AND e.v = w.w2))
+        |SELECT
+        |  (SELECT CAST(count(1) AS BIGINT) FROM deg) AS n_nodes,
+        |  (SELECT CAST(count(1) AS BIGINT) FROM e) AS n_edges,
+        |  (SELECT CAST(count(1) AS BIGINT) FROM w) AS n_wedges,
+        |  (SELECT CAST(count(1) AS BIGINT) FROM t) AS n_triangles,
+        |  CAST((SELECT count(1) FROM t) * 1000000
+        |    // (SELECT count(1) FROM w) AS BIGINT) AS closure_ppm""".stripMargin,
   )
 }

@@ -36,6 +36,8 @@ object TimeQuery {
       if (it < iters) { // fresh rebuild per iteration
         graft.dedup.Dedup.clearCache()
         graft.ann.Similarity.clearCache()
+        graft.ann.KMeans.clearCache()
+        graft.operators.Mining.clearCache()
       }
     }
     spark.stop()

@@ -23,6 +23,39 @@ class MiningSpec extends SparkSpec {
     assert(got == expect && got.nonEmpty)
   }
 
+  test("graph_triangles: brute-force census agrees and orientation bounds fanout") {
+    val r = Mining.queries("graph_triangles")(spark, sf0001).head()
+    val edges = Mining.pairsCached(spark, sf0001)
+      .select(col("part_a"), col("part_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val edgeSet = edges.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    // brute-force triangles over the (small) sf0.001 edge set
+    val adj = edges.flatMap(e => Seq(e._1 -> e._2, e._2 -> e._1))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    var tri = 0L
+    for ((a, b) <- edges; c <- adj(a) if c > b && adj(b).contains(c)) tri += 1
+    assert(r.getLong(0) == nodes.length.toLong, "n_nodes")
+    assert(r.getLong(1) == edges.length.toLong, "n_edges")
+    assert(r.getLong(3) == tri, s"n_triangles: got ${r.getLong(3)}, want $tri")
+    assert(r.getLong(4) == r.getLong(3) * 1000000L / r.getLong(2), "closure_ppm")
+
+    // the degree-orientation guarantee: if outdeg(v) = t, every
+    // out-neighbor has degree >= deg(v) >= t, so t <= sqrt(2|E|) —
+    // replay the orientation and assert the hub bound held
+    val deg = edges.flatMap(e => Seq(e._1, e._2)).groupBy(identity)
+      .view.mapValues(_.length.toLong).toMap
+    val outdeg = edges.groupBy { case (u, v) =>
+      if (deg(u) < deg(v) || (deg(u) == deg(v) && u < v)) u else v
+    }.view.mapValues(_.length).toMap
+    val bound = math.sqrt(2.0 * edges.length)
+    assert(outdeg.values.max <= bound,
+      s"orientation failed to bound fanout: ${outdeg.values.max} > $bound")
+    val wedges = outdeg.values.map(t => t.toLong * (t - 1) / 2).sum
+    assert(r.getLong(2) == wedges, "n_wedges")
+    graft.operators.Mining.clearCache()
+  }
+
   test("the per-basket cap bounds fanout: no basket contributes more than C(8,2)") {
     // replay the pre-cap pipeline and assert the biggest basket's pair
     // contribution is exactly C(min(B, 8), 2) — the straggler bound
