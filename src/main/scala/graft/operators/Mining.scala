@@ -135,6 +135,46 @@ object Mining {
         .withColumn("closure_ppm",
           expr("n_triangles * 1000000 div n_wedges"))
     }),
+
+    // PageRank on the co-purchase graph — the third iterative-operator
+    // shape in the library (dedup_clusters propagates minima, emb_kmeans
+    // recomputes centroids; this is weighted mass propagation). Two
+    // unrolled damped power iterations, ENTIRELY in integer micro-units
+    // (1.0 ≡ 10⁶): each node starts at 10⁶, a round sends
+    // `r div outdeg` along every edge (truncating div — deterministic,
+    // order-independent), and the damping update is
+    // `150000 + (850000·Σincoming) div 10⁶` — every step exact in long
+    // (Σincoming ≤ indeg·maxrank ≪ 2⁶³), so the DuckDB oracle replays
+    // both iterations bit-for-bit, like emb_kmeans' unrolled Lloyd's.
+    // Plan shape per round: one node-keyed join of the rank frame onto
+    // the (src, dst, outdeg)-annotated edge list + one dst-keyed sum —
+    // the textbook distributed PageRank step; the edge frame is built
+    // once, persisted, and reclaimed post-action. The undirected graph
+    // has no dangling nodes (every node has outdeg ≥ 1), so no
+    // teleport-mass correction term is needed.
+    "graph_pagerank" -> ((s, d) => {
+      val e = pairsCached(s, d)
+        .select(col("part_a").as("u"), col("part_b").as("v"))
+      val edges = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val outdeg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      val ed = edges.join(outdeg, "src").persist()
+      graft.emf.EmfPlanner.registerPersisted(ed)
+      val nodes = outdeg.select(col("src").as("node"))
+      var rank = nodes.select(col("node"), lit(1000000L).as("r"))
+      for (_ <- 1 to 2) {
+        val contrib = ed
+          .join(rank.withColumnRenamed("node", "src"), "src")
+          .groupBy(col("dst").as("node"))
+          .agg(sum(expr("r div od")).as("in_mass"))
+        rank = nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            expr("150000L + (850000L * coalesce(in_mass, 0L)) div 1000000L")
+              .as("r"))
+      }
+      rank.select(col("node"), col("r").as("rank_micro"))
+        .orderBy(col("node"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -192,5 +232,44 @@ object Mining {
         |  (SELECT CAST(count(1) AS BIGINT) FROM t) AS n_triangles,
         |  CAST((SELECT count(1) FROM t) * 1000000
         |    // (SELECT count(1) FROM w) AS BIGINT) AS closure_ppm""".stripMargin,
+    // identical edges, identical truncating-div mass propagation, both
+    // iterations unrolled
+    "graph_pagerank" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM it)
+        |  WHERE rn <= 8),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |od AS (SELECT src, count(1) AS od FROM ed GROUP BY 1),
+        |n AS (SELECT src AS node FROM od),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (
+        |  SELECT ed.dst AS node, sum(r0.r // od.od) AS in_mass
+        |  FROM ed JOIN od USING (src) JOIN r0 ON r0.node = ed.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (850000 * coalesce(c1.in_mass, 0)) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT ed.dst AS node, sum(r1.r // od.od) AS in_mass
+        |  FROM ed JOIN od USING (src) JOIN r1 ON r1.node = ed.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (850000 * coalesce(c2.in_mass, 0)) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM n LEFT JOIN c2 USING (node))
+        |SELECT node, r AS rank_micro FROM r2 ORDER BY node""".stripMargin,
   )
 }

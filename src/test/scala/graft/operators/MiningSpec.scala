@@ -56,6 +56,30 @@ class MiningSpec extends SparkSpec {
     graft.operators.Mining.clearCache()
   }
 
+  test("graph_pagerank: scalar replay of both fixed-point iterations agrees") {
+    val got = Mining.queries("graph_pagerank")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val e = Mining.pairsCached(spark, sf0001)
+      .select(col("part_a"), col("part_b")).collect()
+      .map(x => (x.getLong(0), x.getLong(1)))
+    val ed = e.flatMap(p => Seq(p._1 -> p._2, p._2 -> p._1))
+    val od = ed.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = od.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 2) {
+      val in = collection.mutable.Map.empty[Long, Long]
+      ed.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + rank(src) / od(src)
+      }
+      rank = od.keys.map(n =>
+        n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    assert(got == rank && got.nonEmpty)
+    // damping leaks mass through truncation, never creates it
+    assert(got.values.sum <= 1000000L * got.size)
+    assert(got.values.min >= 150000L)
+    graft.operators.Mining.clearCache()
+  }
+
   test("the per-basket cap bounds fanout: no basket contributes more than C(8,2)") {
     // replay the pre-cap pipeline and assert the biggest basket's pair
     // contribution is exactly C(min(B, 8), 2) — the straggler bound
