@@ -272,6 +272,47 @@ object EventStreams {
           expr("decayed_cents div decayed_n"))
         .orderBy(col("event_type"))
     }),
+
+    // SCD2 history construction — the warehouse temporal-modeling
+    // primitive: turn a change log into effective-dated dimension rows
+    // (valid_from / valid_to / is_current), where only an ACTUAL value
+    // change opens a new version (consecutive duplicates collapse into
+    // one validity interval — the islands-and-gaps pattern, which is
+    // what separates SCD2 from a plain lead() join). Here each user's
+    // event_type stream is the tracked attribute. Plan shape: one
+    // user-keyed window (change flag via lag, version via running sum),
+    // one (user, version) aggregation, then a second window on the
+    // VERSION frame (≤ one row per change, ≪ log size) for valid_to =
+    // lead(valid_from). All three steps share the user partitioning, so
+    // the log is shuffled once; history size is bounded by change
+    // count, not log size. (ts, event_id) is unique, so every window
+    // and the min-struct version opener are deterministic.
+    "scd2_history" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byUser = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev", lag(col("event_type"), 1).over(byUser))
+        .withColumn("chg",
+          when(col("prev").isNull || col("prev") =!= col("event_type"), 1)
+            .otherwise(0))
+        .withColumn("version", sum(col("chg")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val versions = flagged
+        .groupBy(col("user_id"), col("version"))
+        .agg(min(col("event_type")).as("state"), // constant within version
+          min(col("ts")).as("valid_from"),
+          count(lit(1)).as("n_records"))
+      val byVer = Window.partitionBy(col("user_id")).orderBy(col("version"))
+      versions
+        .withColumn("valid_to", lead(col("valid_from"), 1).over(byVer))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("version"), col("state"),
+          col("valid_from"), col("valid_to"), col("is_current"),
+          col("n_records"))
+        .orderBy(col("user_id"), col("version"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -427,5 +468,32 @@ object EventStreams {
         |  CAST(sum(w * s_de) // sum(w * n_de) AS BIGINT)
         |    AS decayed_avg_cents
         |FROM w GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // identical change-flag / running-sum versioning, identical
+    // version-frame lead
+    "scd2_history" ->
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER w IS NULL
+        |           OR lag(event_type) OVER w != event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |numbered AS (
+        |  SELECT *, sum(chg) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM flagged),
+        |versions AS (
+        |  SELECT user_id, version, min(event_type) AS state,
+        |    min(ts) AS valid_from, CAST(count(1) AS BIGINT) AS n_records
+        |  FROM numbered GROUP BY 1, 2)
+        |SELECT user_id, CAST(version AS BIGINT) AS version, state,
+        |  valid_from,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    AS valid_to,
+        |  lead(valid_from) OVER (PARTITION BY user_id ORDER BY version)
+        |    IS NULL AS is_current,
+        |  n_records
+        |FROM versions ORDER BY user_id, version""".stripMargin,
   )
 }

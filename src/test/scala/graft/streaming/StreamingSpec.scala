@@ -412,4 +412,30 @@ class StreamingSpec extends SparkSpec {
       assert(wn < 1024L * evs.length)
     }
   }
+
+  test("scd2_history: islands collapse, intervals chain, one current row per user") {
+    val rows = EventStreams.queries("scd2_history")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getTimestamp(3), Option(r.getTimestamp(4)), r.getBoolean(5),
+        r.getLong(6)))
+    assert(rows.nonEmpty)
+    val nEvents = batchEvents.count()
+    assert(rows.map(_._7).sum == nEvents, "every log record owned by a version")
+    rows.groupBy(_._1).foreach { case (user, vs) =>
+      val ordered = vs.sortBy(_._2)
+      assert(ordered.map(_._2).toSeq == (1L to ordered.length).toSeq,
+        s"user $user versions not dense")
+      assert(ordered.count(_._6) == 1 && ordered.last._6,
+        s"user $user: exactly the last version is current")
+      ordered.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a._3 != b._3, s"user $user: uncollapsed duplicate state")
+          assert(a._5.contains(b._4),
+            s"user $user: valid_to must chain to the next valid_from")
+          assert(a._4.before(b._4), s"user $user: intervals out of order")
+        case _ => ()
+      }
+      assert(ordered.last._5.isEmpty, "current version must be open-ended")
+    }
+  }
 }
