@@ -364,6 +364,39 @@ object CorpusOps {
           col("top_bucket"), col("top_dev"))
         .orderBy(col("source"))
     }),
+
+    // Bigram-LM surprisal — the conditional cousin of `text_surprisal`
+    // (which is unigram): per document, the mean INVERSE conditional
+    // probability of its word transitions, Σ c1(w1)·10⁶ div c2(w1,w2)
+    // over bigrams, in exact integer ppm (1/P(w2|w1) — boilerplate
+    // word-pairs score low, never-seen-together transitions score
+    // high; this is the cheap stand-in for an LM perplexity filter).
+    // Bigrams are generated IN-ROW (two shifted slices zipped — the
+    // chunk_overlap/skipgram trick, no positional self-join), counted
+    // with ONE bigram-keyed shuffle bounded by the observed-bigram
+    // vocabulary (≪ corpus tokens; ≤ vocab²), and probed back with a
+    // broadcast here — at a vocabulary too big to broadcast the probe
+    // becomes a uniform hash join on the same 8-byte key, nothing else
+    // changes. Unigram conditioning counts use the LAST word of each
+    // doc excluded (c1 counts bigram LEFT positions, so the ratio is a
+    // true conditional: Σ_w2 c2(w1,w2) = c1(w1) exactly).
+    "text_bigram_lm" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"))
+      val bg = docs.select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("ws"), lit(1), size(col("ws")) - 1),
+          slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+        .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      bg.join(broadcast(c2), Seq("w1", "w2"))
+        .join(broadcast(c1), Seq("w1"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          sum(expr("(c1 * 1000000L) div c2")).as("lm_ppm"))
+        .orderBy(col("doc_id"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -535,5 +568,19 @@ object CorpusOps {
         |  max(CASE WHEN rnk = 1 THEN bucket END) AS top_bucket,
         |  CAST(max(CASE WHEN rnk = 1 THEN dev END) AS BIGINT) AS top_dev
         |FROM ranked GROUP BY source, n_s ORDER BY source""".stripMargin,
+    // identical in-row bigram zip, identical integer conditional ratio
+    "text_bigram_lm" ->
+      """WITH d AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id, unnest(ws[1:len(ws)-1]) AS w1,
+        |         unnest(ws[2:len(ws)]) AS w2
+        |  FROM d),
+        |c2 AS (SELECT w1, w2, count(1) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1)
+        |SELECT bg.doc_id, CAST(count(1) AS BIGINT) AS n_bigrams,
+        |  CAST(sum((c1.c1 * 1000000) // c2.c2) AS BIGINT) AS lm_ppm
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
   )
 }

@@ -313,6 +313,58 @@ object EventStreams {
           col("n_records"))
         .orderBy(col("user_id"), col("version"))
     }),
+
+    // Per-group z-score normalization — the feature-standardization
+    // step of a training pipeline, bit-exact cross-engine: the moments
+    // are EXACT integers (cents, the event_outliers convention), and
+    // z = (n·x − S) / √(n·Q − S²) — algebraically (x−μ)/σ with
+    // population σ, rearranged so the float path is exactly THREE
+    // correctly-rounded IEEE ops (subtract of exact-integer doubles,
+    // one √ of an exact-integer double, one division) in an identical
+    // tree on both engines. Plan: one 5-row moments aggregation
+    // broadcast back onto the scan — the normalization itself is
+    // map-only at any log size.
+    "feature_zscore" -> ((s, d) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), cents.as("w"))
+      val stats = ev.groupBy(col("event_type")).agg(
+        count(lit(1)).as("n"), sum(col("w")).as("sw"),
+        sum(col("w") * col("w")).as("qw"))
+      def d2(c: Column): Column = c.cast("double")
+      ev.join(broadcast(stats), "event_type")
+        .select(col("event_id"), col("event_type"),
+          ((d2(col("n")) * d2(col("w")) - d2(col("sw"))) /
+            sqrt(d2(col("n")) * d2(col("qw")) - d2(col("sw")) * d2(col("sw"))))
+            .as("z"))
+        .orderBy(col("event_id"))
+    }),
+
+    // Cohort retention — the product-analytics matrix: users bucketed
+    // by first-seen week, counted in each subsequent week they return.
+    // Weeks are INTEGER arithmetic from a fixed Monday epoch
+    // (2024-01-01), not date_trunc, so both engines bucket identically
+    // with no week-start convention to match. Plan: one user-keyed min
+    // aggregation for the cohort frame (|users| rows, joined back —
+    // broadcastable at any realistic user count), then one
+    // (cohort, age) distinct-user count; distinct is exact because a
+    // user appears once per (cohort, age) cell after the de-dup — the
+    // whole matrix is |cohorts|² cells.
+    "cohort_retention" -> ((s, d) => {
+      val wk = floor(datediff(to_date(col("ts")),
+        lit("2024-01-01").cast("date")) / 7).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), wk.as("wk"))
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(col("wk")).as("cohort_wk"))
+      ev.join(broadcast(cohort), "user_id")
+        .select(col("user_id"), col("cohort_wk"),
+          (col("wk") - col("cohort_wk")).as("age_wk"))
+        .distinct()
+        .groupBy(col("cohort_wk"), col("age_wk"))
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy(col("cohort_wk"), col("age_wk"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -495,5 +547,37 @@ object EventStreams {
         |    IS NULL AS is_current,
         |  n_records
         |FROM versions ORDER BY user_id, version""".stripMargin,
+    // identical exact-integer moments, identical 3-op IEEE tree
+    "feature_zscore" ->
+      """WITH ev AS (
+        |  SELECT event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS w
+        |  FROM events),
+        |st AS (
+        |  SELECT event_type, count(1) AS n,
+        |    CAST(sum(w) AS BIGINT) AS sw, CAST(sum(w * w) AS BIGINT) AS qw
+        |  FROM ev GROUP BY 1)
+        |SELECT ev.event_id, ev.event_type,
+        |  (CAST(st.n AS DOUBLE) * CAST(ev.w AS DOUBLE)
+        |     - CAST(st.sw AS DOUBLE))
+        |  / sqrt(CAST(st.n AS DOUBLE) * CAST(st.qw AS DOUBLE)
+        |     - CAST(st.sw AS DOUBLE) * CAST(st.sw AS DOUBLE)) AS z
+        |FROM ev JOIN st USING (event_type)
+        |ORDER BY ev.event_id""".stripMargin,
+    // identical integer week bucketing from the same Monday epoch
+    "cohort_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id,
+        |    CAST(floor(date_diff('day', DATE '2024-01-01',
+        |      CAST(ts AS DATE)) / 7) AS BIGINT) AS wk
+        |  FROM events),
+        |cohort AS (
+        |  SELECT user_id, min(wk) AS cohort_wk FROM ev GROUP BY 1),
+        |cells AS (
+        |  SELECT DISTINCT ev.user_id, cohort.cohort_wk,
+        |    ev.wk - cohort.cohort_wk AS age_wk
+        |  FROM ev JOIN cohort USING (user_id))
+        |SELECT cohort_wk, age_wk, CAST(count(1) AS BIGINT) AS n_users
+        |FROM cells GROUP BY 1, 2 ORDER BY cohort_wk, age_wk""".stripMargin,
   )
 }

@@ -103,6 +103,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("text_bigram_lm: scalar replay of the conditional ratio, c1 = sum of c2") {
+    val texts = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    val bigrams = texts.toSeq.flatMap { case (id, ws) =>
+      ws.zip(ws.tail).map(b => (id, b))
+    }
+    val c2 = bigrams.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view
+      .mapValues(_.values.sum).toMap // conditioning mass = Σ_w2 c2(w1, ·)
+    val got = run("text_bigram_lm").collect()
+    assert(got.length == texts.size)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val bs = bigrams.filter(_._1 == id).map(_._2)
+      assert(r.getLong(1) == bs.length.toLong, s"doc $id n_bigrams")
+      val expect = bs.map(b => c1(b._1) * 1000000L / c2(b)).sum
+      assert(r.getLong(2) == expect, s"doc $id lm_ppm")
+      // a true conditional: every bigram contributes >= 1e6 ppm
+      assert(r.getLong(2) >= r.getLong(1) * 1000000L)
+    }
+  }
+
   test("emb_centroid fixed-point result is within 2^-20 of the exact mean") {
     val exact = graft.Tables.embeddings(spark, sf0001)
       .select(col("label"),

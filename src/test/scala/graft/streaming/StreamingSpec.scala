@@ -438,4 +438,43 @@ class StreamingSpec extends SparkSpec {
       assert(ordered.last._5.isEmpty, "current version must be open-ended")
     }
   }
+
+  test("feature_zscore: scalar replay of the exact-moment IEEE tree agrees bitwise") {
+    val raw = batchEvents.select($"event_id", $"event_type", $"value").collect()
+      .map(r => (r.getLong(0), r.getString(1), BigDecimal(r.getDouble(2))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLong))
+    val stats = raw.groupBy(_._2).view.mapValues { es =>
+      val ws = es.map(_._3)
+      (ws.length.toLong, ws.sum, ws.map(w => w * w).sum)
+    }.toMap
+    val got = EventStreams.queries("feature_zscore")(spark, sf0001).collect()
+    assert(got.length == raw.length)
+    got.foreach { r =>
+      val (n, sw, qw) = stats(r.getString(1))
+      val w = raw.find(_._1 == r.getLong(0)).get._3
+      val expect = (n.toDouble * w.toDouble - sw.toDouble) /
+        math.sqrt(n.toDouble * qw.toDouble - sw.toDouble * sw.toDouble)
+      assert(r.getDouble(2) == expect, s"event ${r.getLong(0)}: bitwise mismatch")
+    }
+    // standardization sanity: per-type z-sums vanish up to truncation
+    got.groupBy(_.getString(1)).values.foreach { g =>
+      assert(math.abs(g.map(_.getDouble(2)).sum) < 1e-6 * g.size)
+    }
+  }
+
+  test("cohort_retention: age-0 cell equals cohort size, replay agrees") {
+    val raw = batchEvents.select($"user_id", to_date($"ts").as("d")).collect()
+      .map(r => (r.getLong(0), java.time.temporal.ChronoUnit.DAYS.between(
+        java.time.LocalDate.parse("2024-01-01"), r.getDate(1).toLocalDate) / 7))
+    val cohort = raw.groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val cells = raw.map { case (u, wk) => (cohort(u), wk - cohort(u), u) }
+      .distinct.groupBy(c => (c._1, c._2)).view.mapValues(_.length.toLong).toMap
+    val got = EventStreams.queries("cohort_retention")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got == cells && got.nonEmpty)
+    // every cohort's age-0 cell is the whole cohort (first week counts)
+    cohort.values.toSet[Long].foreach { cw =>
+      assert(got((cw, 0L)) == cohort.count(_._2 == cw).toLong)
+    }
+  }
 }
