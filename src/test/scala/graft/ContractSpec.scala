@@ -10,7 +10,7 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    assert(qs.size >= 120, s"query surface shrank: ${qs.size}")
+    assert(qs.size >= 137, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED: every query without an oracle must be
     // on this documented allowlist (each entry is hash/algorithm-specific
     // — HLL, MinHash/SimHash buckets, LSH/IVF candidates, KLL percentile
@@ -106,7 +106,11 @@ class ContractSpec extends AnyFunSuite {
     // enforced by convention; spot-check the newest entries exist
     Seq("join_cross", "setop_union_all", "null_handling", "q6_revenue_delta",
       "window_firstlast", "join_full_outer", "text_levenshtein", "agg_unpivot",
-      "dedup_clusters", "pack_sequences", "sample_split")
+      "dedup_clusters", "pack_sequences", "sample_split",
+      // round-5 session-5 surface
+      "temporal_decay", "interval_join", "mv_refresh", "word_neighbors",
+      "basket_pairs", "heavy_hitters", "graph_triangles", "graph_pagerank",
+      "scd2_history", "feature_zscore", "cohort_retention", "text_bigram_lm")
       .foreach(k => assert(SparkEntry.queries.contains(k), k))
   }
 }
