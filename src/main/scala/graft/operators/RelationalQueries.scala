@@ -402,6 +402,45 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // Winsorization (percentile clipping) — quantile_hist's rule turned
+    // into the robust-preprocessing step a feature pipeline applies
+    // before training: per group, clamp values into [p05_edge, p95_edge]
+    // where the edges come from the same fixed-grid integer histogram
+    // (nearest-rank on bin lower edges, integer cross-multiplied — no
+    // percentile_approx nondeterminism, merges across shards). Two-pass
+    // shape like event_outliers: the histogram/edges frame is
+    // groups×bins (KBs) and broadcasts back onto the scan; the clamp is
+    // map-only. Everything is exact integer cents, so clipped means are
+    // bit-stable (one truncating div).
+    "winsorize" -> ((s, d) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), cents.as("c"))
+      val bins = ev
+        .withColumn("bin_lo", expr("(c div 100) * 100"))
+        .groupBy(col("event_type"), col("bin_lo"))
+        .agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("bin_lo"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val edges = bins
+        .withColumn("cum", sum(col("cnt")).over(w))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .groupBy(col("event_type"))
+        .agg(
+          min(when(col("cum") * 100 >= col("n") * 5, col("bin_lo"))).as("lo"),
+          min(when(col("cum") * 100 >= col("n") * 95, col("bin_lo"))).as("hi"))
+      ev.join(broadcast(edges), "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          max(col("lo")).as("lo_edge"), max(col("hi")).as("hi_edge"),
+          sum(when(col("c") < col("lo"), 1L).otherwise(0L)).as("n_clip_lo"),
+          sum(when(col("c") > col("hi"), 1L).otherwise(0L)).as("n_clip_hi"),
+          sum(least(greatest(col("c"), col("lo")), col("hi"))).as("sum_wins"))
+        .withColumn("mean_wins_cents", expr("sum_wins div n"))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H Q6 shape: pure filter + global aggregate — the minimal
     // pushdown showcase (all three predicates reach the parquet scan).
     "q6_revenue_delta" -> ((s, d) => {
@@ -782,6 +821,38 @@ object RelationalQueries {
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin_lo END)
         |    AS BIGINT) AS p90_lo
         |FROM c GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    // identical cents grid, identical nearest-rank edges, identical clamp
+    "winsorize" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |b AS (
+        |  SELECT event_type, (c // 100) * 100 AS bin_lo, count(1) AS cnt
+        |  FROM ev GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT event_type, bin_lo,
+        |    sum(cnt) OVER (PARTITION BY event_type ORDER BY bin_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY event_type) AS n
+        |  FROM b),
+        |edges AS (
+        |  SELECT event_type,
+        |    min(CASE WHEN cum * 100 >= n * 5 THEN bin_lo END) AS lo,
+        |    min(CASE WHEN cum * 100 >= n * 95 THEN bin_lo END) AS hi
+        |  FROM cu GROUP BY event_type)
+        |SELECT ev.event_type, CAST(count(1) AS BIGINT) AS n,
+        |  CAST(max(lo) AS BIGINT) AS lo_edge,
+        |  CAST(max(hi) AS BIGINT) AS hi_edge,
+        |  CAST(sum(CASE WHEN c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_lo,
+        |  CAST(sum(CASE WHEN c > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clip_hi,
+        |  CAST(sum(least(greatest(c, lo), hi)) AS BIGINT) AS sum_wins,
+        |  CAST(sum(least(greatest(c, lo), hi)) // count(1) AS BIGINT)
+        |    AS mean_wins_cents
+        |FROM ev JOIN edges USING (event_type)
+        |GROUP BY ev.event_type ORDER BY ev.event_type""".stripMargin,
     "agg_groupingsets" ->
       """SELECT o_orderstatus, o_orderpriority, count(1) AS n,
         | CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price

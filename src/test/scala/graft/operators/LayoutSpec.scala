@@ -180,4 +180,38 @@ class LayoutSpec extends SparkSpec {
       assert(v == ha.getOrElse(k, 0L) + hb.getOrElse(k, 0L), s"$k")
     }
   }
+
+  test("winsorize: scalar replay of edges + clamp; clip mass stays within grid slack") {
+    val rows = RelationalQueries.queries("winsorize")(spark, sf0001).collect()
+    val cents = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    assert(rows.map(_.getString(0)).toSet == cents.keySet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cs = cents(t)
+      val n = cs.length.toLong
+      // nearest-rank edges on the 100-cent grid, exactly as the query
+      val hist = cs.groupBy(c => c / 100 * 100).view.mapValues(_.length.toLong)
+        .toMap.toSeq.sortBy(_._1)
+      def edge(q: Int): Long = {
+        var cum = 0L
+        hist.collectFirst {
+          case (lo, cnt) if { cum += cnt; cum * 100 >= n * q } => lo
+        }.get
+      }
+      val (lo, hi) = (edge(5), edge(95))
+      assert(r.getLong(1) == n && r.getLong(2) == lo && r.getLong(3) == hi, t)
+      assert(r.getLong(4) == cs.count(_ < lo).toLong, s"$t n_clip_lo")
+      assert(r.getLong(5) == cs.count(_ > hi).toLong, s"$t n_clip_hi")
+      val wins = cs.map(c => math.min(math.max(c, lo), hi))
+      assert(r.getLong(6) == wins.sum && r.getLong(7) == wins.sum / n, t)
+      // nearest-rank on a grid clips at most q% + one bin's worth of mass
+      val binMass = hist.map(_._2).max
+      assert(r.getLong(4) <= n * 5 / 100 + binMass, s"$t lo clip mass")
+      assert(r.getLong(5) <= n * 5 / 100 + binMass, s"$t hi clip mass")
+    }
+  }
 }
