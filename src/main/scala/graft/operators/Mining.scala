@@ -136,6 +136,53 @@ object Mining {
           expr("n_triangles * 1000000 div n_wedges"))
     }),
 
+    // Covisitation mining — the session-scoped variant of basket_pairs:
+    // items "visited together" within a 30-minute activity session of
+    // the raw event stream, the signal production recommenders actually
+    // mine (baskets need an order id; covisitation manufactures one
+    // from time gaps). Three stages, each with a bounded scale story:
+    // (1) sessionization by gap islands — lag + running flag-sum over a
+    // user-keyed window (uniform keys, one shuffle; NOT a global sort);
+    // (2) distinct (user, session, item) with the same first-MaxBasket
+    // per-session contribution cap as basket_pairs, applied before any
+    // basket materializes; (3) in-row pair generation + one pair-keyed
+    // count with map-side combine. Timestamps become integer epoch
+    // seconds up front (session TZ is UTC in every entrypoint) so the
+    // gap predicate and both engines' islands agree exactly.
+    "covisitation" -> ((s, d) => {
+      val item = regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("event_id"), item.as("item"))
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val sess = ev
+        .withColumn("prev", lag(col("ts_s"), 1).over(wo))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val items = sess.select(col("user_id"), col("sess"), col("item"))
+        .distinct()
+      val rn = row_number().over(
+        Window.partitionBy(col("user_id"), col("sess")).orderBy(col("item")))
+      val baskets = items
+        .withColumn("rn", rn).filter(col("rn") <= MaxBasket)
+        .groupBy(col("user_id"), col("sess"))
+        .agg(sort_array(collect_list(col("item"))).as("its"))
+      baskets
+        .select(explode(expr(
+          """flatten(transform(its, (x, i) ->
+            |  transform(slice(its, i + 2, size(its)),
+            |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("pr"))
+        .groupBy(col("pr.a").as("item_a"), col("pr.b").as("item_b"))
+        .agg(count(lit(1)).as("n_sessions"))
+        .filter(col("n_sessions") >= MinSupport)
+        .orderBy(col("item_a"), col("item_b"))
+    }),
+
     // PageRank on the co-purchase graph — the third iterative-operator
     // shape in the library (dedup_clusters propagates minima, emb_kmeans
     // recomputes centroids; this is weighted mass propagation). Two
@@ -232,6 +279,39 @@ object Mining {
         |  (SELECT CAST(count(1) AS BIGINT) FROM t) AS n_triangles,
         |  CAST((SELECT count(1) FROM t) * 1000000
         |    // (SELECT count(1) FROM w) AS BIGINT) AS closure_ppm""".stripMargin,
+    // identical integer epoch seconds, identical gap islands (total
+    // order pinned by the event_id tiebreak), identical cap + support.
+    // floor() before the BIGINT cast: DuckDB's epoch() keeps the
+    // fractional second and its cast ROUNDS, Spark's unix_timestamp
+    // truncates.
+    "covisitation" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    event_id,
+        |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts_s, event_id) AS prev FROM ev)),
+        |se AS (
+        |  SELECT user_id, item,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM fl),
+        |it AS (SELECT DISTINCT user_id, sess, item FROM se),
+        |capped AS (
+        |  SELECT user_id, sess, item FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id, sess
+        |      ORDER BY item) AS rn FROM it)
+        |  WHERE rn <= 8)
+        |SELECT a.item AS item_a, b.item AS item_b,
+        |  CAST(count(1) AS BIGINT) AS n_sessions
+        |FROM capped a JOIN capped b
+        |  ON a.user_id = b.user_id AND a.sess = b.sess AND a.item < b.item
+        |GROUP BY 1, 2 HAVING count(1) >= 2
+        |ORDER BY item_a, item_b""".stripMargin,
     // identical edges, identical truncating-div mass propagation, both
     // iterations unrolled
     "graph_pagerank" ->

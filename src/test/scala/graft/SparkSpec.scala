@@ -24,4 +24,7 @@ object TestSpark {
 abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf0001 = "/root/testdata/sf0.001"
+  // for specs whose fixture needs density sf0.001 can't provide (e.g.
+  // support thresholds that nothing reaches at ~6k rows)
+  def sf001 = "/root/testdata/sf0.01"
 }

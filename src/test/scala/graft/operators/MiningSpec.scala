@@ -80,6 +80,43 @@ class MiningSpec extends SparkSpec {
     graft.operators.Mining.clearCache()
   }
 
+  test("covisitation: scalar replay of gap islands + capped pair counts agrees") {
+    val got = Mining.queries("covisitation")(spark, sf001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+
+    val ev = Tables.events(spark, sf001)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+        col("event_id"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = collection.mutable.Map.empty[(Long, Long), Long]
+    var multiSession = false
+    ev.groupBy(_._1).values.foreach { rows =>
+      // replay the islands: sort by (ts, event_id), split on gap > 30 min
+      val ordered = rows.sortBy(r => (r._2, r._3))
+      val sessions = collection.mutable.ArrayBuffer(
+        collection.mutable.ArrayBuffer.empty[Long])
+      var prev = Long.MinValue
+      ordered.foreach { r =>
+        if (prev != Long.MinValue && r._2 - prev > 1800L)
+          sessions += collection.mutable.ArrayBuffer.empty[Long]
+        sessions.last += r._4
+        prev = r._2
+      }
+      if (sessions.length > 1) multiSession = true
+      sessions.foreach { items =>
+        val capped = items.distinct.sorted.take(8)
+        for (i <- capped.indices; j <- i + 1 until capped.length)
+          counts((capped(i), capped(j))) =
+            counts.getOrElse((capped(i), capped(j)), 0L) + 1L
+      }
+    }
+    assert(multiSession, "fixture must actually split a user into sessions")
+    val expect = counts.filter(_._2 >= 2).toMap
+    assert(got == expect && got.nonEmpty)
+  }
+
   test("the per-basket cap bounds fanout: no basket contributes more than C(8,2)") {
     // replay the pre-cap pipeline and assert the biggest basket's pair
     // contribution is exactly C(min(B, 8), 2) — the straggler bound
