@@ -191,6 +191,91 @@ object DatasetPrep {
         .orderBy(col("lang"), col("rnk"))
     }),
 
+    // MMR (Maximal Marginal Relevance) diversity selection — the greedy
+    // curation step that picks k exemplars per group trading relevance
+    // against redundancy with what's already picked: at each step the
+    // winner maximizes λ·rel − (1−λ)·maxsim(candidate, selected-set).
+    // Everything is exact integer arithmetic so the greedy trace is
+    // bit-reproducible cross-engine: rel = per-lang length percentile
+    // (100·n_chars div max), sim = token-set Jaccard percent
+    // (100·|∩| div |∪|), λ = 0.7 → score 70·rel − 30·maxsim, ties to
+    // the smaller doc_id.
+    //
+    // Scale shape: the k greedy rounds are UNROLLED (the pagerank /
+    // Lloyd's convention — k is a pipeline constant, not data). Each
+    // round costs one broadcast hash join of the corpus token frame
+    // against the selected set's tokens (k·|langs| docs — KBs at any
+    // corpus size) + one (lang, cand)-keyed count agg + one per-lang
+    // ARGMAX AS AN AGGREGATION (max of a (score, −id) struct — no
+    // per-lang sort, no row_number over the corpus). The token frame
+    // and per-doc sizes are built once and persisted; no step touches
+    // the driver.
+    "mmr_select" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      val maxc = docs.groupBy(col("lang")).agg(max(col("n_chars")).as("mx"))
+      val rel = docs.join(broadcast(maxc), "lang")
+        .select(col("lang"), col("doc_id"),
+          expr("100 * n_chars div mx").as("rel_pct"))
+      val tok = docs
+        .select(col("doc_id"), col("lang"),
+          explode(array_distinct(split(col("text"), " "))).as("tok"))
+        .persist()
+      graft.emf.EmfPlanner.registerPersisted(tok)
+      val szf = tok.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        .persist()
+      graft.emf.EmfPlanner.registerPersisted(szf)
+
+      // per-lang argmax of (mmr, smaller id) as a plain aggregation
+      def pickBest(cands: DataFrame): DataFrame = cands
+        .groupBy(col("lang"))
+        .agg(max(struct(col("mmr"), (-col("doc_id")).as("nid"),
+          col("rel_pct"), col("maxsim"))).as("b"))
+        .select(col("lang"), (-col("b.nid")).as("doc_id"),
+          col("b.rel_pct").as("rel_pct"), col("b.maxsim").as("maxsim_pct"),
+          col("b.mmr").as("mmr_score"))
+
+      // every candidate's max Jaccard-pct similarity to the selected set
+      def maxsimTo(selected: DataFrame): DataFrame = {
+        val selIds = selected.select(col("doc_id").as("sel_id"))
+        val selTok = tok.join(broadcast(selIds),
+          col("doc_id") === col("sel_id"))
+          .select(col("lang"), col("sel_id"), col("tok"))
+        val selSz = szf.join(broadcast(selIds),
+          col("doc_id") === col("sel_id"))
+          .select(col("sel_id"), col("sz").as("ssz"))
+        tok.join(broadcast(selTok), Seq("lang", "tok"))
+          .filter(col("doc_id") =!= col("sel_id"))
+          .groupBy(col("lang"), col("doc_id"), col("sel_id"))
+          .agg(count(lit(1)).as("inter"))
+          .join(szf, "doc_id")
+          .join(broadcast(selSz), "sel_id")
+          .withColumn("sim_pct", expr("100 * inter div (sz + ssz - inter)"))
+          .groupBy(col("lang"), col("doc_id"))
+          .agg(max(col("sim_pct")).as("maxsim"))
+      }
+
+      val p1 = pickBest(rel
+        .withColumn("maxsim", lit(0L)).withColumn("mmr", expr("70 * rel_pct")))
+      var picks = p1.withColumn("pick", lit(1L))
+      var selected = p1.select(col("lang"), col("doc_id"))
+      for (step <- 2 to 3) {
+        val ms = maxsimTo(selected)
+        val cands = rel
+          .join(selected.select(col("doc_id").as("sid")),
+            col("doc_id") === col("sid"), "left_anti")
+          .join(ms, Seq("lang", "doc_id"), "left")
+          .na.fill(0L, Seq("maxsim"))
+          .withColumn("mmr", expr("70 * rel_pct - 30 * maxsim"))
+        val p = pickBest(cands)
+        picks = picks.unionByName(p.withColumn("pick", lit(step.toLong)))
+        selected = selected.unionByName(p.select(col("lang"), col("doc_id")))
+      }
+      picks.select(col("lang"), col("pick"), col("doc_id"),
+        col("rel_pct"), col("maxsim_pct"), col("mmr_score"))
+        .orderBy(col("lang"), col("pick"))
+    }),
+
     "sample_split" -> ((s, d) => {
       val m = pmod(col("doc_id"), lit(1000003L)) * lit(2654435761L)
       val bucket = pmod(m.bitwiseXOR(shiftright(m, 13)), lit(10))
@@ -287,6 +372,86 @@ object DatasetPrep {
         |  FROM b)
         |SELECT lang, CAST(rnk AS INT) AS rnk, doc_id, bucket
         |FROM r WHERE rnk <= 8 ORDER BY lang, rnk""".stripMargin,
+    // identical integer rel/sim grids, both greedy rounds unrolled,
+    // identical (mmr DESC, doc_id ASC) tie order
+    "mmr_select" ->
+      """WITH rel AS (
+        |  SELECT lang, doc_id,
+        |    100 * n_chars // max(n_chars) OVER (PARTITION BY lang)
+        |      AS rel_pct
+        |  FROM documents),
+        |tok AS (
+        |  SELECT doc_id, lang,
+        |    unnest(list_distinct(string_split(text, ' '))) AS tok
+        |  FROM documents),
+        |sz AS (SELECT doc_id, count(1) AS sz FROM tok GROUP BY 1),
+        |p1 AS (
+        |  SELECT lang, doc_id, rel_pct, CAST(0 AS BIGINT) AS maxsim,
+        |    70 * rel_pct AS mmr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |          ORDER BY rel_pct DESC, doc_id) AS rn FROM rel)
+        |  WHERE rn = 1),
+        |i1 AS (
+        |  SELECT t.lang, t.doc_id AS cand, p1.doc_id AS sel_id,
+        |    count(1) AS inter
+        |  FROM tok t JOIN p1 ON p1.lang = t.lang
+        |  JOIN tok s ON s.doc_id = p1.doc_id AND s.tok = t.tok
+        |  WHERE t.doc_id <> p1.doc_id
+        |  GROUP BY 1, 2, 3),
+        |ms1 AS (
+        |  SELECT i.lang, i.cand AS doc_id,
+        |    max(100 * i.inter // (a.sz + b.sz - i.inter)) AS maxsim
+        |  FROM i1 i JOIN sz a ON a.doc_id = i.cand
+        |  JOIN sz b ON b.doc_id = i.sel_id
+        |  GROUP BY 1, 2),
+        |c2 AS (
+        |  SELECT r.lang, r.doc_id, r.rel_pct,
+        |    coalesce(m.maxsim, 0) AS maxsim,
+        |    70 * r.rel_pct - 30 * coalesce(m.maxsim, 0) AS mmr
+        |  FROM rel r LEFT JOIN ms1 m USING (lang, doc_id)
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM p1)),
+        |p2 AS (
+        |  SELECT lang, doc_id, rel_pct, maxsim, mmr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |          ORDER BY mmr DESC, doc_id) AS rn FROM c2)
+        |  WHERE rn = 1),
+        |sel2 AS (SELECT lang, doc_id FROM p1
+        |         UNION ALL SELECT lang, doc_id FROM p2),
+        |i2 AS (
+        |  SELECT t.lang, t.doc_id AS cand, q.doc_id AS sel_id,
+        |    count(1) AS inter
+        |  FROM tok t JOIN sel2 q ON q.lang = t.lang
+        |  JOIN tok s ON s.doc_id = q.doc_id AND s.tok = t.tok
+        |  WHERE t.doc_id <> q.doc_id
+        |  GROUP BY 1, 2, 3),
+        |ms2 AS (
+        |  SELECT i.lang, i.cand AS doc_id,
+        |    max(100 * i.inter // (a.sz + b.sz - i.inter)) AS maxsim
+        |  FROM i2 i JOIN sz a ON a.doc_id = i.cand
+        |  JOIN sz b ON b.doc_id = i.sel_id
+        |  GROUP BY 1, 2),
+        |c3 AS (
+        |  SELECT r.lang, r.doc_id, r.rel_pct,
+        |    coalesce(m.maxsim, 0) AS maxsim,
+        |    70 * r.rel_pct - 30 * coalesce(m.maxsim, 0) AS mmr
+        |  FROM rel r LEFT JOIN ms2 m USING (lang, doc_id)
+        |  WHERE r.doc_id NOT IN (SELECT doc_id FROM sel2)),
+        |p3 AS (
+        |  SELECT lang, doc_id, rel_pct, maxsim, mmr
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+        |          ORDER BY mmr DESC, doc_id) AS rn FROM c3)
+        |  WHERE rn = 1)
+        |SELECT lang, CAST(pick AS BIGINT) AS pick, doc_id,
+        |  CAST(rel_pct AS BIGINT) AS rel_pct,
+        |  CAST(maxsim AS BIGINT) AS maxsim_pct,
+        |  CAST(mmr AS BIGINT) AS mmr_score
+        |FROM (
+        |  SELECT lang, 1 AS pick, doc_id, rel_pct, maxsim, mmr FROM p1
+        |  UNION ALL
+        |  SELECT lang, 2, doc_id, rel_pct, maxsim, mmr FROM p2
+        |  UNION ALL
+        |  SELECT lang, 3, doc_id, rel_pct, maxsim, mmr FROM p3)
+        |ORDER BY lang, pick""".stripMargin,
     "sample_split" ->
       """WITH b AS (
         |  SELECT lang, text,

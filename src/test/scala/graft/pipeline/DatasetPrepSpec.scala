@@ -123,4 +123,46 @@ class DatasetPrepSpec extends SparkSpec {
     val physical = df.queryExecution.executedPlan.toString
     assert(physical.contains("WindowGroupLimit"), physical.take(800))
   }
+
+  test("mmr_select: scalar greedy replay agrees; redundancy penalty changes a pick") {
+    val got = DatasetPrep.queries("mmr_select")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getString(3).split(" ").distinct.toSet))
+    var divergedFromTopRel = false
+    docs.groupBy(_._2).foreach { case (lang, ds) =>
+      val mx = ds.map(_._3).max
+      val rel = ds.map(d => d._1 -> 100L * d._3 / mx).toMap
+      val toks = ds.map(d => d._1 -> d._4).toMap
+      def jac(a: Long, b: Long): Long = {
+        val (ta, tb) = (toks(a), toks(b))
+        val inter = ta.intersect(tb).size.toLong
+        100L * inter / (ta.size + tb.size - inter)
+      }
+      // greedy MMR, ties to the smaller id — exactly the query's rule
+      var selected = Vector.empty[Long]
+      for (pick <- 1L to 3L) {
+        val cands = rel.keys.filterNot(selected.contains)
+        val scored = cands.map { c =>
+          val ms = if (selected.isEmpty) 0L else selected.map(jac(c, _)).max
+          (c, rel(c), ms, 70L * rel(c) - 30L * ms)
+        }
+        val best = scored.minBy { case (id, _, _, mmr) => (-mmr, id) }
+        assert(got((lang, pick)) == ((best._1, best._2, best._3, best._4)),
+          s"$lang pick $pick: got ${got((lang, pick))}, want $best")
+        selected :+= best._1
+      }
+      // would pure relevance (ties to smaller id) have picked the same 3?
+      val topRel = rel.toSeq.sortBy { case (id, r) => (-r, id) }
+        .take(3).map(_._1).toSet
+      if (selected.toSet != topRel) divergedFromTopRel = true
+    }
+    assert(divergedFromTopRel,
+      "fixture never exercises the diversity term: MMR == top-3-by-relevance everywhere")
+  }
 }
