@@ -130,6 +130,39 @@ object Dedup {
       connectedComponents(nodes, pairs).orderBy(col("doc_id"))
     }),
 
+    // Leakage-safe train/val/test split — the decontamination-aware
+    // variant of sample_split: hashing doc_id scatters near-duplicate
+    // twins across splits (a val doc's 95%-identical sibling lands in
+    // train and the eval leaks), so the split key must be the DEDUP
+    // CLUSTER, not the doc. Composition of two existing pieces: the
+    // connected-components labels over the near-dup graph (same shared
+    // pair frame as dedup_clusters) and sample_split's multiplicative-
+    // xorshift bucket — applied to the cluster label, making the split
+    // a function of the cluster so whole clusters move together by
+    // construction. The output carries its own audit: n_straddling
+    // (clusters seen in >1 split) is oracle-checked to be 0, and the
+    // spec shows the doc_id-keyed hash DOES straddle on the fixture.
+    // Scale: cluster labeling is the audited CC loop; the assignment is
+    // a map; the census is two aggregations — nothing new shuffles
+    // beyond the distinct-count audit itself.
+    "split_leakage_safe" -> ((s, d) => {
+      val pairs = queriesNgramPairs(s, d).select(col("id_a"), col("id_b"))
+      val nodes = docsWithNearDups(s, d).select(col("doc_id"))
+      val cc = connectedComponents(nodes, pairs)
+      val m = pmod(col("cluster"), lit(1000003L)) * lit(2654435761L)
+      val bucket = pmod(m.bitwiseXOR(shiftright(m, 13)), lit(10))
+      val assigned = cc.withColumn("split",
+        when(bucket < 8, "train").when(bucket === 8, "val")
+          .otherwise("test"))
+      val perSplit = assigned.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("cluster")).as("n_clusters"))
+      val straddle = assigned.groupBy(col("cluster"))
+        .agg(countDistinct(col("split")).as("ns"))
+        .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("n_straddling"))
+      perSplit.crossJoin(broadcast(straddle)).orderBy(col("split"))
+    }),
+
     // MinHash+LSH candidate generation + exact-Jaccard verification.
     // Hash-dependent pipeline → no SQL oracle (rows-only check); its
     // recall against dedup_ngram is asserted in DedupSpec.
@@ -458,5 +491,40 @@ object Dedup {
         |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.t)
         |SELECT node AS doc_id, min(lab) AS cluster
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
+    // identical transitive closure, identical xorshift bucket on the
+    // CLUSTER label, identical census + straddle audit
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $ngramOracleCtes,
+         |$ngramOraclePairsCte,
+         |edges AS (
+        |  SELECT id_a AS s, id_b AS t FROM pairs
+        |  UNION ALL
+        |  SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id AS node, doc_id AS lab FROM docs
+        |  UNION
+        |  SELECT e.s AS node, r.lab FROM edges e JOIN reach r ON r.node = e.t),
+        |cc AS (
+        |  SELECT node AS doc_id, min(lab) AS cluster
+        |  FROM reach GROUP BY node),
+        |asg AS (
+        |  SELECT doc_id, cluster,
+        |    CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT doc_id, cluster,
+        |      xor((cluster % 1000003) * 2654435761,
+        |          ((cluster % 1000003) * 2654435761) >> 13) % 10 AS b
+        |    FROM cc)),
+        |per AS (
+        |  SELECT split, CAST(count(1) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters
+        |  FROM asg GROUP BY 1),
+        |st AS (
+        |  SELECT CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_straddling
+        |  FROM (SELECT cluster, count(DISTINCT split) AS ns
+        |        FROM asg GROUP BY 1))
+        |SELECT per.split, per.n_docs, per.n_clusters, st.n_straddling
+        |FROM per, st ORDER BY split""".stripMargin,
   )
 }

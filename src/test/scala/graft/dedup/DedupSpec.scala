@@ -37,6 +37,36 @@ class DedupSpec extends SparkSpec {
     labels.foreach { case (id, c) => assert(find(id) == c) }
   }
 
+  test("split_leakage_safe: clusters never straddle; the doc-keyed hash would") {
+    val rows = Dedup.queries("split_leakage_safe")(spark, sf0001).collect()
+    assert(rows.map(_.getString(0)).sorted.toSeq == Seq("test", "train", "val"))
+    // the audit column: zero clusters in more than one split
+    rows.foreach(r => assert(r.getLong(3) == 0L, r.toString))
+    // census consistency: every doc and every cluster counted exactly once
+    val labels = Dedup.queries("dedup_clusters")(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(rows.map(_.getLong(1)).sum == labels.length.toLong)
+    assert(rows.map(_.getLong(2)).sum == labels.map(_._2).distinct.length.toLong)
+    // scalar replay: cluster-keyed xorshift bucket reproduces the census
+    def bucket(x: Long): Long = {
+      val m = (x % 1000003L) * 2654435761L
+      (m ^ (m >> 13)) % 10L
+    }
+    def split(b: Long) = if (b < 8) "train" else if (b == 8) "val" else "test"
+    val expect = labels.groupBy { case (_, c) => split(bucket(c)) }
+      .map { case (s, m) => s -> (m.length.toLong, m.map(_._2).distinct.length.toLong) }
+    rows.foreach { r =>
+      assert(expect(r.getString(0)) == ((r.getLong(1), r.getLong(2))), r.toString)
+    }
+    // the contrast that motivates the operator: hashing doc_id directly
+    // (sample_split's rule) DOES tear at least one near-dup cluster apart
+    val straddled = labels.groupBy(_._2).values.exists { members =>
+      members.map { case (id, _) => split(bucket(id)) }.distinct.length > 1
+    }
+    assert(straddled,
+      "fixture never shows leakage: doc-keyed split kept every cluster whole")
+  }
+
   test("connectedComponents: multi-hop chain converges; diameter cap refuses") {
     import spark.implicits._
     // chain 0-1-2-...-9 plus isolated 100: one 10-node component needs
