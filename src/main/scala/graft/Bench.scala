@@ -57,6 +57,9 @@ object Bench {
       timed("_shared_ngram_build") {
         graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count(); ()
       },
+      timed("_shared_cc_labels") {
+        graft.dedup.Dedup.ccLabelsCached(spark, sfDir).count(); ()
+      },
       timed("_shared_kmeans_assign") {
         graft.ann.KMeans.assignmentCached(spark, sfDir).count(); ()
       },
