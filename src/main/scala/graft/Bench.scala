@@ -28,12 +28,17 @@ object Bench {
     // timed loop should measure is the steady-state cost a warmed
     // executor fleet pays. Methodology recorded in BASELINE.md round 5.
     Tables.lineitem(spark, sfDir).count()
+    // optional args = query-name filter for local one-off timing
+    // (the driver passes none → full sweep, unchanged contract)
+    val only = args.toSet
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
-      SparkEntry.queries.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
-        graft.emf.EmfPlanner.unpersistAll()
-      }
+      SparkEntry.queries
+        .filter { case (n, _) => only.isEmpty || only(n) }
+        .foreach { case (_, fn) =>
+          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+          graft.emf.EmfPlanner.unpersistAll()
+        }
       graft.dedup.Dedup.clearCache()
       graft.ann.Similarity.clearCache()
       graft.ann.KMeans.clearCache()
@@ -53,20 +58,23 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val shared = Seq(
-      timed("_shared_ngram_build") {
-        graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count(); ()
-      },
-      timed("_shared_cc_labels") {
-        graft.dedup.Dedup.ccLabelsCached(spark, sfDir).count(); ()
-      },
-      timed("_shared_kmeans_assign") {
-        graft.ann.KMeans.assignmentCached(spark, sfDir).count(); ()
-      },
-      timed("_shared_basket_pairs") {
-        graft.operators.Mining.pairsCached(spark, sfDir).count(); ()
-      })
-    val results0 = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // under a filter, a shared build runs only if asked for by name
+    // (its consumers then absorb the build cost — fine for one-offs)
+    val sharedDefs = Seq[(String, () => Unit)](
+      "_shared_ngram_build" ->
+        (() => { graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count(); () }),
+      "_shared_cc_labels" ->
+        (() => { graft.dedup.Dedup.ccLabelsCached(spark, sfDir).count(); () }),
+      "_shared_kmeans_assign" ->
+        (() => { graft.ann.KMeans.assignmentCached(spark, sfDir).count(); () }),
+      "_shared_basket_pairs" ->
+        (() => { graft.operators.Mining.pairsCached(spark, sfDir).count(); () }))
+    val shared = sharedDefs
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (n, body) => timed(n)(body()) }
+    val results0 = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.isEmpty || only(n) }
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>
         failed += name
