@@ -95,7 +95,9 @@ object Bench {
     // code in round 2) — recording it makes a noisy run self-describing
     val load = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
-    println(summaryLine(results, failed.toSeq, load, sfDir, writeFull = true))
+    // a filtered one-off must not clobber the full-sweep artifact
+    println(summaryLine(results, failed.toSeq, load, sfDir,
+      writeFull = only.isEmpty))
     spark.stop()
   }
 
