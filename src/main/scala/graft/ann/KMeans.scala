@@ -49,8 +49,10 @@ object KMeans {
   private val K = 4
   private val Iters = 2
 
-  /** floor(x·2¹⁰) per component — the only float→fixed crossing. */
-  private def quantize(emb: Column): Column =
+  /** floor(x·2¹⁰) per component — the only float→fixed crossing.
+    * Shared with Similarity's `dedup_semantic` so both quantize on the
+    * identical tree. */
+  private[ann] def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * P).cast("long"))
 
   /** Integer squared L2 between two quantized vectors. */
@@ -247,16 +249,17 @@ object KMeans {
     graft.pipeline.CorpusOps.bucket1M(id)
 
   /** The assignment pipeline (quantize → init → two Lloyd iterations),
-    * shared verbatim by all three oracles below so the replayed
-    * semantics cannot drift between them. `a2` ends with columns
-    * (vec_id, qe, cell, dist). */
-  private val assignCtes: String =
-    """e AS (
+    * shared verbatim by the oracles below AND by Similarity's
+    * `dedup_semantic` so the replayed semantics cannot drift between
+    * them. `src` must provide (vec_id, embedding); `a2` ends with
+    * columns (vec_id, qe, cell, dist). */
+  private[ann] def assignCtesFrom(src: String): String =
+    s"""e AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-      |  FROM embeddings),
-      |init AS (
+      |  FROM $src),""".stripMargin + "\n" +
+    """init AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
       |         qe AS qc
       |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
@@ -285,6 +288,8 @@ object KMeans {
       |  SELECT vec_id, qe, cell, dist FROM (
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)""".stripMargin
+
+  private val assignCtes: String = assignCtesFrom("embeddings")
 
   def oracle: Map[String, String] = Map(
     // the same two unrolled Lloyd iterations on the same 2^-10 grid;

@@ -216,6 +216,43 @@ object Similarity {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
+    // SemDeDup-style semantic dedup (Abbas et al. 2023, "SemDeDup:
+    // Data-efficient learning at web-scale through semantic
+    // deduplication"): cluster the embedding space, then search for
+    // near-duplicates only WITHIN each cluster — the published
+    // cluster-then-prune alternative to LSH bucketing (dedup_embcos).
+    // Composition of two already-verified exact pieces: the integer-
+    // grid k-means assignment ([[KMeans.iterate]], the emb_kmeans
+    // machinery, here run over the augmented near-dup corpus) and the
+    // codegen'd cosine scorer ([[VectorKernels.scorePairs]]). Verdict
+    // rule: a vector is dropped iff some SMALLER-ID τ-neighbor shares
+    // its cell (greedy keep-min-id — one distinct, no transitive
+    // closure; a chain a≈b≈c drops both b and c, the conservative
+    // direction for dedup). Scale shape: assignment is the k-row
+    // broadcast scan; candidate generation is a cell-keyed self-join
+    // whose cost is Σ|cell|² — the published SemDeDup cost, bounded by
+    // raising k with corpus size so |cell| stays ~constant (k is a
+    // fixture constant 4 here); scoring shuffles only candidate pairs.
+    // The DuckDB oracle replays augmentation + both Lloyd iterations
+    // (the emb_kmeans CTEs verbatim) + within-cell cosine bit-exactly.
+    "dedup_semantic" -> ((s, d) => {
+      val e = embWithNearDupsCached(s, d)
+      val asg = KMeans.iterate(
+        e.select(col("vec_id"), KMeans.quantize(col("emb")).as("qe")))
+        .select(col("vec_id"), col("cell"))
+      val cand = asg.selectExpr("cell", "vec_id AS id_a")
+        .join(asg.selectExpr("cell", "vec_id AS id_b"), Seq("cell"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"))
+      val dropped = VectorKernels.scorePairs(cand, e, 0.99)
+        .select(col("id_b").as("vec_id")).distinct()
+        .withColumn("__drp", lit(1))
+      asg.join(dropped, Seq("vec_id"), "left")
+        .select(col("vec_id"), col("cell"),
+          when(col("__drp").isNull, 1).otherwise(0).as("kept"))
+        .orderBy(col("vec_id"))
+    }),
+
     // LSH-bucketed top-k SEARCH — the scale path for the knn_brute
     // semantics: only rows sharing an SRP band with a query are scored,
     // so per-query cost is O(bands × bucket) ≈ constant in corpus size
@@ -298,5 +335,39 @@ object Similarity {
         |          JOIN norms nb ON nb.vec_id = id_b
         |WHERE dot / (na.nrm * nb.nrm) >= 0.99
         |ORDER BY id_a, id_b""".stripMargin,
+    // the dedup_embcos augmentation + the emb_kmeans Lloyd CTEs
+    // (verbatim via assignCtesFrom) + within-cell cosine + the greedy
+    // smaller-id drop rule
+    "dedup_semantic" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |aug AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+         |         list_transform(emb, x -> x * 0.9 + 0.01) AS emb
+         |  FROM base),
+         |${KMeans.assignCtesFrom("(SELECT vec_id, emb AS embedding FROM aug) src")},
+         |ex AS (
+         |  SELECT vec_id, generate_subscripts(emb, 1) AS i, unnest(emb) AS x
+         |  FROM aug),
+         |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+         |cand AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b, sum(a.x * b.x) AS dot
+         |  FROM cand c JOIN ex a ON a.vec_id = c.id_a
+         |              JOIN ex b ON b.vec_id = c.id_b AND a.i = b.i
+         |  GROUP BY 1, 2),
+         |dup AS (
+         |  SELECT DISTINCT id_b AS vec_id
+         |  FROM dots JOIN norms na ON na.vec_id = id_a
+         |            JOIN norms nb ON nb.vec_id = id_b
+         |  WHERE dot / (na.nrm * nb.nrm) >= 0.99)
+         |SELECT a2.vec_id, a2.cell,
+         |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM a2 LEFT JOIN dup USING (vec_id)
+         |ORDER BY a2.vec_id""".stripMargin,
   )
 }
