@@ -35,8 +35,15 @@ object Bench {
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       SparkEntry.queries
         .filter { case (n, _) => only.isEmpty || only(n) }
-        .foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        .foreach { case (name, fn) =>
+          // a warmup failure means the timed run below starts COLD (its
+          // number then includes the JIT compile this sweep exists to
+          // absorb) — make that visible instead of swallowing it
+          try fn(spark, warmDir).count() catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] warmup $name FAILED (timed run will be cold): " +
+                s"${e.getMessage}")
+          }
           graft.emf.EmfPlanner.unpersistAll()
         }
       graft.dedup.Dedup.clearCache()

@@ -323,9 +323,13 @@ object CorpusOps {
     // feeding the (source, bucket) count shuffle (map-side combine,
     // |sources|·|buckets| rows out); everything after — grid, window,
     // rollup — runs on KB-sized frames, so the monitor costs one scan
-    // at any corpus size. Overflow headroom: n_sb·N ≤ N², exact in
-    // long to N ~ 3·10⁹ docs; past that the same query runs on
-    // DECIMAL(38,0) unchanged.
+    // at any corpus size. Overflow headroom: each dev term n_sb·N ≤ N²
+    // is exact in long to N ~ 3·10⁹ docs; the sum (≤ 2·N·n_s) and the
+    // ×10⁶ ppm scaling run in decimal(38,0) — matching DuckDB's
+    // HUGEINT reduction — so the long dev term is the binding
+    // constraint (in pure long the 10⁶ multiply would wrap silently
+    // once N·n_s > ~4.6·10¹² while DuckDB stayed exact — a
+    // cross-engine divergence); past N ~ 3·10⁹ widen dev itself.
     "source_drift" -> ((s, d) => {
       val docs = Tables.documents(s, d).select(col("source"),
         concat(col("lang"), lit("|"),
@@ -356,11 +360,14 @@ object CorpusOps {
         .orderBy(col("dev").desc, col("bucket"))
       grid.withColumn("rnk", row_number().over(w))
         .groupBy(col("source"), col("n_s"))
-        .agg(sum(col("dev")).as("tv_num"), max(col("n_tot")).as("n_tot"),
+        // decimal(38,0) from the sum onward — see overflow headroom note
+        .agg(sum(col("dev").cast("decimal(38,0)")).as("tv_num"),
+          max(col("n_tot")).as("n_tot"),
           max(when(col("rnk") === 1, col("bucket"))).as("top_bucket"),
           max(when(col("rnk") === 1, col("dev"))).as("top_dev"))
         .select(col("source"), col("n_s").as("n_docs"),
-          expr("tv_num * 1000000 div (2 * n_tot * n_s)").as("tv_ppm"),
+          expr("tv_num * 1000000 div (2 * cast(n_tot as decimal(38,0)) * n_s)")
+            .as("tv_ppm"),
           col("top_bucket"), col("top_dev"))
         .orderBy(col("source"))
     }),

@@ -68,7 +68,17 @@ object RangeJoin {
     * `bucketDays` near the typical interval length for ≤2 replicas. The
     * shuffle keys on time buckets (uniform for event-like data), and the
     * per-bucket candidate set is only what genuinely co-occurs in that
-    * window — never a nested loop over the corpus. */
+    * window — never a nested loop over the corpus.
+    *
+    * Degenerate intervals (`end <= start`, i.e. empty under the
+    * half-open convention) are EXCLUDED up front: an empty interval
+    * intersects nothing, so it can contribute no pair — and without the
+    * filter `sequence(b0, b1)` with `b1 < b0` would silently emit a
+    * DESCENDING bucket list, replicating the row into buckets the
+    * interval never occupies, while the residual `aStart < bEnd AND
+    * bStart < aEnd` would admit an empty `[d, d)` against any interval
+    * strictly containing `d` — both contradicting the documented
+    * intersection-non-empty semantics. */
   def intervalOverlap(a: DataFrame, aStart: String, aEnd: String,
       b: DataFrame, bStart: String, bEnd: String, bucketDays: Int): DataFrame = {
     require(bucketDays > 0, "bucket width must be positive")
@@ -84,6 +94,9 @@ object RangeJoin {
     def bucketOf(c: Column): Column =
       floor(datediff(c.cast("date"), epoch) / bucketDays)
     def replicate(df: DataFrame, s: String, e: String): DataFrame = df
+      // drop empty intervals (see scaladoc): keeps sequence() ascending
+      // and the residual predicate honest
+      .filter(col(e).cast("date") > col(s).cast("date"))
       .withColumn("__b0", bucketOf(col(s)))
       // [s, e): the last occupied bucket holds e − 1 day
       .withColumn("__b1", bucketOf(date_sub(col(e).cast("date"), 1)))

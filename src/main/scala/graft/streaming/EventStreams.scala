@@ -194,8 +194,14 @@ object EventStreams {
     // |days|·|buckets| rows out); the grid / window / rollup all run on
     // that KB-sized marginal — the monitor costs one scan at any log
     // size, and the value-bin edges are static so the binning is
-    // codegen'd scan-side. Overflow headroom: n_db·N ≤ N², exact in
-    // long to N ~ 3·10⁹ events (same argument as source_drift).
+    // codegen'd scan-side. Overflow headroom: each dev term n_db·N ≤ N²
+    // is exact in long to N ~ 3·10⁹ events; everything DOWNSTREAM of
+    // the terms (their sum can reach 2·N·n_d, and the ppm scaling
+    // multiplies by another 10⁶) runs in decimal(38,0) — matching
+    // DuckDB's HUGEINT reduction — so the binding constraint is the
+    // long dev term alone, not the 10⁶-scaled sum (which would wrap
+    // silently in long once N·n_d > ~4.6·10¹², a regime DuckDB's
+    // exact HUGEINT would NOT wrap in — a cross-engine divergence).
     "temporal_drift" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d).select(
@@ -227,11 +233,14 @@ object EventStreams {
         .orderBy(col("dev").desc, col("bucket"))
       grid.withColumn("rnk", row_number().over(w))
         .groupBy(col("day"), col("n_d"))
-        .agg(sum(col("dev")).as("tv_num"), max(col("n_tot")).as("n_tot"),
+        // decimal(38,0) from the sum onward — see overflow headroom note
+        .agg(sum(col("dev").cast("decimal(38,0)")).as("tv_num"),
+          max(col("n_tot")).as("n_tot"),
           max(when(col("rnk") === 1, col("bucket"))).as("top_bucket"),
           max(when(col("rnk") === 1, col("dev"))).as("top_dev"))
         .select(col("day"), col("n_d").as("n_events"),
-          expr("tv_num * 1000000 div (2 * n_tot * n_d)").as("tv_ppm"),
+          expr("tv_num * 1000000 div (2 * cast(n_tot as decimal(38,0)) * n_d)")
+            .as("tv_ppm"),
           col("top_bucket"), col("top_dev"))
         .orderBy(col("day"))
     }),

@@ -31,9 +31,18 @@ import graft.dedup.SignatureExprs
   * table is bucketed by (band, key) (the probe join then co-locates
   * with zero shuffle of the index) and batches compact into it; the
   * per-batch cost is proportional to the BATCH, never the corpus.
-  * Exactly-once here relies on idempotent-by-path parquet appends per
-  * micro-batch id (foreachBatch's documented contract);  a real
-  * deployment would use a transactional table format for both sinks.
+  *
+  * Exactly-once: foreachBatch's contract is at-least-once PER BATCH —
+  * the sink must make retries idempotent itself. Both sinks here are:
+  * each micro-batch OVERWRITES its own `batch=<batchId>` subdirectory
+  * (the batchId-keyed-path recipe from foreachBatch's documentation),
+  * so a retry after a partial write replaces the partial output instead
+  * of appending next to it, and the index probe reads only OTHER
+  * batches' completed (`_SUCCESS`-marked) subdirectories — a retry
+  * cannot pair a batch against its own partial postings. Retry ≡
+  * first-run is asserted in StreamingSpec by re-running `processBatch`
+  * mid-stream. A real deployment would still prefer a transactional
+  * table format, which subsumes the directory bookkeeping.
   */
 object MinHashIndex {
 
@@ -86,30 +95,60 @@ object MinHashIndex {
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
 
+  /** Completed (`_SUCCESS`-marked) `batch=*` subdirectories under
+    * `dir`, excluding `notBatch` — the probe-safe view of the index: a
+    * retried batch must never see its own (possibly partial) postings,
+    * and a crashed write without its `_SUCCESS` marker must stay
+    * invisible until its retry overwrites it. */
+  private def completedBatches(spark: org.apache.spark.sql.SparkSession,
+      dir: String, notBatch: Long): Seq[String] = {
+    import org.apache.hadoop.fs.Path
+    val root = new Path(dir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Seq.empty
+    else fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch="))
+      .filter(_.getPath.getName != s"batch=$notBatch")
+      .filter(st => fs.exists(new Path(st.getPath, "_SUCCESS")))
+      .map(_.getPath.toString)
+  }
+
+  /** One micro-batch of the indexer, IDEMPOTENT under retry: probe the
+    * completed index (other batches only), overwrite this batch's pair
+    * and posting subdirectories. Factored out of [[start]] so the
+    * retry-safety contract is directly testable (StreamingSpec re-runs
+    * it against a half-written state). */
+  private[graft] def processBatch(batch: DataFrame, batchId: Long,
+      indexDir: String, pairsDir: String,
+      banding: DataFrame => DataFrame): Unit = {
+    val s = batch.sparkSession
+    val np = banding(batch).cache()
+    try {
+      val prior = completedBatches(s, indexDir, batchId)
+      val vs =
+        if (prior.nonEmpty) crossPairs(np, s.read.parquet(prior: _*))
+        else s.emptyDataFrame
+          .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
+      vs.union(withinPairs(np)).distinct()
+        .write.mode("overwrite").parquet(s"$pairsDir/batch=$batchId")
+      np.write.mode("overwrite").parquet(s"$indexDir/batch=$batchId")
+    } finally { np.unpersist(); () }
+  }
+
   /** Start the incremental indexer: `docs` is a STREAMING (doc_id,
     * text) frame; postings accumulate under `indexDir`, candidate pairs
-    * under `pairsDir`. `banding` maps a (doc_id, text) batch to its
-    * (doc_id, band, key) postings — [[postings]] (MinHash, default) and
-    * [[simhashPostings]] both fit; the bookkeeping is
-    * signature-agnostic. */
+    * under `pairsDir` (both as `batch=<id>` subdirectories — read the
+    * parent directory for the full table). `banding` maps a (doc_id,
+    * text) batch to its (doc_id, band, key) postings — [[postings]]
+    * (MinHash, default) and [[simhashPostings]] both fit; the
+    * bookkeeping is signature-agnostic. */
   def start(docs: DataFrame, indexDir: String, pairsDir: String,
       checkpointDir: String,
       banding: DataFrame => DataFrame = postings(_)): StreamingQuery =
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val s = batch.sparkSession
-        val np = banding(batch).cache()
-        try {
-          val existing = new java.io.File(indexDir).exists()
-          val vs =
-            if (existing) crossPairs(np, s.read.parquet(indexDir))
-            else s.emptyDataFrame
-              .select(lit(0L).as("id_a"), lit(0L).as("id_b")).limit(0)
-          vs.union(withinPairs(np)).distinct()
-            .write.mode("append").parquet(pairsDir)
-          np.write.mode("append").parquet(indexDir)
-        } finally { np.unpersist(); () }
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processBatch(batch, batchId, indexDir, pairsDir, banding)
       }
       .start()
 }

@@ -60,6 +60,34 @@ class RangeJoinSpec extends SparkSpec {
       s"interval overlap fell back to a nested loop:\n${plan.take(1500)}")
   }
 
+  test("degenerate intervals (end <= start) are excluded, not mis-bucketed") {
+    import spark.implicits._
+    // a1 proper; a2 EMPTY [d, d); a3 INVERTED (end < start). Without the
+    // degeneracy filter a3's descending sequence() would replicate it
+    // into buckets it never occupies, and a2 would pass the residual
+    // `aStart < bEnd AND bStart < aEnd` against any interval strictly
+    // containing its point — both violating ∩-non-empty semantics.
+    val a = Seq(
+      (1L, "2024-01-01", "2024-01-05"),
+      (2L, "2024-01-03", "2024-01-03"),
+      (3L, "2024-01-20", "2024-01-10"))
+      .toDF("a_key", "as0", "ae0")
+      .select($"a_key", $"as0".cast("date").as("a_start"),
+        $"ae0".cast("date").as("a_end"))
+    val b = Seq(
+      (10L, "2024-01-02", "2024-01-04"),   // overlaps a1; contains a2's point
+      (20L, "2024-01-08", "2024-01-25"))   // spans a3's inverted range
+      .toDF("b_key", "bs0", "be0")
+      .select($"b_key", $"bs0".cast("date").as("b_start"),
+        $"be0".cast("date").as("b_end"))
+    val got = RangeJoin.intervalOverlap(a, "a_start", "a_end",
+        b, "b_start", "b_end", 4)
+      .select($"a_key", $"b_key").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(got == Seq((1L, 10L)),
+      s"degenerate intervals must contribute no pair, got $got")
+  }
+
   test("column-name collisions between the two sides are rejected loudly") {
     val pts = Tables.lineitem(spark, sf0001)
       .select(col("l_shipdate"), col("l_orderkey").as("okey"))

@@ -304,6 +304,45 @@ class StreamingSpec extends SparkSpec {
       MinHashIndex.postings(full).count())
   }
 
+  test("MinHash index micro-batch retry is idempotent (foreachBatch at-least-once)") {
+    // foreachBatch delivers each batch AT LEAST once; the sink must make
+    // retries idempotent. Simulate the worst retry states directly
+    // against processBatch: (a) retry after a COMPLETE first attempt,
+    // (b) retry after a PARTIAL write (postings landed without their
+    // _SUCCESS marker — the probe must not pair the batch against its
+    // own half-written postings). Final state must equal one clean run.
+    val docs = graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val chunks = docs.grouped(docs.length / 2 + 1).toSeq
+    def runAll(dir: String)(replay: (Long, org.apache.spark.sql.DataFrame) => Unit): Unit =
+      chunks.zipWithIndex.foreach { case (chunk, i) =>
+        val df = chunk.toIndexedSeq.toDF("doc_id", "text")
+        MinHashIndex.processBatch(df, i.toLong,
+          s"$dir/index", s"$dir/pairs", MinHashIndex.postings(_))
+        replay(i.toLong, df)
+      }
+    def state(dir: String): (Set[(Long, Long)], Long) = (
+      spark.read.parquet(s"$dir/pairs")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet,
+      spark.read.parquet(s"$dir/index").count())
+    val clean = java.nio.file.Files.createTempDirectory("mhclean").toString
+    runAll(clean)((_, _) => ())
+    val retried = java.nio.file.Files.createTempDirectory("mhretry").toString
+    runAll(retried) { (id, df) =>
+      if (id == 0)  // (a) full duplicate delivery of batch 0
+        MinHashIndex.processBatch(df, id,
+          s"$retried/index", s"$retried/pairs", MinHashIndex.postings(_))
+      if (id == 1) { // (b) partial write: drop batch 1's _SUCCESS, retry
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          s"$retried/index/batch=1/_SUCCESS"))
+        MinHashIndex.processBatch(df, id,
+          s"$retried/index", s"$retried/pairs", MinHashIndex.postings(_))
+      }
+    }
+    assert(state(retried) == state(clean))
+    assert(state(clean)._1.nonEmpty)
+  }
+
   test("incremental SimHash index: the same indexer generalizes, stream equals batch") {
     val docs = graft.dedup.Dedup.docsWithNearDups(spark, sf0001)
       .select($"doc_id", $"text").as[(Long, String)].collect()
