@@ -42,6 +42,7 @@ object SparkEntry {
       graft.operators.RelationalQueries.queries ++
       graft.operators.Scale.queries ++
       graft.operators.Layout.queries ++
+      graft.operators.Stats.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
@@ -70,6 +71,7 @@ object SparkEntry {
       graft.operators.RelationalQueries.oracle ++
       graft.operators.Scale.oracle ++
       graft.operators.Layout.oracle ++
+      graft.operators.Stats.oracle ++
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++

@@ -1,0 +1,63 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Scalar-replay checks for the Stats module: the fixed-point integer
+  * results must agree with Spark's own floating-point estimators to
+  * within quantization error. */
+class StatsSpec extends SparkSpec {
+
+  test("feature_corr: r2_ppm matches corr()^2 within 1 ppm; signs agree") {
+    val rows = Stats.queries("feature_corr")(spark, sf0001).collect()
+    assert(rows.length == 3)
+    val li = graft.Tables.lineitem(spark, sf0001).select(
+      col("l_quantity").as("quantity"),
+      round(col("l_discount") * 100).as("discount"),
+      round(col("l_tax") * 100).as("tax"))
+    for (r <- rows) {
+      val (x, y) = (r.getAs[String]("x_name"), r.getAs[String]("y_name"))
+      val rFloat = li.agg(corr(col(x), col(y))).head().getDouble(0)
+      val r2Ppm = r.getAs[Long]("r2_ppm")
+      assert(math.abs(rFloat * rFloat * 1e6 - r2Ppm) <= 1.0,
+        s"$x/$y: float ${rFloat * rFloat * 1e6} vs fixed $r2Ppm")
+      assert(r.getAs[Int]("corr_sign") == math.signum(rFloat).toInt)
+    }
+  }
+
+  test("feature_corr: moments survive a constant-shift sanity (corr(q,q)=1 analogue)") {
+    // degenerate self-pair isn't emitted, but r² must be ≤ 1e6 for all
+    val rows = Stats.queries("feature_corr")(spark, sf0001).collect()
+    assert(rows.forall(r => r.getAs[Long]("r2_ppm") >= 0 &&
+      r.getAs[Long]("r2_ppm") <= 1000000L))
+  }
+
+  test("token_entropy: micro-nat entropy matches double-precision H within 1e-4 nats") {
+    val rows = Stats.queries("token_entropy")(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val w = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .groupBy("lang").agg(
+        sum("c").as("n"),
+        sum(col("c") * log(col("c").cast("double"))).as("clnc"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (math.log(r.getAs[Long]("n").toDouble) -
+          r.getAs[Double]("clnc") / r.getAs[Long]("n"))).toMap
+    for (r <- rows) {
+      val h = r.getAs[Long]("entropy_micronats") / 1e6
+      val exact = w(r.getAs[String]("lang"))
+      assert(math.abs(h - exact) < 1e-4, s"${r.getAs[String]("lang")}: $h vs $exact")
+      // entropy is bounded by ln(vocab)
+      assert(h >= 0 && h <= math.log(r.getAs[Long]("vocab").toDouble) + 1e-6)
+    }
+  }
+
+  test("token_entropy: ttr_ppm is vocab/tokens in ppm") {
+    val rows = Stats.queries("token_entropy")(spark, sf0001).collect()
+    for (r <- rows) {
+      val expect = r.getAs[Long]("vocab") * 1000000L / r.getAs[Long]("n_tokens")
+      assert(r.getAs[Long]("ttr_ppm") == expect)
+    }
+  }
+}
