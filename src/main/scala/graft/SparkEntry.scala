@@ -43,6 +43,7 @@ object SparkEntry {
       graft.operators.Scale.queries ++
       graft.operators.Layout.queries ++
       graft.operators.Stats.queries ++
+      graft.operators.Temporal.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
@@ -72,6 +73,7 @@ object SparkEntry {
       graft.operators.Scale.oracle ++
       graft.operators.Layout.oracle ++
       graft.operators.Stats.oracle ++
+      graft.operators.Temporal.oracle ++
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++

@@ -11,8 +11,22 @@ import org.apache.spark.sql.functions._
   * partitioned directories and nothing here changes.
   */
 object Tables {
-  def table(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  /** Loads a table and normalizes timestamp columns to session-TZ
+    * `TimestampType`. The driver has generated these files both as
+    * parquet TIMESTAMP(isAdjustedToUTC=true) (→ Spark `TimestampType`)
+    * and, since the round-6 regen, as naive TIMESTAMP(NANOS/MICROS)
+    * (→ Spark `TimestampNTZType`); DuckDB reads every variant as the
+    * same naive timestamp. Sessions here always run `UTC`, so the
+    * NTZ→LTZ cast is numerically a no-op — it only pins ONE external
+    * type (`java.sql.Timestamp`) for the whole engine, keeping typed
+    * Datasets, MemoryStream encoders, and stream/batch comparisons
+    * type-stable no matter which writer produced the files. */
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/$name.parquet")
+    raw.schema.fields.collect {
+      case f if f.dataType == org.apache.spark.sql.types.TimestampNTZType => f.name
+    }.foldLeft(raw)((df, c) => df.withColumn(c, col(c).cast("timestamp")))
+  }
 
   def region(s: SparkSession, d: String): DataFrame    = table(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame    = table(s, d, "nation")

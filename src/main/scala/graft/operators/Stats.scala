@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -36,6 +36,27 @@ import graft.Tables
   *    shuffle keyed by (lang, word) with map-side combine — the count
   *    frame is vocabulary-sized (≪ corpus) — then a lang-keyed rollup.
   *    The c·⌊10⁶·ln c⌋ terms stay under 2⁶³ to ~10¹⁴ tokens per word.
+  *  - '''MAD outliers''' (`event_mad`): robust outlier detection via the
+  *    median absolute deviation — the filter that survives the heavy
+  *    tails that break the 3σ rule (`event_outliers` keeps the moment
+  *    version for comparison). Exact integer end to end by the ×2 trick:
+  *    `percentile()` on an even group lands on a half-integer midpoint,
+  *    so 2·median and 2·median-of-deviations (`med2`, `mad4` = 4·MAD)
+  *    are exact BIGINTs, and the flag |v−med| > 3·MAD becomes the
+  *    integer test 2·dev2 > 3·mad4 — no float compare anywhere. Plan:
+  *    two per-type exact-percentile aggs with the 5-row stats frames
+  *    broadcast back (exact percentile buffers per group — at 100 TB
+  *    swap in the `quantile_hist` fixed-grid edges, same downstream
+  *    algebra). DuckDB `quantile_cont` ≡ Spark `percentile` (the
+  *    agg_median-pinned equivalence).
+  *  - '''RFM segmentation''' (`rfm_segments`): the classic
+  *    recency/frequency/monetary customer quartiling. Per-customer
+  *    metrics from ONE orders pass (recency = days from last order to
+  *    the global max date via a broadcast 1-row anchor); quartile
+  *    cutoffs ×4-exact as above, broadcast as ONE row — scoring is a
+  *    map-side comparison, NOT a global `ntile` sort, which is the
+  *    difference between a KB broadcast and a single-partition sort of
+  *    every customer at 100 TB. Output: 4×4×4 segment census.
   */
 object Stats {
 
@@ -91,6 +112,62 @@ object Stats {
           "(vocab * 1000000L) div n_tokens AS ttr_ppm")
         .orderBy(col("lang"))
     }),
+
+    // Median-absolute-deviation outlier census per event type; ×2/×4
+    // integer-exact percentiles, broadcast stats, integer-only flag.
+    "event_mad" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      val med = ev.groupBy(col("event_type"))
+        .agg((expr("percentile(c, 0.5)") * 2).cast("long").as("med2"))
+      val dev = ev.join(broadcast(med), "event_type")
+        .select(col("event_type"), col("med2"),
+          abs(col("c") * 2 - col("med2")).as("dev2"))
+      val mad = dev.groupBy(col("event_type"))
+        .agg(min(col("med2")).as("med2"), count(lit(1)).as("n"),
+          (expr("percentile(dev2, 0.5)") * 2).cast("long").as("mad4"))
+      dev.drop("med2").join(broadcast(mad), "event_type")
+        .groupBy(col("event_type"), col("n"), col("med2"), col("mad4"))
+        .agg(sum(when(col("dev2") * 2 > col("mad4") * 3, 1L).otherwise(0L))
+          .as("n_outliers"))
+        .select(col("event_type"), col("n"), col("med2"), col("mad4"),
+          col("n_outliers"))
+        .orderBy(col("event_type"))
+    }),
+
+    // Recency/frequency/monetary quartile census over orders; cutoffs
+    // ×4-exact, broadcast, scored by map-side comparison (no ntile sort).
+    "rfm_segments" -> ((s, d) => {
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        to_date(col("o_orderdate")).as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("cents"))
+      val anchor = o.agg(max(col("day")).as("dmax"))
+      val rfm = o.crossJoin(broadcast(anchor)).groupBy(col("o_custkey"))
+        .agg(min(datediff(col("dmax"), col("day"))).cast("long").as("r_days"),
+          count(lit(1)).as("f_orders"), sum(col("cents")).as("m_cents"))
+      def cut4(c: String, q: Double): Column =
+        (expr(s"percentile($c, $q)") * 4).cast("long")
+      val cuts = rfm.agg(
+        cut4("r_days", 0.25).as("r1"), cut4("r_days", 0.5).as("r2"),
+        cut4("r_days", 0.75).as("r3"),
+        cut4("f_orders", 0.25).as("f1"), cut4("f_orders", 0.5).as("f2"),
+        cut4("f_orders", 0.75).as("f3"),
+        cut4("m_cents", 0.25).as("m1"), cut4("m_cents", 0.5).as("m2"),
+        cut4("m_cents", 0.75).as("m3"))
+      def score(metric: Column, c1: Column, c2: Column, c3: Column): Column =
+        lit(1) + (metric * 4 > c1).cast("int") +
+          (metric * 4 > c2).cast("int") + (metric * 4 > c3).cast("int")
+      rfm.crossJoin(broadcast(cuts))
+        .select(col("m_cents"),
+          score(col("r_days"), col("r1"), col("r2"), col("r3")).as("r_q"),
+          score(col("f_orders"), col("f1"), col("f2"), col("f3")).as("f_q"),
+          score(col("m_cents"), col("m1"), col("m2"), col("m3")).as("m_q"))
+        .groupBy(col("r_q"), col("f_q"), col("m_q"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("m_cents")).as("monetary_cents"))
+        .orderBy(col("r_q"), col("f_q"), col("m_q"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -142,5 +219,55 @@ object Stats {
         |    - (sum_clnc // n_tokens) AS entropy_micronats,
         |  (vocab * 1000000) // n_tokens AS ttr_ppm
         |FROM l ORDER BY lang""".stripMargin,
+    "event_mad" ->
+      """WITH ev AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM events),
+        |med AS (SELECT event_type,
+        |    CAST(quantile_cont(c, 0.5)*2 AS BIGINT) AS med2
+        |  FROM ev GROUP BY 1),
+        |dev AS (SELECT ev.event_type, med.med2,
+        |    abs(2*ev.c - med.med2) AS dev2
+        |  FROM ev JOIN med USING (event_type)),
+        |md AS (SELECT event_type, min(med2) AS med2, count(1) AS n,
+        |    CAST(quantile_cont(dev2, 0.5)*2 AS BIGINT) AS mad4
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_type, m.n, m.med2, m.mad4,
+        |  CAST(sum(CASE WHEN 2*d.dev2 > 3*m.mad4 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers
+        |FROM dev d JOIN md m USING (event_type)
+        |GROUP BY d.event_type, m.n, m.med2, m.mad4
+        |ORDER BY d.event_type""".stripMargin,
+    "rfm_segments" ->
+      """WITH o AS (
+        |  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM orders),
+        |a AS (SELECT max(day) AS dmax FROM o),
+        |rfm AS (SELECT o_custkey,
+        |    CAST(min(datediff('day', day, a.dmax)) AS BIGINT) AS r_days,
+        |    count(1) AS f_orders, CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM o CROSS JOIN a GROUP BY 1),
+        |cut AS (SELECT
+        |    CAST(quantile_cont(r_days, 0.25)*4 AS BIGINT) AS r1,
+        |    CAST(quantile_cont(r_days, 0.5)*4 AS BIGINT) AS r2,
+        |    CAST(quantile_cont(r_days, 0.75)*4 AS BIGINT) AS r3,
+        |    CAST(quantile_cont(f_orders, 0.25)*4 AS BIGINT) AS f1,
+        |    CAST(quantile_cont(f_orders, 0.5)*4 AS BIGINT) AS f2,
+        |    CAST(quantile_cont(f_orders, 0.75)*4 AS BIGINT) AS f3,
+        |    CAST(quantile_cont(m_cents, 0.25)*4 AS BIGINT) AS m1,
+        |    CAST(quantile_cont(m_cents, 0.5)*4 AS BIGINT) AS m2,
+        |    CAST(quantile_cont(m_cents, 0.75)*4 AS BIGINT) AS m3
+        |  FROM rfm)
+        |SELECT
+        |  1 + CAST(4*r_days > r1 AS INT) + CAST(4*r_days > r2 AS INT)
+        |    + CAST(4*r_days > r3 AS INT) AS r_q,
+        |  1 + CAST(4*f_orders > f1 AS INT) + CAST(4*f_orders > f2 AS INT)
+        |    + CAST(4*f_orders > f3 AS INT) AS f_q,
+        |  1 + CAST(4*m_cents > m1 AS INT) + CAST(4*m_cents > m2 AS INT)
+        |    + CAST(4*m_cents > m3 AS INT) AS m_q,
+        |  count(1) AS n_customers, CAST(sum(m_cents) AS BIGINT) AS monetary_cents
+        |FROM rfm CROSS JOIN cut GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
   )
 }

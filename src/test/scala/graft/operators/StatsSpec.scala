@@ -60,4 +60,49 @@ class StatsSpec extends SparkSpec {
       assert(r.getAs[Long]("ttr_ppm") == expect)
     }
   }
+
+  test("event_mad: med2/mad4/outliers replay against a sorted-array median") {
+    val rows = Stats.queries("event_mad")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val byType = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    def med2(xs: Array[Long]): Long = {           // 2 × interpolated median
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    for (r <- rows) {
+      val cs = byType(r.getAs[String]("event_type")).map(_.getAs[Long]("c"))
+      val m2 = med2(cs)
+      assert(r.getAs[Long]("med2") == m2)
+      val dev2 = cs.map(c => math.abs(2 * c - m2))
+      val m4 = med2(dev2)
+      assert(r.getAs[Long]("mad4") == m4)
+      assert(r.getAs[Long]("n_outliers") == dev2.count(d => 2 * d > 3 * m4))
+      assert(r.getAs[Long]("n") == cs.length)
+    }
+  }
+
+  test("rfm_segments: scores in 1..4, census preserves customers and money") {
+    val rows = Stats.queries("rfm_segments")(spark, sf001).collect()
+    for (r <- rows; k <- Seq("r_q", "f_q", "m_q")) {
+      val v = r.getAs[Int](k); assert(v >= 1 && v <= 4, s"$k=$v")
+    }
+    val o = graft.Tables.orders(spark, sf001)
+    val nCust = o.select("o_custkey").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_customers")).sum == nCust)
+    val totCents = o.select(
+      sum((col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")))
+      .head().getLong(0)
+    assert(rows.map(_.getAs[Long]("monetary_cents")).sum == totCents)
+    // quartiling is near-balanced per axis: no quartile holds more than
+    // half the customers (ties can skew, but not collapse, the split)
+    for (k <- Seq("r_q", "f_q", "m_q")) {
+      val perQ = rows.groupBy(_.getAs[Int](k))
+        .map { case (_, rs) => rs.map(_.getAs[Long]("n_customers")).sum }
+      assert(perQ.max <= nCust / 2, s"$k skew: $perQ")
+    }
+  }
 }

@@ -1,0 +1,87 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Structural + replay checks for the Temporal module. */
+class TemporalSpec extends SparkSpec {
+
+  test("ts_fill: dense grid, real gaps filled with 0 and carried forward") {
+    val df = Temporal.queries("ts_fill")(spark, sf0001)
+    val rows = df.collect()
+    // dense axis: |types| × |hours| exactly
+    val types = rows.map(_.getAs[String]("event_type")).distinct.length
+    val hours = rows.map(_.getAs[java.sql.Timestamp]("h")).distinct.length
+    assert(rows.length == types * hours)
+    // sf0.001 has thousands of true gaps (verified 2 732 of 3 600 cells);
+    // every gap must carry n=0, v_cents=0
+    val gaps = rows.filter(_.getAs[Long]("n") == 0L)
+    assert(gaps.length > 100)
+    assert(gaps.forall(_.getAs[Long]("v_cents") == 0L))
+    // forward fill: within a type (ordered by hour), ffill equals the
+    // most recent non-gap hour's v_cents (null before the first one)
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      var lastSeen: Option[Long] = None
+      rs.sortBy(_.getAs[java.sql.Timestamp]("h").getTime).foreach { r =>
+        if (r.getAs[Long]("n") > 0L) lastSeen = Some(r.getAs[Long]("v_cents"))
+        val got = Option(r.getAs[java.lang.Long]("ffill_cents")).map(_.toLong)
+        assert(got == lastSeen, s"ffill mismatch at $r")
+      }
+    }
+  }
+
+  test("ts_ohlc: min_by/max_by agg equals the window formulation") {
+    val agg = Temporal.queries("ts_ohlc")(spark, sf0001)
+    val ev = graft.Tables.events(spark, sf0001).select(
+      col("event_type"), to_date(col("ts")).as("day"), col("ts"),
+      col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val wA = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").asc, col("event_id").asc)
+    val wD = Window.partitionBy("event_type", "day")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val win = ev
+      .withColumn("rnA", row_number().over(wA))
+      .withColumn("rnD", row_number().over(wD))
+      .groupBy("event_type", "day")
+      .agg(count(lit(1)).as("n_events"),
+        max(when(col("rnA") === 1, col("c"))).as("open_cents"),
+        max(when(col("rnD") === 1, col("c"))).as("close_cents"),
+        max("c").as("high_cents"), min("c").as("low_cents"),
+        sum("c").as("vol_cents"))
+    assert(agg.exceptAll(win).isEmpty && win.exceptAll(agg).isEmpty)
+    // candle invariant
+    assert(agg.filter(col("open_cents") > col("high_cents") ||
+      col("close_cents") > col("high_cents") ||
+      col("open_cents") < col("low_cents") ||
+      col("close_cents") < col("low_cents")).isEmpty)
+  }
+
+  test("trend_slope: integer slope/r2 agree with double least squares") {
+    val rows = Temporal.queries("trend_slope")(spark, sf0001).collect()
+    assert(rows.length == 5)
+    val m = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("y"))
+      .collect().groupBy(_.getAs[String]("event_type"))
+    for (r <- rows) {
+      val pts = m(r.getAs[String]("event_type"))
+        .map(p => (p.getAs[java.sql.Date]("day").toLocalDate.toEpochDay.toDouble,
+          p.getAs[Long]("y").toDouble))
+      val n = pts.length.toDouble
+      val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+      val sxy = pts.map(p => p._1 * p._2).sum
+      val (sxx, syy) = (pts.map(p => p._1 * p._1).sum, pts.map(p => p._2 * p._2).sum)
+      val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+      val gotSlope = r.getAs[Long]("slope_ppm") / 1e6
+      assert(math.abs(gotSlope - slope) < 2e-6,
+        s"${r.getAs[String]("event_type")}: $gotSlope vs $slope")
+      assert(r.getAs[Int]("slope_sign") == math.signum(slope).toInt ||
+        slope == 0.0)
+      val r2 = math.pow(n * sxy - sx * sy, 2) /
+        ((n * sxx - sx * sx) * (n * syy - sy * sy))
+      assert(math.abs(r.getAs[Long]("r2_ppm") / 1e6 - r2) < 2e-6)
+    }
+  }
+}
