@@ -44,6 +44,7 @@ object SparkEntry {
       graft.operators.Layout.queries ++
       graft.operators.Stats.queries ++
       graft.operators.Temporal.queries ++
+      graft.operators.Quality.queries ++
       graft.functions.ScalarQueries.queries ++
       graft.dedup.Dedup.queries ++
       graft.ann.Similarity.queries ++
@@ -74,6 +75,7 @@ object SparkEntry {
       graft.operators.Layout.oracle ++
       graft.operators.Stats.oracle ++
       graft.operators.Temporal.oracle ++
+      graft.operators.Quality.oracle ++
       graft.functions.ScalarQueries.oracle ++
       graft.dedup.Dedup.oracle ++
       graft.ann.Similarity.oracle ++

@@ -222,9 +222,127 @@ object Mining {
       rank.select(col("node"), col("r").as("rank_micro"))
         .orderBy(col("node"))
     }),
+
+    // Association rules over the shared pair frame: confidence and lift
+    // in exact integer ppm, both rule directions, deterministic top-20.
+    // Item supports use the SAME first-8-by-id basket cap as the pair
+    // frame (a cap-less denominator would overstate confidence for
+    // capped-out items); the |items|-sized support frame broadcasts,
+    // the 1-row basket census cross-joins, and the >2⁶³ lift product
+    // rides DECIMAL(38,0)/HUGEINT like feature_corr. Cost beyond the
+    // memoized pair build: one window-capped distinct + two broadcast
+    // probes over the |pairs| frame.
+    "assoc_rules" -> ((s, d) => {
+      val it = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      val rn = row_number().over(
+        Window.partitionBy(col("l_orderkey")).orderBy(col("l_partkey")))
+      val capped = it.withColumn("rn", rn).filter(col("rn") <= MaxBasket)
+      val itemN = capped.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_item"))
+      val nb = capped.agg(count_distinct(col("l_orderkey")).as("n_baskets"))
+      val pairs = pairsCached(s, d)
+      val both = pairs.select(col("part_a").as("antecedent"),
+          col("part_b").as("consequent"), col("n_orders"))
+        .unionAll(pairs.select(col("part_b").as("antecedent"),
+          col("part_a").as("consequent"), col("n_orders")))
+      both
+        .join(broadcast(itemN.select(col("l_partkey").as("antecedent"),
+          col("n_item").as("n_ante"))), "antecedent")
+        .join(broadcast(itemN.select(col("l_partkey").as("consequent"),
+          col("n_item").as("n_cons"))), "consequent")
+        .crossJoin(broadcast(nb))
+        .selectExpr("antecedent", "consequent", "n_orders AS n_pair",
+          "n_ante", "n_cons",
+          "(n_orders * 1000000L) div n_ante AS conf_ppm",
+          """CAST((CAST(n_orders AS DECIMAL(38,0)) * n_baskets * 1000000)
+            |  div (CAST(n_ante AS DECIMAL(38,0)) * n_cons) AS BIGINT)
+            |  AS lift_ppm""".stripMargin)
+        .orderBy(col("conf_ppm").desc, col("lift_ppm").desc,
+          col("antecedent"), col("consequent"))
+        .limit(20)
+    }),
+
+    // Last-touch marketing attribution: each purchase credited to the
+    // user's most recent preceding non-purchase event ("direct" if
+    // none). ONE user-keyed window with an ignore-nulls last() over
+    // rows [-∞, -1] — the per-user sort is the only data-sized work,
+    // and it shares the same (user, ts) shuffle shape every other
+    // session op uses; the census output is ≤ |event types| rows.
+    // Deterministic tiebreak (ts, event_id), integer cents revenue.
+    "attribution_last_touch" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      ev.withColumn("src",
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .groupBy(coalesce(col("src"), lit("direct")).as("attributed_type"))
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(col("cents")).as("revenue_cents"))
+        .orderBy(col("attributed_type"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    // identical cap-aware supports, both rule directions, HUGEINT lift
+    "assoc_rules" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM it)
+        |  WHERE rn <= 8),
+        |pairs AS (
+        |  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |    CAST(count(1) AS BIGINT) AS n_orders
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |items AS (
+        |  SELECT l_partkey, CAST(count(1) AS BIGINT) AS n_item
+        |  FROM capped GROUP BY 1),
+        |nb AS (SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+        |         AS n_baskets FROM capped),
+        |rules AS (
+        |  SELECT part_a AS antecedent, part_b AS consequent, n_orders
+        |  FROM pairs
+        |  UNION ALL
+        |  SELECT part_b, part_a, n_orders FROM pairs)
+        |SELECT antecedent, consequent, n_orders AS n_pair,
+        |  ia.n_item AS n_ante, ic.n_item AS n_cons,
+        |  (n_orders * 1000000) // ia.n_item AS conf_ppm,
+        |  CAST((CAST(n_orders AS HUGEINT) * nb.n_baskets * 1000000)
+        |    // (CAST(ia.n_item AS HUGEINT) * ic.n_item) AS BIGINT)
+        |    AS lift_ppm
+        |FROM rules
+        |JOIN items ia ON rules.antecedent = ia.l_partkey
+        |JOIN items ic ON rules.consequent = ic.l_partkey
+        |CROSS JOIN nb
+        |ORDER BY conf_ppm DESC, lift_ppm DESC, antecedent, consequent
+        |LIMIT 20""".stripMargin,
+    // identical window: ignore-nulls last over [-inf, -1)
+    "attribution_last_touch" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM events),
+        |attr AS (
+        |  SELECT *,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |        THEN event_type END IGNORE NULLS) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS src
+        |  FROM ev)
+        |SELECT coalesce(src, 'direct') AS attributed_type,
+        |  count(1) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |FROM attr WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical cap (first 8 distinct parts by id), identical support
     "basket_pairs" ->
       """WITH it AS (

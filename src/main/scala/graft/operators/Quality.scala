@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Declarative data-quality validation (Deequ/Great-Expectations shape) —
+  * the constraint-checking pass a warehouse runs before promoting a load,
+  * expressed as plain aggregations so the whole report is ONE job per
+  * table family (the reference engine validates nothing — its corpus
+  * contains two latent crashes precisely because no output was ever
+  * checked, SURVEY.md §5).
+  *
+  * `dq_checks` emits one row per constraint: name, rows checked, rows
+  * violating. Constraint classes covered: referential integrity
+  * (fact→dim anti-join counts), domain ranges, positivity, primary-key
+  * uniqueness, and null presence. Plan shape per class:
+  *
+  *  - FK checks are LEFT ANTI joins fact⟕dim on the key — the dim side
+  *    (orders keys, part keys) broadcasts at every realistic dim/fact
+  *    ratio, so each check is a scan + broadcast probe, no shuffle of
+  *    the fact table. Spark counts the survivors; the anti join IS the
+  *    violation set, so the check's cost is the scan it shares with
+  *    every other check of that table.
+  *  - Range/positivity/null checks are conditional sums inside ONE
+  *    aggregation over the table — adding a constraint adds a column,
+  *    not a pass.
+  *  - PK uniqueness is count(*) − count(distinct pk) on the composite
+  *    key: one exact distinct (hash-partitioned by the key at scale).
+  *
+  * The report is a UNION of 1-row frames — KBs regardless of corpus
+  * size. At 100 TB you run exactly this plan; the only choice that
+  * changes is approx vs exact distinct for the PK check
+  * (`agg_approx_distinct` covers the sketch variant).
+  */
+object Quality {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dq_checks" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val p = Tables.part(s, d)
+      def row(name: String, checked: Column, violations: Column,
+          src: DataFrame): DataFrame =
+        src.agg(checked.cast("long").as("n_checked"),
+            violations.cast("long").as("n_violations"))
+          .select(lit(name).as("check_name"), col("n_checked"),
+            col("n_violations"))
+      // FK violation counts: anti-join survivors; n_checked = fact rows
+      def fk(name: String, fact: DataFrame, fkCol: String, dim: DataFrame,
+          pkCol: String): DataFrame = {
+        val viol = fact.select(col(fkCol))
+          .join(broadcast(dim.select(col(pkCol))),
+            col(fkCol) === col(pkCol), "left_anti")
+          .agg(count(lit(1)).as("n_violations"))
+        val tot = fact.agg(count(lit(1)).as("n_checked"))
+        tot.crossJoin(viol).select(lit(name).as("check_name"),
+          col("n_checked"), col("n_violations"))
+      }
+      val checks = Seq(
+        fk("lineitem_fk_orders", li, "l_orderkey", o, "o_orderkey"),
+        fk("lineitem_fk_part", li, "l_partkey", p, "p_partkey"),
+        fk("orders_fk_customer", o, "o_custkey", c, "c_custkey"),
+        row("lineitem_qty_range", count(lit(1)),
+          sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
+            .otherwise(0L)), li),
+        row("orders_price_positive", count(lit(1)),
+          sum(when(col("o_totalprice") <= 0, 1L).otherwise(0L)), o),
+        row("lineitem_pk_unique", count(lit(1)),
+          count(lit(1)) - count_distinct(struct(col("l_orderkey"),
+            col("l_linenumber"))), li),
+        row("orders_null_keys", count(lit(1)),
+          sum(when(col("o_custkey").isNull || col("o_orderkey").isNull, 1L)
+            .otherwise(0L)), o))
+      checks.reduce(_ unionAll _).orderBy(col("check_name"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'lineitem_fk_orders' AS check_name,
+        |    (SELECT count(1) FROM lineitem) AS n_checked,
+        |    (SELECT count(1) FROM lineitem l LEFT JOIN orders o
+        |       ON l.l_orderkey = o.o_orderkey
+        |     WHERE o.o_orderkey IS NULL) AS n_violations
+        |  UNION ALL
+        |  SELECT 'lineitem_fk_part',
+        |    (SELECT count(1) FROM lineitem),
+        |    (SELECT count(1) FROM lineitem l LEFT JOIN part p
+        |       ON l.l_partkey = p.p_partkey
+        |     WHERE p.p_partkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders_fk_customer',
+        |    (SELECT count(1) FROM orders),
+        |    (SELECT count(1) FROM orders o LEFT JOIN customer c
+        |       ON o.o_custkey = c.c_custkey
+        |     WHERE c.c_custkey IS NULL)
+        |  UNION ALL
+        |  SELECT 'lineitem_qty_range',
+        |    (SELECT count(1) FROM lineitem),
+        |    (SELECT CAST(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders_price_positive',
+        |    (SELECT count(1) FROM orders),
+        |    (SELECT CAST(sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+        |       AS BIGINT) FROM orders)
+        |  UNION ALL
+        |  SELECT 'lineitem_pk_unique',
+        |    (SELECT count(1) FROM lineitem),
+        |    (SELECT count(1) - count(DISTINCT (l_orderkey, l_linenumber))
+        |       FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'orders_null_keys',
+        |    (SELECT count(1) FROM orders),
+        |    (SELECT CAST(sum(CASE WHEN o_custkey IS NULL OR o_orderkey IS NULL
+        |       THEN 1 ELSE 0 END) AS BIGINT) FROM orders)
+        |) ORDER BY check_name""".stripMargin,
+  )
+}

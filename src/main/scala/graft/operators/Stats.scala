@@ -135,6 +135,44 @@ object Stats {
         .orderBy(col("event_type"))
     }),
 
+    // Mutual information between two categoricals (segment × nation) in
+    // integer micro-nats: MI = Σ n_xy·(ln n_xy + ln N − ln n_x − ln n_y)/N
+    // with every ln 6-dp-rounded ONCE (the token_entropy trick), exact
+    // integer arithmetic after. Marginal entropies + normalized MI ride
+    // along. Plan: one (x, y) grid agg over the table; everything after
+    // is grid-sized (≤ |segments|×|nations| rows) with broadcast
+    // marginals — count(*)-class cost at any scale.
+    "feature_mi" -> ((s, d) => {
+      def l6(c: Column): Column =
+        round(log(c.cast("double")) * 1e6).cast("long")
+      val cust = Tables.customer(s, d)
+        .select(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+      val grid = cust.groupBy(col("x"), col("y"))
+        .agg(count(lit(1)).as("nxy"))
+      val nx = grid.groupBy(col("x")).agg(sum(col("nxy")).as("nx"))
+      val ny = grid.groupBy(col("y")).agg(sum(col("nxy")).as("ny"))
+      val n = grid.agg(sum(col("nxy")).as("n"))
+      val mi = grid.join(broadcast(nx), "x").join(broadcast(ny), "y")
+        .crossJoin(broadcast(n))
+        .agg(sum(col("nxy") * (l6(col("nxy")) + l6(col("n"))
+          - l6(col("nx")) - l6(col("ny")))).as("mi_num"))
+      val sx = nx.agg(sum(col("nx") * l6(col("nx"))).as("sxl"),
+        count(lit(1)).as("card_x"))
+      val sy = ny.agg(sum(col("ny") * l6(col("ny"))).as("syl"),
+        count(lit(1)).as("card_y"))
+      n.crossJoin(broadcast(mi)).crossJoin(broadcast(sx))
+        .crossJoin(broadcast(sy))
+        .selectExpr("n", "card_x", "card_y",
+          "mi_num div n AS mi_micronats",
+          "CAST(round(ln(CAST(n AS DOUBLE))*1000000) AS BIGINT) - (sxl div n) AS hx_micronats",
+          "CAST(round(ln(CAST(n AS DOUBLE))*1000000) AS BIGINT) - (syl div n) AS hy_micronats")
+        .selectExpr("n", "card_x", "card_y", "mi_micronats",
+          "hx_micronats", "hy_micronats",
+          """CASE WHEN least(hx_micronats, hy_micronats) <= 0 THEN NULL
+            |ELSE (mi_micronats * 1000000L) div least(hx_micronats, hy_micronats)
+            |END AS nmi_ppm""".stripMargin)
+    }),
+
     // Recency/frequency/monetary quartile census over orders; cutoffs
     // ×4-exact, broadcast, scored by map-side comparison (no ntile sort).
     "rfm_segments" -> ((s, d) => {
@@ -239,6 +277,40 @@ object Stats {
         |FROM dev d JOIN md m USING (event_type)
         |GROUP BY d.event_type, m.n, m.med2, m.mad4
         |ORDER BY d.event_type""".stripMargin,
+    "feature_mi" ->
+      """WITH g AS (
+        |  SELECT c_mktsegment AS x, c_nationkey AS y, count(1) AS nxy
+        |  FROM customer GROUP BY 1, 2),
+        |mx AS (SELECT x, CAST(sum(nxy) AS BIGINT) AS nx FROM g GROUP BY 1),
+        |my AS (SELECT y, CAST(sum(nxy) AS BIGINT) AS ny FROM g GROUP BY 1),
+        |tot AS (SELECT CAST(sum(nxy) AS BIGINT) AS n FROM g),
+        |mi AS (
+        |  SELECT CAST(sum(nxy * (
+        |      CAST(round(ln(CAST(nxy AS DOUBLE))*1000000) AS BIGINT)
+        |    + CAST(round(ln(CAST(n AS DOUBLE))*1000000) AS BIGINT)
+        |    - CAST(round(ln(CAST(nx AS DOUBLE))*1000000) AS BIGINT)
+        |    - CAST(round(ln(CAST(ny AS DOUBLE))*1000000) AS BIGINT)))
+        |    AS BIGINT) AS mi_num
+        |  FROM g JOIN mx USING (x) JOIN my USING (y) CROSS JOIN tot),
+        |sx AS (SELECT CAST(sum(nx *
+        |    CAST(round(ln(CAST(nx AS DOUBLE))*1000000) AS BIGINT)) AS BIGINT)
+        |    AS sxl, count(1) AS card_x FROM mx),
+        |sy AS (SELECT CAST(sum(ny *
+        |    CAST(round(ln(CAST(ny AS DOUBLE))*1000000) AS BIGINT)) AS BIGINT)
+        |    AS syl, count(1) AS card_y FROM my),
+        |h AS (
+        |  SELECT n, card_x, card_y,
+        |    mi_num // n AS mi_micronats,
+        |    CAST(round(ln(CAST(n AS DOUBLE))*1000000) AS BIGINT) - (sxl // n)
+        |      AS hx_micronats,
+        |    CAST(round(ln(CAST(n AS DOUBLE))*1000000) AS BIGINT) - (syl // n)
+        |      AS hy_micronats
+        |  FROM tot CROSS JOIN mi CROSS JOIN sx CROSS JOIN sy)
+        |SELECT n, card_x, card_y, mi_micronats, hx_micronats, hy_micronats,
+        |  CASE WHEN least(hx_micronats, hy_micronats) <= 0 THEN NULL
+        |  ELSE (mi_micronats * 1000000) // least(hx_micronats, hy_micronats)
+        |  END AS nmi_ppm
+        |FROM h""".stripMargin,
     "rfm_segments" ->
       """WITH o AS (
         |  SELECT o_custkey, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,

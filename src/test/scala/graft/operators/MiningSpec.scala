@@ -127,4 +127,49 @@ class MiningSpec extends SparkSpec {
     val maxPairs = sizes.map(b => math.min(b, 8L)).map(b => b * (b - 1) / 2).max
     assert(maxPairs <= 28, s"cap failed: $maxPairs pairs from one basket")
   }
+
+  test("assoc_rules: conf/lift replay from the row's own counts; determinism") {
+    val rows = Mining.queries("assoc_rules")(spark, sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    // N = capped-basket census, recomputed independently
+    val it = graft.Tables.lineitem(spark, sf0001)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nBaskets = it.select("l_orderkey").distinct().count()
+    for (r <- rows) {
+      val (np, na, nc) = (r.getAs[Long]("n_pair"), r.getAs[Long]("n_ante"),
+        r.getAs[Long]("n_cons"))
+      assert(r.getAs[Long]("conf_ppm") == np * 1000000L / na)
+      assert(r.getAs[Long]("conf_ppm") <= 1000000L)
+      assert(np <= na && np <= nc)
+      val lift = (BigInt(np) * nBaskets * 1000000) / (BigInt(na) * nc)
+      assert(BigInt(r.getAs[Long]("lift_ppm")) == lift,
+        s"lift mismatch for ${r.getAs[Long]("antecedent")}->${r.getAs[Long]("consequent")}")
+    }
+    // full integer ordering => stable top-20 under re-run
+    val again = Mining.queries("assoc_rules")(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
+  test("attribution_last_touch: scalar replay of the per-user walk") {
+    val got = Mining.queries("attribution_last_touch")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+    val replay = scala.collection.mutable.Map[String, (Long, Long)]()
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      var lastSrc: String = "direct"
+      rs.sortBy(r => { val t = r.getAs[java.sql.Timestamp]("ts")
+          (t.getTime, t.getNanos, r.getAs[Long]("event_id")) }).foreach { r =>
+        val t = r.getAs[String]("event_type")
+        if (t == "purchase") {
+          val (n, c) = replay.getOrElse(lastSrc, (0L, 0L))
+          replay(lastSrc) = (n + 1, c + r.getAs[Long]("cents"))
+        } else lastSrc = t
+      }
+    }
+    assert(got == replay.toMap, s"got=$got replay=$replay")
+  }
 }

@@ -61,6 +61,29 @@ class StatsSpec extends SparkSpec {
     }
   }
 
+  test("feature_mi: micro-nat MI matches double-precision MI; information inequalities hold") {
+    val r = Stats.queries("feature_mi")(spark, sf001).head()
+    val grid = graft.Tables.customer(spark, sf001)
+      .groupBy(col("c_mktsegment").as("x"), col("c_nationkey").as("y"))
+      .agg(count(lit(1)).as("nxy")).collect()
+      .map(g => (g.getAs[String]("x"), g.getAs[Int]("y"), g.getAs[Long]("nxy")))
+    val n = grid.map(_._3).sum.toDouble
+    val nx = grid.groupBy(_._1).map { case (k, g) => k -> g.map(_._3).sum }
+    val ny = grid.groupBy(_._2).map { case (k, g) => k -> g.map(_._3).sum }
+    val mi = grid.map { case (x, y, c) =>
+      c / n * math.log(c * n / (nx(x).toDouble * ny(y).toDouble)) }.sum
+    val hx = -nx.values.map(c => c / n * math.log(c / n)).sum
+    val hy = -ny.values.map(c => c / n * math.log(c / n)).sum
+    assert(math.abs(r.getAs[Long]("mi_micronats") / 1e6 - mi) < 1e-4,
+      s"MI ${r.getAs[Long]("mi_micronats") / 1e6} vs $mi")
+    assert(math.abs(r.getAs[Long]("hx_micronats") / 1e6 - hx) < 1e-4)
+    assert(math.abs(r.getAs[Long]("hy_micronats") / 1e6 - hy) < 1e-4)
+    // 0 ≤ MI ≤ min(Hx, Hy), up to quantization
+    assert(r.getAs[Long]("mi_micronats") >= -2L)
+    assert(r.getAs[Long]("mi_micronats") <=
+      math.min(r.getAs[Long]("hx_micronats"), r.getAs[Long]("hy_micronats")) + 2L)
+  }
+
   test("event_mad: med2/mad4/outliers replay against a sorted-array median") {
     val rows = Stats.queries("event_mad")(spark, sf0001).collect()
     assert(rows.length == 5)
