@@ -238,6 +238,42 @@ object Mining {
         .orderBy(col("node"))
     }),
 
+    // Top session paths — the product-analytics "what do users do in
+    // what order" query: 3-step event-type n-grams within the same
+    // 30-minute gap session, counted corpus-wide, deterministic top-20.
+    // Both windows (gap islands, then the two leads) share ONE
+    // user-keyed shuffle — the session window's (user, sess) keys are
+    // prefixed by the partition key, so Catalyst inserts no second
+    // exchange; the path census aggregation carries at most
+    // |event types|³ keys with map-side combine. The trigram is built
+    // by lead(), not a per-session collect — no task ever materializes
+    // a whole session.
+    "event_paths" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+          col("event_id"), col("event_type"))
+      val wo = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_s"), col("event_id"))
+      val sess = ev
+        .withColumn("prev", lag(col("ts_s"), 1).over(wo))
+        .withColumn("new_s",
+          when(col("prev").isNull || col("ts_s") - col("prev") > 1800L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum(col("new_s")).over(
+          wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val ws = Window.partitionBy(col("user_id"), col("sess"))
+        .orderBy(col("ts_s"), col("event_id"))
+      sess
+        .withColumn("t2", lead(col("event_type"), 1).over(ws))
+        .withColumn("t3", lead(col("event_type"), 2).over(ws))
+        .filter(col("t2").isNotNull && col("t3").isNotNull)
+        .groupBy(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+          .as("path"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(20)
+    }),
+
     // Association rules over the shared pair frame: confidence and lift
     // in exact integer ppm, both rule directions, deterministic top-20.
     // Item supports use the SAME first-8-by-id basket cap as the pair
@@ -300,6 +336,33 @@ object Mining {
   )
 
   def oracle: Map[String, String] = Map(
+    // identical islands (floor-epoch seconds, event_id tiebreak),
+    // identical lead-built trigrams, identical (n DESC, path) order
+    "event_paths" ->
+      """WITH ev AS (
+        |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+        |    event_id, event_type
+        |  FROM events),
+        |fl AS (
+        |  SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT *, lag(ts_s) OVER (PARTITION BY user_id
+        |          ORDER BY ts_s, event_id) AS prev FROM ev)),
+        |se AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts_s, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+        |  FROM fl),
+        |p AS (
+        |  SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t2,
+        |    lead(event_type, 2) OVER w AS t3
+        |  FROM se
+        |  WINDOW w AS (PARTITION BY user_id, sess ORDER BY ts_s, event_id))
+        |SELECT event_type || '>' || t2 || '>' || t3 AS path,
+        |  count(1) AS n
+        |FROM p WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+        |GROUP BY 1 ORDER BY n DESC, path LIMIT 20""".stripMargin,
     // identical cap-aware supports, both rule directions, HUGEINT lift
     "assoc_rules" ->
       """WITH it AS (

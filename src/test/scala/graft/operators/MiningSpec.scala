@@ -172,4 +172,35 @@ class MiningSpec extends SparkSpec {
     }
     assert(got == replay.toMap, s"got=$got replay=$replay")
   }
+
+  test("event_paths: trigram census replay from a scalar session walk") {
+    val got = Mining.queries("event_paths")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("path") -> r.getAs[Long]("n"))
+    assert(got.nonEmpty && got.length <= 20)
+    // replay: sessionize per user at 1800s gaps, slide a 3-window
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
+        col("event_id"), col("event_type")).collect()
+    val counts = scala.collection.mutable.Map[String, Long]()
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(r => (r.getAs[Long]("ts_s"), r.getAs[Long]("event_id")))
+      var sessions = List[List[String]]()
+      var cur = List[String]()
+      var prev = Long.MinValue
+      for (r <- sorted) {
+        val t = r.getAs[Long]("ts_s")
+        if (prev != Long.MinValue && t - prev > 1800L) {
+          sessions ::= cur.reverse; cur = Nil
+        }
+        cur ::= r.getAs[String]("event_type"); prev = t
+      }
+      sessions ::= cur.reverse
+      for (sess <- sessions; tri <- sess.sliding(3) if tri.length == 3) {
+        val k = tri.mkString(">")
+        counts(k) = counts.getOrElse(k, 0L) + 1
+      }
+    }
+    val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
+    assert(got.toSeq == expectTop, s"got=${got.toSeq}\nexp=$expectTop")
+  }
 }
