@@ -86,6 +86,25 @@ object Temporal {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Rolling 7-day exact median of daily activity — robust smoothing
+    // (a moving average follows spikes; the rolling median ignores
+    // them). Runs on the KB (type, day) marginal, so the windowed
+    // exact-percentile's per-frame buffering is bounded by the 7-row
+    // frame × grid rows — the corpus never enters a window. ×2-exact
+    // integers (the event_mad trick): `percentile` ≡ `quantile_cont`
+    // over identical ROWS frames.
+    "window_median" -> ((s, d) => {
+      val m = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      m.withColumn("med2_7d",
+          (expr("percentile(n, 0.5)").over(w) * 2).cast("long"))
+        .orderBy(col("event_type"), col("day"))
+    }),
+
     "trend_slope" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("day"))
@@ -156,6 +175,17 @@ object Temporal {
         |  CAST(min(c) AS BIGINT) AS low_cents,
         |  CAST(sum(c) AS BIGINT) AS vol_cents
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "window_median" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(1) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, day, n,
+        |  CAST(quantile_cont(n, 0.5) OVER (
+        |    PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+        |    AS med2_7d
+        |FROM m ORDER BY event_type, day""".stripMargin,
     "trend_slope" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day

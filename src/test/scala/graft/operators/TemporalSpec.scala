@@ -58,6 +58,24 @@ class TemporalSpec extends SparkSpec {
       col("close_cents") < col("low_cents")).isEmpty)
   }
 
+  test("window_median: rolling med2 replays from sorted 7-day frames") {
+    val rows = Temporal.queries("window_median")(spark, sf0001).collect()
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    rows.groupBy(_.getAs[String]("event_type")).foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      val ns = ordered.map(_.getAs[Long]("n")).toSeq
+      ordered.zipWithIndex.foreach { case (r, i) =>
+        val frame = ns.slice(math.max(0, i - 6), i + 1)
+        assert(r.getAs[Long]("med2_7d") == med2(frame),
+          s"row $i: ${r.getAs[Long]("med2_7d")} vs ${med2(frame)}")
+      }
+    }
+  }
+
   test("trend_slope: integer slope/r2 agree with double least squares") {
     val rows = Temporal.queries("trend_slope")(spark, sf0001).collect()
     assert(rows.length == 5)
