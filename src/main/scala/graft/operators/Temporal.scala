@@ -72,14 +72,21 @@ object Temporal {
     }),
 
     "ts_ohlc" -> ((s, d) => {
+      import graft.functions.ExtremumByOrd.{maxByOrd, minByOrd}
       val ev = Tables.events(s, d).select(
         col("event_type"), to_date(col("ts")).as("day"),
-        col("ts"), col("event_id"), cents(col("value")).as("c"))
-      val key = struct(col("ts"), col("event_id"))
+        unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        cents(col("value")).as("c"))
+      // open/close via the custom TypedImperativeAggregate, NOT the
+      // built-in min_by(value, struct(...)): the struct buffer demotes
+      // the whole agg to SortAggregate (per-split sort of the scan);
+      // the object-buffer form keeps it in ObjectHashAggregate — no
+      // sort anywhere (plan asserted in TemporalSpec, shape audited in
+      // PLANS.md). Same deterministic (ts, event_id) ordering key.
       ev.groupBy(col("event_type"), col("day"))
         .agg(count(lit(1)).as("n_events"),
-          min_by(col("c"), key).as("open_cents"),
-          max_by(col("c"), key).as("close_cents"),
+          minByOrd(col("c"), col("ts_us"), col("event_id")).as("open_cents"),
+          maxByOrd(col("c"), col("ts_us"), col("event_id")).as("close_cents"),
           max(col("c")).as("high_cents"),
           min(col("c")).as("low_cents"),
           sum(col("c")).as("vol_cents"))

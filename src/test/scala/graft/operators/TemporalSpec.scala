@@ -58,6 +58,36 @@ class TemporalSpec extends SparkSpec {
       col("close_cents") < col("low_cents")).isEmpty)
   }
 
+  test("ts_ohlc: custom agg matches built-in min_by/max_by and avoids SortAggregate") {
+    import graft.functions.ExtremumByOrd.{maxByOrd, minByOrd}
+    val ev = graft.Tables.events(spark, sf0001).select(
+      col("event_type"), to_date(col("ts")).as("day"),
+      unix_micros(col("ts")).as("ts_us"), col("event_id"),
+      (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+    val key = struct(col("ts_us"), col("event_id"))
+    val builtin = ev.groupBy("event_type", "day")
+      .agg(min_by(col("c"), key).as("o"), max_by(col("c"), key).as("cl"))
+    val custom = ev.groupBy("event_type", "day")
+      .agg(minByOrd(col("c"), col("ts_us"), col("event_id")).as("o"),
+        maxByOrd(col("c"), col("ts_us"), col("event_id")).as("cl"))
+    assert(custom.exceptAll(builtin).isEmpty && builtin.exceptAll(custom).isEmpty)
+    // physical shape: the TypedImperativeAggregate must run in
+    // ObjectHashAggregate; the built-in struct form demotes to
+    // SortAggregate (the regression this custom agg exists to avoid)
+    val customPlan = custom.queryExecution.executedPlan.toString
+    assert(customPlan.contains("ObjectHashAggregate"), customPlan)
+    assert(!customPlan.contains("SortAggregate"), customPlan)
+    val builtinPlan = builtin.queryExecution.executedPlan.toString
+    assert(builtinPlan.contains("SortAggregate"), builtinPlan)
+    // empty group ⇒ NULL; null ordering keys are skipped
+    import spark.implicits._
+    val edge = Seq((1L, Option(5L), Option(10L)), (1L, Option(7L), Option.empty[Long]))
+      .toDF("g", "v", "k")
+      .groupBy("g").agg(minByOrd(col("v"), col("k"), lit(0L)).as("m"))
+      .head()
+    assert(edge.getAs[Long]("m") == 5L)
+  }
+
   test("window_median: rolling med2 replays from sorted 7-day frames") {
     val rows = Temporal.queries("window_median")(spark, sf0001).collect()
     def med2(xs: Seq[Long]): Long = {
