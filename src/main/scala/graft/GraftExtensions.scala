@@ -25,6 +25,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(graft.text.TextExprs.functionDescription)
     e.injectFunction(graft.text.TextExprs.repStatsFunctionDescription)
     e.injectFunction(graft.ann.QuantExprs.functionDescription)
+    e.injectFunction(graft.functions.ExtremumByOrd.minFunctionDescription)
+    e.injectFunction(graft.functions.ExtremumByOrd.maxFunctionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
   }
 }

@@ -113,6 +113,29 @@ object ExtremumByOrd {
       CatalystBridge.expression(value), CatalystBridge.expression(o1),
       CatalystBridge.expression(o2), isMin).toAggregateExpression())
 
+  private def build(isMin: Boolean)(args: Seq[Expression]): Expression = {
+    require(args.length == 3,
+      s"${if (isMin) "min" else "max"}_by_ord(value, ord1, ord2)")
+    ExtremumByOrd(args(0), args(1), args(2), isMin).toAggregateExpression()
+  }
+
+  /** For SparkSessionExtensions.injectFunction (GraftExtensions). */
+  val minFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("min_by_ord"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ExtremumByOrd].getName, "min_by_ord"),
+      build(isMin = true) _)
+
+  val maxFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("max_by_ord"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[ExtremumByOrd].getName, "max_by_ord"),
+      build(isMin = false) _)
+
   /** value at the lexicographically smallest (o1, o2). */
   def minByOrd(value: Column, o1: Column, o2: Column): Column =
     agg(value, o1, o2, isMin = true)

@@ -40,6 +40,11 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val q = s.sql(
         "SELECT quantize_i8(array(2.0d, -1.0d, 0.5d)).qvec AS qv")
       assert(q.head.getSeq[Int](0) == Seq(127, -64, 32))
+      val mbo = s.sql(
+        """SELECT min_by_ord(v, o, i) AS first_v, max_by_ord(v, o, i) AS last_v
+          |FROM VALUES (10L, 3L, 1L), (20L, 1L, 2L), (30L, 1L, 1L) AS t(v, o, i)
+          |""".stripMargin).head
+      assert(mbo.getLong(0) == 30L && mbo.getLong(1) == 10L)
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
