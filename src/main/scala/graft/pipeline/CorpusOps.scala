@@ -97,6 +97,34 @@ object CorpusOps {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // The dataset datasheet — the one-row corpus summary a curation
+    // pipeline publishes next to every release (docs, languages,
+    // sources, chars, tokens, exact-dup mass, median length). TWO
+    // single-row aggregates crossed, not one: the three exact
+    // count_distincts ride the Expand rewrite (hash-aggregable), while
+    // the percentile + sums pass stays scan-shaped — mixing them would
+    // demote the expanded frame to SortAggregate (the profile_columns
+    // lesson). Dup mass compares md5(text) — identical hex on both
+    // engines, and the 16-byte digest is what you'd ship at 100 TB
+    // instead of shuffling full texts. Integer ppm + ×2-exact median.
+    "dataset_card" -> ((s, d) => {
+      val doc = Tables.documents(s, d)
+      val distincts = doc.agg(
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(md5(col("text"))).as("n_uniq"))
+      val basics = doc.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+        (expr("percentile(n_chars, 0.5)") * 2).cast("long").as("len_med2"))
+      basics.crossJoin(broadcast(distincts))
+        .selectExpr("n_docs", "n_langs", "n_sources", "total_chars",
+          "total_tokens",
+          "((n_docs - n_uniq) * 1000000L) div n_docs AS dup_text_ppm",
+          "len_med2")
+    }),
+
 
     // CDC-style corpus refresh: last-write-wins MERGE of a delta batch
     // (updates + net-new docs, here derived deterministically from the
@@ -407,6 +435,22 @@ object CorpusOps {
   )
 
   def oracle: Map[String, String] = Map(
+    "dataset_card" ->
+      """WITH b AS (
+        |  SELECT count(1) AS n_docs,
+        |    CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        |    CAST(quantile_cont(n_chars, 0.5) * 2 AS BIGINT) AS len_med2
+        |  FROM documents),
+        |dd AS (
+        |  SELECT count(DISTINCT lang) AS n_langs,
+        |    count(DISTINCT source) AS n_sources,
+        |    count(DISTINCT md5(text)) AS n_uniq
+        |  FROM documents)
+        |SELECT n_docs, n_langs, n_sources, total_chars, total_tokens,
+        |  ((n_docs - n_uniq) * 1000000) // n_docs AS dup_text_ppm,
+        |  len_med2
+        |FROM b CROSS JOIN dd""".stripMargin,
     "corpus_upsert" ->
       """WITH st AS (SELECT max(doc_id) + 1 AS s FROM documents),
         |delta AS (

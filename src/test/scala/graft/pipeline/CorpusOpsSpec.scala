@@ -237,4 +237,23 @@ class CorpusOpsSpec extends SparkSpec {
       assert(tvPpm >= 0 && tvPpm <= 1000000L)
     }
   }
+
+  test("dataset_card: datasheet replays from collected documents") {
+    val r = CorpusOps.queries("dataset_card")(spark, sf0001).head()
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("text"), col("lang"), col("source"), col("n_chars")).collect()
+    assert(r.getAs[Long]("n_docs") == docs.length)
+    assert(r.getAs[Long]("n_langs") == docs.map(_.getAs[String]("lang")).distinct.length)
+    assert(r.getAs[Long]("n_sources") == docs.map(_.getAs[String]("source")).distinct.length)
+    assert(r.getAs[Long]("total_chars") == docs.map(_.getAs[Long]("n_chars")).sum)
+    assert(r.getAs[Long]("total_tokens") ==
+      docs.map(_.getAs[String]("text").split(" ", -1).length.toLong).sum)
+    val uniq = docs.map(_.getAs[String]("text")).distinct.length
+    assert(r.getAs[Long]("dup_text_ppm") ==
+      (docs.length - uniq) * 1000000L / docs.length)
+    val sorted = docs.map(_.getAs[Long]("n_chars")).sorted
+    val med2 = if (sorted.length % 2 == 1) 2 * sorted(sorted.length / 2)
+               else sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)
+    assert(r.getAs[Long]("len_med2") == med2)
+  }
 }
