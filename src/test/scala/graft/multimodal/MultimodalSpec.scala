@@ -41,4 +41,26 @@ class MultimodalSpec extends SparkSpec {
       .collect().sortBy(_.media_id)
     assert(feats.map(_.brightness).toSeq == again.map(_.brightness).toSeq)
   }
+
+  test("aHash64: corruption-robust, edit-sensitive; phash finds exactly the planted twins") {
+    // unit: a few flipped bytes barely move the hash; different payloads are far
+    val base = ("the quick brown fox jumps over the lazy dog " * 20).getBytes("UTF-8")
+    val twin = base.clone()
+    for (i <- twin.indices if i % 97 == 0)
+      twin(i) = (((twin(i) & 0xFF) + 1) & 0xFF).toByte
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(twin)) <= 6)
+    val other = ("completely different content with other words entirely " * 20)
+      .getBytes("UTF-8")
+    assert(ham(Multimodal.aHash64(base), Multimodal.aHash64(other)) > 6)
+    // integration: output = exactly the planted (id, id + max + 1) pairs
+    val rows = Multimodal.queries("multimodal_phash")(spark, sf0001).collect()
+    val ids = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    val mx = ids.max
+    val expect = ids.filter(_ % 10 == 0).map(id => (id, id + mx + 1)).toSet
+    val got = rows.map(r => (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))).toSet
+    assert(got == expect, s"missing=${expect -- got} extra=${got -- expect}")
+    assert(rows.forall(_.getAs[Int]("dist") <= 6))
+  }
 }
