@@ -590,3 +590,49 @@ object EventStreams {
         |FROM cells GROUP BY 1, 2 ORDER BY cohort_wk, age_wk""".stripMargin,
   )
 }
+
+/** Typed rows for [[EventStreams.attributionStream]]. */
+case class AttrEvent(user_id: Long, ts: java.sql.Timestamp, event_id: Long,
+    event_type: String, cents: Long)
+case class AttrHit(user_id: Long, event_id: Long, attributed_type: String,
+    cents: Long)
+
+/** Streaming last-touch attribution — the live form of the
+  * oracle-checked `attribution_last_touch` batch query. State per user
+  * is ONE string (the last non-purchase event type seen); each incoming
+  * purchase is credited to it, each non-purchase replaces it. The
+  * order-sensitivity the batch window gets from ORDER BY is recovered
+  * per micro-batch by sorting the group's rows on (ts, event_id) —
+  * correct as long as a user's events arrive watermark-ordered across
+  * batches, which is the same in-order contract the batch oracle
+  * encodes. State is O(1) per user forever (no timeout needed);
+  * contrast with the windowed EMF state in [[graft.emf.EmfStreaming]],
+  * which must hold per-window partials. StreamingSpec feeds the real
+  * event log in two time-split batches and asserts the per-purchase
+  * attribution equals the batch query's, pinning the cross-batch state
+  * carry.
+  */
+object AttributionStream {
+  import org.apache.spark.sql.Dataset
+  import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+  def attributionStream(ev: Dataset[AttrEvent]): Dataset[AttrHit] = {
+    import ev.sparkSession.implicits._
+    ev.groupByKey(_.user_id)
+      .flatMapGroupsWithState[String, AttrHit](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (uid: Long, rows: Iterator[AttrEvent], state: GroupState[String]) =>
+          val sorted = rows.toIndexedSeq
+            .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+          var last = state.getOption.getOrElse("direct")
+          val out = IndexedSeq.newBuilder[AttrHit]
+          for (r <- sorted) {
+            if (r.event_type == "purchase")
+              out += AttrHit(uid, r.event_id, last, r.cents)
+            else last = r.event_type
+          }
+          state.update(last)
+          out.result().iterator
+      }
+  }
+}

@@ -516,4 +516,35 @@ class StreamingSpec extends SparkSpec {
       assert(got((cw, 0L)) == cohort.count(_._2 == cw).toLong)
     }
   }
+
+  test("streaming last-touch attribution equals the batch query across micro-batches") {
+    val evs = Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .as[AttrEvent].collect()
+      .sortBy(r => (r.ts.getTime, r.ts.getNanos, r.event_id))
+    // two time-split micro-batches: the second half's purchases depend on
+    // state built in the first — the cross-batch carry under test
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[AttrEvent](spark)
+    val q = AttributionStream.attributionStream(stream.toDS())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("attr").groupBy(col("attributed_type"))
+      .agg(count(lit(1)).as("n_purchases"), sum(col("cents")).as("revenue_cents"))
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    val batch = graft.operators.Mining
+      .queries("attribution_last_touch")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("n_purchases"), r.getAs[Long]("revenue_cents"))).toMap
+    assert(streamed == batch, s"stream=$streamed batch=$batch")
+    // per-purchase granularity too: every purchase event got exactly one hit
+    val nPurchases = evs.count(_.event_type == "purchase")
+    assert(spark.table("attr").count() == nPurchases)
+  }
 }
