@@ -112,6 +112,41 @@ object Temporal {
         .orderBy(col("event_type"), col("day"))
     }),
 
+    // Spike detection on the smoothed series: a day is anomalous when
+    // its count deviates from the trailing 7-day median by more than
+    // 12.5% of that median — the robust relative-deviation rule
+    // (|n − med| > med/8, exactly 8·|2n − med2| > 2·med2 in the
+    // ×2-integer domain; no float compare; threshold chosen so real
+    // spikes exist at both gate scales — 5 at sf0.01, 69 at sf0.001).
+    // Same grid-sized plan as window_median; the census rolls up per
+    // type with the worst day picked by the object-buffer
+    // `maxByOrd` ((dev_ppt, epoch day) key — always defined, no
+    // NULL-date column for an all-calm type).
+    "ts_anomaly" -> ((s, d) => {
+      import graft.functions.ExtremumByOrd.maxByOrd
+      val m = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      val epochDay = datediff(col("day"), lit("1970-01-01").cast("date"))
+        .cast("long")
+      m.withColumn("med2",
+          (expr("percentile(n, 0.5)").over(w) * 2).cast("long"))
+        .withColumn("dev_ppt",
+          expr("(abs(n * 2 - med2) * 1000L) div med2"))
+        .withColumn("spike",
+          (abs(col("n") * 2 - col("med2")) * 8 > col("med2") * 2).cast("int"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_days"), sum(col("spike")).as("n_spikes"),
+          max(col("dev_ppt")).as("worst_dev_ppt"),
+          date_from_unix_date(
+            maxByOrd(epochDay, col("dev_ppt"), epochDay).cast("int"))
+            .as("worst_day"))
+        .orderBy(col("event_type"))
+    }),
+
     "trend_slope" -> ((s, d) => {
       val ev = Tables.events(s, d)
         .select(col("event_type"), to_date(col("ts")).as("day"))
@@ -193,6 +228,32 @@ object Temporal {
         |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
         |    AS med2_7d
         |FROM m ORDER BY event_type, day""".stripMargin,
+    "ts_anomaly" ->
+      """WITH m AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    count(1) AS n
+        |  FROM events GROUP BY 1, 2),
+        |sm AS (
+        |  SELECT event_type, day, n,
+        |    CAST(quantile_cont(n, 0.5) OVER (
+        |      PARTITION BY event_type ORDER BY day
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) * 2 AS BIGINT)
+        |      AS med2
+        |  FROM m),
+        |fl AS (
+        |  SELECT event_type, day,
+        |    (abs(n*2 - med2) * 1000) // med2 AS dev_ppt,
+        |    CASE WHEN abs(n*2 - med2) * 8 > med2 * 2 THEN 1 ELSE 0 END
+        |      AS spike,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY (abs(n*2 - med2) * 1000) // med2 DESC, day DESC)
+        |      AS rn
+        |  FROM sm)
+        |SELECT event_type, count(1) AS n_days,
+        |  CAST(sum(spike) AS BIGINT) AS n_spikes,
+        |  CAST(max(dev_ppt) AS BIGINT) AS worst_dev_ppt,
+        |  max(CASE WHEN rn = 1 THEN day END) AS worst_day
+        |FROM fl GROUP BY 1 ORDER BY 1""".stripMargin,
     "trend_slope" ->
       """WITH ev AS (
         |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day

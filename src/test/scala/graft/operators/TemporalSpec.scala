@@ -106,6 +106,39 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("ts_anomaly: spike census replays from the rolling-median series") {
+    val rows = Temporal.queries("ts_anomaly")(spark, sf0001).collect()
+    val marg = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), to_date(col("ts")).as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("n")).collect()
+    def med2(xs: Seq[Long]): Long = {
+      val s = xs.sorted
+      if (s.length % 2 == 1) 2 * s(s.length / 2)
+      else s(s.length / 2 - 1) + s(s.length / 2)
+    }
+    val byType = marg.groupBy(_.getAs[String]("event_type"))
+    assert(rows.map(_.getAs[Long]("n_spikes")).sum > 0, "vacuous fixture")
+    for (r <- rows) {
+      val t = r.getAs[String]("event_type")
+      val ordered = byType(t)
+        .sortBy(_.getAs[java.sql.Date]("day").toLocalDate.toEpochDay)
+      val ns = ordered.map(_.getAs[Long]("n")).toSeq
+      val series = ordered.zipWithIndex.map { case (row, i) =>
+        val m2 = med2(ns.slice(math.max(0, i - 6), i + 1))
+        val n = row.getAs[Long]("n")
+        val devPpt = math.abs(n * 2 - m2) * 1000 / m2
+        (row.getAs[java.sql.Date]("day").toLocalDate.toEpochDay,
+          devPpt, math.abs(n * 2 - m2) * 8 > m2 * 2)
+      }
+      assert(r.getAs[Long]("n_days") == series.length)
+      assert(r.getAs[Long]("n_spikes") == series.count(_._3))
+      assert(r.getAs[Long]("worst_dev_ppt") == series.map(_._2).max)
+      val worst = series.maxBy(p => (p._2, p._1))
+      assert(r.getAs[java.sql.Date]("worst_day").toLocalDate.toEpochDay
+        == worst._1)
+    }
+  }
+
   test("trend_slope: integer slope/r2 agree with double least squares") {
     val rows = Temporal.queries("trend_slope")(spark, sf0001).collect()
     assert(rows.length == 5)
