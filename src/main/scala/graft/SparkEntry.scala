@@ -32,6 +32,9 @@ object SparkEntry {
       // q7: cross-attribute tuple-vs-MF operand + MF-vs-MF group
       // restriction — reference-supported forms its corpus never runs
       "emf_q7" -> (GoldenQueries.run(7) _),
+      // q8: dependent variable chained onto a windowed one — the two
+      // planner classes the corpus never combines
+      "emf_q8" -> (GoldenQueries.run(8) _),
       // EMF via the MF-SQL frontend over the events table; the planner's
       // decimal-exact avg over floating columns is bit-stable cross-engine
       "emf_events" -> ((s: SparkSession, d: String) => GoldenQueries.runEventsMf(s, d)),

@@ -78,8 +78,29 @@ object GoldenQueries {
       |sum_quant_dm
       |{MF.cust.sum_quant_dm}[=]{cust}:{MF.month.sum_quant_dm}[<]{day}:{MF.month.sum_quant_dm}[<]{MF.day.sum_quant_dm},{year}[==]{1997}""".stripMargin
 
+  /** Query 8 (beyond the corpus): a DEPENDENT variable chained onto a
+    * WINDOWED one — the two planner classes the corpus only ever uses
+    * separately (q2/q3 windowed, q4/q6 dependent-on-simple). Var 1 is
+    * the q3 "before" window (avg quant over the cust's earlier months);
+    * var 2 counts the group's own tuples above THAT windowed aggregate
+    * (`{MF.avg_quant_1.count_quant_2}[>]{quant}` → tuple.quant >
+    * avg_quant_1, the §1.4 operand inversion). The reference's nested
+    * loop supports the chain trivially (every aggregate is just a
+    * column of the MF structure by the time scan 2 runs, reference
+    * `src/QueryProcessor6.java` shape); the planner must order the
+    * dependent pass after the window pass and join the windowed frame
+    * in. Groups with no earlier months keep NULL avg and count 0. */
+  val corpus8: String =
+    """cust,month,avg_quant_1,count_quant_2
+      |2
+      |cust,month
+      |avg_quant_1,count_quant_2
+      |{MF.cust.avg_quant_1}[=]{cust}:{MF.month.avg_quant_1}[<]{month},{MF.avg_quant_1.count_quant_2}[>]{quant}:{MF.cust.count_quant_2}[=]{cust}:{MF.month.count_quant_2}[=]{month},{year}[=]{1997}""".stripMargin
+
   lazy val parsed: Seq[EmfQuery] =
-    EmfParser.parseAll(corpus, factCols) :+ EmfParser.parseOne(corpus7, factCols)
+    EmfParser.parseAll(corpus, factCols) :+
+      EmfParser.parseOne(corpus7, factCols) :+
+      EmfParser.parseOne(corpus8, factCols)
 
   /** Run golden query i (1-based) end-to-end: parse → plan → order. */
   def run(i: Int)(s: SparkSession, dir: String): DataFrame = {
@@ -255,13 +276,33 @@ object GoldenQueries {
          |FROM g LEFT JOIN v
          |  ON g.cust=v.cust AND g.day=v.day AND g.month=v.month
          |ORDER BY g.cust, g.day, g.month""".stripMargin,
+    // emf_q8: dependent-on-windowed chain; NULL window avg => count 0
+    "emf_q8" ->
+      s"""WITH $sales,
+         | s AS (SELECT * FROM sales WHERE year=1997),
+         | g AS (SELECT DISTINCT cust, month FROM s),
+         | a AS (SELECT g.cust, g.month,
+         |         CAST(sum(x.quant) AS DOUBLE)/count(x.quant) AS avg_quant_1
+         |       FROM g JOIN s x ON x.cust=g.cust AND x.month < g.month
+         |       GROUP BY 1,2),
+         | ga AS (SELECT g.cust, g.month, a.avg_quant_1
+         |        FROM g LEFT JOIN a ON g.cust=a.cust AND g.month=a.month),
+         | c AS (SELECT ga.cust, ga.month,
+         |         CAST(count(x.quant) AS BIGINT) AS count_quant_2
+         |       FROM ga JOIN s x ON x.cust=ga.cust AND x.month=ga.month
+         |                       AND x.quant > ga.avg_quant_1
+         |       GROUP BY 1,2)
+         |SELECT ga.cust, ga.month, ga.avg_quant_1,
+         |  CAST(coalesce(c.count_quant_2, 0) AS BIGINT) AS count_quant_2
+         |FROM ga LEFT JOIN c ON ga.cust=c.cust AND ga.month=c.month
+         |ORDER BY ga.cust, ga.month""".stripMargin,
   )
 
   /** Per-query oracles plus the batch oracle — per-query counts over the
     * very same per-query SQL (DuckDB allows a WITH inside a FROM
     * subquery). */
   val oracle: Map[String, String] = perQueryOracle +
-    ("emf_batch" -> (1 to 7).map(i =>
+    ("emf_batch" -> (1 to 8).map(i =>
       s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
         perQueryOracle(s"emf_q$i") + "\n)")
       .mkString("", "\nUNION ALL\n", "\nORDER BY query_id"))

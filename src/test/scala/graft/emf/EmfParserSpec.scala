@@ -5,9 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 class EmfParserSpec extends AnyFunSuite {
   val cols = GoldenQueries.factCols
 
-  test("corpus parses into six queries (+ q7)") {
+  test("corpus parses into six queries (+ q7, q8)") {
     val qs = GoldenQueries.parsed
-    assert(qs.length == 7)
+    assert(qs.length == 8)
     assert(qs(0).vars.length == 3)
     assert(qs(0).where.isEmpty && qs(0).having.isEmpty)
     assert(qs(4).where.nonEmpty && qs(4).having.nonEmpty)

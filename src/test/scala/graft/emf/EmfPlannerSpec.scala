@@ -13,8 +13,8 @@ class EmfPlannerSpec extends SparkSpec {
   test("runBatch: shared-fact batch matches every individual run") {
     val counts = GoldenQueries.runBatch(spark, sf0001).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
-    assert(counts.keySet == (1 to 7).toSet)
-    (1 to 7).foreach { i =>
+    assert(counts.keySet == (1 to 8).toSet)
+    (1 to 8).foreach { i =>
       assert(counts(i) == GoldenQueries.run(i)(spark, sf0001).count(), s"q$i count")
     }
     // full-frame agreement on the dependent-pass query (q4): planning
