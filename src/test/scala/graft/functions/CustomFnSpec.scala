@@ -50,4 +50,43 @@ class CustomFnSpec extends SparkSpec {
     assert(out(0).getDouble(1) == 5.0) // distinct: 9,9 collapse; second is 5
     assert(out(1).isNullAt(1))         // one distinct value → no second max
   }
+
+  test("ExtremumByOrd: seeded-random parity with a scalar reference across partitionings") {
+    import graft.functions.ExtremumByOrd.{maxByOrd, minByOrd}
+    val rnd = new scala.util.Random(0xC0FFEE)
+    val rows = Seq.tabulate(500) { i =>
+      val g = rnd.nextInt(7).toLong
+      val v: java.lang.Long = if (rnd.nextInt(10) == 0) null else rnd.nextInt(1000).toLong
+      val o1 = rnd.nextInt(5).toLong           // coarse key: real tie pressure
+      val o2 = rnd.nextLong()                  // unique-ish tiebreak
+      (g, v, o1, o2)
+    }
+    val expectMin = rows.filter(_._2 != null).groupBy(_._1).map { case (g, rs) =>
+      g -> rs.minBy(r => (r._3, r._4))._2.longValue }
+    val expectMax = rows.filter(_._2 != null).groupBy(_._1).map { case (g, rs) =>
+      g -> rs.maxBy(r => (r._3, r._4))._2.longValue }
+    for (parts <- Seq(1, 4, 13)) {
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.map(r =>
+          org.apache.spark.sql.Row(r._1, r._2, r._3, r._4)), parts),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("g",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("v",
+            org.apache.spark.sql.types.LongType, nullable = true),
+          org.apache.spark.sql.types.StructField("o1",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("o2",
+            org.apache.spark.sql.types.LongType))))
+      val got = df.groupBy(col("g"))
+        .agg(minByOrd(col("v"), col("o1"), col("o2")).as("mn"),
+          maxByOrd(col("v"), col("o1"), col("o2")).as("mx"))
+        .collect().map(r => r.getAs[Long]("g") ->
+          (r.getAs[Long]("mn"), r.getAs[Long]("mx"))).toMap
+      for ((g, mn) <- expectMin)
+        assert(got(g)._1 == mn, s"parts=$parts g=$g min")
+      for ((g, mx) <- expectMax)
+        assert(got(g)._2 == mx, s"parts=$parts g=$g max")
+    }
+  }
 }
