@@ -101,4 +101,20 @@ class MfSqlParserSpec extends SparkSpec {
       cols))
     assert(e2.getMessage.contains("bogus"))
   }
+
+  test("q8 (dependent-on-windowed) in SUCH-THAT SQL equals the positional form") {
+    val sql =
+      """SELECT cust, month, avg(B.quant) AS avg_quant_1, count(C.quant) AS count_quant_2
+        |FROM sales
+        |WHERE year = 1997
+        |GROUP BY cust, month ; B, C
+        |SUCH THAT B.cust = cust AND B.month < month,
+        |          C.cust = cust AND C.month = month AND C.quant > avg_quant_1""".stripMargin
+    val q = MfSqlParser.parse(sql, cols)
+    val fact = Tables.salesView(spark, sf0001)
+    val got = EmfPlanner.plan(q, fact).orderBy("cust", "month").collect().toSeq
+    val want = EmfPlanner.plan(GoldenQueries.parsed(7), fact)
+      .orderBy("cust", "month").collect().toSeq
+    assert(got == want)
+  }
 }
