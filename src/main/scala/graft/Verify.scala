@@ -40,6 +40,7 @@ object Verify {
     graft.dedup.Dedup.clearCache()
     graft.ann.Similarity.clearCache()
     graft.ann.KMeans.clearCache()
+    graft.operators.Mining.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
