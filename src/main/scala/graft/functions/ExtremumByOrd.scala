@@ -114,8 +114,9 @@ object ExtremumByOrd {
       CatalystBridge.expression(o2), isMin).toAggregateExpression())
 
   private def build(isMin: Boolean)(args: Seq[Expression]): Expression = {
-    require(args.length == 3,
-      s"${if (isMin) "min" else "max"}_by_ord(value, ord1, ord2)")
+    if (args.length != 3)
+      throw CatalystBridge.wrongNumArgs(
+        if (isMin) "min_by_ord" else "max_by_ord", 3, args.length)
     ExtremumByOrd(args(0), args(1), args(2), isMin).toAggregateExpression()
   }
 

@@ -179,6 +179,7 @@ object Mining {
         .withColumn("sess", sum(col("new_s")).over(
           wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       val items = sess.select(col("user_id"), col("sess"), col("item"))
+        .filter(col("item").isNotNull)   // digit-free props: drop, never rank
         .distinct()
       val rn = row_number().over(
         Window.partitionBy(col("user_id"), col("sess")).orderBy(col("item")))
@@ -480,7 +481,7 @@ object Mining {
       """WITH ev AS (
         |  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
         |    event_id,
-        |    CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item
+        |    TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item
         |  FROM events),
         |fl AS (
         |  SELECT *, CASE WHEN prev IS NULL OR ts_s - prev > 1800
@@ -492,7 +493,8 @@ object Mining {
         |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
         |  FROM fl),
-        |it AS (SELECT DISTINCT user_id, sess, item FROM se),
+        |it AS (SELECT DISTINCT user_id, sess, item FROM se
+        |       WHERE item IS NOT NULL),
         |capped AS (
         |  SELECT user_id, sess, item FROM (
         |    SELECT *, row_number() OVER (PARTITION BY user_id, sess

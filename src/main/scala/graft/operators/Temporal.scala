@@ -169,7 +169,7 @@ object Temporal {
           """CASE WHEN varx = 0 THEN NULL ELSE
             |  CAST((CAST(num AS DECIMAL(38,0)) * 1000000) div varx AS BIGINT)
             |END AS slope_ppm""".stripMargin,
-          """CASE WHEN varx * vary = 0 THEN NULL ELSE
+          """CASE WHEN varx = 0 OR vary = 0 THEN NULL ELSE
             |  CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000)
             |    div (CAST(varx AS DECIMAL(38,0)) * vary) AS BIGINT)
             |END AS r2_ppm""".stripMargin)
@@ -279,7 +279,7 @@ object Temporal {
         |  CASE WHEN varx = 0 THEN NULL ELSE
         |    CAST((CAST(num AS HUGEINT) * 1000000) // varx AS BIGINT)
         |  END AS slope_ppm,
-        |  CASE WHEN varx * vary = 0 THEN NULL ELSE
+        |  CASE WHEN varx = 0 OR vary = 0 THEN NULL ELSE
         |    CAST((CAST(num AS HUGEINT) * num * 1000000)
         |      // (CAST(varx AS HUGEINT) * vary) AS BIGINT)
         |  END AS r2_ppm

@@ -30,6 +30,13 @@ object CatalystBridge {
   def analyzed(df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[org.apache.spark.sql.classic.Dataset[_]].queryExecution.analyzed
 
+  /** The standard wrong-arity AnalysisException (WRONG_NUM_ARGS), as
+    * built-in function builders raise it.
+    */
+  def wrongNumArgs(name: String, expected: Int, actual: Int): Throwable =
+    org.apache.spark.sql.errors.QueryCompilationErrors
+      .wrongNumArgsError(name, Seq(expected), actual)
+
   /** Add a planner strategy to the session (idempotent). */
   def addStrategy(spark: SparkSession, s: org.apache.spark.sql.classic.Strategy): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]

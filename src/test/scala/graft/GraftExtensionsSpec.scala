@@ -45,6 +45,13 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |FROM VALUES (10L, 3L, 1L), (20L, 1L, 2L), (30L, 1L, 1L) AS t(v, o, i)
           |""".stripMargin).head
       assert(mbo.getLong(0) == 30L && mbo.getLong(1) == 10L)
+      // wrong arity surfaces as the standard WRONG_NUM_ARGS analysis
+      // error, not a raw IllegalArgumentException from the registry
+      val arity = intercept[org.apache.spark.sql.AnalysisException] {
+        s.sql("SELECT min_by_ord(1L, 2L) AS x").collect()
+      }
+      assert(arity.getCondition != null &&
+        arity.getCondition.startsWith("WRONG_NUM_ARGS"))
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
