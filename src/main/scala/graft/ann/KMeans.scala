@@ -49,6 +49,24 @@ object KMeans {
   private val K = 4
   private val Iters = 2
 
+  /** Target within-cell population for ADAPTIVE clustering (the SemDeDup
+    * consumer): `adaptiveK` keeps `|cell| ≈ TargetCellSize` as the corpus
+    * grows, so a within-cell candidate self-join costs Σ|cell|² ≈
+    * n·TargetCellSize — LINEAR in n — instead of the n²/k a frozen k
+    * degrades to. Same adaptive shape as [[Similarity.srpParams]] (bits
+    * grow with log₂ n to pin bucket size). The fixture queries
+    * (emb_kmeans etc.) keep the constant K=4 — their oracles replay that
+    * exact clustering. Tradeoff documented: assignment cost is n·k per
+    * iteration (map-only, no shuffle); at corpus sizes where n·(n/c)
+    * flops bite, the standard mitigation is hierarchical assignment
+    * (√k coarse cells, then sub-cluster within each) — the candidate
+    * join, which SHUFFLES, is the part this bound protects. */
+  val TargetCellSize = 256L
+
+  /** k = max(4, ⌈n / TargetCellSize⌉); grows with n (spec-pinned). */
+  def adaptiveK(n: Long): Int =
+    math.max(K, math.ceil(n.toDouble / TargetCellSize).toInt)
+
   /** floor(x·2¹⁰) per component — the only float→fixed crossing.
     * Shared with Similarity's `dedup_semantic` so both quantize on the
     * identical tree. */
@@ -65,9 +83,10 @@ object KMeans {
     * the final assignment used. A cell that receives no members simply
     * drops out of the next round's centroid frame (deterministic, and
     * mirrored in the oracle). */
-  private[ann] def iterate(e: DataFrame, iters: Int = Iters): DataFrame = {
+  private[ann] def iterate(e: DataFrame, iters: Int = Iters,
+      k: Int = K): DataFrame = {
     val w = Window.orderBy(col("vec_id"))
-    var cent = e.orderBy(col("vec_id")).limit(K)
+    var cent = e.orderBy(col("vec_id")).limit(k)
       .select((row_number().over(w) - 1).cast("int").as("cell"),
         col("qe").as("qc"))
     var assigned: DataFrame = null
@@ -252,18 +271,22 @@ object KMeans {
     * shared verbatim by the oracles below AND by Similarity's
     * `dedup_semantic` so the replayed semantics cannot drift between
     * them. `src` must provide (vec_id, embedding); `a2` ends with
-    * columns (vec_id, qe, cell, dist). */
-  private[ann] def assignCtesFrom(src: String): String =
+    * columns (vec_id, qe, cell, dist). `kSql` is a SQL expression for
+    * the cell count (default the fixture constant 4; dedup_semantic
+    * passes the adaptiveK formula as a scalar subquery so the oracle
+    * adapts k to n exactly as the engine does). */
+  private[ann] def assignCtesFrom(src: String, kSql: String = "4"): String =
     s"""e AS (
       |  SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-      |  FROM $src),""".stripMargin + "\n" +
-    """init AS (
+      |  FROM $src),
+      |init AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
       |         qe AS qc
-      |  FROM (SELECT * FROM e ORDER BY vec_id LIMIT 4)),
-      |d1 AS (
+      |  FROM (SELECT * FROM e
+      |        QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kSql))),""".stripMargin + "\n" +
+    """d1 AS (
       |  SELECT e.vec_id, e.qe, i.cell,
       |    list_sum(list_transform(range(1, 65),
       |      j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS dist

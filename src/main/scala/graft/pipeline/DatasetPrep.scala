@@ -124,20 +124,54 @@ object DatasetPrep {
     // Tokenization against a corpus-learned vocabulary: word ids by
     // frequency rank (ties alphabetical — fully deterministic), then
     // every document re-emitted as its id sequence. The vocab build is
-    // one word-count shuffle (vocab-sized output) + one rank sort of
-    // the VOCAB (not the corpus); the corpus-side encoding is ZERO
-    // shuffle — the vocab ships as a broadcast map column and the id
-    // lookup is an in-row transform over the token array, so encoding
-    // 100 TB is scan-bound. (At web-scale vocab the single-partition
-    // rank sort becomes a two-level rank — count-bucket then within —
-    // same output, still vocab-sized.)
+    // one word-count shuffle (vocab-sized output); the corpus-side
+    // encoding is ZERO shuffle — the vocab ships as a broadcast map
+    // column and the id lookup is an in-row transform over the token
+    // array, so encoding 100 TB is scan-bound.
+    //
+    // The frequency rank is TWO-LEVEL — NO unpartitioned window
+    // anywhere (a global `Window.orderBy(n desc, w)` funnels the whole
+    // vocabulary through one task; at a 10⁸-entry web-scale subword
+    // vocab that task is the job). Level 1 ranks within (n, first-byte)
+    // groups — partitioned, and the byte split breaks up the huge
+    // hapax (n=1) bucket. Level 2 assigns each group its global offset:
+    // the per-group counts collapse to ONE row (sort_array + an in-row
+    // running-sum fold — the same one-row-broadcast shape as the
+    // k-means centroid frame), which broadcast-joins back. id =
+    // offset + rank-in-group reproduces the global (n desc, w) order
+    // bit-for-bit: groups sort by (n desc, prefix) and within a group
+    // ordering by w IS the global tie order. TokenizeSpec asserts
+    // equality with the one-window form AND that the plan is
+    // window-free.
     "tokenize_ids" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val docs = Tables.documents(s, d)
-      val vocab = docs.select(explode(ws).as("w"))
+      val counts = docs.select(explode(ws).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("n"))
-        .select(col("w"), row_number().over(
-          Window.orderBy(col("n").desc, col("w"))).as("id"))
+        .withColumn("pfx", substring(col("w"), 1, 1))
+      val rankInGroup = row_number().over(
+        Window.partitionBy(col("n"), col("pfx")).orderBy(col("w")))
+      // per-group masses -> one sorted array -> running-sum fold; the
+      // struct sorts by (-n, pfx), i.e. global group order
+      val offsets = counts.groupBy(col("n"), col("pfx"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(sort_array(collect_list(
+          struct((-col("n")).as("negn"), col("pfx"), col("cnt")))).as("gs"))
+        .select(explode(aggregate(col("gs"),
+          struct(lit(0L).as("acc"),
+            expr("CAST(array() AS ARRAY<STRUCT<negn: BIGINT, pfx: STRING, off: BIGINT>>)").as("out")),
+          (st, g) => struct(
+            (st.getField("acc") + g.getField("cnt")).as("acc"),
+            concat(st.getField("out"), array(struct(
+              g.getField("negn").as("negn"), g.getField("pfx").as("pfx"),
+              st.getField("acc").as("off")))).as("out")),
+          st => st.getField("out"))).as("g"))
+        .select((-col("g.negn")).as("n"), col("g.pfx").as("pfx"),
+          col("g.off").as("off"))
+      val vocab = counts
+        .withColumn("rg", rankInGroup)
+        .join(broadcast(offsets), Seq("n", "pfx"))
+        .select(col("w"), (col("off") + col("rg")).cast("int").as("id"))
       val vmap = vocab
         .agg(map_from_entries(collect_list(struct(col("w"), col("id"))))
           .as("vm"))

@@ -27,4 +27,15 @@ abstract class SparkSpec extends AnyFunSuite {
   // for specs whose fixture needs density sf0.001 can't provide (e.g.
   // support thresholds that nothing reaches at ~6k rows)
   def sf001 = "/root/testdata/sf0.01"
+
+  /** Logical Window nodes with an EMPTY partition spec — each one is a
+    * single-task global sort of its input at execution time. Used by
+    * per-operator assertions (tokenize_ids) and the repo-wide
+    * whitelist sweep (GlobalWindowSpec). */
+  def unpartitionedWindows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window
+          if w.partitionSpec.isEmpty =>
+        w.windowExpressions.map(_.sql).mkString(", ")
+    }
 }

@@ -71,6 +71,16 @@ class DatasetPrepSpec extends SparkSpec {
     }
   }
 
+  test("tokenize_ids: vocab rank is two-level — no unpartitioned window in the plan") {
+    // the decode test above already proves id equality with the flat
+    // (n desc, w) global rank (it re-derives ids by that exact sort);
+    // this pins the PLAN property: the vocabulary is never funneled
+    // through a single-task global window
+    val df = DatasetPrep.queries("tokenize_ids")(spark, sf0001)
+    val bad = unpartitionedWindows(df)
+    assert(bad.isEmpty, s"unpartitioned windows: $bad")
+  }
+
   test("sample_split: deterministic, stratified, roughly 80/10/10") {
     val out = DatasetPrep.queries("sample_split")(spark, sf0001)
     val a = out.collect().toSeq
