@@ -461,7 +461,108 @@ object Dedup {
       |  JOIN sizes sb ON sb.doc_id = id_b
       |  WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6)""".stripMargin
 
+  /** DuckDB replay of the MinHash band key: seed 42 chained through the
+    * band's four signature longs (array hashing) then the band index
+    * (`xxhash64(slice(mh, bd*4+1, 4), bd)`). */
+  private def minhashBandKeySql: String = {
+    var k: String = "42"
+    for (r <- 0 until 4)
+      k = XxhSql.hashLong(XxhSql.toU64(s"mh[band * 4 + ${r + 1}]"), k)
+    XxhSql.toI64(XxhSql.hashInt("band", k))
+  }
+
   def oracle: Map[String, String] = Map(
+    // Full bit-exact replay of the MinHash+LSH pipeline (k=32 element
+    // hashes, 8 bands × 4 rows, bucket cap 64, exact-Jaccard verify at
+    // τ=0.6): shingle strings re-derived relationally, their seed-42
+    // xxhash64 replayed by [[XxhSql.hashString]], the per-element chain
+    // by hashInt(i, seed=shingle hash) — SIGNED mins, as the engine
+    // compares — the band keys by the hashLong/hashInt chain, then the
+    // same sorted-bucket cap, pair generation, and hashed-set Jaccard.
+    "dedup_minhash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |         array_to_string(string_split(text, ' ')[2:], ' ')
+         |  FROM documents),
+         |sh0 AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+         |  FROM docs,
+         |    LATERAL (SELECT unnest(generate_series(1,
+         |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+         |dsh AS (SELECT DISTINCT sh FROM sh0),
+         |shh AS (SELECT sh, ${XxhSql.toI64(XxhSql.hashString("sh"))} AS h FROM dsh),
+         |doc_sh AS (SELECT DISTINCT s.doc_id, hh.h FROM sh0 s JOIN shh hh USING (sh)),
+         |dh AS (SELECT DISTINCT h FROM doc_sh),
+         |hi AS (
+         |  SELECT h, i, ${XxhSql.toI64(XxhSql.hashInt("i", XxhSql.toU64("h")))} AS hv
+         |  FROM dh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS i) r),
+         |mhv AS (
+         |  SELECT ds.doc_id, hi.i, min(hi.hv) AS m
+         |  FROM doc_sh ds JOIN hi ON hi.h = ds.h GROUP BY 1, 2),
+         |mharr AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mhv GROUP BY doc_id),
+         |posts AS (
+         |  SELECT doc_id, band, $minhashBandKeySql AS key
+         |  FROM mharr CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd),
+         |capped AS (
+         |  SELECT doc_id, band, key FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+         |    FROM posts) WHERE rn <= 64),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM capped a JOIN capped b
+         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, count(1) AS n FROM doc_sh GROUP BY 1),
+         |inter AS (
+         |  SELECT c.id_a, c.id_b, count(1) AS ni
+         |  FROM cand c JOIN doc_sh a ON a.doc_id = c.id_a
+         |              JOIN doc_sh b ON b.doc_id = c.id_b AND b.h = a.h
+         |  GROUP BY 1, 2)
+         |SELECT i.id_a, i.id_b,
+         |  CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+         |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
+         |             JOIN sizes sb ON sb.doc_id = i.id_b
+         |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    // Full bit-exact replay of SimHash banding: per-WORD-OCCURRENCE
+    // seed-42 xxhash64 (hashes computed once per distinct word, votes
+    // weighted by occurrence counts), 64 per-bit majority votes, 8×8-bit
+    // band keys off the unsigned pattern (≡ the engine's arithmetic
+    // shift + 0xFF mask), bucket self-join, hamming ≤ 6.
+    "dedup_simhash" ->
+      s"""WITH docs AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+         |         array_to_string(string_split(text, ' ')[2:], ' ')
+         |  FROM documents),
+         |w AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+         |wc AS (SELECT doc_id, word, count(1) AS c FROM w GROUP BY 1, 2),
+         |dw AS (SELECT DISTINCT word FROM w),
+         |wh AS (SELECT word, ${XxhSql.hashString("word")} AS h FROM dw),
+         |bits AS (
+         |  SELECT wc.doc_id, b.b,
+         |    CASE WHEN sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
+         |                       THEN wc.c ELSE -wc.c END) > 0
+         |         THEN CAST(1 AS HUGEINT) << b.b ELSE CAST(0 AS HUGEINT) END AS bv
+         |  FROM wc JOIN wh USING (word)
+         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+         |  GROUP BY 1, 2),
+         |sig AS (
+         |  SELECT doc_id, ${XxhSql.toI64("sum(bv)")} AS sig FROM bits GROUP BY doc_id),
+         |posts AS (
+         |  SELECT doc_id, sig, band,
+         |    CAST((${XxhSql.toU64("sig")}) // (CAST(1 AS HUGEINT) << (band * 8)) % 256 AS BIGINT) AS key
+         |  FROM sig CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM posts a JOIN posts b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
     "dedup_exact" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents

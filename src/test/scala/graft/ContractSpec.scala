@@ -13,12 +13,13 @@ class ContractSpec extends AnyFunSuite {
     assert(qs.size >= 154, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED: every query without an oracle must be
     // on this documented allowlist (each entry is hash/algorithm-specific
-    // — HLL, MinHash/SimHash buckets, LSH/IVF candidates, KLL percentile
-    // — and carries a spec-level substitute). A new query missing its
-    // oracle fails here instead of silently weakening the driver gate.
+    // — HLL, LSH/IVF candidates, KLL percentile — and carries a
+    // spec-level substitute). A new query missing its oracle fails here
+    // instead of silently weakening the driver gate. (dedup_minhash and
+    // dedup_simhash graduated in round 7: XxhSql replays seed-42
+    // xxhash64 bit-for-bit in DuckDB.)
     val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
-      "dedup_minhash", "dedup_simhash", "knn_ivf", "knn_lsh",
-      "text_quality_filter_approx")
+      "knn_ivf", "knn_lsh", "text_quality_filter_approx")
     assert((qs -- os) == rowsOnlyAllowed,
       s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
         s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")
