@@ -58,6 +58,7 @@ object SparkEntry {
       graft.plans.AsOfJoin.queries ++
       graft.plans.RangeJoin.queries ++
       graft.ann.Ivf.queries ++
+      graft.ann.Pq.queries ++
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries ++

@@ -176,6 +176,29 @@ object RelationalQueries {
         .orderBy(col("month"))
     }),
 
+    // Window: RANGE frame over a VALUE interval (trailing 7 calendar
+    // days), the frame class ROWS can't express when the time grid has
+    // gaps — a missing day must still age rows out of the frame. Runs
+    // on the DAILY aggregate per priority (calendar-bounded input, like
+    // window_moving's monthly grid but partitioned), ordered by integer
+    // epoch-day so both engines' RANGE arithmetic is exact integer
+    // comparison; revenue in cents keeps the sums bit-exact.
+    "window_range_interval" -> ((s, d) => {
+      val daily = Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"),
+          to_date(col("o_orderdate")).as("day"))
+        .agg(sum((dec(col("o_totalprice")) * 100).cast("long")).as("rev_cents"))
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("d"))
+        .rangeBetween(-6, 0)
+      daily
+        .withColumn("d", datediff(col("day"), to_date(lit("1970-01-01"))))
+        .withColumn("trail7_cents", sum(col("rev_cents")).over(w))
+        .select(col("o_orderpriority"), col("day"), col("rev_cents"),
+          col("trail7_cents"))
+        .orderBy(col("o_orderpriority"), col("day"))
+    }),
+
     // Global top-k: TakeOrderedAndProject — no full sort, each partition
     // keeps k rows, driver merges.
     "topk_orders" -> ((s, d) => {
@@ -687,6 +710,18 @@ object RelationalQueries {
         |  CAST(sum(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
         |   / count(rev) OVER (ORDER BY month ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS mov_avg
         |FROM monthly ORDER BY month""".stripMargin,
+    // same integer epoch-day RANGE frame; the 6-PRECEDING bound is the
+    // identical integer comparison in both engines
+    "window_range_interval" ->
+      """WITH daily AS (
+        |  SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS rev_cents
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderpriority, day, rev_cents,
+        |  CAST(sum(rev_cents) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY datediff('day', DATE '1970-01-01', day)
+        |    RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS trail7_cents
+        |FROM daily ORDER BY o_orderpriority, day""".stripMargin,
     "topk_orders" ->
       """SELECT o_orderkey, o_custkey, o_totalprice AS price
         |FROM orders ORDER BY price DESC, o_orderkey LIMIT 10""".stripMargin,

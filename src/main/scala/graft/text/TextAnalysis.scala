@@ -286,6 +286,42 @@ object TextAnalysis {
         .select(col("doc_id"), col("dl"), round(total, 6).as("bm25"))
         .orderBy(col("bm25").desc, col("doc_id")).limit(20)
     }),
+
+    // Phrase mining (word2phrase, Mikolov et al. 2013 "Distributed
+    // Representations of Words and Phrases"): adjacent word pairs whose
+    // co-occurrence beats an independence baseline become collocation
+    // candidates — the vocabulary-building step before phrase-aware
+    // tokenization. score = (n_ab − δ) / (n_a · n_b), here in exact
+    // parts-per-billion via the repo's fixed-point convention:
+    // DECIMAL(38,0) numerator ×10⁹, DECIMAL product denominator (never
+    // a raw BIGINT product — n_a·n_b overflows 2⁶³ at web scale, the
+    // trend_slope lesson), truncating div. Three corpus-shaped aggs
+    // (unigrams, adjacent bigrams via the shifted-slice zip, then a
+    // broadcast join of the vocab-sized unigram counts onto the
+    // bigram frame); everything after the scans is vocab², KB-sized.
+    "phrase_mining" -> ((s, d) => {
+      val ws = split(col("text"), " ")
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(ws).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      val bi = docs
+        .select(explode(zip_with(
+          slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+          slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .agg(count(lit(1)).as("n_ab"))
+      bi
+        .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_w1"))), "w1")
+        .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_w2"))), "w2")
+        .filter(col("n_ab") >= 8)
+        .selectExpr("w1", "w2", "n_ab", "n_w1", "n_w2",
+          """CAST((CAST(n_ab - 5 AS DECIMAL(38,0)) * 1000000000)
+            | div (CAST(n_w1 AS DECIMAL(19,0)) * n_w2) AS BIGINT)
+            | AS score_ppb""".stripMargin)
+        .filter(col("score_ppb") > 0)
+        .orderBy(col("score_ppb").desc, col("w1"), col("w2"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -431,5 +467,26 @@ object TextAnalysis {
         |  , 6) AS bm25
         |FROM t CROSS JOIN s
         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    // identical counts, identical HUGEINT (≡ DECIMAL(38,0)) fixed-point
+    // score with truncating division
+    "phrase_mining" ->
+      """WITH uni AS (
+        |  SELECT w, count(1) AS n FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  GROUP BY 1),
+        |bi AS (
+        |  SELECT ws[i] AS w1, ws[i + 1] AS w2, count(1) AS n_ab FROM (
+        |    SELECT string_split(text, ' ') AS ws FROM documents) d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(d.ws) - 1)) AS i)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT b.w1, b.w2, b.n_ab, u1.n AS n_w1, u2.n AS n_w2,
+        |    CAST((CAST(b.n_ab - 5 AS HUGEINT) * 1000000000)
+        |      // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS score_ppb
+        |  FROM bi b JOIN uni u1 ON u1.w = b.w1
+        |            JOIN uni u2 ON u2.w = b.w2
+        |  WHERE b.n_ab >= 8)
+        |SELECT * FROM scored WHERE score_ppb > 0
+        |ORDER BY score_ppb DESC, w1, w2""".stripMargin,
   )
 }

@@ -21,7 +21,7 @@ class ContractSpec extends AnyFunSuite {
     // dedup_simhash graduated in round 7: XxhSql replays seed-42
     // xxhash64 bit-for-bit in DuckDB.)
     val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
-      "knn_ivf", "knn_lsh", "text_quality_filter_approx")
+      "knn_ivf", "knn_lsh", "knn_pq", "text_quality_filter_approx")
     assert((qs -- os) == rowsOnlyAllowed,
       s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
         s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")
