@@ -50,6 +50,7 @@ object Bench {
       graft.ann.Similarity.clearCache()
       graft.ann.KMeans.clearCache()
       graft.operators.Mining.clearCache()
+      graft.text.Bpe.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // shared memoized frames (the ngram pair frame across dedup_*, the
@@ -97,6 +98,7 @@ object Bench {
     graft.ann.Similarity.clearCache()
     graft.ann.KMeans.clearCache()
     graft.operators.Mining.clearCache()
+    graft.text.Bpe.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing

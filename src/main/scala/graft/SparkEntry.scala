@@ -68,7 +68,11 @@ object SparkEntry {
       graft.sketch.CountMin.queries ++
       graft.sketch.Bloom.queries ++
       graft.sketch.Hll.queries ++
-      graft.sketch.HeavyHitters.queries
+      graft.sketch.HeavyHitters.queries ++
+      graft.text.Bpe.queries ++
+      graft.text.LangIdNb.queries ++
+      graft.dedup.SubstringDedup.queries ++
+      graft.pipeline.Sharding.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -98,5 +102,9 @@ object SparkEntry {
       graft.sketch.CountMin.oracle ++
       graft.sketch.Bloom.oracle ++
       graft.sketch.Hll.oracle ++
-      graft.sketch.HeavyHitters.oracle
+      graft.sketch.HeavyHitters.oracle ++
+      graft.text.Bpe.oracle ++
+      graft.text.LangIdNb.oracle ++
+      graft.dedup.SubstringDedup.oracle ++
+      graft.pipeline.Sharding.oracle
 }

@@ -1,0 +1,76 @@
+package graft.text
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+
+  /** Plain-Scala reference BPE trainer: word counts in, R merge rounds
+    * out, greedy left-to-right merging — independent of the Column
+    * tree. */
+  private def referenceBpe(
+      wc: Map[String, Long], rounds: Int): Seq[(String, String, Long)] = {
+    var words: Map[Vector[String], Long] =
+      wc.map { case (w, n) => w.map(_.toString).toVector -> n }
+    (1 to rounds).map { _ =>
+      val pairCounts = words.toSeq
+        .flatMap { case (syms, n) =>
+          syms.zip(syms.drop(1)).map(p => p -> n)
+        }
+        .groupMapReduce(_._1)(_._2)(_ + _)
+      val ((lhs, rhs), cnt) = pairCounts.toSeq
+        .minBy { case ((a, b), c) => (-c, a, b) }
+      words = words.toSeq.map { case (syms, n) =>
+        val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == lhs && x == rhs)
+            acc.init :+ (lhs + rhs)
+          else acc :+ x
+        }
+        out -> n
+      }.groupMapReduce(_._1)(_._2)(_ + _)
+      (lhs, rhs, cnt)
+    }
+  }
+
+  test("bpe_train matches a plain-Scala reference trainer on the corpus") {
+    val got = Bpe.queries("bpe_train")(spark, sf0001).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val wc = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = referenceBpe(wc, Bpe.Rounds)
+    assert(got.length == Bpe.Rounds)
+    got.zip(expect).zipWithIndex.foreach {
+      case (((r, l, rr, n), (el, er, en)), i) =>
+        assert(r == i + 1)
+        assert((l, rr, n) == (el, er, en),
+          s"round ${i + 1}: got ($l,$rr,$n) want ($el,$er,$en)")
+    }
+    // BPE invariant: the best pair's frequency never increases across
+    // rounds (existing pair counts only shrink; pairs born of a merge
+    // inherit at most the merged pair's occurrence count)
+    val ns = got.map(_._4)
+    assert(ns.zip(ns.drop(1)).forall { case (a, b) => b <= a }, ns.toSeq)
+    Bpe.clearCache()
+  }
+
+  test("merge fold is greedy left-to-right: 'a a a' + (a,a) -> [aa, a]") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("bpe_fix").toString
+    Seq((1L, "aaa", "en", "s", 3L), (2L, "abab ba", "en", "s", 7L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = Bpe.queries("bpe_train")(spark, dir).collect()
+    // wc: aaa=1, abab=1, ba=1 → round-1 pairs: (a,a)=2 (from aaa: pos
+    // 0-1 and 1-2 BOTH count at pair-count time), (a,b)=2, (b,a)=3
+    // → best (b,a); greedy fold of abab under later merges exercises
+    // the left-to-right rule end to end via the reference comparison
+    val wc = Map("aaa" -> 1L, "abab" -> 1L, "ba" -> 1L)
+    val expect = referenceBpe(wc, Bpe.Rounds.min(rows.length))
+    rows.zip(expect).foreach { case (r, (el, er, en)) =>
+      assert((r.getString(1), r.getString(2), r.getLong(3)) == (el, er, en))
+    }
+    Bpe.clearCache()
+  }
+}
