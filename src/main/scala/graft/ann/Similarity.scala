@@ -221,6 +221,34 @@ object Similarity {
         .orderBy(col("qid"), col("rnk"))
     }),
 
+    // Contrastive hard-negative mining: for each anchor, the single
+    // MOST similar vector carrying a DIFFERENT label — the pair-mining
+    // step of contrastive/triplet training (the highest-loss negative).
+    // Same bounded-anchor brute shape as knn_brute (broadcast anchors ×
+    // corpus scan, codegen'd CosineSimExpr, per-anchor top-1 window)
+    // with the label inequality as the join predicate, so candidates
+    // are pruned before scoring. At corpus scale the anchor set is the
+    // training batch and the scan side goes through the knn_lsh/IVF
+    // candidate machinery — the semantics verified here are the exact
+    // baseline those approximate.
+    "emb_hard_negatives" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
+      val q = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("qid"), col("label").as("qlabel"),
+          col("emb").as("qemb"))
+      val scored = e.join(broadcast(q), col("label") =!= col("qlabel"))
+        .withColumn("cos", cosineFast(col("qemb"), col("emb")))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      scored
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("qid"), col("qlabel"), col("vec_id").as("nid"),
+          col("label").as("nlabel"), round(col("cos"), 6).as("cos6"))
+        .orderBy(col("qid"))
+    }),
+
     // Embedding-cosine near-duplicate pairs (≥ 0.99) over the augmented
     // corpus — fully distributed: adaptive SRP-LSH candidates + the
     // join-based codegen'd scorer. The DuckDB oracle is exact all-pairs;
@@ -335,6 +363,31 @@ object Similarity {
         |            JOIN norms ne ON ne.vec_id = nid)
         |SELECT qid, nid, CAST(rnk AS INT) AS rnk, round(cos, 6) AS cos6
         |FROM scored WHERE rnk <= 3 ORDER BY qid, rnk""".stripMargin,
+    // knn_brute's exact-cosine formulation with the label-inequality
+    // candidate predicate and top-1 per anchor
+    "emb_hard_negatives" ->
+      """WITH ex AS (
+        |  SELECT vec_id, label, generate_subscripts(embedding, 1) AS i,
+        |         CAST(unnest(embedding) AS DOUBLE) AS x
+        |  FROM embeddings),
+        |norms AS (SELECT vec_id, sqrt(sum(x*x)) AS nrm FROM ex GROUP BY 1),
+        |lab AS (SELECT DISTINCT vec_id, label FROM ex),
+        |dots AS (
+        |  SELECT q.vec_id AS qid, e.vec_id AS nid, sum(q.x * e.x) AS dot
+        |  FROM ex q JOIN ex e ON q.i = e.i AND q.vec_id < 8
+        |    AND e.label <> q.label
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT qid, nid, dot / (nq.nrm * ne.nrm) AS cos,
+        |    row_number() OVER (PARTITION BY qid
+        |      ORDER BY dot / (nq.nrm * ne.nrm) DESC, nid) AS rnk
+        |  FROM dots JOIN norms nq ON nq.vec_id = qid
+        |            JOIN norms ne ON ne.vec_id = nid)
+        |SELECT s.qid, ql.label AS qlabel, s.nid, nl.label AS nlabel,
+        |  round(cos, 6) AS cos6
+        |FROM scored s JOIN lab ql ON ql.vec_id = s.qid
+        |              JOIN lab nl ON nl.vec_id = s.nid
+        |WHERE rnk = 1 ORDER BY s.qid""".stripMargin,
     "dedup_embcos" ->
       """WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings

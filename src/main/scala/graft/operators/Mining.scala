@@ -334,6 +334,45 @@ object Mining {
           sum(col("cents")).as("revenue_cents"))
         .orderBy(col("attributed_type"))
     }),
+
+    // Linear (multi-touch) attribution: each purchase's revenue splits
+    // EQUALLY across every preceding non-purchase touch in the user's
+    // history ("direct" when there is none). The naive form joins every
+    // purchase to all its preceding touches — a quadratic per-user
+    // fanout. The suffix-sum reformulation needs no join at all: a
+    // purchase with k preceding touches gives s = cents·10⁶ div k
+    // micro-cents to EACH of them, so the credit a touch receives is
+    // exactly the suffix sum of s over the rows after it — two frames
+    // (preceding-count, following-sum) on ONE user-keyed sort, the same
+    // shuffle shape as attribution_last_touch. Integer micro-cents with
+    // truncating div (positive operands, so Spark div ≡ DuckDB //);
+    // the < k·10⁻⁶-cent rounding loss per purchase is pinned by spec.
+    "attribution_linear" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
+        col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      val ordered = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val flagged = ev
+        .withColumn("k", count(when(col("event_type") =!= "purchase", 1))
+          .over(ordered.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("share",
+          when(col("event_type") === "purchase" && col("k") > 0,
+            expr("(cents * 1000000L) div k")).otherwise(lit(0L)))
+        .withColumn("credit", sum(col("share"))
+          .over(ordered.rowsBetween(1, Window.unboundedFollowing)))
+      val touches = flagged.filter(col("event_type") =!= "purchase")
+        .groupBy(col("event_type").as("attributed_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(coalesce(col("credit"), lit(0L))).as("credit_ucents"))
+      val direct = flagged
+        .filter(col("event_type") === "purchase" && col("k") === 0)
+        .agg(count(lit(1)).as("n_events"),
+          coalesce(sum(col("cents") * 1000000L), lit(0L)).as("credit_ucents"))
+        .select(lit("direct").as("attributed_type"),
+          col("n_events"), col("credit_ucents"))
+      touches.unionByName(direct).orderBy(col("attributed_type"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -418,6 +457,37 @@ object Mining {
         |  count(1) AS n_purchases, CAST(sum(cents) AS BIGINT) AS revenue_cents
         |FROM attr WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical preceding-count and suffix-sum windows, identical
+    // truncating micro-cent division (positive operands: div ≡ //)
+    "attribution_linear" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS cents
+        |  FROM events),
+        |fl AS (
+        |  SELECT *,
+        |    count(CASE WHEN event_type <> 'purchase' THEN 1 END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS k
+        |  FROM ev),
+        |sh AS (
+        |  SELECT *, CASE WHEN event_type = 'purchase' AND k > 0
+        |      THEN (cents * 1000000) // k ELSE 0 END AS share
+        |  FROM fl),
+        |cr AS (
+        |  SELECT *, sum(share) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS credit
+        |  FROM sh)
+        |SELECT attributed_type, n_events, credit_ucents FROM (
+        |  SELECT event_type AS attributed_type, count(1) AS n_events,
+        |    CAST(sum(coalesce(credit, 0)) AS BIGINT) AS credit_ucents
+        |  FROM cr WHERE event_type <> 'purchase' GROUP BY 1
+        |  UNION ALL
+        |  SELECT 'direct', count(1),
+        |    CAST(coalesce(sum(cents * 1000000), 0) AS BIGINT)
+        |  FROM cr WHERE event_type = 'purchase' AND k = 0)
+        |ORDER BY attributed_type""".stripMargin,
     // identical cap (first 8 distinct parts by id), identical support
     "basket_pairs" ->
       """WITH it AS (

@@ -57,6 +57,18 @@ import graft.Tables
   *    map-side comparison, NOT a global `ntile` sort, which is the
   *    difference between a KB broadcast and a single-partition sort of
   *    every customer at 100 TB. Output: 4×4×4 segment census.
+  *  - '''A/B experiment readout''' (`ab_test`): users deterministically
+  *    split into two variants by the shared multiplicative-xorshift
+  *    bucket (the same hash every sampler uses, so experiment holdouts
+  *    compose with sampling and survive repartitioning), per-user
+  *    purchase spend as the metric, Welch's t² from exact integer
+  *    moments via the cross-multiplied all-integer identity
+  *    t² = (SₐN_b−S_bNₐ)²(Nₐ−1)(N_b−1) /
+  *    [(NₐQₐ−Sₐ²)N_b²(N_b−1) + (N_bQ_b−S_b²)Nₐ²(Nₐ−1)] with the >2⁶³
+  *    products in DECIMAL(38,0)/HUGEINT (the `feature_corr`
+  *    discipline) — no float op, bit-identical cross-engine. Plan: one
+  *    user-keyed agg, one 2-row variant agg, a 1-row crossed readout —
+  *    count(*)-class cost at any corpus size.
   */
 object Stats {
 
@@ -206,6 +218,42 @@ object Stats {
           sum(col("m_cents")).as("monetary_cents"))
         .orderBy(col("r_q"), col("f_q"), col("m_q"))
     }),
+
+    // Welch two-sample test on per-user purchase spend, variants from
+    // the shared xorshift bucket; exact integer moments, DECIMAL(38,0)
+    // headroom for the crossed products, t² as exact ppm. 3841600 ppm
+    // = 1.96² — the large-df 95% two-sided threshold.
+    "ab_test" -> ((s, d) => {
+      val users = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(coalesce(sum(when(col("event_type") === "purchase",
+          (col("value").cast("decimal(18,2)") * 100).cast("long"))), lit(0L))
+          .as("spend"))
+      val v = users
+        .withColumn("variant",
+          when(graft.pipeline.CorpusOps.bucket1M(col("user_id")) < 500000,
+            lit("A")).otherwise(lit("B")))
+        .groupBy(col("variant"))
+        .agg(count(lit(1)).as("n"), sum(col("spend")).as("ss"),
+          sum(col("spend") * col("spend")).as("qq"))
+      val a = v.filter(col("variant") === "A")
+        .select(col("n").as("n_a"), col("ss").as("s_a"), col("qq").as("q_a"))
+      val b = v.filter(col("variant") === "B")
+        .select(col("n").as("n_b"), col("ss").as("s_b"), col("qq").as("q_b"))
+      a.crossJoin(broadcast(b))
+        .selectExpr("n_a", "n_b", "s_a", "s_b",
+          "CAST(s_a AS DECIMAL(38,0))*n_b - CAST(s_b AS DECIMAL(38,0))*n_a AS diff",
+          "CAST(n_a AS DECIMAL(38,0))*q_a - CAST(s_a AS DECIMAL(38,0))*s_a AS va",
+          "CAST(n_b AS DECIMAL(38,0))*q_b - CAST(s_b AS DECIMAL(38,0))*s_b AS vb")
+        .selectExpr("n_a", "n_b",
+          "(s_a * 1000000L) div n_a AS mean_a_ucents",
+          "(s_b * 1000000L) div n_b AS mean_b_ucents",
+          """CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
+            |ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
+            |  div (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)
+            |END AS t2_ppm""".stripMargin)
+        .selectExpr("n_a", "n_b", "mean_a_ucents", "mean_b_ucents", "t2_ppm",
+          "CAST(t2_ppm > 3841600 AS INT) AS significant")
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -341,5 +389,43 @@ object Stats {
         |    + CAST(4*m_cents > m3 AS INT) AS m_q,
         |  count(1) AS n_customers, CAST(sum(m_cents) AS BIGINT) AS monetary_cents
         |FROM rfm CROSS JOIN cut GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    // identical bucket hash, identical integer Welch identity, HUGEINT
+    // for the crossed products like Spark's DECIMAL(38,0)
+    "ab_test" ->
+      """WITH u AS (
+        |  SELECT user_id,
+        |    coalesce(sum(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) END), 0)
+        |      AS spend
+        |  FROM events GROUP BY 1),
+        |v AS (
+        |  SELECT CASE WHEN xor((user_id % 1000003) * 2654435761,
+        |      ((user_id % 1000003) * 2654435761) >> 13) % 1000000 < 500000
+        |      THEN 'A' ELSE 'B' END AS variant,
+        |    count(1) AS n, CAST(sum(spend) AS BIGINT) AS ss,
+        |    CAST(sum(spend*spend) AS BIGINT) AS qq
+        |  FROM u GROUP BY 1),
+        |ab AS (
+        |  SELECT a.n AS n_a, a.ss AS s_a, a.qq AS q_a,
+        |         b.n AS n_b, b.ss AS s_b, b.qq AS q_b
+        |  FROM v a, v b WHERE a.variant = 'A' AND b.variant = 'B'),
+        |t AS (
+        |  SELECT n_a, n_b, s_a, s_b,
+        |    CAST(s_a AS HUGEINT)*n_b - CAST(s_b AS HUGEINT)*n_a AS diff,
+        |    CAST(n_a AS HUGEINT)*q_a - CAST(s_a AS HUGEINT)*s_a AS va,
+        |    CAST(n_b AS HUGEINT)*q_b - CAST(s_b AS HUGEINT)*s_b AS vb
+        |  FROM ab),
+        |r AS (
+        |  SELECT n_a, n_b,
+        |    (s_a * 1000000) // n_a AS mean_a_ucents,
+        |    (s_b * 1000000) // n_b AS mean_b_ucents,
+        |    CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
+        |    ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
+        |      // (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)
+        |    END AS t2_ppm
+        |  FROM t)
+        |SELECT n_a, n_b, mean_a_ucents, mean_b_ucents, t2_ppm,
+        |  CAST(t2_ppm > 3841600 AS INT) AS significant
+        |FROM r""".stripMargin,
   )
 }

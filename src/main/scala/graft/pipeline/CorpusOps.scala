@@ -157,6 +157,32 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // GDPR / right-to-be-forgotten propagation: a deletion list (doc
+    // ids whose consent was revoked — modeled as every 11th doc plus
+    // every doc of one delisted source) is applied by ONE broadcast
+    // left join carrying a tombstone flag, and the op emits the
+    // auditable census a compliance pipeline must retain: per-lang
+    // kept/deleted doc and char masses. The delete list is
+    // request-sized (≪ corpus) → broadcast, the corpus is scanned
+    // once and never shuffled; the report is lang-bounded. The same
+    // flag drives the actual rewrite (filter del=0) in production.
+    "corpus_forget" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val dels = docs
+        .filter(pmod(col("doc_id"), lit(11)) === 0 || col("source") === "src7")
+        .select(col("doc_id")).withColumn("__del", lit(1))
+      docs.join(broadcast(dels), Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(
+          sum(when(col("__del").isNull, 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("__del").isNotNull, 1L).otherwise(0L)).as("n_deleted"),
+          sum(when(col("__del").isNull, col("n_chars")).otherwise(0L))
+            .as("chars_kept"),
+          sum(when(col("__del").isNotNull, col("n_chars")).otherwise(0L))
+            .as("chars_deleted"))
+        .orderBy(col("lang"))
+    }),
+
     // Train-vs-eval 3-gram overlap: per train doc, how many of its
     // distinct shingles appear in ANY eval doc. Shingles travel hashed
     // (codegen'd ShingleHashesExpr); eval set is distinct + broadcast.
@@ -466,6 +492,23 @@ object CorpusOps {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM delta))
         |SELECT doc_id, src, CAST(length(text) AS INT) AS n_chars_new
         |FROM merged ORDER BY doc_id""".stripMargin,
+    // identical delete list, identical tombstone-flag left join
+    "corpus_forget" ->
+      """WITH dels AS (
+        |  SELECT doc_id FROM documents
+        |  WHERE doc_id % 11 = 0 OR source = 'src7'),
+        |m AS (
+        |  SELECT d.lang, d.n_chars,
+        |    CASE WHEN x.doc_id IS NULL THEN 0 ELSE 1 END AS del
+        |  FROM documents d LEFT JOIN dels x USING (doc_id))
+        |SELECT lang,
+        |  CAST(sum(CASE WHEN del = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN del = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_deleted,
+        |  CAST(sum(CASE WHEN del = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept,
+        |  CAST(sum(CASE WHEN del = 1 THEN n_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_deleted
+        |FROM m GROUP BY 1 ORDER BY 1""".stripMargin,
     "decontaminate" ->
       """WITH sh AS (
         |  SELECT DISTINCT doc_id,

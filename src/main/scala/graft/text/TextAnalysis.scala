@@ -322,6 +322,37 @@ object TextAnalysis {
         .filter(col("score_ppb") > 0)
         .orderBy(col("score_ppb").desc, col("w1"), col("w2"))
     }),
+
+    // LM n-gram table extraction (Google-ngram shape): corpus 1/2/3-gram
+    // counts with a min-count threshold and a deterministic top-100.
+    // All three orders are generated IN-ROW in ONE scan (shifted-slice
+    // zips, the skipgram/phrase_mining trick — no positional self-join
+    // shuffle), then a single gram-keyed hash agg with map-side combine;
+    // the threshold prunes the long tail at the aggregate, never the
+    // scan. The oracle is the independent positional-self-join
+    // formulation. Shuffle volume ≤ 3×tokens with uniform string keys;
+    // at 100 TB the threshold would move into a count-min pre-filter
+    // (the heavy_hitters machinery) — same downstream table.
+    "ngram_counts" -> ((s, d) => {
+      val ws = words(col("text"))
+      def tail(k: Int, m: Int): Column =
+        slice(ws, lit(k), greatest(size(ws) - (m - 1), lit(0)))
+      val bi = zip_with(tail(1, 2), tail(2, 2),
+        (a, b) => concat(a, lit(" "), b))
+      val tri = zip_with(
+        zip_with(tail(1, 3), tail(2, 3), (a, b) => concat(a, lit(" "), b)),
+        tail(3, 3), (ab, c) => concat(ab, lit(" "), c))
+      Tables.documents(s, d)
+        .select(explode(concat(
+          transform(ws, w => struct(lit(1).as("n"), w.as("gram"))),
+          transform(bi, g => struct(lit(2).as("n"), g.as("gram"))),
+          transform(tri, g => struct(lit(3).as("n"), g.as("gram"))))).as("g"))
+        .groupBy(col("g.n").as("n"), col("g.gram").as("gram"))
+        .agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") >= 4)
+        .orderBy(col("cnt").desc, col("n"), col("gram"))
+        .limit(100)
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -488,5 +519,24 @@ object TextAnalysis {
         |  WHERE b.n_ab >= 8)
         |SELECT * FROM scored WHERE score_ppb > 0
         |ORDER BY score_ppb DESC, w1, w2""".stripMargin,
+    // independent positional formulation: per-doc word arrays indexed
+    // by LATERAL generate_series, n-grams rebuilt by subscript
+    "ngram_counts" ->
+      """WITH d AS (SELECT string_split(text, ' ') AS ws FROM documents),
+        |uni AS (
+        |  SELECT 1 AS n, ws[i] AS gram FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(d.ws))) AS i)),
+        |bi AS (
+        |  SELECT 2 AS n, ws[i] || ' ' || ws[i + 1] AS gram FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(d.ws) - 1)) AS i)),
+        |tri AS (
+        |  SELECT 3 AS n, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS gram
+        |  FROM d,
+        |    LATERAL (SELECT unnest(generate_series(1, len(d.ws) - 2)) AS i))
+        |SELECT n, gram, count(1) AS cnt
+        |FROM (SELECT * FROM uni UNION ALL SELECT * FROM bi
+        |      UNION ALL SELECT * FROM tri)
+        |GROUP BY 1, 2 HAVING count(1) >= 4
+        |ORDER BY cnt DESC, n, gram LIMIT 100""".stripMargin,
   )
 }

@@ -221,4 +221,29 @@ class SimilaritySpec extends SparkSpec {
     val fp2 = graft.text.TextAnalysis.queries("text_fingerprint")(spark, sf0001).collect()
     assert(fp1.toSeq == fp2.toSeq)
   }
+
+  test("emb_hard_negatives: labels differ and top-1 matches the dense argmax") {
+    val got = Similarity.queries("emb_hard_negatives")(spark, sf0001).collect()
+    assert(got.length == 8)
+    val embs = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("label"), col("embedding")).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    for (r <- got) {
+      val (qid, qlabel) = (r.getAs[Long]("qid"), r.getAs[Int]("qlabel"))
+      assert(r.getAs[Int]("nlabel") != qlabel, s"anchor $qid: label not hard")
+      val q = embs.find(_._1 == qid).get
+      val best = embs.filter(_._2 != qlabel)
+        .map(e => (e._1, cos(q._3, e._3)))
+        .maxBy { case (id, c) => (c, -id.toDouble) }
+      assert(r.getAs[Long]("nid") == best._1,
+        s"anchor $qid: got ${r.getAs[Long]("nid")} want ${best._1}")
+      assert(math.abs(r.getAs[Double]("cos6") - best._2) < 1e-5)
+    }
+  }
 }

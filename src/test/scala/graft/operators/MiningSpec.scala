@@ -203,4 +203,48 @@ class MiningSpec extends SparkSpec {
     val expectTop = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(got.length)
     assert(got.toSeq == expectTop, s"got=${got.toSeq}\nexp=$expectTop")
   }
+
+  test("attribution_linear: scalar per-user walk replay + conservation bound") {
+    val got = Mining.queries("attribution_linear")(spark, sf0001)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("credit_ucents"))).toMap
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+    // the quadratic walk the suffix-sum formulation avoids: on each
+    // purchase, add cents·10⁶ div k to every preceding touch
+    val credit = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    val nTouch = scala.collection.mutable.Map[String, Long]().withDefaultValue(0L)
+    var directN = 0L; var directC = 0L
+    var totalUcents = 0L; var maxLoss = 0L
+    ev.groupBy(_.getAs[Long]("user_id")).foreach { case (_, rs) =>
+      val touches = scala.collection.mutable.ArrayBuffer[String]()
+      rs.sortBy(r => { val t = r.getAs[java.sql.Timestamp]("ts")
+          (t.getTime, t.getNanos, r.getAs[Long]("event_id")) }).foreach { r =>
+        if (r.getAs[String]("event_type") == "purchase") {
+          val uc = r.getAs[Long]("cents") * 1000000L
+          totalUcents += uc
+          if (touches.isEmpty) { directN += 1; directC += uc }
+          else {
+            val share = uc / touches.length
+            touches.foreach(t => credit(t) += share)
+            maxLoss += touches.length // truncation < 1 ucent per touch
+          }
+        } else {
+          nTouch(r.getAs[String]("event_type")) += 1
+          touches += r.getAs[String]("event_type")
+        }
+      }
+    }
+    for ((t, (n, c)) <- got if t != "direct") {
+      assert(n == nTouch(t), s"$t n_events")
+      assert(c == credit(t), s"$t credit")
+    }
+    assert(got("direct") == ((directN, directC)), "direct bucket")
+    // conservation: credited mass + truncation loss recovers the total
+    val credited = got.values.map(_._2).sum
+    assert(credited <= totalUcents && totalUcents - credited < maxLoss.max(1L),
+      s"credited=$credited total=$totalUcents loss bound=$maxLoss")
+  }
 }

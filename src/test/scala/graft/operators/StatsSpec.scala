@@ -128,4 +128,35 @@ class StatsSpec extends SparkSpec {
       assert(perQ.max <= nCust / 2, s"$k skew: $perQ")
     }
   }
+
+  test("ab_test: double-precision Welch t² agrees with the integer identity") {
+    val r = Stats.queries("ab_test")(spark, sf0001).head()
+    // scalar replay: per-user purchase spend, variants via the shared
+    // xorshift bucket, textbook double-precision Welch statistic
+    val ev = graft.Tables.events(spark, sf0001)
+      .select(col("user_id"), col("event_type"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .collect()
+    val spend = ev.groupBy(_.getAs[Long]("user_id")).map { case (uid, rs) =>
+      uid -> rs.filter(_.getAs[String]("event_type") == "purchase")
+        .map(_.getAs[Long]("cents")).sum
+    }
+    def bucket(id: Long): Long = {
+      val m = (id % 1000003L) * 2654435761L
+      (m ^ (m >> 13)) % 1000000L
+    }
+    val (a, b) = spend.partition { case (uid, _) => bucket(uid) < 500000L }
+    assert(r.getAs[Long]("n_a") == a.size && r.getAs[Long]("n_b") == b.size)
+    assert(r.getAs[Long]("mean_a_ucents") ==
+      a.values.map(v => BigInt(v)).sum * 1000000 / a.size)
+    val (ma, mb) = (a.values.sum.toDouble / a.size, b.values.sum.toDouble / b.size)
+    def svar(xs: Iterable[Long], m: Double) =
+      xs.map(x => (x - m) * (x - m)).sum / (xs.size - 1.0)
+    val t2 = (ma - mb) * (ma - mb) /
+      (svar(a.values, ma) / a.size + svar(b.values, mb) / b.size)
+    val t2ppm = r.getAs[Long]("t2_ppm").toDouble
+    assert(math.abs(t2ppm / 1e6 - t2) < 1e-5 * math.max(1.0, t2),
+      s"integer t2_ppm=$t2ppm vs double t2=$t2")
+    assert(r.getAs[Int]("significant") == (if (t2 > 3.8416) 1 else 0))
+  }
 }

@@ -256,4 +256,25 @@ class CorpusOpsSpec extends SparkSpec {
                else sorted(sorted.length / 2 - 1) + sorted(sorted.length / 2)
     assert(r.getAs[Long]("len_med2") == med2)
   }
+
+  test("corpus_forget: census conserves the corpus and the delete rule is exact") {
+    val got = CorpusOps.queries("corpus_forget")(spark, sf0001).collect()
+      .map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("n_kept"), r.getAs[Long]("n_deleted"),
+          r.getAs[Long]("chars_kept"), r.getAs[Long]("chars_deleted"))).toMap
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .collect()
+    val replay = docs.groupBy(_.getAs[String]("lang")).map { case (lang, rs) =>
+      val (del, kept) = rs.partition(r =>
+        r.getAs[Long]("doc_id") % 11 == 0 || r.getAs[String]("source") == "src7")
+      lang -> (kept.length.toLong, del.length.toLong,
+        kept.map(_.getAs[Long]("n_chars")).sum, del.map(_.getAs[Long]("n_chars")).sum)
+    }
+    assert(got == replay, s"got=$got replay=$replay")
+    // something was actually deleted AND kept in every lang bucket
+    assert(got.values.forall { case (k, d, _, _) => k > 0 && d > 0 })
+    // conservation: kept + deleted recovers the whole corpus
+    assert(got.values.map(v => v._1 + v._2).sum == docs.length.toLong)
+  }
 }

@@ -160,4 +160,24 @@ class TextAnalysisSpec extends SparkSpec {
     rows.foreach(r => assert(r.getInt(0) == r.getInt(1),
       s"'${r.getString(2)}': regex=${r.getInt(0)} native=${r.getInt(1)}"))
   }
+
+  test("ngram_counts: scalar recount agrees, threshold and order hold") {
+    val got = TextAnalysis.queries("ngram_counts")(spark, sf0001).collect()
+      .map(r => (r.getAs[Int]("n"), r.getAs[String]("gram"), r.getAs[Long]("cnt")))
+    assert(got.nonEmpty && got.length <= 100)
+    val docs = graft.Tables.documents(spark, sf0001)
+      .select(col("text")).collect().map(_.getString(0))
+    val counts = scala.collection.mutable.Map[(Int, String), Long]()
+      .withDefaultValue(0L)
+    for (t <- docs) {
+      val ws = t.split(" ", -1) // -1 mirrors Spark split (keeps trailing "")
+      for (n <- 1 to 3; i <- 0 to ws.length - n)
+        counts((n, ws.slice(i, i + n).mkString(" "))) += 1
+    }
+    val expect = counts.toSeq.filter(_._2 >= 4)
+      .map { case ((n, g), c) => (n, g, c) }
+      .sortBy { case (n, g, c) => (-c, n, g) }.take(100)
+    assert(got.toSeq == expect, s"first diff: ${
+      got.toSeq.zip(expect).find { case (a, b) => a != b }}")
+  }
 }
