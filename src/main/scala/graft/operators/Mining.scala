@@ -361,17 +361,22 @@ object Mining {
             expr("(cents * 1000000L) div k")).otherwise(lit(0L)))
         .withColumn("credit", sum(col("share"))
           .over(ordered.rowsBetween(1, Window.unboundedFollowing)))
-      val touches = flagged.filter(col("event_type") =!= "purchase")
-        .groupBy(col("event_type").as("attributed_type"))
-        .agg(count(lit(1)).as("n_events"),
-          sum(coalesce(col("credit"), lit(0L))).as("credit_ucents"))
-      val direct = flagged
-        .filter(col("event_type") === "purchase" && col("k") === 0)
-        .agg(count(lit(1)).as("n_events"),
-          coalesce(sum(col("cents") * 1000000L), lit(0L)).as("credit_ucents"))
-        .select(lit("direct").as("attributed_type"),
-          col("n_events"), col("credit_ucents"))
-      touches.unionByName(direct).orderBy(col("attributed_type"))
+      // one pass: touches carry their suffix-sum credit, zero-touch
+      // purchases fold into the 'direct' bucket, credited purchases
+      // (attributed_type NULL) drop — no union, so the log is scanned
+      // and user-sorted ONCE (the union form paid both twice)
+      flagged
+        .select(
+          when(col("event_type") =!= "purchase", col("event_type"))
+            .otherwise(when(col("k") === 0, lit("direct")))
+            .as("attributed_type"),
+          when(col("event_type") =!= "purchase",
+            coalesce(col("credit"), lit(0L)))
+            .otherwise(col("cents") * 1000000L).as("uc"))
+        .filter(col("attributed_type").isNotNull)
+        .groupBy(col("attributed_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("uc")).as("credit_ucents"))
+        .orderBy(col("attributed_type"))
     }),
   )
 
@@ -479,15 +484,16 @@ object Mining {
         |      PARTITION BY user_id ORDER BY ts, event_id
         |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS credit
         |  FROM sh)
-        |SELECT attributed_type, n_events, credit_ucents FROM (
-        |  SELECT event_type AS attributed_type, count(1) AS n_events,
-        |    CAST(sum(coalesce(credit, 0)) AS BIGINT) AS credit_ucents
-        |  FROM cr WHERE event_type <> 'purchase' GROUP BY 1
-        |  UNION ALL
-        |  SELECT 'direct', count(1),
-        |    CAST(coalesce(sum(cents * 1000000), 0) AS BIGINT)
-        |  FROM cr WHERE event_type = 'purchase' AND k = 0)
-        |ORDER BY attributed_type""".stripMargin,
+        |SELECT attributed_type, count(1) AS n_events,
+        |  CAST(sum(uc) AS BIGINT) AS credit_ucents
+        |FROM (
+        |  SELECT CASE WHEN event_type <> 'purchase' THEN event_type
+        |              WHEN k = 0 THEN 'direct' END AS attributed_type,
+        |         CASE WHEN event_type <> 'purchase' THEN coalesce(credit, 0)
+        |              ELSE cents * 1000000 END AS uc
+        |  FROM cr)
+        |WHERE attributed_type IS NOT NULL
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical cap (first 8 distinct parts by id), identical support
     "basket_pairs" ->
       """WITH it AS (

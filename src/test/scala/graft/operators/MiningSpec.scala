@@ -241,7 +241,8 @@ class MiningSpec extends SparkSpec {
       assert(n == nTouch(t), s"$t n_events")
       assert(c == credit(t), s"$t credit")
     }
-    assert(got("direct") == ((directN, directC)), "direct bucket")
+    if (directN > 0) assert(got("direct") == ((directN, directC)), "direct bucket")
+    else assert(!got.contains("direct"), "phantom direct bucket")
     // conservation: credited mass + truncation loss recovers the total
     val credited = got.values.map(_._2).sum
     assert(credited <= totalUcents && totalUcents - credited < maxLoss.max(1L),
