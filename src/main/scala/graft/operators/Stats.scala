@@ -235,11 +235,17 @@ object Stats {
         .groupBy(col("variant"))
         .agg(count(lit(1)).as("n"), sum(col("spend")).as("ss"),
           sum(col("spend") * col("spend")).as("qq"))
-      val a = v.filter(col("variant") === "A")
-        .select(col("n").as("n_a"), col("ss").as("s_a"), col("qq").as("q_a"))
-      val b = v.filter(col("variant") === "B")
-        .select(col("n").as("n_b"), col("ss").as("s_b"), col("qq").as("q_b"))
-      a.crossJoin(broadcast(b))
+      // fold the 2-row variant frame into one wide row by conditional
+      // aggregation — a filter-per-variant + cross join would recompute
+      // the whole user aggregation subtree once per side
+      val ab = v.agg(
+        sum(when(col("variant") === "A", col("n"))).as("n_a"),
+        sum(when(col("variant") === "A", col("ss"))).as("s_a"),
+        sum(when(col("variant") === "A", col("qq"))).as("q_a"),
+        sum(when(col("variant") === "B", col("n"))).as("n_b"),
+        sum(when(col("variant") === "B", col("ss"))).as("s_b"),
+        sum(when(col("variant") === "B", col("qq"))).as("q_b"))
+      ab
         .selectExpr("n_a", "n_b", "s_a", "s_b",
           "CAST(s_a AS DECIMAL(38,0))*n_b - CAST(s_b AS DECIMAL(38,0))*n_a AS diff",
           "CAST(n_a AS DECIMAL(38,0))*q_a - CAST(s_a AS DECIMAL(38,0))*s_a AS va",
