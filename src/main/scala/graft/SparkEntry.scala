@@ -59,6 +59,7 @@ object SparkEntry {
       graft.plans.RangeJoin.queries ++
       graft.ann.Ivf.queries ++
       graft.ann.Pq.queries ++
+      graft.ann.Pca.queries ++
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries ++
@@ -93,6 +94,7 @@ object SparkEntry {
       graft.functions.Custom.oracle ++
       graft.plans.AsOfJoin.oracle ++
       graft.plans.RangeJoin.oracle ++
+      graft.ann.Pca.oracle ++
       graft.ann.KMeans.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle ++

@@ -1,0 +1,118 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed top-principal-direction extraction over the embedding
+  * corpus — the profiling op behind embedding whitening, anisotropy
+  * diagnosis ("all-but-the-top"), and drift detection on representation
+  * spaces. Two power-iteration rounds v ← normalize(QᵀQ·v), computed
+  * WITHOUT ever materializing the d×d covariance or an n·d² self-join:
+  * each round is
+  *
+  *   1. s_r = ⟨q_r, v⟩ per row — in-row array arithmetic against the
+  *      broadcast 1-row vector frame (zero shuffle);
+  *   2. u_j = Σ_r q_rj·s_r — one posexplode + (j)-keyed hash agg with
+  *      map-side partials: the ONLY shuffle, n·d rows in, d rows out;
+  *   3. v'_j = sign(u_j)·(|u_j|·1024 div max|u|) — max-norm rescale to
+  *      the ±2¹⁰ grid from a broadcast 1-row max (sign-explicit so the
+  *      truncating division never touches a negative operand — Spark
+  *      `div` and DuckDB `//` agree only there).
+  *
+  * Exactness discipline = the emb_kmeans grid: inputs quantize once to
+  * q = ⌊x·1024⌋ (exact IEEE op), then every product/sum/div is BIGINT —
+  * bit-identical cross-engine and partitioning-independent, so the
+  * DuckDB oracle replays both unrolled iterations exactly. Headroom:
+  * |u| ≤ n·d·2²⁰ per round (~2⁴⁷ at 10⁸ rows·64 dims); the rescale's
+  * |u|·1024 adds 10 bits — past ~10¹² rows carry step 2 in
+  * DECIMAL(38,0), same shape.
+  *
+  * Output: the first 8 components of both normalized iterates plus the
+  * max-norm Rayleigh ratio λ̂ = max|u₂| div 1024 (v₁ is max-normed to
+  * 1024, so the ratio is the eigenvalue estimate in grid² units).
+  *
+  * Reference context: the reference engine has no linear-algebra surface
+  * at all (SURVEY.md §2.2) — this is north-star pipeline coverage, same
+  * family as emb_kmeans/emb_centroid (ann/KMeans.scala).
+  */
+object Pca {
+
+  private def quantized(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 1024).cast("long")).as("q"))
+
+  /** One power-iteration round: embeddings (vec_id, q) × 1-row (v array)
+    * frame → d-row (j, u) frame of unnormalized components. */
+  private def round(e: DataFrame, vFrame: DataFrame): DataFrame =
+    e.crossJoin(broadcast(vFrame))
+      .withColumn("s", aggregate(
+        zip_with(col("q"), col("v"), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x))
+      .select(posexplode(col("q")).as(Seq("j", "qj")), col("s"))
+      .groupBy(col("j")).agg(sum(col("qj") * col("s")).as("u"))
+
+  /** Max-norm rescale of a d-row (j, u) frame to the ±1024 grid;
+    * sign-explicit truncating division (both operands positive). */
+  private def normalized(u: DataFrame): DataFrame =
+    u.crossJoin(broadcast(u.agg(max(abs(col("u"))).as("m"))))
+      .selectExpr("j",
+        """CASE WHEN u >= 0 THEN (u * 1024) div m
+          |ELSE -(((-u) * 1024) div m) END AS v""".stripMargin)
+
+  /** d-row (j, v) frame → broadcastable 1-row array frame (d ≤ a few
+    * thousand; the struct sort makes collect_list order-deterministic). */
+  private def asArray(v: DataFrame): DataFrame =
+    v.agg(transform(sort_array(collect_list(struct(col("j"), col("v")))),
+      s => s.getField("v")).as("v"))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "emb_pca_power" -> ((s, d) => {
+      val e = quantized(s, d)
+      // v0 = all-ones (dim taken from the data, no hardcoded d)
+      val v0 = e.limit(1).select(transform(col("q"), _ => lit(1L)).as("v"))
+      val v1 = normalized(round(e, v0))
+      val u2 = round(e, asArray(v1))
+      val lambda = u2.agg(max(abs(col("u"))).as("m"))
+        .selectExpr("m div 1024 AS lambda_grid")
+      normalized(u2).withColumnRenamed("v", "v2_scaled")
+        .join(v1.withColumnRenamed("v", "v1_scaled"), "j")
+        .crossJoin(broadcast(lambda))
+        .filter(col("j") < 8)
+        .select(col("j"), col("v1_scaled"), col("v2_scaled"), col("lambda_grid"))
+        .orderBy(col("j"))
+    }),
+  )
+
+  def oracle: Map[String, String] = Map(
+    // both unrolled iterations replayed on the same 2^-10 grid;
+    // generate_subscripts is 1-based → j-1 aligns with posexplode
+    "emb_pca_power" ->
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS j,
+        |    CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1024) AS BIGINT)
+        |      AS qv
+        |  FROM embeddings),
+        |s1 AS (SELECT vec_id, CAST(sum(qv) AS BIGINT) AS s
+        |       FROM q GROUP BY 1),
+        |u1 AS (SELECT j, CAST(sum(qv * s) AS BIGINT) AS u
+        |       FROM q JOIN s1 USING (vec_id) GROUP BY 1),
+        |m1 AS (SELECT max(abs(u)) AS m FROM u1),
+        |v1 AS (SELECT j, CASE WHEN u >= 0 THEN (u * 1024) // m
+        |                 ELSE -(((-u) * 1024) // m) END AS v
+        |       FROM u1 CROSS JOIN m1),
+        |s2 AS (SELECT vec_id, CAST(sum(qv * v) AS BIGINT) AS s
+        |       FROM q JOIN v1 USING (j) GROUP BY 1),
+        |u2 AS (SELECT j, CAST(sum(qv * s) AS BIGINT) AS u
+        |       FROM q JOIN s2 USING (vec_id) GROUP BY 1),
+        |m2 AS (SELECT max(abs(u)) AS m FROM u2),
+        |v2 AS (SELECT j, CASE WHEN u >= 0 THEN (u * 1024) // m
+        |                 ELSE -(((-u) * 1024) // m) END AS v
+        |       FROM u2 CROSS JOIN m2)
+        |SELECT CAST(v1.j AS INT) AS j, v1.v AS v1_scaled, v2.v AS v2_scaled,
+        |  (SELECT m // 1024 FROM m2) AS lambda_grid
+        |FROM v1 JOIN v2 USING (j)
+        |WHERE v1.j < 8 ORDER BY v1.j""".stripMargin,
+  )
+}
