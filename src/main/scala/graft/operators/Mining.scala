@@ -345,8 +345,11 @@ object Mining {
     // exactly the suffix sum of s over the rows after it — two frames
     // (preceding-count, following-sum) on ONE user-keyed sort, the same
     // shuffle shape as attribution_last_touch. Integer micro-cents with
-    // truncating div (positive operands, so Spark div ≡ DuckDB //);
-    // the < k·10⁻⁶-cent rounding loss per purchase is pinned by spec.
+    // sign-explicit truncating division: Spark's div truncates toward
+    // zero while DuckDB's // floors, so a negative value (refund) would
+    // silently diverge between engines — both sides therefore compute
+    // sign(cents)·(|cents|·10⁶ div k), identical on every input. The
+    // < k·10⁻⁶-cent rounding loss per purchase is pinned by spec.
     "attribution_linear" -> ((s, d) => {
       val ev = Tables.events(s, d).select(col("user_id"), col("ts"),
         col("event_id"), col("event_type"),
@@ -358,7 +361,9 @@ object Mining {
           .over(ordered.rowsBetween(Window.unboundedPreceding, -1)))
         .withColumn("share",
           when(col("event_type") === "purchase" && col("k") > 0,
-            expr("(cents * 1000000L) div k")).otherwise(lit(0L)))
+            expr("""CASE WHEN cents >= 0 THEN (cents * 1000000L) div k
+                   |ELSE -((-cents * 1000000L) div k) END""".stripMargin))
+            .otherwise(lit(0L)))
         .withColumn("credit", sum(col("share"))
           .over(ordered.rowsBetween(1, Window.unboundedFollowing)))
       // one pass: touches carry their suffix-sum credit, zero-touch
@@ -477,7 +482,9 @@ object Mining {
         |  FROM ev),
         |sh AS (
         |  SELECT *, CASE WHEN event_type = 'purchase' AND k > 0
-        |      THEN (cents * 1000000) // k ELSE 0 END AS share
+        |      THEN CASE WHEN cents >= 0 THEN (cents * 1000000) // k
+        |           ELSE -((-cents * 1000000) // k) END
+        |      ELSE 0 END AS share
         |  FROM fl),
         |cr AS (
         |  SELECT *, sum(share) OVER (

@@ -65,8 +65,9 @@ import graft.Tables
   *    moments via the cross-multiplied all-integer identity
   *    t² = (SₐN_b−S_bNₐ)²(Nₐ−1)(N_b−1) /
   *    [(NₐQₐ−Sₐ²)N_b²(N_b−1) + (N_bQ_b−S_b²)Nₐ²(Nₐ−1)] with the >2⁶³
-  *    products in DECIMAL(38,0)/HUGEINT (the `feature_corr`
-  *    discipline) — no float op, bit-identical cross-engine. Plan: one
+  *    products AND the mean numerators S·10⁶ in DECIMAL(38,0)/HUGEINT
+  *    (the `feature_corr` discipline) — no float op, no BIGINT wrap at
+  *    any corpus size, bit-identical cross-engine. Plan: one
   *    user-keyed agg, one 2-row variant agg, a 1-row crossed readout —
   *    count(*)-class cost at any corpus size.
   */
@@ -246,13 +247,21 @@ object Stats {
         sum(when(col("variant") === "B", col("ss"))).as("s_b"),
         sum(when(col("variant") === "B", col("qq"))).as("q_b"))
       ab
+        // an empty variant leaves one all-NULL conditional-agg row while
+        // the oracle's A×B self-join emits zero rows — drop it so both
+        // engines agree on the degenerate shape too
+        .filter(col("n_a").isNotNull && col("n_b").isNotNull)
         .selectExpr("n_a", "n_b", "s_a", "s_b",
           "CAST(s_a AS DECIMAL(38,0))*n_b - CAST(s_b AS DECIMAL(38,0))*n_a AS diff",
           "CAST(n_a AS DECIMAL(38,0))*q_a - CAST(s_a AS DECIMAL(38,0))*s_a AS va",
           "CAST(n_b AS DECIMAL(38,0))*q_b - CAST(s_b AS DECIMAL(38,0))*s_b AS vb")
+        // mean numerators through DECIMAL(38,0) like the crossed t²
+        // products: s·10⁶ in BIGINT wraps past ~9.2e12 total variant
+        // cents (~$92B) while DuckDB raises — DECIMAL keeps the engines
+        // bit-identical at any corpus size (div on decimals → BIGINT)
         .selectExpr("n_a", "n_b",
-          "(s_a * 1000000L) div n_a AS mean_a_ucents",
-          "(s_b * 1000000L) div n_b AS mean_b_ucents",
+          "CAST(CAST(s_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT) AS mean_a_ucents",
+          "CAST(CAST(s_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT) AS mean_b_ucents",
           """CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
             |ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
             |  div (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)
@@ -423,8 +432,8 @@ object Stats {
         |  FROM ab),
         |r AS (
         |  SELECT n_a, n_b,
-        |    (s_a * 1000000) // n_a AS mean_a_ucents,
-        |    (s_b * 1000000) // n_b AS mean_b_ucents,
+        |    CAST(CAST(s_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS mean_a_ucents,
+        |    CAST(CAST(s_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS mean_b_ucents,
         |    CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
         |    ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
         |      // (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)

@@ -248,4 +248,28 @@ class MiningSpec extends SparkSpec {
     assert(credited <= totalUcents && totalUcents - credited < maxLoss.max(1L),
       s"credited=$credited total=$totalUcents loss bound=$maxLoss")
   }
+
+  test("attribution_linear: negative cents (refund) truncate toward zero") {
+    import spark.implicits._
+    // a -0.01 refund split across 3 touches forces the rounding-mode
+    // divergence: trunc-toward-zero gives -333333 per touch, floor
+    // gives -333334 — the sign-explicit form must yield the former on
+    // BOTH engines (the oracle SQL mirrors the same CASE)
+    val dir = java.nio.file.Files.createTempDirectory("attr_neg").toString
+    def t(sec: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d")
+    Seq(
+      (1L, t(1), 1L, "view", 0.0, ""),
+      (2L, t(2), 1L, "click", 0.0, ""),
+      (3L, t(3), 1L, "view", 0.0, ""),
+      (4L, t(4), 1L, "purchase", -0.01, ""),   // refund, k = 3
+      (5L, t(1), 2L, "purchase", -1.00, ""))   // zero-touch refund
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = Mining.queries("attribution_linear")(spark, dir)
+      .collect().map(r => r.getAs[String]("attributed_type") ->
+        (r.getAs[Long]("n_events"), r.getAs[Long]("credit_ucents"))).toMap
+    assert(got("view") == ((2L, -666666L)), s"view: ${got.get("view")}")
+    assert(got("click") == ((1L, -333333L)), s"click: ${got.get("click")}")
+    assert(got("direct") == ((1L, -100000000L)), s"direct: ${got.get("direct")}")
+  }
 }

@@ -159,4 +159,24 @@ class StatsSpec extends SparkSpec {
       s"integer t2_ppm=$t2ppm vs double t2=$t2")
     assert(r.getAs[Int]("significant") == (if (t2 > 3.8416) 1 else 0))
   }
+
+  test("ab_test: an empty variant yields zero rows, matching the oracle join") {
+    import spark.implicits._
+    // pick user ids that ALL hash to variant A via the shared bucket —
+    // the conditional aggregation then produces NULL B-side moments and
+    // must DROP the row (the oracle's A×B self-join emits none)
+    def bucket(id: Long): Long = {
+      val m = (id % 1000003L) * 2654435761L
+      (m ^ (m >> 13)) % 1000000L
+    }
+    val aOnly = (1L to 500L).filter(bucket(_) < 500000L).take(5)
+    assert(aOnly.size == 5)
+    val dir = java.nio.file.Files.createTempDirectory("ab_empty").toString
+    aOnly.zipWithIndex.map { case (uid, i) =>
+      (i.toLong, java.sql.Timestamp.valueOf("2024-01-01 00:00:01"),
+        uid, "purchase", 1.0, "")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    assert(Stats.queries("ab_test")(spark, dir).count() == 0L)
+  }
 }
