@@ -148,14 +148,22 @@ object Similarity {
     * ≤ 1e-8 (pairs above tau miss even less). Deterministic given (n,
     * tau).
     *
-    * Bucket-size target is 16 docs (`n / 2^bits ≈ 16`): candidate volume
+    * Bucket-size target is 2 docs (`n / 2^bits ≈ 2`): candidate volume
     * per band is `n · bucket/2`, so the target multiplies the whole
-    * scoring stage. 64 was measurably too lax — at the sf1 rehearsal
-    * (n = 40k) it produced avg buckets of 39 and 15M candidate pairs,
-    * scaling the query 18.5× for 10× data; 16 keeps the pair volume
-    * ~n·8·bands. Bits are capped at 24 (16M buckets ≈ corpora of 270M
-    * vectors at the target) — the key is a single long, so the cap is
-    * policy, not representation.
+    * scoring stage — the dominant cost, because every candidate pair is
+    * shuffled through TWO corpus joins in the scorer. The target has been
+    * ratcheted down by scale rehearsals: 64 produced bucket² blowup at
+    * sf1 (15M candidates at n = 40k, 18.5× for 10× data); 16 held at sf1
+    * but went super-linear at the sf10 (×100) rehearsal — bands grow with
+    * bits ≈ log₂(n), so candidates ≈ n·8·bands grew 169× for 100× data
+    * (280 s). At 2 the scoring volume is ~n·bands while the extra bands
+    * the recall bound then needs (+20% at n = 400k) land on the CHEAP
+    * linear banding scan — buckets this small cost nothing because
+    * singleton buckets are filtered before pair generation. Bits are
+    * capped at 24 (16M buckets) — the key is a single long, so the cap is
+    * policy, not representation; past the cap bucket size grows with n
+    * again, which is the correct degradation (scoring stays the designed
+    * shuffle-bound regime).
     *
     * Bands are capped at [[MaxSrpBands]]: the 1e-8 bound explodes for low
     * tau (tau=0.9/bits=16 needs ~211 bands, tau=0.8 ~712 — hundreds of
@@ -165,7 +173,7 @@ object Similarity {
     * recall should lower `bits` instead, trading bucket size for bands. */
   def srpParams(n: Long, tau: Double): (Int, Int) = {
     val bits = math.max(8, math.min(24,
-      math.ceil(math.log(math.max(n, 1L) / 16.0) / math.log(2.0)).toInt))
+      math.ceil(math.log(math.max(n, 1L) / 2.0) / math.log(2.0)).toInt))
     val pPlane = 1.0 - math.acos(tau) / math.Pi // P[one hyperplane agrees]
     val pBand = math.pow(pPlane, bits)
     val bands0 = math.max(4,

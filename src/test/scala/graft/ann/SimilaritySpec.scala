@@ -141,7 +141,10 @@ class SimilaritySpec extends SparkSpec {
 
   test("srpParams: bits scales with log2(n), bands bounds the miss rate") {
     val (bandsSmall, bitsSmall) = Similarity.srpParams(1000L, 0.99)
-    assert(bitsSmall == 8 && bandsSmall == 16) // the sf0.01 query config
+    assert(bitsSmall == 9 && bandsSmall == 18) // 2-doc bucket target
+    // the sf0.01 query config (n = 400 augmented): the 8-bit floor binds
+    val (bandsGate, bitsGate) = Similarity.srpParams(400L, 0.99)
+    assert(bitsGate == 8 && bandsGate == 16)
     val (bandsBig, bitsBig) = Similarity.srpParams(100000L, 0.99)
     assert(bitsBig > bitsSmall)   // buckets stay small as n grows
     assert(bandsBig >= bandsSmall) // recall bound maintained
