@@ -164,12 +164,24 @@ object Dedup {
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d, k = 32, bands = 8, tau = 0.6)),
 
     // SimHash near-dup: hamming distance ≤ 6 on 64-bit signatures.
-    // Banded buckets: 8 bands × 8 bits — by pigeonhole any pair with
-    // hamming ≤ 7 shares at least one untouched band, so recall at the
-    // d≤6 filter is total. (At cluster scale prefer 4×16 bands — smaller
-    // buckets — accepting the d≤3 guarantee, or multi-probe the bands.)
+    // Banded buckets over PAIRS of the 8 8-bit blocks: d ≤ 6 bit errors
+    // touch at most 6 blocks, so ≥ 2 blocks are untouched and the pair
+    // agrees on that specific block-combination's concatenated 16-bit
+    // key — recall at the d≤6 filter is total over the C(8,2) = 28
+    // combos, exactly the single-band pigeonhole upgraded one level.
+    // Why combos: single 8-bit bands have only 256 buckets, so random
+    // (non-dup) bucket collisions grow as n²/256 per band — 15.6G
+    // hamming evaluations at the sf10 rehearsal (1M docs, 163 s). The
+    // 16-bit combo keys give 65536 buckets: 3.5× more posting rows
+    // (28/doc vs 8) but ~73× fewer random candidates at 1M docs; the
+    // output set is unchanged (both schemes emit exactly the hamming≤6
+    // pairs), so the DuckDB single-band replay oracle still matches
+    // bit-for-bit. Asymptotically candidates are still n²/2¹⁶-shaped —
+    // inherent to exact-recall banding of a fixed 64-bit signature —
+    // but the onset moves two orders of magnitude out; past that,
+    // accept the d≤3 guarantee with C(8,4)=70 32-bit combos.
     "dedup_simhash" -> ((s, d) => {
-      // Grouped-postings per (band, key) bucket — each bucket's
+      // Grouped-postings per (combo, key) bucket — each bucket's
       // (doc_id, sig) members become one sorted struct array (sorted by
       // doc_id, the struct's leading field), pairs stream out of
       // codegen'd generators with id_a < id_b by construction, and the
@@ -179,9 +191,12 @@ object Dedup {
       // banded frame with one hash aggregation.
       val docs = docsWithNearDups(s, d)
         .withColumn("sig", SignatureExprs.simhash64Fast(col("text")))
+      val combos = for { i <- 0 until 8; j <- i + 1 until 8 } yield
+        shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))
+          .bitwiseOR(shiftleft(
+            shiftright(col("sig"), j * 8).bitwiseAND(lit(0xFFL)), 8))
       val posts = docs.select(col("doc_id"), col("sig"),
-        posexplode(array((0 until 8).map(i =>
-          shiftright(col("sig"), i * 8).bitwiseAND(lit(0xFFL))): _*)).as(Seq("band", "key")))
+        posexplode(array(combos: _*)).as(Seq("band", "key")))
         .groupBy(col("band"), col("key"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
         .filter(size(col("ms")) >= 2)
