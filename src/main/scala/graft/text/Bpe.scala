@@ -1,9 +1,10 @@
 package graft.text
 
 import scala.collection.concurrent.TrieMap
+import scala.collection.mutable
 import scala.collection.mutable.ListBuffer
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -11,38 +12,41 @@ import graft.Tables
 /** Byte-pair-encoding merge training — the tokenizer-training pass of an
   * LLM data pipeline (Sennrich et al. 2016), expressed corpus-scale.
   *
-  * The key scale property: after ONE corpus pass (token explode → word
-  * count, the same vocab-bounded aggregation `tokenize_ids` uses), every
-  * merge round runs on the word-count table only — pair counting, argmax
-  * selection and the in-word merge are all vocab-bounded, so training
-  * cost is independent of corpus row count beyond the first scan. This
-  * is exactly how production BPE trainers work (count words once, then
-  * iterate on the counts), here as Catalyst plans end to end:
+  * Two-phase shape, exactly how production BPE trainers work:
   *
-  *  - pair counts: in-row zip of each word's symbol array with its own
-  *    tail (no join), exploded and hash-aggregated with map-side combine
-  *    — shuffle rows ≤ distinct adjacent pairs, not corpus tokens;
-  *  - best pair: `TakeOrderedAndProject` over the pair frame (count
-  *    desc, then lexicographic — fully deterministic tie-break);
-  *  - merge: a LEFT-TO-RIGHT greedy fold over each word's symbol array
-  *    (`aggregate`: append, or replace the accumulator's last element
-  *    when (last, current) equals the chosen pair). Left-to-right
-  *    greediness matches reference BPE — "a a a" under merge (a,a)
-  *    becomes [aa, a], never [a, aa]. The chosen pair reaches the fold
-  *    as a broadcast 1-row crossJoin, so no driver round-trip sits
-  *    between rounds.
+  *  1. **Distributed corpus pass** — token explode → word count (the
+  *     same vocab-bounded aggregation `tokenize_ids` uses). This is the
+  *     only stage that touches corpus rows; at 100 TB it is the scan +
+  *     one uniform-keyed shuffle with map-side combine.
+  *  2. **Single-task merge loop** — the counted vocabulary (one row per
+  *     DISTINCT word: bounded by the language, not the corpus — ~10M
+  *     rows at web scale, MBs) is repartitioned to one task that runs
+  *     all R merge rounds locally: pair counting, argmax selection
+  *     (count desc, then UTF-8-byte lexicographic — the exact ordering
+  *     Spark and DuckDB give strings — as tie-break), and the greedy
+  *     LEFT-TO-RIGHT in-word merge ("a a a" under merge (a,a) becomes
+  *     [aa, a], never [a, aa], matching reference BPE).
   *
-  * Each round's word frame is cached (vocab-sized, KB): round r's plan
-  * is consumed twice (pair counting for round r+1 AND the next merge),
-  * and without the cache the lineage re-executes 2^R times. [[clearCache]]
-  * evicts, wired into Bench/Verify like the other module caches.
+  * Why the merge loop is deliberately NOT a Catalyst plan: the rounds
+  * are inherently sequential (round r+1's pair counts depend on round
+  * r's merge), and each round's global argmax forces a job boundary —
+  * as unrolled Column trees the 6 rounds cost ~3 scheduler round-trips
+  * each (pair-count job, top-1, broadcast) on a KB-sized frame, 9.2 s
+  * of pure latency at sf0.1 (measured round 7; the corpus pass itself
+  * is ~1 s). Production trainers (SentencePiece, HF tokenizers) draw
+  * the same boundary: count distributed, merge locally on the counts.
+  * The loop stays OFF the driver — it runs inside one executor task,
+  * so the plan remains a single Spark job and the driver never holds
+  * the vocabulary.
   *
   * The DuckDB oracle replays all R rounds bit-for-bit: the same zip /
   * count / ORDER BY ... LIMIT 1 selection, and the merge as a
   * double-space-join + `replace` on ' lhs  rhs ' — string replace scans
   * left-to-right over non-overlapping occurrences, which is exactly the
-  * greedy fold's semantics (each pair occurrence owns its two boundary
+  * greedy merge's semantics (each pair occurrence owns its two boundary
   * spaces, so an overlapping second occurrence cannot re-match).
+  * BpeSpec additionally pins the result against an independent
+  * plain-Scala reference trainer.
   *
   * Reference scope: the reference engine has no tokenizer surface
   * (/root/reference/src/QueryProcessor1.java — string columns are only
@@ -54,66 +58,114 @@ object Bpe {
   /** Unrolled merge rounds (mirrored by the oracle). */
   val Rounds = 6
 
-  /** Word → character symbols, positionally (explicit substr walk so the
-    * oracle's `w[i:i]` walk is the same expression shape). */
-  private def charSyms(w: Column): Column =
-    transform(sequence(lit(1), length(w)), i => w.substr(i, lit(1)))
+  /** One trained merge: round number, the merged pair, its count at
+    * selection time, and the fused symbol. */
+  case class Merge(
+      merge_round: Int, lhs: String, rhs: String, pair_n: Long,
+      merged: String)
 
-  /** One greedy left-to-right merge pass of (lhs, rhs) over a symbol
-    * array: fold that appends, or fuses the accumulator's last element
-    * with the current one when they equal the chosen pair. */
-  private def mergePass(syms: Column, lhs: Column, rhs: Column): Column =
-    aggregate(
-      syms,
-      array().cast("array<string>"),
-      (acc, x) =>
-        when(size(acc) > 0 && element_at(acc, -1) === lhs && x === rhs,
-          concat(slice(acc, lit(1), size(acc) - 1), array(concat(lhs, rhs))))
-          .otherwise(concat(acc, array(x))))
+  /** Unsigned UTF-8 byte comparison — Spark's UTF8String ordering and
+    * DuckDB's default collation; Scala's String ordering (UTF-16 units)
+    * differs above the BMP, so the tie-break must not use it. */
+  private[text] def u8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
 
-  /** (round, lhs, rhs, pair_n, merged) — the trained merge table. */
+  /** Word → per-code-point symbols (the oracle's `w[i:i]` walk). */
+  private[text] def charSyms(w: String): Array[String] = {
+    val buf = mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < w.length) {
+      val cc = Character.charCount(w.codePointAt(i))
+      buf += w.substring(i, i + cc)
+      i += cc
+    }
+    buf.toArray
+  }
+
+  /** The merge loop over a word-count iterator: R rounds of pair
+    * counting / argmax / greedy left-to-right merge. Stops early when no
+    * adjacent pair remains (tiny corpora). Order-independent in its
+    * input (counts are summed), so the repartition(1) shuffle's
+    * nondeterministic row order cannot affect the result. */
+  private[text] def mergeRounds(
+      it: Iterator[(String, Long)], rounds: Int): Iterator[Merge] = {
+    var words: Array[(Array[String], Long)] =
+      it.map { case (w, n) => (charSyms(w), n) }.toArray
+    val out = mutable.ArrayBuffer.empty[Merge]
+    var r = 1
+    var exhausted = false
+    while (r <= rounds && !exhausted) {
+      val counts = mutable.HashMap.empty[(String, String), Long]
+      for ((syms, n) <- words) {
+        var i = 0
+        while (i < syms.length - 1) {
+          val k = (syms(i), syms(i + 1))
+          counts.update(k, counts.getOrElse(k, 0L) + n)
+          i += 1
+        }
+      }
+      if (counts.isEmpty) exhausted = true
+      else {
+        var best: ((String, String), Long) = null
+        for (e <- counts) {
+          if (best == null || e._2 > best._2 ||
+            (e._2 == best._2 && (u8Less(e._1._1, best._1._1) ||
+              (e._1._1 == best._1._1 && u8Less(e._1._2, best._1._2)))))
+            best = e
+        }
+        val ((lhs, rhs), cnt) = best
+        val fused = lhs + rhs
+        words = words.map { case (syms, n) =>
+          val acc = mutable.ArrayBuffer.empty[String]
+          for (x <- syms) {
+            if (acc.nonEmpty && acc.last == lhs && x == rhs)
+              acc(acc.length - 1) = fused
+            else acc += x
+          }
+          (acc.toArray, n)
+        }
+        out += Merge(r, lhs, rhs, cnt, fused)
+        r += 1
+      }
+    }
+    out.iterator
+  }
+
+  /** (merge_round, lhs, rhs, pair_n, merged) — the trained merge table:
+    * one distributed word-count job, then the merge loop in one executor
+    * task over the vocab-bounded counts (repartition(1) AFTER the
+    * aggregation, so the count itself keeps full parallelism). */
   private def train(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
-    var words = wc
-      .select(charSyms(col("w")).as("syms"), col("n"))
-      .cache()
-    cached += words
-    val bests = (1 to Rounds).map { r =>
-      val pairs = words
-        .select(col("n"),
-          explode(zip_with(
-            slice(col("syms"), lit(1), greatest(size(col("syms")) - 1, lit(0))),
-            slice(col("syms"), lit(2), greatest(size(col("syms")) - 1, lit(0))),
-            (a, b) => struct(a.as("lhs"), b.as("rhs")))).as("p"))
-        .groupBy(col("p.lhs").as("lhs"), col("p.rhs").as("rhs"))
-        .agg(sum(col("n")).as("pair_n"))
-      val best = pairs
-        .orderBy(col("pair_n").desc, col("lhs"), col("rhs"))
-        .limit(1)
-        .cache()
-      cached += best
-      words = words
-        .crossJoin(broadcast(best.select(col("lhs"), col("rhs"))))
-        .select(mergePass(col("syms"), col("lhs"), col("rhs")).as("syms"),
-          col("n"))
-        .cache()
-      cached += words
-      best.withColumn("merge_round", lit(r))
-    }
-    bests.reduce((a, b) => a.unionByName(b))
-      .select(col("merge_round"), col("lhs"), col("rhs"), col("pair_n"),
-        concat(col("lhs"), col("rhs")).as("merged"))
+      .as[(String, Long)]
+    val rounds = Rounds
+    val res = wc.repartition(1)
+      .mapPartitions(it => mergeRounds(it, rounds))
+      .toDF()
       .orderBy(col("merge_round"))
+      .cache()
+    cached += res
+    res
   }
 
   private val memo =
     TrieMap[(SparkSession, String), DataFrame]()
   private val cached = ListBuffer[DataFrame]()
 
-  /** Evict the per-round cached word frames; the next call retrains. */
+  /** Evict the cached merge table; the next call retrains. */
   def clearCache(): Unit = synchronized {
     cached.foreach(_.unpersist(blocking = false))
     cached.clear()
