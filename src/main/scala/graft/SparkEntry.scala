@@ -57,8 +57,7 @@ object SparkEntry {
       graft.functions.Custom.queries ++
       graft.plans.AsOfJoin.queries ++
       graft.plans.RangeJoin.queries ++
-      graft.ann.Ivf.queries ++
-      graft.ann.Pq.queries ++
+      graft.ann.FixedPointAnn.queries ++
       graft.ann.Pca.queries ++
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
@@ -96,6 +95,7 @@ object SparkEntry {
       graft.plans.RangeJoin.oracle ++
       graft.ann.Pca.oracle ++
       graft.ann.KMeans.oracle ++
+      graft.ann.FixedPointAnn.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle ++
       graft.pipeline.Incremental.oracle ++

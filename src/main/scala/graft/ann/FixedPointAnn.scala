@@ -1,0 +1,393 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-exact IVF / PQ / IVF-PQ approximate-nearest-neighbor search on
+  * the 2⁻¹⁰ fixed-point grid (the [[KMeans]] exactness construction,
+  * extended to subspace codebooks).
+  *
+  * [[Ivf]] and [[Pq]] keep the production float shapes (K=256 byte
+  * codes, larger iteration counts) with spec-pinned recall; THESE
+  * variants put every training and search step on the integer grid so
+  * the full pipeline — codebook training, encoding, probe selection,
+  * ADC scan, exact rescoring — replays bit-for-bit in DuckDB and the
+  * driver hash-checks the result like any relational query. Ranking by
+  * integer squared L2 is ORDER-EQUIVALENT to cosine here because the
+  * corpus embeddings are unit-norm (‖a−b‖² = 2−2·cosθ); recall against
+  * the float `knn_brute` contract is pinned in FixedPointAnnSpec.
+  *
+  * One generalization does all three ops: '''grouped subspace Lloyd'''.
+  * Split the d=64 space into `mCount` subspaces (mCount=1 recovers
+  * whole-vector k-means = the IVF coarse quantizer; mCount=8 gives PQ
+  * codebooks) and run the [[KMeans.iterate]] loop with (m) joined into
+  * every key: assignment folds over a broadcast per-subspace centroid
+  * array IN-ROW (zero shuffle), the update is a (m, cell, pos)-keyed
+  * integer partial aggregation, and `sum div count` lands centroids
+  * back on the grid with no accumulated error.
+  *
+  * Scale shapes (the parts that must survive 100 TB):
+  *  - training touches the corpus once per Lloyd pass as a broadcast
+  *    map (codebooks are KBs; at a real deployment the training input
+  *    is a bounded sample exactly as in [[Ivf.maxTrainSample]] — here
+  *    the corpus IS below that bound, so the oracle can replay it);
+  *  - the PQ ADC scan is in-row: per-query distance tables broadcast
+  *    as maps, a candidate's distance is M map lookups folded over its
+  *    code array — no join, no shuffle, no raw-vector access;
+  *  - IVF-PQ candidates come only from probed cells (the cell column
+  *    is exactly what you'd persist partitioned-by so probes prune at
+  *    the file level — proven for this layout in FixedPointAnnSpec);
+  *  - every window below is partitioned by query id except the k-row
+  *    centroid-init LIMIT frame (bounded; pinned in GlobalWindowSpec).
+  *
+  * Reference anchor: the reference engine has no ANN operator; this
+  * family is part of the training-data-pipeline surface
+  * (SURVEY.md §2.2). IVF-PQ follows Jégou et al. 2011 §IV (here coding
+  * raw vectors, not residuals: residual encoding needs a float
+  * subtraction between grid points that would leave the integer grid;
+  * the accuracy delta at nlist=16 is absorbed by the 4k exact rescore).
+  */
+object FixedPointAnn {
+
+  private val Dim = 64
+  /** IVF cells and probe width (probes scan ≈ Nprobe/Nlist of the corpus). */
+  val Nlist = 16
+  val Nprobe = 4
+  /** PQ: M subspaces of Dim/M dims, Kpq-entry codebook each. */
+  val M = 8
+  val Kpq = 64
+  val TopK = 3
+  /** Exact-rescore pool multiplier (top TopK·Rescore ADC candidates).
+    * Sized from the measured ADC-rank distribution of true top-3
+    * neighbors on the near-uniform test corpus (worst rank 46 at 6-bit
+    * codes): pool 48 recovers the full exact top-3. */
+  val Rescore = 16
+  private val NQueries = 5
+  private val Iters = 2
+
+  /** Integer squared L2 between two quantized vectors (≤ 2²⁸ at d=64,
+    * exact in long, order-independent). */
+  private def sqDistFp(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, v) => acc + v)
+
+  /** Grouped subspace Lloyd: `Iters` unrolled iterations over the
+    * (vec_id, m, sq) frame. Returns (codes, centroids): `codes` is the
+    * final per-subspace assignment (vec_id, m, sq, cell, dist) and
+    * `centroids` the (m, cell, qc) frame that final assignment used —
+    * the searchable model (probe targets / ADC codebooks). Init is the
+    * first k vectors by id (ties impossible), argmin ties break to the
+    * lowest cell, exactly as [[KMeans.iterate]]. */
+  private[ann] def lloydSub(e: DataFrame, mCount: Int, k: Int): (DataFrame, DataFrame) = {
+    val dsub = Dim / mCount
+    val sub = e
+      .select(col("vec_id"), explode(sequence(lit(0), lit(mCount - 1))).as("m"),
+        col("qe"))
+      .select(col("vec_id"), col("m"),
+        slice(col("qe"), col("m") * dsub + 1, lit(dsub)).as("sq"))
+    val w = Window.orderBy(col("vec_id")) // k-row LIMIT frame: bounded
+    val firstK = e.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id"), (row_number().over(w) - 1).cast("int").as("cell"))
+    var cent = sub.join(broadcast(firstK), "vec_id")
+      .select(col("m"), col("cell"), col("sq").as("qc"))
+    var codes: DataFrame = null
+    for (i <- 1 to Iters) {
+      // in-row assignment: per-subspace centroid arrays broadcast, the
+      // argmin folds over the cell-ascending array (strict < ≡ lowest
+      // cell on ties); nothing shuffles
+      val centArr = cent.groupBy(col("m"))
+        .agg(sort_array(collect_list(struct(col("cell"), col("qc")))).as("cents"))
+      codes = sub.join(broadcast(centArr), "m")
+        .select(col("vec_id"), col("m"), col("sq"),
+          aggregate(col("cents"),
+            struct(lit(Long.MaxValue).as("dist"), lit(-1).as("cell")),
+            (acc, c) => {
+              val dist = sqDistFp(col("sq"), c.getField("qc"))
+              when(dist < acc.getField("dist"),
+                struct(dist.as("dist"), c.getField("cell").as("cell")))
+                .otherwise(acc)
+            }).as("x"))
+        .select(col("vec_id"), col("m"), col("sq"),
+          col("x.cell").as("cell"), col("x.dist").as("dist"))
+      if (i < Iters)
+        cent = codes
+          .select(col("m"), col("cell"), posexplode(col("sq")).as(Seq("pos", "q")))
+          .groupBy(col("m"), col("cell"), col("pos"))
+          .agg(expr("sum(q) div count(1)").as("c"))
+          .groupBy(col("m"), col("cell"))
+          .agg(transform(
+            array_sort(collect_list(struct(col("pos"), col("c")))),
+            s => s.getField("c")).as("qc"))
+    }
+    (codes, cent)
+  }
+
+  /** The NQueries probe vectors: (qid, qq). */
+  private def queryVecs(e: DataFrame): DataFrame =
+    e.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("qe").as("qq"))
+
+  /** Top-Nprobe coarse cells per query (qid, qq, cell): distance to
+    * every centroid of the broadcast model, rank ties to lowest cell. */
+  private def probes(qs: DataFrame, coarse: DataFrame): DataFrame = {
+    val centArr = coarse
+      .agg(sort_array(collect_list(struct(col("cell"), col("qc")))).as("cents"))
+    qs.crossJoin(broadcast(centArr))
+      .select(col("qid"), col("qq"), explode(col("cents")).as("c"))
+      .select(col("qid"), col("qq"), col("c.cell").as("cell"),
+        sqDistFp(col("qq"), col("c.qc")).as("cdist"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("cdist"), col("cell"))))
+      .filter(col("rn") <= Nprobe)
+      .select(col("qid"), col("qq"), col("cell"))
+  }
+
+  /** Per-vector code array (8 codes, subspace-ordered). */
+  private def codeArrays(codes: DataFrame): DataFrame =
+    codes.groupBy(col("vec_id"))
+      .agg(transform(array_sort(collect_list(struct(col("m"), col("cell")))),
+        s => s.getField("cell")).as("codes"))
+
+  /** Per-query ADC tables as a broadcastable map slot(m·Kpq+cell) → the
+    * partial squared distance between the query's m-th subvector and
+    * codebook entry cell. */
+  private def adcTables(qs: DataFrame, books: DataFrame): DataFrame = {
+    val dsub = Dim / M
+    val qsub = qs
+      .select(col("qid"), explode(sequence(lit(0), lit(M - 1))).as("m"), col("qq"))
+      .select(col("qid"), col("m"),
+        slice(col("qq"), col("m") * dsub + 1, lit(dsub)).as("sq"))
+    qsub.join(broadcast(books), "m")
+      .select(col("qid"),
+        (col("m") * Kpq + col("cell")).cast("int").as("slot"),
+        sqDistFp(col("sq"), col("qc")).as("pd"))
+      .groupBy(col("qid"))
+      .agg(map_from_entries(collect_list(struct(col("slot"), col("pd")))).as("dt"))
+  }
+
+  /** In-row ADC distance: M map lookups folded over the code array. */
+  private def adcDist(codes: Column, dt: Column): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(M - 1)),
+        (c, m) => element_at(dt, (m * Kpq + c).cast("int"))),
+      lit(0L), (acc, x) => acc + x)
+
+  private def topKBy(df: DataFrame, ord: Column): DataFrame =
+    df.withColumn("rnk", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(ord, col("vec_id"))))
+      .filter(col("rnk") <= TopK)
+
+  /** IVF: probe Nprobe of Nlist cells, score candidates exactly. */
+  def knnIvf(s: SparkSession, d: String): DataFrame = {
+    val e = KMeans.quantized(s, d)
+    val (assigned, coarse) = lloydSub(e, 1, Nlist)
+    val pr = probes(queryVecs(e), coarse)
+    val cand = assigned.select(col("vec_id"), col("cell"), col("sq"))
+      .join(broadcast(pr), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), sqDistFp(col("qq"), col("sq")).as("dist"))
+    topKBy(cand, col("dist"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** PQ: compressed-domain linear scan (in-row ADC), exact rescore of
+    * the top TopK·Rescore. */
+  def knnPq(s: SparkSession, d: String): DataFrame = {
+    val e = KMeans.quantized(s, d)
+    val (codes, books) = lloydSub(e, M, Kpq)
+    val qs = queryVecs(e)
+    val scan = codeArrays(codes)
+      .crossJoin(broadcast(adcTables(qs, books).join(qs, "qid")))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qq"), col("vec_id"),
+        adcDist(col("codes"), col("dt")).as("adc"))
+    val pool = scan.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= TopK * Rescore)
+    val rescored = pool.join(e, "vec_id")
+      .select(col("qid"), col("vec_id"), col("adc"),
+        sqDistFp(col("qq"), col("qe")).as("dist"))
+    topKBy(rescored, col("dist"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
+        col("adc"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  /** IVF-PQ: ADC scan restricted to candidates in the probed coarse
+    * cells — the realistic 100 TB ANN shape (cells prune at file level,
+    * ADC touches codes only, rescore touches TopK·Rescore raw rows). */
+  def knnIvfPq(s: SparkSession, d: String): DataFrame = {
+    val e = KMeans.quantized(s, d)
+    val (assigned, coarse) = lloydSub(e, 1, Nlist)
+    val (codes, books) = lloydSub(e, M, Kpq)
+    val qs = queryVecs(e)
+    val pr = probes(qs, coarse)
+    val cand = assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(pr.select(col("qid"), col("cell"))), Seq("cell"))
+      .filter(col("vec_id") =!= col("qid"))
+    val scan = cand.join(codeArrays(codes), "vec_id")
+      .join(broadcast(adcTables(qs, books)), "qid")
+      .select(col("qid"), col("vec_id"),
+        adcDist(col("codes"), col("dt")).as("adc"))
+    val pool = scan.withColumn("rn", row_number().over(
+        Window.partitionBy(col("qid")).orderBy(col("adc"), col("vec_id"))))
+      .filter(col("rn") <= TopK * Rescore)
+    val rescored = pool.join(e, "vec_id").join(broadcast(qs), "qid")
+      .select(col("qid"), col("vec_id"), col("adc"),
+        sqDistFp(col("qq"), col("qe")).as("dist"))
+    topKBy(rescored, col("dist"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"),
+        col("adc"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_ivf" -> (knnIvf _),
+    "knn_pq" -> (knnPq _),
+    "knn_ivfpq" -> (knnIvfPq _))
+
+  // ---------------------------------------------------------------- oracle
+
+  /** DuckDB replay of [[lloydSub]] as CTEs `<p>sub/<p>init/<p>d1/<p>a1/
+    * <p>c1/<p>d2/<p>a2` over the shared `e` CTE — the (m)-grouped
+    * generalization of [[KMeans.assignCtesFrom]]. `//` and `div` both
+    * truncate toward zero (verified in KMeans). */
+  private def lloydCtes(p: String, mCount: Int, k: Int): String = {
+    val dsub = Dim / mCount
+    def dist(a: String, b: String) =
+      s"list_sum(list_transform(range(1, ${dsub + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+    s"""${p}sub AS (
+       |  SELECT vec_id, t.m,
+       |    list_transform(range(1, ${dsub + 1}), j -> qe[t.m*$dsub + j]) AS sq
+       |  FROM e CROSS JOIN range(0, $mCount) t(m)),
+       |${p}init AS (
+       |  SELECT s.m, f.cell, s.sq AS qc
+       |  FROM ${p}sub s JOIN (
+       |    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
+       |    FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= $k) f
+       |  USING (vec_id)),
+       |${p}d1 AS (
+       |  SELECT s.vec_id, s.m, s.sq, i.cell, ${dist("s.sq", "i.qc")} AS dist
+       |  FROM ${p}sub s JOIN ${p}init i ON s.m = i.m),
+       |${p}a1 AS (
+       |  SELECT vec_id, m, sq, cell, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, cell) AS rn FROM ${p}d1) WHERE rn = 1),
+       |${p}c1 AS (
+       |  SELECT m, cell, list(c ORDER BY pos) AS qc FROM (
+       |    SELECT m, cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+       |    FROM ${p}a1, LATERAL (SELECT unnest(sq) AS q,
+       |      generate_subscripts(sq, 1) AS pos) u
+       |    GROUP BY m, cell, u.pos)
+       |  GROUP BY m, cell),
+       |${p}d2 AS (
+       |  SELECT s.vec_id, s.m, s.sq, c.cell, ${dist("s.sq", "c.qc")} AS dist
+       |  FROM ${p}sub s JOIN ${p}c1 c ON s.m = c.m),
+       |${p}a2 AS (
+       |  SELECT vec_id, m, sq, cell, dist FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+       |      ORDER BY dist, cell) AS rn FROM ${p}d2) WHERE rn = 1)""".stripMargin
+  }
+
+  private val eCte =
+    """e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+      |  FROM embeddings)""".stripMargin
+
+  private def fullDist(a: String, b: String) =
+    s"list_sum(list_transform(range(1, ${Dim + 1}), j -> ($a[j]-$b[j])*($a[j]-$b[j])))"
+
+  private val qCte =
+    s"q AS (SELECT vec_id AS qid, qe AS qq FROM e WHERE vec_id < $NQueries)"
+
+  /** Probe CTEs: distance from every query to every coarse centroid,
+    * top-Nprobe cells (ties → lowest cell). */
+  private val probeCtes =
+    s"""gpd AS (
+       |  SELECT q.qid, q.qq, c.cell, ${fullDist("q.qq", "c.qc")} AS cdist
+       |  FROM q CROSS JOIN g_c1 c),
+       |gpr AS (
+       |  SELECT qid, qq, cell FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY cdist, cell) AS rn FROM gpd) WHERE rn <= $Nprobe)""".stripMargin
+
+  /** ADC-table CTE: per (query, subspace, codebook entry) partial
+    * squared distance (the join form; integer sums are order-independent
+    * so it equals the engine's in-row map-lookup fold bit-for-bit). */
+  private val dtCte = {
+    val dsub = Dim / M
+    s"""qsub AS (
+       |  SELECT qid, t.m,
+       |    list_transform(range(1, ${dsub + 1}), j -> qq[t.m*$dsub + j]) AS sq
+       |  FROM q CROSS JOIN range(0, $M) t(m)),
+       |dt AS (
+       |  SELECT s.qid, s.m, c.cell,
+       |    list_sum(list_transform(range(1, ${dsub + 1}),
+       |      j -> (s.sq[j]-c.qc[j])*(s.sq[j]-c.qc[j]))) AS pd
+       |  FROM qsub s JOIN p_c1 c ON c.m = s.m)""".stripMargin
+  }
+
+  private val rescoreSql =
+    s"""top AS (
+       |  SELECT qid, vec_id, adc FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY qid
+       |      ORDER BY adc, vec_id) AS rn FROM adc) WHERE rn <= ${TopK * Rescore}),
+       |sc AS (
+       |  SELECT t.qid, t.vec_id, t.adc,
+       |    CAST(${fullDist("eq.qe", "ev.qe")} AS BIGINT) AS dist
+       |  FROM top t
+       |  JOIN e eq ON eq.vec_id = t.qid
+       |  JOIN e ev ON ev.vec_id = t.vec_id)
+       |SELECT qid, vec_id AS nid,
+       |  CAST(row_number() OVER (PARTITION BY qid
+       |    ORDER BY dist, vec_id) AS INT) AS rnk, adc, dist
+       |FROM sc QUALIFY rnk <= $TopK ORDER BY qid, rnk""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "knn_ivf" ->
+      s"""WITH $eCte,
+         |${lloydCtes("g_", 1, Nlist)},
+         |$qCte,
+         |$probeCtes,
+         |cand AS (
+         |  SELECT p.qid, p.qq, a.vec_id, a.sq AS ce
+         |  FROM gpr p JOIN g_a2 a ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |sc AS (
+         |  SELECT qid, vec_id, CAST(${fullDist("qq", "ce")} AS BIGINT) AS dist
+         |  FROM cand)
+         |SELECT qid, vec_id AS nid,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist, vec_id) AS INT) AS rnk, dist
+         |FROM sc QUALIFY rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
+    "knn_pq" ->
+      s"""WITH $eCte,
+         |${lloydCtes("p_", M, Kpq)},
+         |$qCte,
+         |$dtCte,
+         |adc AS (
+         |  SELECT dt.qid, a.vec_id, CAST(sum(dt.pd) AS BIGINT) AS adc
+         |  FROM p_a2 a JOIN dt ON dt.m = a.m AND dt.cell = a.cell
+         |  WHERE a.vec_id <> dt.qid GROUP BY 1, 2),
+         |$rescoreSql""".stripMargin,
+    "knn_ivfpq" ->
+      s"""WITH $eCte,
+         |${lloydCtes("g_", 1, Nlist)},
+         |${lloydCtes("p_", M, Kpq)},
+         |$qCte,
+         |$probeCtes,
+         |$dtCte,
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM gpr p JOIN g_a2 a ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT c.qid, c.vec_id, CAST(sum(dt.pd) AS BIGINT) AS adc
+         |  FROM cand c
+         |  JOIN p_a2 a ON a.vec_id = c.vec_id
+         |  JOIN dt ON dt.qid = c.qid AND dt.m = a.m AND dt.cell = a.cell
+         |  GROUP BY 1, 2),
+         |$rescoreSql""".stripMargin)
+}

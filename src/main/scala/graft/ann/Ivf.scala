@@ -127,14 +127,11 @@ object Ivf {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Query entry: same contract as `knn_brute` but through IVF probing.
-    * Approximate (probe-dependent) → rows-only check; recall pinned in
-    * SimilaritySpec. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_ivf" -> ((s, d) => {
-      val e = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("emb"))
-      knnIvf(e, (0L until 5L).toSet, k = 3, nlist = 16, nprobe = 4)
-    }))
+  /** Float corpus frame (vec_id, emb) for [[knnIvf]] / [[Pq.knnPq]] —
+    * the production-parameter paths, spec-pinned; the driver-checked
+    * `knn_ivf`/`knn_pq`/`knn_ivfpq` queries live in [[FixedPointAnn]]. */
+  def embFloat(s: SparkSession, d: String): DataFrame =
+    graft.Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("emb"))
 }

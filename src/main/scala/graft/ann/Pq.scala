@@ -146,14 +146,4 @@ object Pq {
       .orderBy(col("qid"), col("rnk"))
   }
 
-  /** Query entry: the knn_brute contract through PQ compression.
-    * Approximate (codebook-dependent) → rows-only; recall pinned in
-    * PqSpec. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "knn_pq" -> ((s, d) => {
-      val e = graft.Tables.embeddings(s, d)
-        .select(col("vec_id"),
-          transform(col("embedding"), x => x.cast("double")).as("emb"))
-      knnPq(e, (0L until 5L).toSet, k = 3)
-    }))
 }

@@ -10,19 +10,19 @@ class ContractSpec extends AnyFunSuite {
     val qs = SparkEntry.queries.keySet
     val os = SparkEntry.oracleSql.keySet
     assert(os.subsetOf(qs), s"oracle keys without queries: ${os -- qs}")
-    // floor == the driver's authoritative count (CORRECTNESS_r06: 159,
-    // +3 round-7 session-1 ops, +4 session-2 ops, +6 session-3 ops) so a
-    // silently-dropped query fails the suite; raise when adding.
-    assert(qs.size >= 172, s"query surface shrank: ${qs.size}")
+    // floor == the driver's authoritative count (CORRECTNESS_r07: 172,
+    // +1 round-8 knn_ivfpq) so a silently-dropped query fails the
+    // suite; raise when adding.
+    assert(qs.size >= 173, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED: every query without an oracle must be
     // on this documented allowlist (each entry is hash/algorithm-specific
-    // — HLL, LSH/IVF candidates, KLL percentile — and carries a
-    // spec-level substitute). A new query missing its oracle fails here
-    // instead of silently weakening the driver gate. (dedup_minhash and
-    // dedup_simhash graduated in round 7: XxhSql replays seed-42
-    // xxhash64 bit-for-bit in DuckDB.)
+    // — HLL, LSH candidates — and carries a spec-level substitute). A
+    // new query missing its oracle fails here instead of silently
+    // weakening the driver gate. (dedup_minhash/dedup_simhash graduated
+    // in round 7 via XxhSql; knn_ivf/knn_pq graduated in round 8 via the
+    // FixedPointAnn grid replay.)
     val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
-      "knn_ivf", "knn_lsh", "knn_pq", "text_quality_filter_approx")
+      "knn_lsh", "text_quality_filter_approx")
     assert((qs -- os) == rowsOnlyAllowed,
       s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
         s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")

@@ -24,6 +24,10 @@ class GlobalWindowSpec extends SparkSpec {
     //  - window_ranks: ranks after orderBy().limit(1000)
     //  - KMeans.iterate centroid init: row_number over the k-row LIMIT
     //    frame (emb_* / cluster_* / dedup_semantic lineages)
+    //  - FixedPointAnn.lloydSub centroid init: same k-row LIMIT shape;
+    //    appears once per lineage branch (iteration-1 assignment +
+    //    iteration-2 centroid chain → 2 per lloydSub call; knn_ivfpq
+    //    runs two lloydSub chains → 4)
     val whitelist = Map(
       "window_moving" -> 1,
       "window_ranks" -> 5,
@@ -31,7 +35,10 @@ class GlobalWindowSpec extends SparkSpec {
       "emb_prototypes" -> 1,
       "cluster_purity" -> 1,
       "cluster_sample" -> 3,
-      "dedup_semantic" -> 3)
+      "dedup_semantic" -> 3,
+      "knn_ivf" -> 2,
+      "knn_pq" -> 2,
+      "knn_ivfpq" -> 4)
     val got = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, sf0001)
       val n = df.queryExecution.analyzed.collect {

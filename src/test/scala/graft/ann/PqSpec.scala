@@ -9,7 +9,8 @@ class PqSpec extends SparkSpec {
   test("knn_pq: recall vs brute force; returned cosines are EXACT (rescored)") {
     val brute = Similarity.queries("knn_brute")(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
-    val pq = Pq.queries("knn_pq")(spark, sf0001).collect()
+    val pq = Pq.knnPq(Ivf.embFloat(spark, sf0001), (0L until 5L).toSet, k = 3)
+      .collect()
     assert(pq.length == 15) // 5 queries × 3
     val hits = pq.map(r => (r.getLong(0), r.getLong(1))).count(brute.contains)
     val recall = hits.toDouble / brute.size

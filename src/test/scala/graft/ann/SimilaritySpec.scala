@@ -166,7 +166,8 @@ class SimilaritySpec extends SparkSpec {
   test("IVF knn: recall vs brute force, candidates only from probed cells") {
     val brute = Similarity.queries("knn_brute")(spark, sf0001)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val ivf = Ivf.queries("knn_ivf")(spark, sf0001)
+    val ivf = Ivf.knnIvf(Ivf.embFloat(spark, sf0001), (0L until 5L).toSet,
+        k = 3, nlist = 16, nprobe = 4)
       .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(ivf.size == 15) // 5 queries × 3 (cells are never empty here)
     val recall = (ivf intersect brute).size.toDouble / brute.size
