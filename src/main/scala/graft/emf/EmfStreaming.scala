@@ -23,17 +23,25 @@ import org.apache.spark.sql.Row
   *    accumulator row per group), updated incrementally; the window
   *    combine is a prefix/suffix pass over the key's order values at
   *    emit time. No re-scan of history, no batch-planner fallback.
-  *  - DEPENDENT variables need cross-group predicates over other
-  *    variables' evolving aggregates (stream self-joins / re-scan), so
-  *    the streaming form runs the full batch planner on each micro-batch
-  *    via `foreachBatch` — [[microBatch]] — trading incrementality for
-  *    full expressiveness, the standard escape hatch. This is a
-  *    fundamental limit, not a shortcut: a dependent predicate like
-  *    corpus query 6's `quant > MF.avg_quant_1` re-classifies EVERY
-  *    historical tuple whenever the referenced aggregate moves, so an
-  *    incremental form would have to keep the full tuple history in
-  *    state (unbounded) or support retractions over it — exactly the
-  *    re-scan the batch planner performs, minus the state-store cost.
+  *  - DEPENDENT variables whose membership pins the FULL grouping set
+  *    (the corpus query-6 shape: `quant > MF.avg_quant_1` within the
+  *    group) lower to `flatMapGroupsWithState` keyed by G —
+  *    [[planDependent]]. A moving threshold re-classifies EVERY
+  *    historical tuple of the group, so the state must carry more than
+  *    per-group partials; the MINIMAL sufficient statistic is two-level:
+  *    group → comparison value → aggregate partials (a histogram). Each
+  *    micro-batch folds its rows in (O(batch)); emission recomputes the
+  *    threshold from the referenced aggregate's exact partials and folds
+  *    the qualifying histogram range — no history re-scan, state bounded
+  *    by the comparison column's value DOMAIN per group (the exact
+  *    analogue of the windowed path's order-domain bound).
+  *  - DEPENDENT variables with cross-group predicates (membership
+  *    spanning other groups' evolving aggregates, e.g. chained onto a
+  *    windowed variable — corpus q8) still run the full batch planner on
+  *    each micro-batch via `foreachBatch` — [[microBatch]] — the
+  *    standard full-expressiveness escape hatch: there the qualifying
+  *    set of ONE group moves when OTHER groups' aggregates move, so a
+  *    per-key sufficient statistic no longer exists.
   */
 object EmfStreaming {
 
@@ -74,6 +82,27 @@ object EmfStreaming {
     var mnMic: Long = Long.MaxValue
     var mxMic: Long = Long.MinValue
   }
+
+  /** Fold one exact (micro, raw) value into an accumulator. A defined
+    * raw with an undefined micro means the decimal-6 projection nulled a
+    * real value (NaN, Infinity, or |v| > ~9.2e12) — fail fast instead of
+    * silently diverging from the batch planner. */
+  private def fold(a: SlotAcc, micro: Option[Long], raw: Option[Double],
+      slotName: String): Unit =
+    (micro, raw) match {
+      case (Some(m), Some(d)) =>
+        a.sumMicro += m
+        a.cnt += 1
+        if (d < a.mn) a.mn = d
+        if (d > a.mx) a.mx = d
+        if (m < a.mnMic) a.mnMic = m
+        if (m > a.mxMic) a.mxMic = m
+      case (None, Some(d)) =>
+        throw new IllegalStateException(
+          s"streaming EMF: value $d of slot $slotName exceeds the exact " +
+            "decimal-6 domain (finite, |v| <= 9.2e12)")
+      case _ => ()
+    }
 
   /** State for one window key (the equality attrs): the MF structure
     * restricted to that key — one accumulator row per order value —
@@ -242,26 +271,7 @@ object EmfStreaming {
             }
             var i = 0
             while (i < specs.length) {
-              (r.micro(i), r.raw(i)) match {
-                case (Some(m), Some(d)) =>
-                  val a = cells(i)
-                  a.sumMicro += m
-                  a.cnt += 1
-                  if (d < a.mn) a.mn = d
-                  if (d > a.mx) a.mx = d
-                  if (m < a.mnMic) a.mnMic = m
-                  if (m > a.mxMic) a.mxMic = m
-                case (None, Some(d)) =>
-                  // the micro-units projection nulled a real value: NaN,
-                  // Infinity, or |v| > ~9.2e12 — outside the exact
-                  // decimal-6 domain. Fail fast instead of silently
-                  // diverging from the batch planner.
-                  throw new IllegalStateException(
-                    s"windowed streaming EMF: value $d of slot " +
-                      s"${specs(i).name} exceeds the exact decimal-6 " +
-                      "domain (finite, |v| <= 9.2e12)")
-                case _ => ()
-              }
+              fold(cells(i), r.micro(i), r.raw(i), specs(i).name)
               i += 1
             }
           }
@@ -282,6 +292,310 @@ object EmfStreaming {
     emitted.toDF("__json", "__ver")
       .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
       .select(col("r.*"), col("__ver"))
+  }
+
+  // ---- incremental DEPENDENT lowering -------------------------------------
+
+  final case class DepRow(k: String,
+      micro: Seq[Option[Long]], raw: Seq[Option[Double]],
+      cmpM: Seq[Option[Long]], cmpR: Seq[Option[Double]],
+      aggM: Seq[Option[Long]], aggR: Seq[Option[Double]])
+
+  /** One histogram bucket of the two-level state: the comparison value's
+    * raw double (for double-typed predicates) plus the aggregate
+    * partials of the tuples holding that value. */
+  final class HistCell(val raw: Double) extends Serializable {
+    val acc = new SlotAcc
+  }
+
+  /** State for one group: its own-aggregate accumulators (the threshold
+    * sources) plus, per dependent slot, the comparison-value histogram. */
+  final class DepState extends Serializable {
+    var ver: Long = 0L
+    var base: Array[SlotAcc] = _
+    var hists: Array[java.util.HashMap[java.lang.Long, HistCell]] = _
+  }
+
+  /** Metadata of one dependent slot: the comparison `tuple.cmp OP ref`,
+    * which base slot the threshold reads, and whether the comparison
+    * runs in IEEE-double space (matching Spark's numeric promotion) or
+    * exact-integer micro-unit space. */
+  final case class DepMeta(op: String, refIdx: Int, cmpDouble: Boolean,
+      refFunc: String, refFloating: Boolean)
+
+  /** Incremental lowering for varZero/SIMPLE + DEPENDENT queries whose
+    * dependent variables pin the FULL grouping set and compare one tuple
+    * column against one own-group aggregate — the corpus query-6 shape
+    * (`count_quant_2` counts the group's tuples with
+    * `quant > MF.avg_quant_1`).
+    *
+    * The stream is keyed by G. The state is the two-level structure
+    * described in the object scaladoc: per group (1) the exact SlotAcc
+    * partials of every variable-0/SIMPLE aggregate — the threshold
+    * sources — and (2) per dependent slot a histogram mapping each seen
+    * comparison value (exact micro-units) to the aggregate partials of
+    * the tuples carrying that value. A micro-batch folds its rows in
+    * (O(batch)); emission recomputes each threshold from the referenced
+    * aggregate's CURRENT partials and combines the qualifying histogram
+    * buckets — re-classifying all history without re-scanning it. State
+    * per group is O(|distinct comparison values|): bound the comparison
+    * column's domain at scale (quantities, ratings, bucketed amounts)
+    * exactly as the windowed path bounds its order domain.
+    *
+    * Comparison semantics replay the batch planner's Spark comparison
+    * bit-for-bit within the decimal-6 exactness contract: if either side
+    * surfaces as double (avg; sum/min/max of floating input; floating
+    * comparison column) both sides convert to IEEE double exactly as
+    * Spark's numeric promotion does; otherwise the comparison is exact
+    * integer micro-units. Output/emission contract (UPDATE mode, `__ver`,
+    * [[snapshot]] reconstruction, HAVING on the snapshot) is identical
+    * to [[planWindowed]]. */
+  def planDependent(q: EmfQuery, stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+
+    val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
+    require(winVars.isEmpty,
+      "incremental dependent streaming supports variable-0/SIMPLE + " +
+        "DEPENDENT variables only; use microBatch(...) for windowed mixes")
+    require(depVars.nonEmpty,
+      "no DEPENDENT variable; use plan(...) for all-SIMPLE queries")
+
+    def colType(n: String): DataType =
+      schema.find(_.name == n).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $n"))
+    def numeric(n: String): Unit = colType(n) match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"dependent streaming needs numeric columns; $n: $other")
+    }
+
+    // ---- base slots: varZero + SIMPLE (the threshold sources)
+    val baseSlots: Seq[(SlotSpec, String, Option[Column])] =
+      q.varZero.map { a =>
+        numeric(a.column)
+        (SlotSpec(a.name, a.func, isFloat(colType(a.column)),
+          isIntegral(colType(a.column)), 0, ""), a.column, None)
+      } ++
+      simpleVars.map { v =>
+        numeric(v.agg.column)
+        (SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 0, ""), v.agg.column,
+          condOf(v, schema))
+      }
+    require(baseSlots.nonEmpty,
+      "dependent streaming needs at least one variable-0/SIMPLE aggregate " +
+        "(the threshold source)")
+    val baseIdx = baseSlots.map(_._1.name).zipWithIndex.toMap
+
+    // ---- dependent slots
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    val deps: Seq[(SlotSpec, String, String, Option[Column], DepMeta)] =
+      depVars.map { v =>
+        numeric(v.agg.column)
+        val eqAttrs = v.mfConds.collect {
+          case Cond(TupleCol(a), "=" | "==", MfField(b)) if a == b => a
+        }.distinct
+        require(eqAttrs.toSet == q.groupAttrs.toSet,
+          s"dependent variable ${v.agg.name} must pin the full grouping " +
+            s"set ${q.groupAttrs} (got $eqAttrs); cross-group membership " +
+            "needs microBatch(...)")
+        val depConds = v.mfConds.filterNot {
+          case Cond(TupleCol(a), "=" | "==", MfField(b)) => a == b
+          case _ => false
+        }
+        require(depConds.size == 1,
+          s"dependent variable ${v.agg.name} needs exactly one aggregate " +
+            s"comparison, got ${depConds.size}")
+        val (cmpCol, op, refName) = depConds.head match {
+          case Cond(TupleCol(c), o, MfField(a)) if q.aggNames.contains(a) =>
+            (c, o, a)
+          case Cond(MfField(a), o, TupleCol(c)) if q.aggNames.contains(a) =>
+            (c, flip(o), a)
+          case other => throw new IllegalArgumentException(
+            s"dependent variable ${v.agg.name}: unsupported membership " +
+              s"condition $other")
+        }
+        val refIdx = baseIdx.getOrElse(refName,
+          throw new IllegalArgumentException(
+            s"dependent variable ${v.agg.name} references '$refName', " +
+              "which is not a variable-0/SIMPLE aggregate — chains onto " +
+              "windowed/dependent aggregates need microBatch(...)"))
+        numeric(cmpCol)
+        val refSpec = baseSlots(refIdx)._1
+        val refOutDouble = refSpec.func == "avg" ||
+          (refSpec.floating && Set("sum", "min", "max").contains(refSpec.func))
+        val cmpDouble = refOutDouble || isFloat(colType(cmpCol))
+        (SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 2, ""),
+          v.agg.column, cmpCol, condOf(v, schema),
+          DepMeta(op, refIdx, cmpDouble, refSpec.func, refSpec.floating))
+      }
+
+    // ---- input projection
+    val base = stream.filter(EmfPlanner.whereColumn(q.where, schema))
+    def guarded(src: String, cond: Option[Column]): Column =
+      cond.map(c => when(c, col(src))).getOrElse(col(src))
+    def microOf(c: Column): Column =
+      (c.cast("decimal(27,6)") * lit(1000000L)).cast("long")
+    val projected = base.select(
+      to_json(struct(q.groupAttrs.map(col): _*)).as("k"),
+      array(baseSlots.map { case (_, src, c) => microOf(guarded(src, c)) }: _*).as("micro"),
+      array(baseSlots.map { case (_, src, c) => guarded(src, c).cast("double") }: _*).as("raw"),
+      array(deps.map { case (_, _, cmp, c, _) => microOf(guarded(cmp, c)) }: _*).as("cmpM"),
+      array(deps.map { case (_, _, cmp, c, _) => guarded(cmp, c).cast("double") }: _*).as("cmpR"),
+      array(deps.map { case (_, src, _, c, _) => microOf(guarded(src, c)) }: _*).as("aggM"),
+      array(deps.map { case (_, src, _, c, _) => guarded(src, c).cast("double") }: _*).as("aggR"))
+      .as[DepRow]
+
+    // ---- the stateful combine
+    val baseSpecs = baseSlots.map(_._1).toArray
+    val depSpecs = deps.map(_._1).toArray
+    val depMeta = deps.map(_._5).toArray
+    implicit val stateEnc: Encoder[DepState] = Encoders.kryo[DepState]
+    val emitted = projected
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[DepState, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[DepRow], state: GroupState[DepState]) =>
+          val st = state.getOption.getOrElse {
+            val s = new DepState
+            s.base = Array.fill(baseSpecs.length)(new SlotAcc)
+            s.hists = Array.fill(depSpecs.length)(
+              new java.util.HashMap[java.lang.Long, HistCell]())
+            s
+          }
+          rows.foreach { r =>
+            var i = 0
+            while (i < baseSpecs.length) {
+              fold(st.base(i), r.micro(i), r.raw(i), baseSpecs(i).name)
+              i += 1
+            }
+            var j = 0
+            while (j < depSpecs.length) {
+              (r.cmpM(j), r.aggM(j)) match {
+                case (Some(cm), Some(am)) =>
+                  var cell = st.hists(j).get(cm)
+                  if (cell == null) {
+                    cell = new HistCell(r.cmpR(j).get)
+                    st.hists(j).put(cm, cell)
+                  }
+                  fold(cell.acc, Some(am), r.aggR(j), depSpecs(j).name)
+                case (None, _) if r.cmpR(j).isDefined =>
+                  throw new IllegalStateException(
+                    s"dependent streaming EMF: comparison value " +
+                      s"${r.cmpR(j).get} of slot ${depSpecs(j).name} exceeds " +
+                      "the exact decimal-6 domain (finite, |v| <= 9.2e12)")
+                case (Some(_), None) if r.aggR(j).isDefined =>
+                  throw new IllegalStateException(
+                    s"dependent streaming EMF: value ${r.aggR(j).get} of " +
+                      s"slot ${depSpecs(j).name} exceeds the exact decimal-6 " +
+                      "domain (finite, |v| <= 9.2e12)")
+                case _ => () // tuple conds failed / null value: no contribution
+              }
+              j += 1
+            }
+          }
+          st.ver += 1
+          state.update(st)
+          emitDepKey(key, st, baseSpecs, depSpecs, depMeta)
+      }
+
+    // ---- typed reconstruction (same shape as planWindowed)
+    val outSchema = StructType(
+      q.groupAttrs.map(n => StructField(n, colType(n), nullable = true)) ++
+        baseSlots.map { case (s, src, _) =>
+          StructField(s.name, outType(s, colType(src)), nullable = true) } ++
+        deps.map { case (s, src, _, _, _) =>
+          StructField(s.name, outType(s, colType(src)), nullable = true) })
+    emitted.toDF("__json", "__ver")
+      .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
+      .select(col("r.*"), col("__ver"))
+  }
+
+  private def cmpD(l: Double, op: String, r: Double): Boolean = op match {
+    case "<" => l < r; case "<=" => l <= r
+    case ">" => l > r; case ">=" => l >= r
+    case "=" | "==" => l == r; case "<>" | "!=" => l != r
+    case other => throw new IllegalArgumentException(s"bad op $other")
+  }
+  private def cmpI(l: BigInt, op: String, r: BigInt): Boolean = op match {
+    case "<" => l < r; case "<=" => l <= r
+    case ">" => l > r; case ">=" => l >= r
+    case "=" | "==" => l == r; case "<>" | "!=" => l != r
+    case other => throw new IllegalArgumentException(s"bad op $other")
+  }
+
+  /** Emit the group's single row: base slots straight from their
+    * accumulators; each dependent slot combines the histogram buckets
+    * whose comparison value passes the threshold recomputed from the
+    * referenced aggregate's current partials. */
+  private def emitDepKey(key: String, st: DepState, baseSpecs: Array[SlotSpec],
+      depSpecs: Array[SlotSpec], depMeta: Array[DepMeta]): Iterator[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val keyInner = key.substring(1, key.length - 1)
+    val sb = new StringBuilder(96)
+    sb.append('{')
+    var first = true
+    if (keyInner.nonEmpty) { sb.append(keyInner); first = false }
+    def app(name: String, v: String): Unit = {
+      if (!first) sb.append(',')
+      first = false
+      sb.append('"').append(name).append("\":").append(v)
+    }
+    val baseCombs = baseSpecs.indices.map { i =>
+      val c = new Comb; c.add(st.base(i)); c
+    }
+    baseSpecs.indices.foreach(i =>
+      app(baseSpecs(i).name, render(baseSpecs(i), baseCombs(i))))
+    depSpecs.indices.foreach { j =>
+      val m = depMeta(j)
+      val ref = baseCombs(m.refIdx)
+      val comb = new Comb
+      // a NULL reference aggregate (empty qualifying set, func != count)
+      // compares to nothing — the dependent set is empty, as in batch
+      if (m.refFunc == "count" || ref.cnt > 0) {
+        if (m.cmpDouble) {
+          val thr: Double = m.refFunc match {
+            case "count" => ref.cnt.toDouble
+            case "avg" =>
+              val s =
+                if (m.refFloating)
+                  new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
+                else (ref.sumMicro / 1000000).toDouble
+              s / ref.cnt
+            case "sum" =>
+              if (m.refFloating)
+                new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
+              else (ref.sumMicro / 1000000).toDouble
+            case "min" => if (m.refFloating) ref.mn else (ref.mnMic / 1000000).toDouble
+            case "max" => if (m.refFloating) ref.mx else (ref.mxMic / 1000000).toDouble
+          }
+          st.hists(j).values().asScala.foreach { cell =>
+            if (cmpD(cell.raw, m.op, thr)) comb.add(cell.acc)
+          }
+        } else {
+          val thr: BigInt = m.refFunc match {
+            case "count" => BigInt(ref.cnt) * 1000000
+            case "sum" => ref.sumMicro
+            case "min" => BigInt(ref.mnMic)
+            case "max" => BigInt(ref.mxMic)
+            case other => throw new IllegalStateException(s"bad ref func $other")
+          }
+          st.hists(j).entrySet().asScala.foreach { e =>
+            if (cmpI(BigInt(e.getKey.longValue()), m.op, thr)) comb.add(e.getValue.acc)
+          }
+        }
+      }
+      app(depSpecs(j).name, render(depSpecs(j), comb))
+    }
+    sb.append('}')
+    Iterator.single((sb.toString, st.ver))
   }
 
   /** Current MF structure from a sink table of [[planWindowed]] emissions:

@@ -225,6 +225,90 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  private val dependentQ = EmfParser.parseOne(
+    """prod,month,avg_quant_1,count_quant_2
+      |2
+      |prod,month
+      |avg_quant_1,count_quant_2
+      |{MF.prod.avg_quant_1}[=]{prod}:{MF.month.avg_quant_1}[=]{month},{MF.prod.count_quant_2}[=]{prod}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant}
+      |{MF.count_quant_2,>,0}""".stripMargin, cols)
+
+  test("incremental DEPENDENT EMF (q6 shape): snapshot equals batch at each step") {
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planDependent(dependentQ, stream.toDF())
+      .writeStream.format("memory").queryName("emf_dep")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows.take(3))
+      sq.processAllAvailable()
+      val snap1 = EmfStreaming.snapshot(spark.table("emf_dep"), dependentQ)
+        .orderBy("prod", "month").collect().toSeq
+      val batch1 = EmfPlanner.plan(dependentQ, rows.take(3).toDF())
+        .orderBy("prod", "month").collect().toSeq
+      assert(snap1 == batch1)
+      // the second batch adds tuples that move existing groups' averages
+      // and create new groups — thresholds move, history re-classifies
+      // from the histogram, no batch-planner rerun
+      stream.addData(rows.drop(3))
+      sq.processAllAvailable()
+      val snap2 = EmfStreaming.snapshot(spark.table("emf_dep"), dependentQ)
+        .orderBy("prod", "month").collect().toSeq
+      val batch2 = EmfPlanner.plan(dependentQ, rows.toDF())
+        .orderBy("prod", "month").collect().toSeq
+      assert(snap2 == batch2)
+    } finally sq.stop()
+  }
+
+  test("incremental DEPENDENT EMF: moving threshold re-classifies history") {
+    // one group; the avg moves with each batch so a tuple's membership
+    // in the dependent set flips — the case foreachBatch recomputes and
+    // the histogram must replay
+    val q2 = EmfParser.parseOne(
+      """prod,avg_quant_1,count_quant_2
+        |2
+        |prod
+        |avg_quant_1,count_quant_2
+        |{MF.prod.avg_quant_1}[=]{prod},{MF.prod.count_quant_2}[=]{prod}:{MF.avg_quant_1.count_quant_2}[>]{quant}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planDependent(q2, stream.toDF())
+      .writeStream.format("memory").queryName("emf_dep_move")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val b1 = Seq(SalesRow("p1", "x", 1, "NY", 10), SalesRow("p1", "x", 1, "NY", 20))
+      stream.addData(b1)
+      sq.processAllAvailable()
+      val s1 = EmfStreaming.snapshot(spark.table("emf_dep_move"), q2).collect()
+      assert(s1.toSeq == EmfPlanner.plan(q2, b1.toDF()).collect().toSeq)
+      // avg 15 → only 20 counts. Now add 90: avg 40 → only 90 counts
+      // (the 20 LEAVES the dependent set — a retraction foreachBatch
+      // would recompute; the histogram replays it)
+      stream.addData(SalesRow("p1", "x", 1, "NY", 90))
+      sq.processAllAvailable()
+      val s2 = EmfStreaming.snapshot(spark.table("emf_dep_move"), q2).collect()
+      val all = b1 :+ SalesRow("p1", "x", 1, "NY", 90)
+      assert(s2.toSeq == EmfPlanner.plan(q2, all.toDF()).collect().toSeq)
+      assert(s2.head.getAs[Long]("count_quant_2") == 1L) // just the 90
+    } finally sq.stop()
+  }
+
+  test("dependent streaming rejects windowed mixes and chained references loudly") {
+    // q8 shape: dependent chained onto a WINDOWED aggregate
+    val q8ish = EmfParser.parseOne(
+      """cust,month,avg_quant_1,count_quant_2
+        |2
+        |cust,month
+        |avg_quant_1,count_quant_2
+        |{MF.cust.avg_quant_1}[=]{cust}:{MF.month.avg_quant_1}[<]{month},{MF.cust.count_quant_2}[=]{cust}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val e = intercept[IllegalArgumentException](
+      EmfStreaming.planDependent(q8ish, stream.toDF()))
+    assert(e.getMessage.contains("microBatch"))
+    // all-SIMPLE is the wrong entry point too
+    val e2 = intercept[IllegalArgumentException](
+      EmfStreaming.planDependent(simpleQ, MemoryStream[SalesRow](spark).toDF()))
+    assert(e2.getMessage.contains("DEPENDENT"))
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
