@@ -51,6 +51,7 @@ object Bench {
       graft.ann.KMeans.clearCache()
       graft.operators.Mining.clearCache()
       graft.text.Bpe.clearCache()
+      graft.ann.FixedPointAnn.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
     // shared memoized frames (the ngram pair frame across dedup_*, the
@@ -76,7 +77,15 @@ object Bench {
       "_shared_kmeans_assign" ->
         (() => { graft.ann.KMeans.assignmentCached(spark, sfDir).count(); () }),
       "_shared_basket_pairs" ->
-        (() => { graft.operators.Mining.pairsCached(spark, sfDir).count(); () }))
+        (() => { graft.operators.Mining.pairsCached(spark, sfDir).count(); () }),
+      "_shared_ann_models" ->
+        (() => {
+          import graft.ann.FixedPointAnn
+          val (c1, g1) = FixedPointAnn.modelCached(spark, sfDir, 1, FixedPointAnn.Nlist)
+          val (c2, g2) = FixedPointAnn.modelCached(spark, sfDir,
+            FixedPointAnn.M, FixedPointAnn.Kpq)
+          Seq(c1, g1, c2, g2).foreach(_.count()); ()
+        }))
     val shared = sharedDefs
       .filter { case (n, _) => only.isEmpty || only(n) }
       .map { case (n, body) => timed(n)(body()) }
@@ -99,6 +108,7 @@ object Bench {
     graft.ann.KMeans.clearCache()
     graft.operators.Mining.clearCache()
     graft.text.Bpe.clearCache()
+    graft.ann.FixedPointAnn.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical
     // code in round 2) — recording it makes a noisy run self-describing

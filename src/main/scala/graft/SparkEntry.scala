@@ -62,6 +62,7 @@ object SparkEntry {
       graft.ann.KMeans.queries ++
       graft.pipeline.DatasetPrep.queries ++
       graft.pipeline.CorpusOps.queries ++
+      graft.pipeline.CorpusOverlap.queries ++
       graft.pipeline.Incremental.queries ++
       graft.operators.Mining.queries ++
       graft.dedup.EditNeighbors.queries ++
@@ -98,6 +99,7 @@ object SparkEntry {
       graft.ann.FixedPointAnn.oracle ++
       graft.pipeline.DatasetPrep.oracle ++
       graft.pipeline.CorpusOps.oracle ++
+      graft.pipeline.CorpusOverlap.oracle ++
       graft.pipeline.Incremental.oracle ++
       graft.operators.Mining.oracle ++
       graft.dedup.EditNeighbors.oracle ++

@@ -123,6 +123,30 @@ object FixedPointAnn {
     (codes, cent)
   }
 
+  /** Trained (codes, centroids) per (session, dir, mCount, k), memoized:
+    * knn_ivfpq consumes BOTH the coarse quantizer knn_ivf trains and the
+    * subspace codebooks knn_pq trains — a real deployment trains each
+    * model once and serves every index build and query from it, so
+    * retraining per consumer is the dishonest shape (the
+    * `assignmentCached` convention). Bench charges the build to its own
+    * `_shared_ann_models` line; [[clearCache]] evicts. */
+  def modelCached(s: SparkSession, d: String, mCount: Int, k: Int): (DataFrame, DataFrame) =
+    modelMemo.getOrElseUpdate((s, d, mCount, k), {
+      val (codes, cent) = lloydSub(KMeans.quantized(s, d), mCount, k)
+      (codes.cache(), cent.cache())
+    })
+
+  private val modelMemo = scala.collection.concurrent.TrieMap[
+    (SparkSession, String, Int, Int), (DataFrame, DataFrame)]()
+
+  /** Evict the memoized models; the next call retrains. */
+  def clearCache(): Unit = {
+    modelMemo.values.foreach { case (a, b) =>
+      a.unpersist(blocking = false); b.unpersist(blocking = false)
+    }
+    modelMemo.clear()
+  }
+
   /** The NQueries probe vectors: (qid, qq). */
   private def queryVecs(e: DataFrame): DataFrame =
     e.filter(col("vec_id") < NQueries)
@@ -181,7 +205,7 @@ object FixedPointAnn {
   /** IVF: probe Nprobe of Nlist cells, score candidates exactly. */
   def knnIvf(s: SparkSession, d: String): DataFrame = {
     val e = KMeans.quantized(s, d)
-    val (assigned, coarse) = lloydSub(e, 1, Nlist)
+    val (assigned, coarse) = modelCached(s, d, 1, Nlist)
     val pr = probes(queryVecs(e), coarse)
     val cand = assigned.select(col("vec_id"), col("cell"), col("sq"))
       .join(broadcast(pr), Seq("cell"))
@@ -196,7 +220,7 @@ object FixedPointAnn {
     * the top TopK·Rescore. */
   def knnPq(s: SparkSession, d: String): DataFrame = {
     val e = KMeans.quantized(s, d)
-    val (codes, books) = lloydSub(e, M, Kpq)
+    val (codes, books) = modelCached(s, d, M, Kpq)
     val qs = queryVecs(e)
     val scan = codeArrays(codes)
       .crossJoin(broadcast(adcTables(qs, books).join(qs, "qid")))
@@ -220,8 +244,8 @@ object FixedPointAnn {
     * ADC touches codes only, rescore touches TopK·Rescore raw rows). */
   def knnIvfPq(s: SparkSession, d: String): DataFrame = {
     val e = KMeans.quantized(s, d)
-    val (assigned, coarse) = lloydSub(e, 1, Nlist)
-    val (codes, books) = lloydSub(e, M, Kpq)
+    val (assigned, coarse) = modelCached(s, d, 1, Nlist)
+    val (codes, books) = modelCached(s, d, M, Kpq)
     val qs = queryVecs(e)
     val pr = probes(qs, coarse)
     val cand = assigned.select(col("vec_id"), col("cell"))

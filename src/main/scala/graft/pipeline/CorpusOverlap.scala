@@ -1,0 +1,91 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Cross-source corpus overlap: the contamination audit a pretraining
+  * pipeline runs before mixing corpora ("how much of source B is
+  * already inside source A?"). For every source pair it reports the
+  * exact 3-gram-shingle set overlap — Jaccard and containment in exact
+  * ppm — over the same shingle construction the dedup family uses
+  * ([[graft.dedup.Dedup.shingles]]), so the two families measure the
+  * same universe.
+  *
+  * Scale shape (100 TB): (source, shingle) DISTINCT is one word-count
+  * style shuffle with map-side combine (repeats collapse before the
+  * wire). The pair stage is the grouped-postings trick: group by
+  * shingle, collect the ≤|sources| source list, emit ordered pairs
+  * IN-ROW — there is no shingle self-join, and per-shingle fanout is
+  * bounded by |sources|²/2 (sources are few; contrast the per-DOC
+  * postings in dedup_ngram which need the df cap). The final frame is
+  * |sources|² rows. No stage materializes anything corpus-sized beyond
+  * the two uniform-keyed aggregations.
+  *
+  * Integer-exact: counts and truncating ppm divisions only (`div` and
+  * DuckDB `//` agree on non-negative operands), so the driver
+  * hash-checks it like any relational query.
+  *
+  * Reference anchor: no counterpart (single-table MF/EMF engine,
+  * /root/reference/src/QueryProcessor1.java); part of the LLM-pipeline
+  * surface mandated by the build brief.
+  */
+object CorpusOverlap {
+
+  private val N = 3
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "corpus_overlap" -> ((s, d) => {
+      val ss = Tables.documents(s, d)
+        .select(col("source"),
+          explode(graft.dedup.Dedup.shingles(col("text"), N)).as("sh"))
+        .distinct()
+      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val pairs = ss.groupBy(col("sh"))
+        .agg(sort_array(collect_set(col("source"))).as("srcs"))
+        .filter(size(col("srcs")) > 1)
+        .select(explode(flatten(transform(col("srcs"), (a, i) =>
+          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
+            struct(a.as("src_a"), b.as("src_b")))))).as("p"))
+        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
+        .agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(broadcast(sizes.withColumnRenamed("source", "src_a")
+          .withColumnRenamed("n_sh", "n_a")), "src_a")
+        .join(broadcast(sizes.withColumnRenamed("source", "src_b")
+          .withColumnRenamed("n_sh", "n_b")), "src_b")
+        .selectExpr("src_a", "src_b", "n_a", "n_b", "n_inter",
+          "CAST(n_inter * 1000000 div (n_a + n_b - n_inter) AS BIGINT) AS jaccard_ppm",
+          "CAST(n_inter * 1000000 div least(n_a, n_b) AS BIGINT) AS containment_ppm")
+        .orderBy(col("src_a"), col("src_b"))
+    }))
+
+  def oracle: Map[String, String] = Map(
+    // identical shingle construction (the dedup_ngram oracle form),
+    // identical source-pair ordering (both engines compare strings by
+    // UTF-8 bytes), identical truncating ppm division
+    "corpus_overlap" ->
+      """WITH ss AS (
+        |  SELECT DISTINCT source,
+        |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+        |  FROM documents,
+        |    LATERAL (SELECT unnest(generate_series(1,
+        |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+        |sizes AS (
+        |  SELECT source, CAST(count(1) AS BIGINT) AS n_sh FROM ss GROUP BY 1),
+        |inter AS (
+        |  SELECT a.source AS src_a, b.source AS src_b,
+        |    CAST(count(1) AS BIGINT) AS n_inter
+        |  FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT src_a, src_b, sa.n_sh AS n_a, sb.n_sh AS n_b, n_inter,
+        |  CAST(n_inter * 1000000 // (sa.n_sh + sb.n_sh - n_inter) AS BIGINT)
+        |    AS jaccard_ppm,
+        |  CAST(n_inter * 1000000 // least(sa.n_sh, sb.n_sh) AS BIGINT)
+        |    AS containment_ppm
+        |FROM inter
+        |JOIN sizes sa ON sa.source = src_a
+        |JOIN sizes sb ON sb.source = src_b
+        |ORDER BY src_a, src_b""".stripMargin)
+}

@@ -107,6 +107,32 @@ object EventStreams {
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("sum_value"))
 
+  /** Per-window top-k heavy hitters: the trending-items readout over
+    * tumbling 1-hour windows — item counts then a rank cut per window.
+    * Batch form here (the oracle-checked contract); the streaming form
+    * is the same windowed count as an incremental stateful aggregation
+    * with the rank applied on the emitted snapshot
+    * (batch ≡ stream pinned in StreamingSpec). Scale shape: the count
+    * is a uniform (window, item)-keyed aggregation with map-side
+    * combine; the rank partitions by window (WindowGroupLimit keeps the
+    * per-task sort to k), so no stage depends on corpus size — only on
+    * per-window item cardinality. */
+  def windowTopK(events: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counted = events
+      .select(window(col("ts"), "1 hour").as("w"),
+        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item"))
+      .filter(col("item").isNotNull) // digit-free props: drop, never rank
+      .groupBy(col("w"), col("item"))
+      .agg(count(lit(1)).as("n"))
+    counted
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("w")).orderBy(col("n").desc, col("item"))))
+      .filter(col("rnk") <= k)
+      .select(col("w.start").as("wstart"), col("item"), col("n"),
+        col("rnk").cast("int").as("rnk"))
+  }
+
   /** Decimal sums surfaced as double at the checked-output boundary —
     * both engines cast the same exact decimal, so bits (and the driver's
     * stringified compare) agree. */
@@ -126,6 +152,9 @@ object EventStreams {
     "stream_dedup" -> ((s, d) =>
       firstArrival(Tables.events(s, d))
         .orderBy(col("user_id"), col("event_type"))),
+    "stream_topk" -> ((s, d) =>
+      windowTopK(Tables.events(s, d))
+        .orderBy(col("wstart"), col("rnk"))),
     "session_trajectories" -> ((s, d) =>
       sessionTrajectories(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -423,6 +452,21 @@ object EventStreams {
         |SELECT user_id, event_type, ts AS first_ts,
         |  event_id AS first_event_id, value AS first_value
         |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+    // identical hour bucketing, identical digit-run item extraction
+    // (both engines drop digit-free props BEFORE ranking), identical
+    // (count desc, item asc) rank tie-break
+    "stream_topk" ->
+      """WITH ev AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart,
+        |    TRY_CAST(regexp_extract(props, '(\d+)', 1) AS BIGINT) AS item
+        |  FROM events),
+        |g AS (
+        |  SELECT wstart, item, count(1) AS n
+        |  FROM ev WHERE item IS NOT NULL GROUP BY 1, 2)
+        |SELECT wstart, item, n,
+        |  CAST(row_number() OVER (PARTITION BY wstart
+        |    ORDER BY n DESC, item) AS INT) AS rnk
+        |FROM g QUALIFY rnk <= 3 ORDER BY wstart, rnk""".stripMargin,
     // same lag→flag→running-sum sessionization (strict < 10-min gap in
     // integer microseconds), trajectory = types ordered by (ts, event_id)
     "session_trajectories" ->

@@ -172,9 +172,53 @@ object Bpe {
     memo.clear()
   }
 
+  /** Corpus encoded with the trained merge table — the tokenizer APPLY
+    * pass that follows training in a real pipeline. Output is the
+    * corpus-level BPE-token histogram (top 100 by count): the number a
+    * data-mixing / vocab-coverage audit actually wants, and it keeps
+    * every stage vocab-bounded.
+    *
+    * Shape: the corpus collapses to DISTINCT words first (the same
+    * vocab-bounded aggregation as training — each word is encoded ONCE
+    * and weighted by its count, not once per occurrence), then the
+    * 6-row merge table arrives as ONE broadcast array and the merges
+    * are applied in rank order as a fold of non-overlapping
+    * left-to-right `replace` calls over the double-spaced symbol string
+    * — the exact greedy semantics of the trainer (each occurrence owns
+    * its two boundary spaces). No collect anywhere: the merge list
+    * reaches the executors as a crossJoin of a 1-row frame.
+    *
+    * `(?s)(.)` spaces EVERY code point (DOTALL — newlines inside words
+    * must become symbols exactly as the trainer's code-point walk does);
+    * Java regex and RE2 both treat `.` as one code point, so Spark and
+    * DuckDB space identically. */
+  private def encode(s: SparkSession, d: String): DataFrame = {
+    val trained = memo.getOrElseUpdate((s, d), train(s, d))
+    val ms = trained.agg(array_sort(collect_list(struct(
+      col("merge_round"), col("lhs"), col("rhs"), col("merged")))).as("ms"))
+    val wc = Tables.documents(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n"))
+    wc.crossJoin(broadcast(ms))
+      .withColumn("sp", regexp_replace(col("w"), "(?s)(.)", " $1 "))
+      .withColumn("enc", aggregate(col("ms"), col("sp"), (acc, m) =>
+        replace(acc,
+          concat(lit(" "), m.getField("lhs"), lit("  "),
+            m.getField("rhs"), lit(" ")),
+          concat(lit(" "), m.getField("merged"), lit(" ")))))
+      .select(explode(split(trim(col("enc")), " +")).as("token"), col("n"))
+      .groupBy(col("token"))
+      .agg(sum(col("n")).as("cnt"))
+      .orderBy(col("cnt").desc, col("token"))
+      .limit(100)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> ((s, d) =>
-      memo.getOrElseUpdate((s, d), train(s, d))))
+      memo.getOrElseUpdate((s, d), train(s, d))),
+    "bpe_apply" -> encode)
 
   private def roundCtes(r: Int): String = {
     val prev = s"w${r - 1}"
@@ -208,5 +252,35 @@ object Bpe {
          |SELECT merge_round, lhs, rhs, pair_n, lhs || rhs AS merged
          |FROM (${(1 to Rounds).map(r => s"SELECT * FROM b$r")
               .mkString(" UNION ALL ")})
-         |ORDER BY merge_round""".stripMargin)
+         |ORDER BY merge_round""".stripMargin,
+    // same training CTEs, then the encode: each DISTINCT word spaced per
+    // code point ((?s): RE2 and Java regex both give one code point per
+    // '.'), the R merges applied in rank order as nested non-overlapping
+    // replaces — identical greedy semantics to Spark's fold
+    "bpe_apply" -> {
+      val nested = (1 to Rounds).foldLeft(
+        "regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") { (acc, r) =>
+        s"""replace($acc,
+           |  (SELECT ' '||lhs||'  '||rhs||' ' FROM b$r),
+           |  (SELECT ' '||lhs||rhs||' ' FROM b$r))""".stripMargin
+      }
+      s"""WITH wc AS (
+         |  SELECT w, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms,
+         |         n
+         |  FROM wc),
+         |${(1 to Rounds).map(roundCtes).mkString(",\n")},
+         |enc AS (
+         |  SELECT n, $nested AS sp
+         |  FROM wc WHERE length(w) > 0),
+         |tok AS (
+         |  SELECT unnest(regexp_split_to_array(trim(sp), ' +')) AS token, n
+         |  FROM enc)
+         |SELECT token, CAST(sum(n) AS BIGINT) AS cnt
+         |FROM tok GROUP BY token
+         |ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+    })
 }

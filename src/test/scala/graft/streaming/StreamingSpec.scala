@@ -9,6 +9,9 @@ import java.sql.Timestamp
 case class Ev(event_id: Long, ts: Timestamp, user_id: Long,
     event_type: String, value: Double)
 
+case class EvP(event_id: Long, ts: Timestamp, user_id: Long,
+    event_type: String, value: Double, props: String)
+
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -94,6 +97,39 @@ class StreamingSpec extends SparkSpec {
         $"first_event_id".as("event_id"), $"first_value".as("value"))
       .orderBy($"user_id", $"event_type").collect().toSeq
     assert(streamed == batch)
+  }
+
+  test("stream_topk: incremental windowed counts + snapshot rank equal batch top-k") {
+    // the count is the streaming-stateful part (incremental per
+    // (window, item)); the rank cut is applied on the emitted snapshot —
+    // fed in two time-split batches to pin cross-batch state carry
+    val evs = Tables.events(spark, sf0001)
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value", $"props")
+      .as[EvP].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[EvP](spark)
+    val counted = stream.toDF()
+      .select(window($"ts", "1 hour").as("w"),
+        regexp_extract($"props", "(\\d+)", 1).cast("long").as("item"))
+      .filter($"item".isNotNull)
+      .groupBy($"w", $"item").agg(count(lit(1)).as("n"))
+    val q = counted.writeStream.format("memory").queryName("topk")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val ranked = spark.table("topk")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"w").orderBy($"n".desc, $"item")))
+      .filter($"rnk" <= 3)
+      .select($"w.start".as("wstart"), $"item", $"n",
+        $"rnk".cast("int").as("rnk"))
+      .orderBy($"wstart", $"rnk").collect().toSeq
+    val batch = EventStreams.windowTopK(Tables.events(spark, sf0001))
+      .orderBy($"wstart", $"rnk").collect().toSeq
+    assert(ranked == batch)
   }
 
   test("session_trajectories carve the same sessions as session_window") {

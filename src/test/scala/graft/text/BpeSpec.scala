@@ -73,4 +73,38 @@ class BpeSpec extends SparkSpec {
     }
     Bpe.clearCache()
   }
+
+  /** Plain-Scala greedy encoder: apply the trained merges in rank order
+    * to one word — the same left-to-right walk the trainer uses,
+    * independent of the replace-fold Column tree. */
+  private def referenceEncode(
+      w: String, merges: Seq[(String, String)]): Seq[String] =
+    merges.foldLeft(Bpe.charSyms(w).toVector) { case (syms, (lhs, rhs)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == lhs && x == rhs)
+          acc.init :+ (lhs + rhs)
+        else acc :+ x
+      }
+    }
+
+  test("bpe_apply histogram matches a plain-Scala per-word encoder") {
+    val merges = Bpe.queries("bpe_train")(spark, sf0001).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.queries("bpe_apply")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val wc = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val expect = wc
+      .flatMap { case (w, n) => referenceEncode(w, merges).map(_ -> n) }
+      .groupMapReduce(_._1)(_._2)(_ + _).toSeq
+      // UTF-8 byte tie-break like Spark/DuckDB, NOT Scala's UTF-16 order
+      .sortWith { (a, b) =>
+        a._2 > b._2 || (a._2 == b._2 && Bpe.u8Less(a._1, b._1))
+      }.take(100)
+    assert(got.toSeq == expect)
+    Bpe.clearCache()
+  }
 }
