@@ -72,24 +72,41 @@ object FixedPointAnn {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  /** Grouped subspace Lloyd: `Iters` unrolled iterations over the
-    * (vec_id, m, sq) frame. Returns (codes, centroids): `codes` is the
-    * final per-subspace assignment (vec_id, m, sq, cell, dist) and
-    * `centroids` the (m, cell, qc) frame that final assignment used —
-    * the searchable model (probe targets / ADC codebooks). Init is the
-    * first k vectors by id (ties impossible), argmin ties break to the
-    * lowest cell, exactly as [[KMeans.iterate]]. */
+  /** Codebook-training sample bound: training vectors are those with
+    * `vec_id < MaxTrain` — a deterministic id-prefix cut that reaches
+    * the parquet scan as a pushed filter (an `orderBy().limit()` prefix
+    * funnels a single-reducer top-k merge — measured 3× SLOWER than
+    * full-corpus training at sf10 — while the filter costs nothing).
+    * Any corpus at or below the bound trains on everything
+    * (sf0.01/sf0.1 results are bit-unchanged); any corpus above it
+    * trains at a corpus-independent cost (the [[Ivf.maxTrainSample]]
+    * contract). The FINAL assignment pass still covers the whole
+    * corpus — searching must index every vector; only the centroid
+    * fitting is sampled, exactly like every production ANN trainer. */
+  val MaxTrain = 1 << 16
+
+  /** Grouped subspace Lloyd: `Iters` unrolled iterations. Intermediate
+    * rounds assign the [[MaxTrain]]-bounded training prefix and refit
+    * centroids from it; the LAST round assigns the full corpus against
+    * the trained centroids. Returns (codes, centroids): `codes` is the
+    * final full-corpus per-subspace assignment (vec_id, m, sq, cell,
+    * dist) and `centroids` the (m, cell, qc) frame that assignment used
+    * — the searchable model (probe targets / ADC codebooks). Init is
+    * the first k vectors by id (ties impossible), argmin ties break to
+    * the lowest cell, exactly as [[KMeans.iterate]]. */
   private[ann] def lloydSub(e: DataFrame, mCount: Int, k: Int): (DataFrame, DataFrame) = {
     val dsub = Dim / mCount
-    val sub = e
+    def subspaces(df: DataFrame): DataFrame = df
       .select(col("vec_id"), explode(sequence(lit(0), lit(mCount - 1))).as("m"),
         col("qe"))
       .select(col("vec_id"), col("m"),
         slice(col("qe"), col("m") * dsub + 1, lit(dsub)).as("sq"))
+    val subTrain = subspaces(e.filter(col("vec_id") < MaxTrain))
+    val subAll = subspaces(e)
     val w = Window.orderBy(col("vec_id")) // k-row LIMIT frame: bounded
     val firstK = e.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id"), (row_number().over(w) - 1).cast("int").as("cell"))
-    var cent = sub.join(broadcast(firstK), "vec_id")
+    var cent = subTrain.join(broadcast(firstK), "vec_id")
       .select(col("m"), col("cell"), col("sq").as("qc"))
     var codes: DataFrame = null
     for (i <- 1 to Iters) {
@@ -98,7 +115,8 @@ object FixedPointAnn {
       // cell on ties); nothing shuffles
       val centArr = cent.groupBy(col("m"))
         .agg(sort_array(collect_list(struct(col("cell"), col("qc")))).as("cents"))
-      codes = sub.join(broadcast(centArr), "m")
+      val target = if (i < Iters) subTrain else subAll
+      codes = target.join(broadcast(centArr), "m")
         .select(col("vec_id"), col("m"), col("sq"),
           aggregate(col("cents"),
             struct(lit(Long.MaxValue).as("dist"), lit(-1).as("cell")),
@@ -274,10 +292,13 @@ object FixedPointAnn {
 
   // ---------------------------------------------------------------- oracle
 
-  /** DuckDB replay of [[lloydSub]] as CTEs `<p>sub/<p>init/<p>d1/<p>a1/
-    * <p>c1/<p>d2/<p>a2` over the shared `e` CTE — the (m)-grouped
-    * generalization of [[KMeans.assignCtesFrom]]. `//` and `div` both
-    * truncate toward zero (verified in KMeans). */
+  /** DuckDB replay of [[lloydSub]] as CTEs `<p>sub/<p>subtr/<p>init/
+    * <p>d1/<p>a1/<p>c1/<p>d2/<p>a2` over the shared `e` CTE — the
+    * (m)-grouped generalization of [[KMeans.assignCtesFrom]]. Training
+    * CTEs (d1/a1/c1) run on the [[MaxTrain]] vec_id-prefix `subtr`; the
+    * final assignment (d2/a2) runs on the full corpus, exactly as the
+    * engine. `//` and `div` both truncate toward zero (verified in
+    * KMeans). */
   private def lloydCtes(p: String, mCount: Int, k: Int): String = {
     val dsub = Dim / mCount
     def dist(a: String, b: String) =
@@ -286,15 +307,17 @@ object FixedPointAnn {
        |  SELECT vec_id, t.m,
        |    list_transform(range(1, ${dsub + 1}), j -> qe[t.m*$dsub + j]) AS sq
        |  FROM e CROSS JOIN range(0, $mCount) t(m)),
+       |${p}subtr AS (
+       |  SELECT * FROM ${p}sub WHERE vec_id < $MaxTrain),
        |${p}init AS (
        |  SELECT s.m, f.cell, s.sq AS qc
-       |  FROM ${p}sub s JOIN (
+       |  FROM ${p}subtr s JOIN (
        |    SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell
        |    FROM e QUALIFY row_number() OVER (ORDER BY vec_id) <= $k) f
        |  USING (vec_id)),
        |${p}d1 AS (
        |  SELECT s.vec_id, s.m, s.sq, i.cell, ${dist("s.sq", "i.qc")} AS dist
-       |  FROM ${p}sub s JOIN ${p}init i ON s.m = i.m),
+       |  FROM ${p}subtr s JOIN ${p}init i ON s.m = i.m),
        |${p}a1 AS (
        |  SELECT vec_id, m, sq, cell, dist FROM (
        |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
