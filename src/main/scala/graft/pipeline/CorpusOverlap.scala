@@ -13,15 +13,18 @@ import graft.Tables
   * ([[graft.dedup.Dedup.shingles]]), so the two families measure the
   * same universe.
   *
-  * Scale shape (100 TB): (source, shingle) DISTINCT is one word-count
-  * style shuffle with map-side combine (repeats collapse before the
-  * wire). The pair stage is the grouped-postings trick: group by
-  * shingle, collect the ≤|sources| source list, emit ordered pairs
-  * IN-ROW — there is no shingle self-join, and per-shingle fanout is
-  * bounded by |sources|²/2 (sources are few; contrast the per-DOC
-  * postings in dedup_ngram which need the df cap). The final frame is
-  * |sources|² rows. No stage materializes anything corpus-sized beyond
-  * the two uniform-keyed aggregations.
+  * Scale shape (100 TB): ONE corpus pass — explode shingles into a
+  * shingle-keyed grouped-postings aggregation whose `collect_set`
+  * dedups (source, shingle) repeats in the same shuffle a DISTINCT
+  * would cost. Everything downstream derives from that vocab-sized
+  * postings frame: set sizes re-explode the ≤|sources| arrays (never
+  * the corpus), and pairs are emitted IN-ROW from each sorted array —
+  * no shingle self-join, per-shingle fanout bounded by |sources|²/2
+  * (sources are few; contrast the per-DOC postings in dedup_ngram
+  * which need the df cap). Both consumers sit on the same
+  * shingle-keyed Exchange, which Spark reuses (the first cut computed
+  * sizes as two separate corpus re-scans — 3 passes total, caught in
+  * the plan audit). The final frame is |sources|² rows.
   *
   * Integer-exact: counts and truncating ppm divisions only (`div` and
   * DuckDB `//` agree on non-negative operands), so the driver
@@ -37,13 +40,14 @@ object CorpusOverlap {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_overlap" -> ((s, d) => {
-      val ss = Tables.documents(s, d)
+      val posts = Tables.documents(s, d)
         .select(col("source"),
           explode(graft.dedup.Dedup.shingles(col("text"), N)).as("sh"))
-        .distinct()
-      val sizes = ss.groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
-      val pairs = ss.groupBy(col("sh"))
+        .groupBy(col("sh"))
         .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      val sizes = posts.select(explode(col("srcs")).as("source"))
+        .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+      val pairs = posts
         .filter(size(col("srcs")) > 1)
         .select(explode(flatten(transform(col("srcs"), (a, i) =>
           transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
