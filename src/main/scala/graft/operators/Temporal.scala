@@ -175,9 +175,59 @@ object Temporal {
             |END AS r2_ppm""".stripMargin)
         .orderBy(col("event_type"))
     }),
+
+    // Day-of-week seasonal decomposition: daily revenue totals, per-dow
+    // mean (exact truncating div), and each weekday's worst residual day
+    // — the seasonality audit behind traffic mixing/scheduling. The
+    // corpus collapses to the calendar-sized daily marginal in the ONE
+    // data-sized aggregation; everything after (dow means, residuals,
+    // argmax windows) runs on ≤ |days| rows. Days are integer epoch-days
+    // (micros div 86400e6) and dow = day mod 7 — pure integer arithmetic,
+    // no calendar API to diverge between engines.
+    "ts_seasonal" -> ((s, d) => {
+      val daily = Tables.events(s, d)
+        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+          .as("day"), cents(col("value")).as("c"))
+        .groupBy(col("day")).agg(sum(col("c")).as("total"))
+        .withColumn("dow", pmod(col("day"), lit(7)))
+      val dw = daily.groupBy(col("dow"))
+        .agg(count(lit(1)).as("n_days"), sum(col("total")).as("s"))
+        .selectExpr("dow", "n_days", "s div n_days AS mean_cents")
+      val res = daily.join(broadcast(dw), "dow")
+        .withColumn("resid", col("total") - col("mean_cents"))
+      val w = Window.partitionBy(col("dow"))
+        .orderBy(abs(col("resid")).desc, col("day"))
+      res.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("dow"), col("n_days"), col("mean_cents"),
+          col("day").as("worst_day"), col("resid").as("worst_resid_cents"))
+        .orderBy(col("dow"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
+    // identical integer epoch-day bucketing, identical truncating dow
+    // mean, identical (|resid| desc, day) argmax tie-break
+    "ts_seasonal" ->
+      """WITH daily AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
+        |      AS BIGINT) AS total
+        |  FROM events GROUP BY 1),
+        |dw AS (
+        |  SELECT day % 7 AS dow, count(1) AS n_days,
+        |    CAST(sum(total) AS BIGINT) AS s
+        |  FROM daily GROUP BY 1),
+        |j AS (
+        |  SELECT d.day, w.dow, w.n_days,
+        |    CAST(w.s // w.n_days AS BIGINT) AS mean_cents,
+        |    d.total - CAST(w.s // w.n_days AS BIGINT) AS resid
+        |  FROM daily d JOIN dw w ON d.day % 7 = w.dow)
+        |SELECT dow, n_days, mean_cents, day AS worst_day,
+        |  CAST(resid AS BIGINT) AS worst_resid_cents
+        |FROM j
+        |QUALIFY row_number() OVER (PARTITION BY dow
+        |  ORDER BY abs(resid) DESC, day) = 1
+        |ORDER BY dow""".stripMargin,
     "ts_fill" ->
       """WITH ev AS (
         |  SELECT event_type, date_trunc('hour', ts) AS h,

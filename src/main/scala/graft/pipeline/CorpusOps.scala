@@ -157,6 +157,48 @@ object CorpusOps {
         .orderBy(col("doc_id"))
     }),
 
+    // Snapshot diff (CDC audit): classify every doc across two corpus
+    // snapshots as added / removed / changed / unchanged and report
+    // per-lang doc counts + net char delta — the release-over-release
+    // changelog a dataset card cites. The comparison key is md5(text)
+    // (16-byte digests cross the join, never the texts — the
+    // dataset_card convention); the join is ONE full-outer on doc_id
+    // whose both sides are corpus-sized: at deployment both snapshots
+    // are bucketed by doc_id so the diff is co-located and shuffle-free.
+    // The "new" snapshot is derived deterministically (drop every 17th,
+    // edit every 7th, insert every 13th at a corpus-derived id stride —
+    // the corpus_upsert fixture convention), replayed exactly by the
+    // oracle.
+    "corpus_diff" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("text"))
+      val stride = docs.agg((max(col("doc_id")) + 1).as("__st"))
+      val newSnap = docs
+        .filter(pmod(col("doc_id"), lit(17)) =!= 0)
+        .select(col("doc_id"), col("lang"),
+          when(pmod(col("doc_id"), lit(7)) === 0,
+            concat(lit("v2 "), col("text"))).otherwise(col("text")).as("text"))
+        .unionByName(docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+          .crossJoin(broadcast(stride))
+          .select((col("doc_id") + col("__st")).as("doc_id"), col("lang"),
+            concat(lit("new "), col("text")).as("text")))
+      val o = docs.select(col("doc_id"), col("lang").as("lang_o"),
+        md5(col("text")).as("h_o"), length(col("text")).as("len_o"))
+      val n = newSnap.select(col("doc_id"), col("lang").as("lang_n"),
+        md5(col("text")).as("h_n"), length(col("text")).as("len_n"))
+      o.join(n, Seq("doc_id"), "full_outer")
+        .select(coalesce(col("lang_n"), col("lang_o")).as("lang"),
+          when(col("h_o").isNull, "added")
+            .when(col("h_n").isNull, "removed")
+            .when(col("h_o") === col("h_n"), "unchanged")
+            .otherwise("changed").as("status"),
+          (coalesce(col("len_n"), lit(0)) - coalesce(col("len_o"), lit(0)))
+            .cast("long").as("cd"))
+        .groupBy(col("lang"), col("status"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("cd")).as("char_delta"))
+        .orderBy(col("lang"), col("status"))
+    }),
+
     // GDPR / right-to-be-forgotten propagation: a deletion list (doc
     // ids whose consent was revoked — modeled as every 11th doc plus
     // every doc of one delisted source) is applied by ONE broadcast
@@ -492,6 +534,32 @@ object CorpusOps {
         |  WHERE doc_id NOT IN (SELECT doc_id FROM delta))
         |SELECT doc_id, src, CAST(length(text) AS INT) AS n_chars_new
         |FROM merged ORDER BY doc_id""".stripMargin,
+    // identical derived snapshot (drop %17, edit %7, insert %13 at the
+    // max+1 stride), identical md5 comparison and status classification
+    "corpus_diff" ->
+      """WITH st AS (SELECT max(doc_id) + 1 AS s FROM documents),
+        |newsnap AS (
+        |  SELECT doc_id, lang,
+        |    CASE WHEN doc_id % 7 = 0 THEN 'v2 ' || text ELSE text END AS text
+        |  FROM documents WHERE doc_id % 17 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + st.s, lang, 'new ' || text
+        |  FROM documents CROSS JOIN st WHERE doc_id % 13 = 0),
+        |o AS (SELECT doc_id, lang AS lang_o, md5(text) AS h_o,
+        |        length(text) AS len_o FROM documents),
+        |n AS (SELECT doc_id, lang AS lang_n, md5(text) AS h_n,
+        |        length(text) AS len_n FROM newsnap),
+        |cls AS (
+        |  SELECT coalesce(n.lang_n, o.lang_o) AS lang,
+        |    CASE WHEN o.h_o IS NULL THEN 'added'
+        |         WHEN n.h_n IS NULL THEN 'removed'
+        |         WHEN o.h_o = n.h_n THEN 'unchanged'
+        |         ELSE 'changed' END AS status,
+        |    CAST(coalesce(n.len_n, 0) - coalesce(o.len_o, 0) AS BIGINT) AS cd
+        |  FROM o FULL OUTER JOIN n USING (doc_id))
+        |SELECT lang, status, count(1) AS n_docs,
+        |  CAST(sum(cd) AS BIGINT) AS char_delta
+        |FROM cls GROUP BY 1, 2 ORDER BY lang, status""".stripMargin,
     // identical delete list, identical tombstone-flag left join
     "corpus_forget" ->
       """WITH dels AS (

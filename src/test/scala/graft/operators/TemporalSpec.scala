@@ -7,6 +7,34 @@ import org.apache.spark.sql.functions._
 /** Structural + replay checks for the Temporal module. */
 class TemporalSpec extends SparkSpec {
 
+  test("ts_seasonal: dow means and residual argmax replay from a scalar walk") {
+    val rows = Temporal.queries("ts_seasonal")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    // independent replay: collect the daily totals and re-derive
+    val daily = graft.Tables.events(spark, sf0001)
+      .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .as("day"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("c"))
+      .groupBy("day").agg(sum("c").as("total")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    val byDow = daily.groupBy { case (day, _) => day % 7 }
+    val expect = byDow.toSeq.map { case (dow, ds) =>
+      val n = ds.length.toLong
+      val mean = ds.map(_._2).sum / n // positive totals: div == floor
+      val (wd, resid) = ds.map { case (day, t) => (day, t - mean) }
+        .minBy { case (day, r) => (-math.abs(r), day) }
+      (dow, n, mean, wd, resid)
+    }.sortBy(_._1)
+    assert(rows.toSeq == expect)
+    // dow partition: residuals within each dow sum to ~0 (truncation
+    // leaves at most n_days-1 cents)
+    rows.foreach { case (dow, n, mean, _, _) =>
+      val tot = daily.filter(_._1 % 7 == dow).map(_._2).sum
+      assert(tot / n == mean)
+    }
+  }
+
   test("ts_fill: dense grid, real gaps filled with 0 and carried forward") {
     val df = Temporal.queries("ts_fill")(spark, sf0001)
     val rows = df.collect()

@@ -7,6 +7,30 @@ class CorpusOpsSpec extends SparkSpec {
 
   private def run(name: String) = CorpusOps.queries(name)(spark, sf0001)
 
+  test("corpus_diff: census is conservation-consistent with the snapshot rules") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val nDocs = docs.count()
+    val nDel = docs.filter(pmod(col("doc_id"), lit(17)) === 0).count()
+    val nIns = docs.filter(pmod(col("doc_id"), lit(13)) === 0).count()
+    // changed = edited (%7) minus those that were deleted (%17 too)
+    val nChg = docs.filter(pmod(col("doc_id"), lit(7)) === 0 &&
+      pmod(col("doc_id"), lit(17)) =!= 0).count()
+    val rows = CorpusOps.queries("corpus_diff")(spark, sf0001).collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    def tot(st: String) = rows.filter(_._1 == st).map(_._2).sum
+    assert(tot("removed") == nDel)
+    assert(tot("added") == nIns)
+    assert(tot("changed") == nChg)
+    assert(tot("unchanged") == nDocs - nDel - nChg)
+    // edits prepend "v2 " (+4 chars incl space? "v2 " = 3), inserts
+    // prepend "new " (4): char deltas are exactly determined
+    assert(rows.filter(_._1 == "changed").map(_._3).sum == 3 * nChg)
+    val insChars = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+      .agg(sum(length(col("text")) + 4)).collect()(0).getLong(0)
+    assert(rows.filter(_._1 == "added").map(_._3).sum == insChars)
+  }
+
   test("corpus_upsert: delta wins, base survives untouched, inserts land") {
     val base = graft.Tables.documents(spark, sf0001)
     val nBase = base.count()
