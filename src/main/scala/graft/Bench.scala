@@ -84,7 +84,11 @@ object Bench {
           val (c1, g1) = FixedPointAnn.modelCached(spark, sfDir, 1, FixedPointAnn.Nlist)
           val (c2, g2) = FixedPointAnn.modelCached(spark, sfDir,
             FixedPointAnn.M, FixedPointAnn.Kpq)
-          Seq(c1, g1, c2, g2).foreach(_.count()); ()
+          // centroids FIRST: the k-row training frames materialize
+          // cheaply, then each full-corpus code frame rewrites its
+          // centroid subtree to the cached InMemoryRelation instead of
+          // re-running the Lloyd fit
+          Seq(g1, g2, c1, c2).foreach(_.count()); ()
         }))
     val shared = sharedDefs
       .filter { case (n, _) => only.isEmpty || only(n) }
