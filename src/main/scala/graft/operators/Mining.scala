@@ -165,7 +165,10 @@ object Mining {
     // seconds up front (session TZ is UTC in every entrypoint) so the
     // gap predicate and both engines' islands agree exactly.
     "covisitation" -> ((s, d) => {
-      val item = regexp_extract(col("props"), "(\\d+)", 1).cast("long")
+      // try_cast: under ANSI a digit-free props row would ERROR on
+      // cast('') instead of nulling out (the oracle already TRY_CASTs)
+      val item =
+        expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)")
       val ev = Tables.events(s, d)
         .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
           col("event_id"), item.as("item"))

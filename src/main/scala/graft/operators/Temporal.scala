@@ -190,9 +190,15 @@ object Temporal {
           .as("day"), cents(col("value")).as("c"))
         .groupBy(col("day")).agg(sum(col("c")).as("total"))
         .withColumn("dow", pmod(col("day"), lit(7)))
+      // sign-explicit truncating division (the attribution_linear
+      // convention): Spark div truncates toward zero, DuckDB // floors —
+      // identical only when the numerator is non-negative, which a
+      // refund-bearing ledger would violate
       val dw = daily.groupBy(col("dow"))
         .agg(count(lit(1)).as("n_days"), sum(col("total")).as("s"))
-        .selectExpr("dow", "n_days", "s div n_days AS mean_cents")
+        .selectExpr("dow", "n_days",
+          """CASE WHEN s >= 0 THEN s div n_days
+            |ELSE -((-s) div n_days) END AS mean_cents""".stripMargin)
       val res = daily.join(broadcast(dw), "dow")
         .withColumn("resid", col("total") - col("mean_cents"))
       val w = Window.partitionBy(col("dow"))
@@ -217,11 +223,15 @@ object Temporal {
         |  SELECT day % 7 AS dow, count(1) AS n_days,
         |    CAST(sum(total) AS BIGINT) AS s
         |  FROM daily GROUP BY 1),
+        |dm AS (
+        |  SELECT dow, n_days,
+        |    CAST(CASE WHEN s >= 0 THEN s // n_days
+        |         ELSE -((-s) // n_days) END AS BIGINT) AS mean_cents
+        |  FROM dw),
         |j AS (
-        |  SELECT d.day, w.dow, w.n_days,
-        |    CAST(w.s // w.n_days AS BIGINT) AS mean_cents,
-        |    d.total - CAST(w.s // w.n_days AS BIGINT) AS resid
-        |  FROM daily d JOIN dw w ON d.day % 7 = w.dow)
+        |  SELECT d.day, w.dow, w.n_days, w.mean_cents,
+        |    d.total - w.mean_cents AS resid
+        |  FROM daily d JOIN dm w ON d.day % 7 = w.dow)
         |SELECT dow, n_days, mean_cents, day AS worst_day,
         |  CAST(resid AS BIGINT) AS worst_resid_cents
         |FROM j

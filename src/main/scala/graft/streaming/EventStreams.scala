@@ -121,7 +121,11 @@ object EventStreams {
     import org.apache.spark.sql.expressions.Window
     val counted = events
       .select(window(col("ts"), "1 hour").as("w"),
-        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item"))
+        // try_cast: under ANSI a digit-free props row would otherwise
+        // ERROR on cast('') instead of nulling out (DuckDB mirrors with
+        // TRY_CAST)
+        expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)")
+          .as("item"))
       .filter(col("item").isNotNull) // digit-free props: drop, never rank
       .groupBy(col("w"), col("item"))
       .agg(count(lit(1)).as("n"))

@@ -87,7 +87,8 @@ class MiningSpec extends SparkSpec {
     val ev = Tables.events(spark, sf001)
       .select(col("user_id"), unix_timestamp(col("ts")).as("ts_s"),
         col("event_id"),
-        regexp_extract(col("props"), "(\\d+)", 1).cast("long").as("item"))
+        expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)")
+          .as("item"))
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
     val counts = collection.mutable.Map.empty[(Long, Long), Long]

@@ -35,6 +35,25 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("ts_seasonal: refund-heavy (negative-total) days keep cross-engine div semantics") {
+    // the mean is sign-explicit: -7 cents over 2 days must give -3
+    // (truncation toward zero on the NEGATED positive), matching what
+    // DuckDB computes with the same CASE — not floor's -4
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("seas_fix").toString
+    Seq( // two Thursdays (days 0 and 7 are dow 4... day%7: 0 and 7 -> 0)
+      (1L, java.sql.Timestamp.valueOf("1970-01-01 10:00:00"), 1L, "refund", -0.05, "x"),
+      (2L, java.sql.Timestamp.valueOf("1970-01-08 10:00:00"), 1L, "refund", -0.02, "x"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val rows = Temporal.queries("ts_seasonal")(spark, dir).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getLong(2) == -3L, s"mean: ${rows.head}")
+    // worst residual day: day0 resid -5-(-3) = -2, day7 resid +1 ->
+    // |−2| > |1| -> worst_day 0
+    assert(rows.head.getLong(3) == 0L && rows.head.getLong(4) == -2L)
+  }
+
   test("ts_fill: dense grid, real gaps filled with 0 and carried forward") {
     val df = Temporal.queries("ts_fill")(spark, sf0001)
     val rows = df.collect()

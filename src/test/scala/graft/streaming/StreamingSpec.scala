@@ -110,7 +110,8 @@ class StreamingSpec extends SparkSpec {
     val stream = MemoryStream[EvP](spark)
     val counted = stream.toDF()
       .select(window($"ts", "1 hour").as("w"),
-        regexp_extract($"props", "(\\d+)", 1).cast("long").as("item"))
+        expr("try_cast(regexp_extract(props, '(\\\\d+)', 1) AS BIGINT)")
+          .as("item"))
       .filter($"item".isNotNull)
       .groupBy($"w", $"item").agg(count(lit(1)).as("n"))
     val q = counted.writeStream.format("memory").queryName("topk")
@@ -130,6 +131,21 @@ class StreamingSpec extends SparkSpec {
     val batch = EventStreams.windowTopK(Tables.events(spark, sf0001))
       .orderBy($"wstart", $"rnk").collect().toSeq
     assert(ranked == batch)
+  }
+
+  test("stream_topk drops digit-free props instead of erroring under ANSI") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("props", StringType)))
+    val rows = java.util.Arrays.asList(
+      Row(Timestamp.valueOf("2024-01-01 10:05:00"), "item=42"),
+      Row(Timestamp.valueOf("2024-01-01 10:06:00"), "no digits here"),
+      Row(Timestamp.valueOf("2024-01-01 10:07:00"), "item=42"))
+    val df = spark.createDataFrame(rows, schema)
+    val out = EventStreams.windowTopK(df).collect()
+    assert(out.length == 1 && out.head.getLong(1) == 42L &&
+      out.head.getLong(2) == 2L)
   }
 
   test("session_trajectories carve the same sessions as session_window") {
