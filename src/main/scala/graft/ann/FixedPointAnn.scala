@@ -285,10 +285,48 @@ object FixedPointAnn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** Exact fixed-point brute-force top-k — the ground truth the recall
+    * metric is computed against. Queries broadcast against one corpus
+    * scan; partial WindowGroupLimit keeps per-task sorts at k. */
+  private def bruteFp(s: SparkSession, d: String): DataFrame = {
+    val e = KMeans.quantized(s, d)
+    val cand = e.crossJoin(broadcast(queryVecs(e)))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        sqDistFp(col("qq"), col("qe")).as("dist"))
+    topKBy(cand, col("dist"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"))
+  }
+
+  /** ANN eval harness: recall@k and MRR of the IVF-PQ index against the
+    * exact integer brute force — the acceptance metric every index
+    * deployment gates on, expressed as a query so the driver
+    * hash-checks it. recall_ppm = |approx ∩ true| / (n·k); mrr_sum_ppm
+    * = Σ_q 10⁶ div (approx rank of q's TRUE nearest neighbor) (0 when
+    * missed) — all integer, replayed exactly. Costs: the brute side is
+    * one corpus scan against broadcast queries (it IS knn_brute's
+    * shape); the approx side reuses the cached models; the metric join
+    * touches n·k rows. */
+  def annRecall(s: SparkSession, d: String): DataFrame = {
+    val truth = bruteFp(s, d)
+    val approx = knnIvfPq(s, d).select(col("qid"), col("nid"), col("rnk"))
+    val hits = truth.join(approx.select(col("qid"), col("nid")),
+        Seq("qid", "nid")).agg(count(lit(1)).as("n_hits"))
+    val mrr = truth.filter(col("rnk") === 1)
+      .join(approx.withColumnRenamed("rnk", "arnk"), Seq("qid", "nid"), "left")
+      .agg(sum(coalesce(expr("1000000 div arnk"), lit(0L))).as("mrr_sum_ppm"),
+        count(lit(1)).as("n_queries"))
+    hits.crossJoin(mrr)
+      .select(lit(TopK).as("k"), col("n_queries"),
+        expr(s"n_hits * 1000000 div (n_queries * $TopK)").as("recall_ppm"),
+        col("mrr_sum_ppm"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
-    "knn_ivfpq" -> (knnIvfPq _))
+    "knn_ivfpq" -> (knnIvfPq _),
+    "ann_recall" -> (annRecall _))
 
   // ---------------------------------------------------------------- oracle
 
@@ -378,7 +416,10 @@ object FixedPointAnn {
        |  FROM qsub s JOIN p_c1 c ON c.m = s.m)""".stripMargin
   }
 
-  private val rescoreSql =
+  /** Shared top/sc CTEs of the ADC rescore (consumed by the final
+    * SELECT of knn_pq/knn_ivfpq and by the `approx` CTE of
+    * ann_recall). */
+  private val rescoreCtes =
     s"""top AS (
        |  SELECT qid, vec_id, adc FROM (
        |    SELECT *, row_number() OVER (PARTITION BY qid
@@ -388,7 +429,10 @@ object FixedPointAnn {
        |    CAST(${fullDist("eq.qe", "ev.qe")} AS BIGINT) AS dist
        |  FROM top t
        |  JOIN e eq ON eq.vec_id = t.qid
-       |  JOIN e ev ON ev.vec_id = t.vec_id)
+       |  JOIN e ev ON ev.vec_id = t.vec_id)""".stripMargin
+
+  private val rescoreSql =
+    s"""$rescoreCtes
        |SELECT qid, vec_id AS nid,
        |  CAST(row_number() OVER (PARTITION BY qid
        |    ORDER BY dist, vec_id) AS INT) AS rnk, adc, dist
@@ -436,5 +480,52 @@ object FixedPointAnn {
          |  JOIN p_a2 a ON a.vec_id = c.vec_id
          |  JOIN dt ON dt.qid = c.qid AND dt.m = a.m AND dt.cell = a.cell
          |  GROUP BY 1, 2),
-         |$rescoreSql""".stripMargin)
+         |$rescoreSql""".stripMargin,
+    // the full IVF-PQ replay as an `approx` CTE, an exact integer brute
+    // force as ground truth, identical integer recall/MRR arithmetic
+    "ann_recall" ->
+      s"""WITH $eCte,
+         |${lloydCtes("g_", 1, Nlist)},
+         |${lloydCtes("p_", M, Kpq)},
+         |$qCte,
+         |$probeCtes,
+         |$dtCte,
+         |cand AS (
+         |  SELECT p.qid, a.vec_id
+         |  FROM gpr p JOIN g_a2 a ON a.cell = p.cell AND a.vec_id <> p.qid),
+         |adc AS (
+         |  SELECT c.qid, c.vec_id, CAST(sum(dt.pd) AS BIGINT) AS adc
+         |  FROM cand c
+         |  JOIN p_a2 a ON a.vec_id = c.vec_id
+         |  JOIN dt ON dt.qid = c.qid AND dt.m = a.m AND dt.cell = a.cell
+         |  GROUP BY 1, 2),
+         |$rescoreCtes,
+         |approx AS (
+         |  SELECT qid, vec_id AS nid,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, vec_id) AS INT) AS rnk
+         |  FROM sc QUALIFY rnk <= $TopK),
+         |bt AS (
+         |  SELECT q.qid, ev.vec_id,
+         |    CAST(${fullDist("q.qq", "ev.qe")} AS BIGINT) AS dist
+         |  FROM q CROSS JOIN e ev WHERE ev.vec_id <> q.qid),
+         |btr AS (
+         |  SELECT qid, vec_id AS nid,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY dist, vec_id) AS INT) AS rnk
+         |  FROM bt QUALIFY rnk <= $TopK),
+         |hits AS (
+         |  SELECT count(1) AS n_hits
+         |  FROM btr t JOIN approx a ON a.qid = t.qid AND a.nid = t.nid),
+         |mrr AS (
+         |  SELECT CAST(sum(coalesce(1000000 // a.rnk, 0)) AS BIGINT)
+         |      AS mrr_sum_ppm,
+         |    count(1) AS n_queries
+         |  FROM (SELECT qid, nid FROM btr WHERE rnk = 1) t
+         |  LEFT JOIN approx a ON a.qid = t.qid AND a.nid = t.nid)
+         |SELECT CAST($TopK AS INT) AS k, n_queries,
+         |  CAST(n_hits * 1000000 // (n_queries * $TopK) AS BIGINT)
+         |    AS recall_ppm,
+         |  mrr_sum_ppm
+         |FROM hits CROSS JOIN mrr""".stripMargin)
 }

@@ -81,6 +81,29 @@ class FixedPointAnnSpec extends SparkSpec {
     }
   }
 
+  test("ann_recall: metric agrees with an independent set computation; sane floors") {
+    val r = FixedPointAnn.annRecall(spark, sf0001).collect().head
+    val (k, nq, recallPpm, mrrSum) =
+      (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(k == 3 && nq == 5)
+    // independent recomputation — ground truth is the FIXED-POINT brute
+    // (the metric's contract), replayed in plain Scala, not the float
+    // knn_brute whose rounding can differ by a neighbor
+    val q = quantizedRef(sf0001)
+    val fpTruth = (0L until 5L).flatMap { qid =>
+      q.toSeq.filter(_._1 != qid)
+        .map { case (vid, v) => (sqDist(q(qid), v), vid) }
+        .sorted.take(3).map { case (_, vid) => (qid, vid) }
+    }.toSet
+    val approx = FixedPointAnn.knnIvfPq(spark, sf0001).collect()
+      .map(x => (x.getAs[Long]("qid"), x.getAs[Long]("nid"))).toSet
+    val hits = (approx intersect fpTruth).size
+    assert(recallPpm == hits * 1000000L / 15L, s"recall $recallPpm vs $hits/15")
+    assert(recallPpm >= 600000L, s"IVF-PQ recall@3 below floor: $recallPpm")
+    // MRR sum is bounded by a perfect run (every true top-1 at rank 1)
+    assert(mrrSum >= 0L && mrrSum <= nq * 1000000L)
+  }
+
   test("determinism: results independent of input partitioning") {
     val a = FixedPointAnn.knnIvfPq(spark, sf0001).collect().toSeq
     val b = FixedPointAnn.knnIvfPq(spark, sf0001).collect().toSeq
