@@ -215,10 +215,43 @@ object Bpe {
       .limit(100)
   }
 
+  /** Tokenizer fertility (tokens emitted per word) by language — the
+    * standard tokenizer-evaluation metric that decides whether a vocab
+    * under-serves a language. Same skeleton as [[encode]]: DISTINCT
+    * (lang, word) counts (one corpus shuffle), each distinct word
+    * encoded once against the broadcast merge list, token count is
+    * `size(split(...))` in-row — no token explode at all — then a
+    * lang-bounded aggregation of word/token masses. */
+  private def fertility(s: SparkSession, d: String): DataFrame = {
+    val trained = memo.getOrElseUpdate((s, d), train(s, d))
+    val ms = trained.agg(array_sort(collect_list(struct(
+      col("merge_round"), col("lhs"), col("rhs"), col("merged")))).as("ms"))
+    val wc = Tables.documents(s, d)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w"))
+      .agg(count(lit(1)).as("n"))
+    wc.crossJoin(broadcast(ms))
+      .withColumn("sp", regexp_replace(col("w"), "(?s)(.)", " $1 "))
+      .withColumn("enc", aggregate(col("ms"), col("sp"), (acc, m) =>
+        replace(acc,
+          concat(lit(" "), m.getField("lhs"), lit("  "),
+            m.getField("rhs"), lit(" ")),
+          concat(lit(" "), m.getField("merged"), lit(" ")))))
+      .withColumn("toks", size(split(trim(col("enc")), " +")).cast("long"))
+      .groupBy(col("lang"))
+      .agg(sum(col("n")).as("n_words"),
+        sum(col("toks") * col("n")).as("n_tokens"))
+      .selectExpr("lang", "n_words", "n_tokens",
+        "n_tokens * 1000000 div n_words AS fertility_ppm")
+      .orderBy(col("lang"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_train" -> ((s, d) =>
       memo.getOrElseUpdate((s, d), train(s, d))),
-    "bpe_apply" -> encode)
+    "bpe_apply" -> encode,
+    "bpe_fertility" -> fertility)
 
   private def roundCtes(r: Int): String = {
     val prev = s"w${r - 1}"
@@ -282,5 +315,38 @@ object Bpe {
          |SELECT token, CAST(sum(n) AS BIGINT) AS cnt
          |FROM tok GROUP BY token
          |ORDER BY cnt DESC, token LIMIT 100""".stripMargin
+    },
+    // same training + nested-replace encode; token count per word via
+    // array length, lang-bounded mass aggregation, truncating ppm div
+    "bpe_fertility" -> {
+      val nested = (1 to Rounds).foldLeft(
+        "regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") { (acc, r) =>
+        s"""replace($acc,
+           |  (SELECT ' '||lhs||'  '||rhs||' ' FROM b$r),
+           |  (SELECT ' '||lhs||rhs||' ' FROM b$r))""".stripMargin
+      }
+      s"""WITH wc AS (
+         |  SELECT w, count(*)::BIGINT AS n
+         |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  GROUP BY w),
+         |w0 AS (
+         |  SELECT list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms,
+         |         n
+         |  FROM wc),
+         |${(1 to Rounds).map(roundCtes).mkString(",\n")},
+         |lw AS (
+         |  SELECT lang, w, count(*)::BIGINT AS n
+         |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS w
+         |        FROM documents)
+         |  WHERE length(w) > 0 GROUP BY 1, 2),
+         |enc AS (
+         |  SELECT lang, n,
+         |    CAST(len(regexp_split_to_array(trim($nested), ' +')) AS BIGINT)
+         |      AS toks
+         |  FROM lw)
+         |SELECT lang, CAST(sum(n) AS BIGINT) AS n_words,
+         |  CAST(sum(toks * n) AS BIGINT) AS n_tokens,
+         |  CAST(sum(toks * n) * 1000000 // sum(n) AS BIGINT) AS fertility_ppm
+         |FROM enc GROUP BY lang ORDER BY lang""".stripMargin
     })
 }

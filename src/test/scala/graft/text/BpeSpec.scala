@@ -107,4 +107,28 @@ class BpeSpec extends SparkSpec {
     assert(got.toSeq == expect)
     Bpe.clearCache()
   }
+
+  test("bpe_fertility matches the per-word encoder masses; every word emits >= 1 token") {
+    val merges = Bpe.queries("bpe_train")(spark, sf0001).collect()
+      .sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = Bpe.queries("bpe_fertility")(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val lw = graft.Tables.documents(spark, sf0001)
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("lang", "w").count().collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val expect = lw.groupBy(_._1).toSeq.map { case (lang, ws) =>
+      val nWords = ws.map(_._3).sum
+      val nToks = ws.map { case (_, w, n) =>
+        referenceEncode(w, merges).length.toLong * n
+      }.sum
+      (lang, nWords, nToks, nToks * 1000000L / nWords)
+    }.sortBy(_._1)
+    assert(got.toSeq == expect)
+    got.foreach { case (lang, _, _, f) =>
+      assert(f >= 1000000L, s"$lang fertility < 1 token/word")
+    }
+    Bpe.clearCache()
+  }
 }
