@@ -35,13 +35,24 @@ import org.apache.spark.sql.Row
   *    the qualifying histogram range — no history re-scan, state bounded
   *    by the comparison column's value DOMAIN per group (the exact
   *    analogue of the windowed path's order-domain bound).
-  *  - DEPENDENT variables with cross-group predicates (membership
-  *    spanning other groups' evolving aggregates, e.g. chained onto a
-  *    windowed variable — corpus q8) still run the full batch planner on
-  *    each micro-batch via `foreachBatch` — [[microBatch]] — the
-  *    standard full-expressiveness escape hatch: there the qualifying
-  *    set of ONE group moves when OTHER groups' aggregates move, so a
-  *    per-key sufficient statistic no longer exists.
+  *  - DEPENDENT variables chained onto a WINDOWED aggregate (corpus q8:
+  *    `count_quant_2` over `quant > MF.avg_quant_1` where avg_quant_1
+  *    itself windows over earlier months) run incrementally via
+  *    [[planChained]]: the cross-group reference is PINNED inside the
+  *    windowed variable's equality key (cust), so keying the state by
+  *    that key makes the whole chain key-local again — the state is the
+  *    key's ordered MF structure (per order value: windowed-source
+  *    partials PLUS the dependent histograms), emission recombines
+  *    window frames over partials and re-classifies each group's
+  *    histogram against ITS frame-derived threshold. Three-level
+  *    sufficient statistic: key → order value → comparison value.
+  *  - DEPENDENT variables with genuinely unpinned cross-group
+  *    predicates (membership spanning groups that share NO equality
+  *    key) still run the full batch planner on each micro-batch via
+  *    `foreachBatch` — [[microBatch]] — the standard full-expressiveness
+  *    escape hatch: there the qualifying set of ONE group moves when
+  *    arbitrary OTHER groups' aggregates move, so no key-local
+  *    sufficient statistic exists.
   */
 object EmfStreaming {
 
@@ -358,7 +369,8 @@ object EmfStreaming {
     val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
     require(winVars.isEmpty,
       "incremental dependent streaming supports variable-0/SIMPLE + " +
-        "DEPENDENT variables only; use microBatch(...) for windowed mixes")
+        "DEPENDENT variables only; use planChained(...) for " +
+        "dependent-on-windowed mixes or microBatch(...) beyond that")
     require(depVars.nonEmpty,
       "no DEPENDENT variable; use plan(...) for all-SIMPLE queries")
 
@@ -425,7 +437,8 @@ object EmfStreaming {
           throw new IllegalArgumentException(
             s"dependent variable ${v.agg.name} references '$refName', " +
               "which is not a variable-0/SIMPLE aggregate — chains onto " +
-              "windowed/dependent aggregates need microBatch(...)"))
+              "windowed aggregates run via planChained(...); deeper " +
+              "chains need microBatch(...)"))
         numeric(cmpCol)
         val refSpec = baseSlots(refIdx)._1
         val refOutDouble = refSpec.func == "avg" ||
@@ -518,6 +531,321 @@ object EmfStreaming {
       .select(col("r.*"), col("__ver"))
   }
 
+  // ---- incremental CHAINED lowering (dependent-on-windowed, corpus q8) ----
+
+  final case class ChainRow(k: String, o: Long,
+      micro: Seq[Option[Long]], raw: Seq[Option[Double]],
+      cmpM: Seq[Option[Long]], cmpR: Seq[Option[Double]],
+      aggM: Seq[Option[Long]], aggR: Seq[Option[Double]])
+
+  /** State for one equality key (e.g. cust): the key's ordered MF
+    * structure — per order value, the base/windowed slot partials AND
+    * each dependent slot's comparison-value histogram. */
+  final class ChainState extends Serializable {
+    var ver: Long = 0L
+    val groups = new java.util.HashMap[java.lang.Long, Array[SlotAcc]]()
+    val hists = new java.util.HashMap[java.lang.Long,
+      Array[java.util.HashMap[java.lang.Long, HistCell]]]()
+  }
+
+  /** Incremental lowering for the dependent-on-windowed CHAIN (corpus
+    * q8): grouping set = {equality attrs E} ∪ {order attr o}, WINDOWED
+    * variables exactly as [[planWindowed]], plus DEPENDENT variables
+    * that pin the full grouping set and compare one tuple column against
+    * ANY earlier aggregate — base/SIMPLE (own group) or WINDOWED (the
+    * chain). The cross-group dependence travels only through the window
+    * frames, which are E-key-local — so keying the state by E restores a
+    * key-local sufficient statistic: per order value, (1) the slot
+    * partials [[planWindowed]] keeps, and (2) per dependent slot the
+    * comparison-value histogram [[planDependent]] keeps. A micro-batch
+    * folds its rows in (O(batch)); emission recombines window frames
+    * over the partials (prefix/suffix pass) and re-classifies each
+    * group's histogram against the threshold derived from THAT group's
+    * frame — a moving window aggregate retroactively flips historical
+    * tuples' membership with no history re-scan. State per key is
+    * O(|order domain| × |comparison-value domain|) — the product of the
+    * two bounds the windowed and dependent paths each already assume.
+    *
+    * Emission/output contract (UPDATE mode, `__ver`, [[snapshot]],
+    * HAVING on the snapshot) is identical to [[planWindowed]]. */
+  def planChained(q: EmfQuery, stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+
+    val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
+    require(winVars.nonEmpty,
+      "no WINDOWED variable; use planDependent(...) for base-referencing " +
+        "dependent queries or plan(...) for all-SIMPLE queries")
+    require(depVars.nonEmpty,
+      "no DEPENDENT variable; use planWindowed(...) for SIMPLE+WINDOWED " +
+        "queries")
+
+    // ---- windowed-key validation (same contract as planWindowed)
+    def eqAttrsOf(v: GroupingVar): Seq[String] = v.mfConds.collect {
+      case Cond(TupleCol(a), "=" | "==", MfField(b)) if a == b => a
+    }
+    def orderCondOf(v: GroupingVar): Option[Cond] = v.mfConds.collectFirst {
+      case c @ Cond(TupleCol(_), "<" | "<=" | ">" | ">=", MfField(_)) => c
+    }
+    val eqAttrs = eqAttrsOf(winVars.head).distinct
+    val orderAttr = winVars.flatMap(orderCondOf).headOption match {
+      case Some(Cond(TupleCol(a), _, _)) => a
+      case _ => throw new IllegalArgumentException(
+        "chained streaming needs at least one order comparison")
+    }
+    winVars.foreach { v =>
+      require(eqAttrsOf(v).distinct == eqAttrs &&
+        orderCondOf(v).forall { case Cond(TupleCol(a), _, _) => a == orderAttr },
+        s"windowed variable ${v.agg.name} must share equality attrs " +
+          s"$eqAttrs and order attr $orderAttr")
+    }
+    require(eqAttrs.nonEmpty, "chained streaming needs ≥ 1 equality attr")
+    schema.find(_.name == orderAttr).map(_.dataType).foreach {
+      case ByteType | ShortType | IntegerType | LongType => ()
+      case other => throw new IllegalArgumentException(
+        s"chained streaming order attribute '$orderAttr' must be an " +
+          s"integral type, got $other — use microBatch(...) instead")
+    }
+    require(q.groupAttrs.toSet == (eqAttrs :+ orderAttr).toSet &&
+      !eqAttrs.contains(orderAttr),
+      s"grouping set ${q.groupAttrs} must be exactly equality attrs " +
+        s"$eqAttrs plus order attr $orderAttr")
+
+    def colType(n: String): DataType =
+      schema.find(_.name == n).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $n"))
+    def numeric(n: String): Unit = colType(n) match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"chained streaming needs numeric columns; $n: $other")
+    }
+
+    // ---- slots: varZero + SIMPLE (kind 0) then WINDOWED (kind 1)
+    final case class SlotDef(spec: SlotSpec, srcCol: String, cond: Option[Column])
+    val slots: Seq[SlotDef] =
+      q.varZero.map { a =>
+        numeric(a.column)
+        SlotDef(SlotSpec(a.name, a.func, isFloat(colType(a.column)),
+          isIntegral(colType(a.column)), 0, ""), a.column, None)
+      } ++
+      simpleVars.map { v =>
+        numeric(v.agg.column)
+        SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 0, ""), v.agg.column,
+          condOf(v, schema))
+      } ++
+      winVars.map { v =>
+        numeric(v.agg.column)
+        val op = orderCondOf(v).map(_.op).getOrElse("")
+        SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 1, op), v.agg.column,
+          condOf(v, schema))
+      }
+    val slotIdx = slots.map(_.spec.name).zipWithIndex.toMap
+    val specs = slots.map(_.spec).toArray
+
+    // ---- dependent slots (threshold ref may be kind 0 OR kind 1)
+    def flip(op: String): String = op match {
+      case "<" => ">"; case "<=" => ">="; case ">" => "<"; case ">=" => "<="
+      case other => other
+    }
+    val deps: Seq[(SlotSpec, String, String, Option[Column], DepMeta)] =
+      depVars.map { v =>
+        numeric(v.agg.column)
+        val pins = eqAttrsOf(v).distinct
+        require(pins.toSet == q.groupAttrs.toSet,
+          s"dependent variable ${v.agg.name} must pin the full grouping " +
+            s"set ${q.groupAttrs} (got $pins); unpinned cross-group " +
+            "membership needs microBatch(...)")
+        val depConds = v.mfConds.filterNot {
+          case Cond(TupleCol(a), "=" | "==", MfField(b)) => a == b
+          case _ => false
+        }
+        require(depConds.size == 1,
+          s"dependent variable ${v.agg.name} needs exactly one aggregate " +
+            s"comparison, got ${depConds.size}")
+        val (cmpCol, op, refName) = depConds.head match {
+          case Cond(TupleCol(c), o, MfField(a)) if q.aggNames.contains(a) =>
+            (c, o, a)
+          case Cond(MfField(a), o, TupleCol(c)) if q.aggNames.contains(a) =>
+            (c, flip(o), a)
+          case other => throw new IllegalArgumentException(
+            s"dependent variable ${v.agg.name}: unsupported membership " +
+              s"condition $other")
+        }
+        val refIdx = slotIdx.getOrElse(refName,
+          throw new IllegalArgumentException(
+            s"dependent variable ${v.agg.name} references '$refName', " +
+              "which is not a variable-0/SIMPLE/WINDOWED aggregate — " +
+              "chains onto other dependent aggregates need microBatch(...)"))
+        numeric(cmpCol)
+        val refSpec = specs(refIdx)
+        val refOutDouble = refSpec.func == "avg" ||
+          (refSpec.floating && Set("sum", "min", "max").contains(refSpec.func))
+        val cmpDouble = refOutDouble || isFloat(colType(cmpCol))
+        (SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 2, ""),
+          v.agg.column, cmpCol, condOf(v, schema),
+          DepMeta(op, refIdx, cmpDouble, refSpec.func, refSpec.floating))
+      }
+
+    // ---- input projection: E-key JSON, order value, slot values,
+    //      per-dep comparison + aggregate values
+    val base = stream.filter(EmfPlanner.whereColumn(q.where, schema))
+    def guarded(src: String, cond: Option[Column]): Column =
+      cond.map(c => when(c, col(src))).getOrElse(col(src))
+    def microOf(c: Column): Column =
+      (c.cast("decimal(27,6)") * lit(1000000L)).cast("long")
+    val orderOrFail = coalesce(col(orderAttr).cast("long"),
+      raise_error(lit(s"chained streaming EMF: null $orderAttr — null " +
+        "order groups need the batch planner (microBatch)")).cast("long"))
+    val projected = base.select(
+      to_json(struct(eqAttrs.map(col): _*)).as("k"),
+      orderOrFail.as("o"),
+      array(slots.map(s => microOf(guarded(s.srcCol, s.cond))): _*).as("micro"),
+      array(slots.map(s => guarded(s.srcCol, s.cond).cast("double")): _*).as("raw"),
+      array(deps.map { case (_, _, cmp, c, _) => microOf(guarded(cmp, c)) }: _*).as("cmpM"),
+      array(deps.map { case (_, _, cmp, c, _) => guarded(cmp, c).cast("double") }: _*).as("cmpR"),
+      array(deps.map { case (_, src, _, c, _) => microOf(guarded(src, c)) }: _*).as("aggM"),
+      array(deps.map { case (_, src, _, c, _) => guarded(src, c).cast("double") }: _*).as("aggR"))
+      .as[ChainRow]
+
+    // ---- the stateful combine
+    val depSpecs = deps.map(_._1).toArray
+    val depMeta = deps.map(_._5).toArray
+    implicit val stateEnc: Encoder[ChainState] = Encoders.kryo[ChainState]
+    val emitted = projected
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[ChainState, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[ChainRow], state: GroupState[ChainState]) =>
+          val st = state.getOption.getOrElse(new ChainState)
+          rows.foreach { r =>
+            var cells = st.groups.get(r.o)
+            if (cells == null) {
+              cells = Array.fill(specs.length)(new SlotAcc)
+              st.groups.put(r.o, cells)
+              st.hists.put(r.o, Array.fill(depSpecs.length)(
+                new java.util.HashMap[java.lang.Long, HistCell]()))
+            }
+            var i = 0
+            while (i < specs.length) {
+              fold(cells(i), r.micro(i), r.raw(i), specs(i).name)
+              i += 1
+            }
+            val hs = st.hists.get(r.o)
+            var j = 0
+            while (j < depSpecs.length) {
+              (r.cmpM(j), r.aggM(j)) match {
+                case (Some(cm), Some(am)) =>
+                  var cell = hs(j).get(cm)
+                  if (cell == null) {
+                    cell = new HistCell(r.cmpR(j).get)
+                    hs(j).put(cm, cell)
+                  }
+                  fold(cell.acc, Some(am), r.aggR(j), depSpecs(j).name)
+                case (None, _) if r.cmpR(j).isDefined =>
+                  throw new IllegalStateException(
+                    s"chained streaming EMF: comparison value " +
+                      s"${r.cmpR(j).get} of slot ${depSpecs(j).name} exceeds " +
+                      "the exact decimal-6 domain (finite, |v| <= 9.2e12)")
+                case (Some(_), None) if r.aggR(j).isDefined =>
+                  throw new IllegalStateException(
+                    s"chained streaming EMF: value ${r.aggR(j).get} of " +
+                      s"slot ${depSpecs(j).name} exceeds the exact decimal-6 " +
+                      "domain (finite, |v| <= 9.2e12)")
+                case _ => ()
+              }
+              j += 1
+            }
+          }
+          st.ver += 1
+          state.update(st)
+          emitChainKey(key, st, specs, depSpecs, depMeta, orderAttr)
+      }
+
+    // ---- typed reconstruction (same shape as planWindowed)
+    val outSchema = StructType(
+      eqAttrs.map(n => StructField(n, colType(n), nullable = true)) ++
+        Seq(StructField(orderAttr, colType(orderAttr), nullable = true)) ++
+        slots.map(s => StructField(s.spec.name,
+          outType(s.spec, colType(s.srcCol)), nullable = true)) ++
+        deps.map { case (s, src, _, _, _) =>
+          StructField(s.name, outType(s, colType(src)), nullable = true) })
+    emitted.toDF("__json", "__ver")
+      .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
+      .select(col("r.*"), col("__ver"))
+  }
+
+  /** Emit one JSON row per order value of the key: base/windowed slots
+    * exactly as [[emitKey]]; each dependent slot re-classifies ITS
+    * group's histogram against the threshold derived from the referenced
+    * slot's value AT THAT GROUP — a frame combine for windowed refs, the
+    * own-group partials for base refs. */
+  private def emitChainKey(key: String, st: ChainState, specs: Array[SlotSpec],
+      depSpecs: Array[SlotSpec], depMeta: Array[DepMeta],
+      orderAttr: String): Iterator[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val ordered = st.groups.keySet().asScala.map(_.longValue()).toArray.sorted
+    val n = ordered.length
+    val cells = ordered.map(o => st.groups.get(o))
+
+    val winIdx = specs.indices.filter(specs(_).kind == 1)
+    val leftStrict = winIdx.map { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = 0
+      while (i < n) { arr(i) = run.copyOf; run.add(cells(i)(j)); i += 1 }
+      j -> arr
+    }.toMap
+    val rightStrict = winIdx.map { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = n - 1
+      while (i >= 0) { arr(i) = run.copyOf; run.add(cells(i)(j)); i -= 1 }
+      j -> arr
+    }.toMap
+    val total = winIdx.map { j =>
+      val run = new Comb; cells.foreach(c => run.add(c(j))); j -> run
+    }.toMap
+    def combAt(j: Int, i: Int): Comb =
+      if (specs(j).kind == 0) { val c = new Comb; c.add(cells(i)(j)); c }
+      else specs(j).frameOp match {
+        case "<"  => leftStrict(j)(i)
+        case "<=" => { val c = leftStrict(j)(i).copyOf; c.add(cells(i)(j)); c }
+        case ">"  => rightStrict(j)(i)
+        case ">=" => { val c = rightStrict(j)(i).copyOf; c.add(cells(i)(j)); c }
+        case _    => total(j)
+      }
+
+    val keyInner = key.substring(1, key.length - 1)
+    val out = (0 until n).iterator.map { i =>
+      val sb = new StringBuilder(96)
+      sb.append('{')
+      if (keyInner.nonEmpty) { sb.append(keyInner); sb.append(',') }
+      sb.append('"').append(orderAttr).append("\":").append(ordered(i))
+      var j = 0
+      while (j < specs.length) {
+        sb.append(",\"").append(specs(j).name).append("\":")
+          .append(render(specs(j), combAt(j, i)))
+        j += 1
+      }
+      val hs = st.hists.get(ordered(i))
+      var d = 0
+      while (d < depSpecs.length) {
+        val m = depMeta(d)
+        val comb = new Comb
+        foldQualifying(comb, if (hs == null) null else hs(d), combAt(m.refIdx, i), m)
+        sb.append(",\"").append(depSpecs(d).name).append("\":")
+          .append(render(depSpecs(d), comb))
+        d += 1
+      }
+      sb.append('}')
+      (sb.toString, st.ver)
+    }
+    out.toIndexedSeq.iterator
+  }
+
   private def cmpD(l: Double, op: String, r: Double): Boolean = op match {
     case "<" => l < r; case "<=" => l <= r
     case ">" => l > r; case ">=" => l >= r
@@ -559,43 +887,56 @@ object EmfStreaming {
       val comb = new Comb
       // a NULL reference aggregate (empty qualifying set, func != count)
       // compares to nothing — the dependent set is empty, as in batch
-      if (m.refFunc == "count" || ref.cnt > 0) {
-        if (m.cmpDouble) {
-          val thr: Double = m.refFunc match {
-            case "count" => ref.cnt.toDouble
-            case "avg" =>
-              val s =
-                if (m.refFloating)
-                  new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
-                else (ref.sumMicro / 1000000).toDouble
-              s / ref.cnt
-            case "sum" =>
-              if (m.refFloating)
-                new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
-              else (ref.sumMicro / 1000000).toDouble
-            case "min" => if (m.refFloating) ref.mn else (ref.mnMic / 1000000).toDouble
-            case "max" => if (m.refFloating) ref.mx else (ref.mxMic / 1000000).toDouble
-          }
-          st.hists(j).values().asScala.foreach { cell =>
-            if (cmpD(cell.raw, m.op, thr)) comb.add(cell.acc)
-          }
-        } else {
-          val thr: BigInt = m.refFunc match {
-            case "count" => BigInt(ref.cnt) * 1000000
-            case "sum" => ref.sumMicro
-            case "min" => BigInt(ref.mnMic)
-            case "max" => BigInt(ref.mxMic)
-            case other => throw new IllegalStateException(s"bad ref func $other")
-          }
-          st.hists(j).entrySet().asScala.foreach { e =>
-            if (cmpI(BigInt(e.getKey.longValue()), m.op, thr)) comb.add(e.getValue.acc)
-          }
-        }
-      }
+      foldQualifying(comb, st.hists(j), ref, m)
       app(depSpecs(j).name, render(depSpecs(j), comb))
     }
     sb.append('}')
     Iterator.single((sb.toString, st.ver))
+  }
+
+  /** Fold the histogram buckets whose comparison value passes the
+    * threshold derived from `ref` (the referenced aggregate's current
+    * combined partials) into `comb`. A NULL reference aggregate (empty
+    * qualifying set, func != count) compares to nothing — the dependent
+    * set stays empty, as in batch. */
+  private def foldQualifying(comb: Comb,
+      hist: java.util.HashMap[java.lang.Long, HistCell],
+      ref: Comb, m: DepMeta): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (hist == null) return
+    if (m.refFunc == "count" || ref.cnt > 0) {
+      if (m.cmpDouble) {
+        val thr: Double = m.refFunc match {
+          case "count" => ref.cnt.toDouble
+          case "avg" =>
+            val s =
+              if (m.refFloating)
+                new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
+              else (ref.sumMicro / 1000000).toDouble
+            s / ref.cnt
+          case "sum" =>
+            if (m.refFloating)
+              new java.math.BigDecimal(ref.sumMicro.bigInteger, 6).doubleValue()
+            else (ref.sumMicro / 1000000).toDouble
+          case "min" => if (m.refFloating) ref.mn else (ref.mnMic / 1000000).toDouble
+          case "max" => if (m.refFloating) ref.mx else (ref.mxMic / 1000000).toDouble
+        }
+        hist.values().asScala.foreach { cell =>
+          if (cmpD(cell.raw, m.op, thr)) comb.add(cell.acc)
+        }
+      } else {
+        val thr: BigInt = m.refFunc match {
+          case "count" => BigInt(ref.cnt) * 1000000
+          case "sum" => ref.sumMicro
+          case "min" => BigInt(ref.mnMic)
+          case "max" => BigInt(ref.mxMic)
+          case other => throw new IllegalStateException(s"bad ref func $other")
+        }
+        hist.entrySet().asScala.foreach { e =>
+          if (cmpI(BigInt(e.getKey.longValue()), m.op, thr)) comb.add(e.getValue.acc)
+        }
+      }
+    }
   }
 
   /** Current MF structure from a sink table of [[planWindowed]] emissions:

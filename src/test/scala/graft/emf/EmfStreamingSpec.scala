@@ -291,22 +291,79 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
-  test("dependent streaming rejects windowed mixes and chained references loudly") {
-    // q8 shape: dependent chained onto a WINDOWED aggregate
-    val q8ish = EmfParser.parseOne(
-      """cust,month,avg_quant_1,count_quant_2
-        |2
-        |cust,month
-        |avg_quant_1,count_quant_2
-        |{MF.cust.avg_quant_1}[=]{cust}:{MF.month.avg_quant_1}[<]{month},{MF.cust.count_quant_2}[=]{cust}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant}""".stripMargin, cols)
+  // q8 shape: dependent chained onto a WINDOWED aggregate
+  private val q8Q = EmfParser.parseOne(
+    """cust,month,avg_quant_1,count_quant_2
+      |2
+      |cust,month
+      |avg_quant_1,count_quant_2
+      |{MF.cust.avg_quant_1}[=]{cust}:{MF.month.avg_quant_1}[<]{month},{MF.cust.count_quant_2}[=]{cust}:{MF.month.count_quant_2}[=]{month}:{MF.avg_quant_1.count_quant_2}[>]{quant}""".stripMargin, cols)
+
+  test("dependent streaming rejects windowed mixes loudly, pointing to planChained") {
     val stream = MemoryStream[SalesRow](spark)
     val e = intercept[IllegalArgumentException](
-      EmfStreaming.planDependent(q8ish, stream.toDF()))
-    assert(e.getMessage.contains("microBatch"))
+      EmfStreaming.planDependent(q8Q, stream.toDF()))
+    assert(e.getMessage.contains("planChained"))
     // all-SIMPLE is the wrong entry point too
     val e2 = intercept[IllegalArgumentException](
       EmfStreaming.planDependent(simpleQ, MemoryStream[SalesRow](spark).toDF()))
     assert(e2.getMessage.contains("DEPENDENT"))
+  }
+
+  test("incremental CHAINED EMF (q8 shape): snapshot equals batch at each step") {
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planChained(q8Q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_chain")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows.take(3))
+      sq.processAllAvailable()
+      val snap1 = EmfStreaming.snapshot(spark.table("emf_chain"), q8Q)
+        .orderBy("cust", "month").collect().toSeq
+      val batch1 = EmfPlanner.plan(q8Q, rows.take(3).toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap1 == batch1)
+      // batch 2 adds earlier-month tuples for existing custs: every
+      // LATER month's window aggregate moves, so historical tuples'
+      // membership in the dependent sets flips — the per-group
+      // histograms must re-classify against the moved frame thresholds
+      stream.addData(rows.drop(3))
+      sq.processAllAvailable()
+      val snap2 = EmfStreaming.snapshot(spark.table("emf_chain"), q8Q)
+        .orderBy("cust", "month").collect().toSeq
+      val batch2 = EmfPlanner.plan(q8Q, rows.toDF())
+        .orderBy("cust", "month").collect().toSeq
+      assert(snap2 == batch2)
+    } finally sq.stop()
+  }
+
+  test("chained streaming: a moved window threshold retracts dependent members") {
+    // one cust, three months fed so month 3's window avg MOVES after the
+    // first snapshot: avg(m<3) goes 10 -> 40 once m2=70 arrives; m3's
+    // tuple quant=20 must LEAVE the dependent count (20 > 10 but not
+    // > 40) — the retraction microBatch recomputes, the histogram replays
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planChained(q8Q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_chain_move")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val b1 = Seq(SalesRow("c1", "p", 1, "NY", 10), SalesRow("c1", "p", 3, "NY", 20))
+      stream.addData(b1)
+      sq.processAllAvailable()
+      val s1 = EmfStreaming.snapshot(spark.table("emf_chain_move"), q8Q)
+        .orderBy("month").collect()
+      assert(s1.find(_.getAs[Int]("month") == 3).get
+        .getAs[Long]("count_quant_2") == 1L) // 20 > avg(10)
+      stream.addData(SalesRow("c1", "p", 2, "NY", 70))
+      sq.processAllAvailable()
+      val s2 = EmfStreaming.snapshot(spark.table("emf_chain_move"), q8Q)
+        .orderBy("month").collect()
+      val all = b1 :+ SalesRow("c1", "p", 2, "NY", 70)
+      assert(s2.toSeq == EmfPlanner.plan(q8Q, all.toDF())
+        .orderBy("month").collect().toSeq)
+      assert(s2.find(_.getAs[Int]("month") == 3).get
+        .getAs[Long]("count_quant_2") == 0L) // 20 left the set
+    } finally sq.stop()
   }
 
   test("dependent query rejected by incremental path, works via microBatch") {
