@@ -38,7 +38,11 @@ class GlobalWindowSpec extends SparkSpec {
       "dedup_semantic" -> 3,
       "knn_ivf" -> 2,
       "knn_pq" -> 2,
-      "knn_ivfpq" -> 4)
+      "knn_ivfpq" -> 4,
+      // ann_recall = the knn_ivfpq lineage (4) doubled: the approx side
+      // appears once under the hit join and once under the MRR join —
+      // all still the k-row centroid-init LIMIT frames
+      "ann_recall" -> 8)
     val got = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val df = fn(spark, sf0001)
       val n = df.queryExecution.analyzed.collect {
