@@ -115,6 +115,76 @@ object Hll {
         .select(col("event_type"), col("n_exact"), col("v_zero"),
           col("hll_raw"), col("hll_est"))
         .orderBy(col("event_type"))
+    }),
+
+    // Audience-overlap screen: distinct-user intersection ESTIMATES for
+    // every event-type pair by HLL register algebra — union = per-register
+    // max of the two sketches (the merge HLL is built for), intersection
+    // = inclusion-exclusion, clamped at 0. This is the constant-size
+    // pre-pass that decides which pairs earn an exact intersection (the
+    // corpus_overlap relationship at sketch scale): per pair it touches
+    // 2·m registers, never the corpus. Every step is the same
+    // oracle-replayable integer arithmetic as sketch_hll.
+    "sketch_hll_intersect" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"), col("user_id"))
+      val regs = regRho(ev, col("user_id"))
+        .groupBy(col("event_type"), col("reg"))
+        .agg(max(col("rho")).as("mj"))
+      val est = estimate(regRho(ev, col("user_id")), "event_type")
+        .select(col("event_type"), col("hll_est"))
+      // union sketch per (a < b) pair: replicate each type's registers
+      // to every pair it belongs to, then per-register MAX — registers
+      // present in only one sketch contribute their own mj, registers
+      // absent from both contribute via v_zero, exactly as a single
+      // sketch. The grid is |types|² rows, the union frame ≤ pairs × m.
+      val types = regs.select(col("event_type")).distinct()
+      val grid = types.select(col("event_type").as("ta"))
+        .crossJoin(types.select(col("event_type").as("tb")))
+        .filter(col("ta") < col("tb"))
+      val a = regs.select(col("event_type").as("ta"), col("reg"), col("mj"))
+      val b = regs.select(col("event_type").as("tb"), col("reg"), col("mj"))
+      val unionRegs = grid.join(a, Seq("ta"))
+        .select(col("ta"), col("tb"), col("reg"), col("mj"))
+        .unionByName(grid.join(b, Seq("tb"))
+          .select(col("ta"), col("tb"), col("reg"), col("mj")))
+        .groupBy(col("ta"), col("tb"), col("reg"))
+        .agg(max(col("mj")).as("mj"))
+      val merged = unionRegs
+        .groupBy(col("ta"), col("tb"))
+        .agg(count(lit(1)).as("touched"),
+          sum(expr("shiftleft(1L, CAST(20 - mj AS INT))")).as("s_touched"))
+        .withColumn("v_zero", lit(M.toLong) - col("touched"))
+        .withColumn("s_fixed",
+          col("s_touched") + col("v_zero") * lit(1048576L))
+        .withColumn("u_raw",
+          expr(s"(${AlphaPpm}L * ${M * M}L * 1048576L) div (1000000L * s_fixed)"))
+        .withColumn("est_union",
+          when(col("v_zero") > 0 && col("u_raw") <= lit((2.5 * M).toLong),
+            element_at(
+              array(LcTable.map(v => lit(v.toLong)): _*),
+              col("v_zero").cast("int")))
+            .otherwise(col("u_raw")))
+        .select(col("ta"), col("tb"), col("est_union"))
+      val exactI = ev.select(col("event_type").as("ta"), col("user_id"))
+        .join(ev.select(col("event_type").as("tb"), col("user_id")),
+          Seq("user_id"))
+        .filter(col("ta") < col("tb"))
+        .groupBy(col("ta"), col("tb"))
+        .agg(countDistinct(col("user_id")).as("n_exact_inter"))
+      merged
+        .join(broadcast(est.select(col("event_type").as("ta"),
+          col("hll_est").as("est_a"))), Seq("ta"))
+        .join(broadcast(est.select(col("event_type").as("tb"),
+          col("hll_est").as("est_b"))), Seq("tb"))
+        .join(exactI, Seq("ta", "tb"), "left")
+        .select(col("ta"), col("tb"), col("est_a"), col("est_b"),
+          col("est_union"),
+          greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L))
+            .as("inter_est"),
+          coalesce(col("n_exact_inter"), lit(0L)).as("n_exact_inter"))
+        .orderBy(col("ta"), col("tb"))
     }))
 
   def oracle: Map[String, String] = Map(
@@ -168,5 +238,95 @@ object Hll {
          |SELECT lc.event_type, exact.n_exact, lc.v_zero, lc.hll_raw,
          |  lc.hll_est
          |FROM lc JOIN exact USING (event_type)
-         |ORDER BY lc.event_type""".stripMargin)
+         |ORDER BY lc.event_type""".stripMargin,
+    // the same sketch CTEs; union = per-register max over the pair
+    // (the OR-join IS the union-all-then-max), identical fixed-point
+    // estimate on the merged registers, inclusion-exclusion clamped at 0
+    "sketch_hll_intersect" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |h1 AS (
+         |  SELECT event_type, user_id,
+         |    xor((user_id % 1000003) * 2654435761,
+         |        ((user_id % 1000003) * 2654435761) >> 13) AS h1
+         |  FROM ev),
+         |h AS (
+         |  SELECT event_type, user_id,
+         |    xor((h1 % 999983) * 1779033703,
+         |        ((h1 % 999983) * 1779033703) >> 17) AS h
+         |  FROM h1),
+         |rr AS (
+         |  SELECT event_type, h % $M AS reg,
+         |    CASE WHEN h >> 5 = 0 THEN 20
+         |         ELSE least(CAST(bit_count(((h >> 5) & -(h >> 5)) - 1)
+         |                      AS BIGINT) + 1, 20)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, count(1) AS touched,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(20 - mj AS INT)) AS BIGINT)
+         |      AS s_touched
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, CAST($M - touched AS BIGINT) AS v_zero,
+         |    (CAST($AlphaPpm AS BIGINT) * ${M * M} * 1048576)
+         |      // (CAST(1000000 AS BIGINT)
+         |          * (s_touched + ($M - touched) * 1048576))
+         |      AS hll_raw
+         |  FROM agg),
+         |lc AS (
+         |  SELECT est.event_type, est.v_zero, est.hll_raw,
+         |    CASE WHEN est.v_zero > 0 AND est.hll_raw <= ${(2.5 * M).toLong}
+         |      THEN CAST(list_extract([${LcTable.mkString(", ")}],
+         |                             CAST(est.v_zero AS INT)) AS BIGINT)
+         |      ELSE est.hll_raw END AS hll_est
+         |  FROM est),
+         |grid AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb
+         |  FROM (SELECT DISTINCT event_type FROM regs) a,
+         |       (SELECT DISTINCT event_type FROM regs) b
+         |  WHERE a.event_type < b.event_type),
+         |ur AS (
+         |  SELECT g.ta, g.tb, r.reg, max(r.mj) AS mj
+         |  FROM grid g JOIN regs r
+         |    ON r.event_type = g.ta OR r.event_type = g.tb
+         |  GROUP BY 1, 2, 3),
+         |uagg AS (
+         |  SELECT ta, tb, count(1) AS touched,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(20 - mj AS INT)) AS BIGINT)
+         |      AS s_touched
+         |  FROM ur GROUP BY 1, 2),
+         |uest AS (
+         |  SELECT ta, tb, CAST($M - touched AS BIGINT) AS v_zero,
+         |    (CAST($AlphaPpm AS BIGINT) * ${M * M} * 1048576)
+         |      // (CAST(1000000 AS BIGINT)
+         |          * (s_touched + ($M - touched) * 1048576))
+         |      AS u_raw
+         |  FROM uagg),
+         |ulc AS (
+         |  SELECT ta, tb,
+         |    CASE WHEN v_zero > 0 AND u_raw <= ${(2.5 * M).toLong}
+         |      THEN CAST(list_extract([${LcTable.mkString(", ")}],
+         |                             CAST(v_zero AS INT)) AS BIGINT)
+         |      ELSE u_raw END AS est_union
+         |  FROM uest),
+         |ex AS (
+         |  SELECT a.event_type AS ta, b.event_type AS tb,
+         |    count(DISTINCT a.user_id) AS n_exact_inter
+         |  FROM ev a JOIN ev b
+         |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+         |  GROUP BY 1, 2)
+         |SELECT g.ta, g.tb, ea.hll_est AS est_a, eb.hll_est AS est_b,
+         |  ulc.est_union,
+         |  greatest(ea.hll_est + eb.hll_est - ulc.est_union, 0) AS inter_est,
+         |  coalesce(ex.n_exact_inter, 0) AS n_exact_inter
+         |FROM grid g
+         |JOIN ulc USING (ta, tb)
+         |JOIN lc ea ON ea.event_type = g.ta
+         |JOIN lc eb ON eb.event_type = g.tb
+         |LEFT JOIN ex USING (ta, tb)
+         |ORDER BY ta, tb""".stripMargin)
 }
