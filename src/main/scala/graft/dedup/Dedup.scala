@@ -163,6 +163,31 @@ object Dedup {
     // recall against dedup_ngram is asserted in DedupSpec.
     "dedup_minhash" -> ((s, d) => minhashPairs(s, d, k = 32, bands = 8, tau = 0.6)),
 
+    // Dedup evaluation harness — the `ann_recall` of the near-dup stack:
+    // scores the banded MinHash pipeline against the exact n-gram Jaccard
+    // truth (the pair set a full O(n²) verify would emit, computed by the
+    // shared df-capped pair frame). One row: truth/found/hit counts,
+    // recall and precision. Both sides are themselves hash-green oracle
+    // queries, so the composition replays bit-exactly in DuckDB — this is
+    // the measurement a 100 TB dedup deployment runs on a sampled slice
+    // before committing LSH parameters (k, bands, τ) for the full corpus.
+    // Scale: truth and found frames are the existing audited builds; the
+    // scoring join is keyed by (id_a, id_b) over pair sets that are tiny
+    // relative to the corpus, then a single global one-row aggregate.
+    "dedup_recall" -> ((s, d) => {
+      val truth = queriesNgramPairs(s, d)
+        .select(col("id_a"), col("id_b"), lit(1L).as("t"))
+      val found = minhashPairs(s, d, k = 32, bands = 8, tau = 0.6)
+        .select(col("id_a"), col("id_b"), lit(1L).as("f"))
+      truth.join(found, Seq("id_a", "id_b"), "full_outer")
+        .agg(sum(col("t")).as("n_truth"), sum(col("f")).as("n_found"),
+          sum(when(col("t").isNotNull && col("f").isNotNull, 1L)
+            .otherwise(0L)).as("n_hit"))
+        .select(col("n_truth"), col("n_found"), col("n_hit"),
+          (col("n_hit").cast("double") / col("n_truth")).as("recall"),
+          (col("n_hit").cast("double") / col("n_found")).as("precision"))
+    }),
+
     // SimHash near-dup: hamming distance ≤ 6 on 64-bit signatures.
     // Banded buckets over PAIRS of the 8 8-bit blocks: d ≤ 6 bit errors
     // touch at most 6 blocks, so ≥ 2 blocks are untouched and the pair
@@ -446,18 +471,7 @@ object Dedup {
     * set sizes → pairwise intersection counts. One definition so the
     * Spark path's [[maxShingleDf]] and the oracle can never diverge. */
   private def ngramOracleCtes: String =
-    s"""docs AS (
-       |  SELECT doc_id, text FROM documents
-       |  UNION ALL
-       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-       |         array_to_string(string_split(text, ' ')[2:], ' ')
-       |  FROM documents),
-       |sh0 AS (
-       |  SELECT DISTINCT doc_id,
-       |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
-       |  FROM docs,
-       |    LATERAL (SELECT unnest(generate_series(1,
-       |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
+    s"""$docsSh0Ctes,
        |sh AS (
        |  SELECT doc_id, sh FROM (
        |    SELECT doc_id, sh, count(1) OVER (PARTITION BY sh) AS df
@@ -467,6 +481,65 @@ object Dedup {
        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(1) AS n_inter
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
        |  GROUP BY 1, 2)""".stripMargin
+
+  /** Shared oracle prefix: docs ∪ near-dups and their distinct word
+    * 3-gram shingle strings — the common root of both the exact-Jaccard
+    * and the MinHash-replay CTE chains. */
+  private def docsSh0Ctes: String =
+    """docs AS (
+      |  SELECT doc_id, text FROM documents
+      |  UNION ALL
+      |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+      |         array_to_string(string_split(text, ' ')[2:], ' ')
+      |  FROM documents),
+      |sh0 AS (
+      |  SELECT DISTINCT doc_id,
+      |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
+      |  FROM docs,
+      |    LATERAL (SELECT unnest(generate_series(1,
+      |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i))""".stripMargin
+
+  /** Bit-exact MinHash+LSH replay over [[docsSh0Ctes]] (k=32 element
+    * hashes via the seed-42 xxhash64 chain, 8 bands × 4 rows, bucket cap
+    * 64, exact hashed-set Jaccard verify at τ=0.6), ending in the
+    * `mh_pairs` CTE. CTE names are disjoint from [[ngramOracleCtes]] /
+    * [[ngramOraclePairsCte]] so the two chains compose in one WITH for
+    * the evaluation query. */
+  private def minhashOracleTailCtes: String =
+    s"""dsh AS (SELECT DISTINCT sh FROM sh0),
+       |shh AS (SELECT sh, ${XxhSql.toI64(XxhSql.hashString("sh"))} AS h FROM dsh),
+       |doc_sh AS (SELECT DISTINCT s.doc_id, hh.h FROM sh0 s JOIN shh hh USING (sh)),
+       |dh AS (SELECT DISTINCT h FROM doc_sh),
+       |hi AS (
+       |  SELECT h, i, ${XxhSql.toI64(XxhSql.hashInt("i", XxhSql.toU64("h")))} AS hv
+       |  FROM dh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS i) r),
+       |mhv AS (
+       |  SELECT ds.doc_id, hi.i, min(hi.hv) AS m
+       |  FROM doc_sh ds JOIN hi ON hi.h = ds.h GROUP BY 1, 2),
+       |mharr AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mhv GROUP BY doc_id),
+       |mposts AS (
+       |  SELECT doc_id, band, $minhashBandKeySql AS key
+       |  FROM mharr CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd),
+       |capped AS (
+       |  SELECT doc_id, band, key FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
+       |    FROM mposts) WHERE rn <= 64),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM capped a JOIN capped b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+       |msizes AS (SELECT doc_id, count(1) AS n FROM doc_sh GROUP BY 1),
+       |minter AS (
+       |  SELECT c.id_a, c.id_b, count(1) AS ni
+       |  FROM cand c JOIN doc_sh a ON a.doc_id = c.id_a
+       |              JOIN doc_sh b ON b.doc_id = c.id_b AND b.h = a.h
+       |  GROUP BY 1, 2),
+       |mh_pairs AS (
+       |  SELECT i.id_a, i.id_b,
+       |    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
+       |  FROM minter i JOIN msizes sa ON sa.doc_id = i.id_a
+       |                JOIN msizes sb ON sb.doc_id = i.id_b
+       |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6)""".stripMargin
 
   /** pairs CTE (J >= 0.6) over [[ngramOracleCtes]]. */
   private def ngramOraclePairsCte: String =
@@ -495,52 +568,25 @@ object Dedup {
     // compares — the band keys by the hashLong/hashInt chain, then the
     // same sorted-bucket cap, pair generation, and hashed-set Jaccard.
     "dedup_minhash" ->
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-         |         array_to_string(string_split(text, ' ')[2:], ' ')
-         |  FROM documents),
-         |sh0 AS (
-         |  SELECT DISTINCT doc_id,
-         |    array_to_string(string_split(text, ' ')[i:i+2], ' ') AS sh
-         |  FROM docs,
-         |    LATERAL (SELECT unnest(generate_series(1,
-         |      greatest(len(string_split(text, ' ')) - 2, 1))) AS i)),
-         |dsh AS (SELECT DISTINCT sh FROM sh0),
-         |shh AS (SELECT sh, ${XxhSql.toI64(XxhSql.hashString("sh"))} AS h FROM dsh),
-         |doc_sh AS (SELECT DISTINCT s.doc_id, hh.h FROM sh0 s JOIN shh hh USING (sh)),
-         |dh AS (SELECT DISTINCT h FROM doc_sh),
-         |hi AS (
-         |  SELECT h, i, ${XxhSql.toI64(XxhSql.hashInt("i", XxhSql.toU64("h")))} AS hv
-         |  FROM dh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS i) r),
-         |mhv AS (
-         |  SELECT ds.doc_id, hi.i, min(hi.hv) AS m
-         |  FROM doc_sh ds JOIN hi ON hi.h = ds.h GROUP BY 1, 2),
-         |mharr AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mhv GROUP BY doc_id),
-         |posts AS (
-         |  SELECT doc_id, band, $minhashBandKeySql AS key
-         |  FROM mharr CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd),
-         |capped AS (
-         |  SELECT doc_id, band, key FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY band, key ORDER BY doc_id) AS rn
-         |    FROM posts) WHERE rn <= 64),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM capped a JOIN capped b
-         |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, count(1) AS n FROM doc_sh GROUP BY 1),
-         |inter AS (
-         |  SELECT c.id_a, c.id_b, count(1) AS ni
-         |  FROM cand c JOIN doc_sh a ON a.doc_id = c.id_a
-         |              JOIN doc_sh b ON b.doc_id = c.id_b AND b.h = a.h
-         |  GROUP BY 1, 2)
-         |SELECT i.id_a, i.id_b,
-         |  CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
-         |FROM inter i JOIN sizes sa ON sa.doc_id = i.id_a
-         |             JOIN sizes sb ON sb.doc_id = i.id_b
-         |WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6
+      s"""WITH $docsSh0Ctes,
+         |$minhashOracleTailCtes
+         |SELECT id_a, id_b, jaccard FROM mh_pairs
          |ORDER BY id_a, id_b""".stripMargin,
+    // MinHash-vs-exact evaluation: both CTE chains above composed over
+    // the SAME docs/sh0 prefix — truth from the df-capped exact-Jaccard
+    // `pairs`, found from the bit-exact LSH replay `mh_pairs`.
+    "dedup_recall" ->
+      s"""WITH $ngramOracleCtes,
+         |$ngramOraclePairsCte,
+         |$minhashOracleTailCtes
+         |SELECT n_truth, n_found, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
+         |  CAST(n_hit AS DOUBLE) / n_found AS precision
+         |FROM (SELECT
+         |  (SELECT count(1) FROM pairs) AS n_truth,
+         |  (SELECT count(1) FROM mh_pairs) AS n_found,
+         |  (SELECT count(1) FROM pairs p JOIN mh_pairs m
+         |     ON p.id_a = m.id_a AND p.id_b = m.id_b) AS n_hit)""".stripMargin,
     // Full bit-exact replay of SimHash banding: per-WORD-OCCURRENCE
     // seed-42 xxhash64 (hashes computed once per distinct word, votes
     // weighted by occurrence counts), 64 per-bit majority votes, 8×8-bit

@@ -13,9 +13,9 @@ class ContractSpec extends AnyFunSuite {
     // floor == the driver's authoritative count (CORRECTNESS_r07: 172,
     // +1 round-8 knn_ivfpq, +1 bpe_apply, +1 corpus_overlap,
     // +1 stream_topk, +1 ts_seasonal, +1 corpus_diff, +1 ann_recall,
-    // +1 bpe_fertility, +1 sketch_hll_intersect) so a silently-dropped
-    // query fails the suite; raise when adding.
-    assert(qs.size >= 181, s"query surface shrank: ${qs.size}")
+    // +1 bpe_fertility, +1 sketch_hll_intersect, +1 dedup_recall) so a
+    // silently-dropped query fails the suite; raise when adding.
+    assert(qs.size >= 182, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED: every query without an oracle must be
     // on this documented allowlist (each entry is hash/algorithm-specific
     // — HLL, LSH candidates — and carries a spec-level substitute). A

@@ -223,4 +223,26 @@ class DedupSpec extends SparkSpec {
       .collect()
     mh.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
+
+  test("dedup_recall: score identities and banding monotonicity") {
+    val row = Dedup.queries("dedup_recall")(spark, sf0001).head
+    val (nTruth, nFound, nHit) =
+      (row.getLong(0), row.getLong(1), row.getLong(2))
+    val (recall, precision) = (row.getDouble(3), row.getDouble(4))
+    assert(nTruth > 0 && nFound > 0)
+    assert(nHit <= math.min(nTruth, nFound))
+    assert(recall == nHit.toDouble / nTruth)
+    assert(precision == nHit.toDouble / nFound)
+    // Banding monotonicity: a single 32-row band fires only when ALL 32
+    // minhash values agree, which implies every 4-row band of the 8×4
+    // scheme agrees too — so the coarse scheme's verified pairs are a
+    // subset of the default scheme's (caps aside; buckets here are tiny).
+    // This is the deterministic face of "more bands, higher recall".
+    val fine = Dedup.minhashPairs(spark, sf0001, k = 32, bands = 8, tau = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val coarse = Dedup.minhashPairs(spark, sf0001, k = 32, bands = 1, tau = 0.6)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(coarse.subsetOf(fine))
+    assert(fine.size == nFound)
+  }
 }
