@@ -497,7 +497,15 @@ object EmfStreaming {
                   if (cell == null) {
                     cell = new HistCell(r.cmpR(j).get)
                     st.hists(j).put(cm, cell)
-                  }
+                  } else if (cell.raw != r.cmpR(j).get)
+                    // a second double below decimal-6 resolution would
+                    // silently classify by the first-seen representative;
+                    // fail loud instead (the domain-guard convention)
+                    throw new IllegalStateException(
+                      s"dependent streaming EMF: comparison values " +
+                        s"${cell.raw} and ${r.cmpR(j).get} of slot " +
+                        s"${depSpecs(j).name} are distinct below the " +
+                        "decimal-6 bucket resolution")
                   fold(cell.acc, Some(am), r.aggR(j), depSpecs(j).name)
                 case (None, _) if r.cmpR(j).isDefined =>
                   throw new IllegalStateException(
@@ -744,7 +752,12 @@ object EmfStreaming {
                   if (cell == null) {
                     cell = new HistCell(r.cmpR(j).get)
                     hs(j).put(cm, cell)
-                  }
+                  } else if (cell.raw != r.cmpR(j).get)
+                    throw new IllegalStateException(
+                      s"chained streaming EMF: comparison values " +
+                        s"${cell.raw} and ${r.cmpR(j).get} of slot " +
+                        s"${depSpecs(j).name} are distinct below the " +
+                        "decimal-6 bucket resolution")
                   fold(cell.acc, Some(am), r.aggR(j), depSpecs(j).name)
                 case (None, _) if r.cmpR(j).isDefined =>
                   throw new IllegalStateException(

@@ -185,8 +185,17 @@ object Temporal {
     // (micros div 86400e6) and dow = day mod 7 — pure integer arithmetic,
     // no calendar API to diverge between engines.
     "ts_seasonal" -> ((s, d) => {
+      // sign-explicit FLOOR division for the epoch-day bucket: Spark div
+      // truncates toward zero, so pre-1970 micros would bucket one day
+      // late vs the floored calendar day; spell out the floor on both
+      // engines (identical CASE in the oracle) and keep dow non-negative
+      // via pmod / the ((x%7)+7)%7 oracle form
       val daily = Tables.events(s, d)
-        .select(expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+        .select(expr(
+          """CASE WHEN unix_micros(cast(ts as timestamp)) >= 0
+            |THEN unix_micros(cast(ts as timestamp)) div 86400000000
+            |ELSE -(((-unix_micros(cast(ts as timestamp))) + 86399999999)
+            |       div 86400000000) END""".stripMargin)
           .as("day"), cents(col("value")).as("c"))
         .groupBy(col("day")).agg(sum(col("c")).as("total"))
         .withColumn("dow", pmod(col("day"), lit(7)))
@@ -214,13 +223,17 @@ object Temporal {
     // identical integer epoch-day bucketing, identical truncating dow
     // mean, identical (|resid| desc, day) argmax tie-break
     "ts_seasonal" ->
-      """WITH daily AS (
-        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
-        |    CAST(sum(CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT))
-        |      AS BIGINT) AS total
-        |  FROM events GROUP BY 1),
+      """WITH sec AS (
+        |  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS s,
+        |    CAST(CAST(value AS DECIMAL(18,2))*100 AS BIGINT) AS c
+        |  FROM events),
+        |daily AS (
+        |  SELECT CASE WHEN s >= 0 THEN s // 86400
+        |         ELSE -(((-s) + 86399) // 86400) END AS day,
+        |    CAST(sum(c) AS BIGINT) AS total
+        |  FROM sec GROUP BY 1),
         |dw AS (
-        |  SELECT day % 7 AS dow, count(1) AS n_days,
+        |  SELECT ((day % 7) + 7) % 7 AS dow, count(1) AS n_days,
         |    CAST(sum(total) AS BIGINT) AS s
         |  FROM daily GROUP BY 1),
         |dm AS (
@@ -231,7 +244,7 @@ object Temporal {
         |j AS (
         |  SELECT d.day, w.dow, w.n_days, w.mean_cents,
         |    d.total - w.mean_cents AS resid
-        |  FROM daily d JOIN dm w ON d.day % 7 = w.dow)
+        |  FROM daily d JOIN dm w ON ((d.day % 7) + 7) % 7 = w.dow)
         |SELECT dow, n_days, mean_cents, day AS worst_day,
         |  CAST(resid AS BIGINT) AS worst_resid_cents
         |FROM j

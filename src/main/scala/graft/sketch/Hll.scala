@@ -167,8 +167,12 @@ object Hll {
               col("v_zero").cast("int")))
             .otherwise(col("u_raw")))
         .select(col("ta"), col("tb"), col("est_union"))
-      val exactI = ev.select(col("event_type").as("ta"), col("user_id"))
-        .join(ev.select(col("event_type").as("tb"), col("user_id")),
+      // distinct (event_type, user_id) BEFORE the self-join: the join's
+      // per-user fanout is then |types_a| x |types_b| (bounded by the tiny
+      // type domain), not events_a x events_b — registers-not-corpus scale
+      val evD = ev.distinct()
+      val exactI = evD.select(col("event_type").as("ta"), col("user_id"))
+        .join(evD.select(col("event_type").as("tb"), col("user_id")),
           Seq("user_id"))
         .filter(col("ta") < col("tb"))
         .groupBy(col("ta"), col("tb"))
@@ -316,7 +320,8 @@ object Hll {
          |ex AS (
          |  SELECT a.event_type AS ta, b.event_type AS tb,
          |    count(DISTINCT a.user_id) AS n_exact_inter
-         |  FROM ev a JOIN ev b
+         |  FROM (SELECT DISTINCT event_type, user_id FROM ev) a
+         |  JOIN (SELECT DISTINCT event_type, user_id FROM ev) b
          |    ON a.user_id = b.user_id AND a.event_type < b.event_type
          |  GROUP BY 1, 2)
          |SELECT g.ta, g.tb, ea.hll_est AS est_a, eb.hll_est AS est_b,

@@ -253,6 +253,10 @@ object Bpe {
     "bpe_apply" -> encode,
     "bpe_fertility" -> fertility)
 
+  // An empty round CTE makes the scalar subquery NULL, and
+  // replace(x, NULL, NULL) nulls the whole string in DuckDB while Spark's
+  // fold over a shorter merge array is a no-op — coalesce to chr(1) (a
+  // needle that cannot occur in space-joined symbols) so both engines no-op.
   private def roundCtes(r: Int): String = {
     val prev = s"w${r - 1}"
     s"""p$r AS (
@@ -265,8 +269,8 @@ object Bpe {
        |w$r AS (
        |  SELECT regexp_split_to_array(trim(replace(
        |           ' ' || array_to_string(syms, '  ') || ' ',
-       |           (SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b$r),
-       |           (SELECT ' ' || lhs || rhs || ' ' FROM b$r))), ' +') AS syms,
+       |           coalesce((SELECT ' ' || lhs || '  ' || rhs || ' ' FROM b$r), chr(1)),
+       |           coalesce((SELECT ' ' || lhs || rhs || ' ' FROM b$r), chr(1)))), ' +') AS syms,
        |         n
        |  FROM $prev)""".stripMargin
   }
@@ -294,8 +298,8 @@ object Bpe {
       val nested = (1 to Rounds).foldLeft(
         "regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") { (acc, r) =>
         s"""replace($acc,
-           |  (SELECT ' '||lhs||'  '||rhs||' ' FROM b$r),
-           |  (SELECT ' '||lhs||rhs||' ' FROM b$r))""".stripMargin
+           |  coalesce((SELECT ' '||lhs||'  '||rhs||' ' FROM b$r), chr(1)),
+           |  coalesce((SELECT ' '||lhs||rhs||' ' FROM b$r), chr(1)))""".stripMargin
       }
       s"""WITH wc AS (
          |  SELECT w, count(*)::BIGINT AS n
@@ -322,8 +326,8 @@ object Bpe {
       val nested = (1 to Rounds).foldLeft(
         "regexp_replace(w, '(?s)(.)', ' \\1 ', 'g')") { (acc, r) =>
         s"""replace($acc,
-           |  (SELECT ' '||lhs||'  '||rhs||' ' FROM b$r),
-           |  (SELECT ' '||lhs||rhs||' ' FROM b$r))""".stripMargin
+           |  coalesce((SELECT ' '||lhs||'  '||rhs||' ' FROM b$r), chr(1)),
+           |  coalesce((SELECT ' '||lhs||rhs||' ' FROM b$r), chr(1)))""".stripMargin
       }
       s"""WITH wc AS (
          |  SELECT w, count(*)::BIGINT AS n
