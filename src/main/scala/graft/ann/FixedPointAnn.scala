@@ -234,6 +234,44 @@ object FixedPointAnn {
       .orderBy(col("qid"), col("rnk"))
   }
 
+  /** SRP-LSH bits per band / band count for [[knnLshFp]]. Pinned (not
+    * srpParams-adaptive) so the oracle replays the same plane matrix at
+    * every sf — the [[Nlist]]/[[M]] convention; production banding stays
+    * adaptive via [[Similarity.srpParams]]. 2¹⁰ buckets ⇒ bucket size
+    * grows ∝ n here, while the adaptive path holds it ~constant. Miss
+    * probability for a planted near-dup (cos ≈ 0.995) over 8 bands of
+    * 10 planes is (1−0.968¹⁰)⁸ ≈ 3.5e-5. */
+  val LshBits = 10
+  val LshBands = 8
+
+  /** SRP-LSH search on the integer grid: band keys from the sign of
+    * INTEGER projections ([[graft.dedup.SrpBandsFpExpr]] — exact,
+    * order-independent, so the hash-dependent candidate set replays
+    * bit-for-bit in SQL, graduating the query from the rows-only
+    * check its float twin [[Similarity.knnLsh]] needed). Query bands
+    * broadcast against the corpus banding; candidates scored exactly
+    * by integer squared L2; same (dist, nid) ranking as knn_ivf. */
+  def knnLshFp(s: SparkSession, d: String): DataFrame = {
+    val e = KMeans.quantized(s, d)
+    val banded = e.select(col("vec_id"),
+      posexplode(graft.dedup.SignatureExprs.srpBandsFp(
+        col("qe"), LshBands, LshBits)).as(Seq("band", "bk")))
+    val qBands = banded.filter(col("vec_id") < NQueries)
+      .select(col("vec_id").as("qid"), col("band"), col("bk"))
+    val cand = banded.join(broadcast(qBands), Seq("band", "bk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"))
+      .dropDuplicates("qid", "vec_id")
+    val scored = cand
+      .join(e.select(col("vec_id").as("qid"), col("qe").as("qq")), Seq("qid"))
+      .join(e, Seq("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        sqDistFp(col("qq"), col("qe")).as("dist"))
+    topKBy(scored, col("dist"))
+      .select(col("qid"), col("vec_id").as("nid"), col("rnk"), col("dist"))
+      .orderBy(col("qid"), col("rnk"))
+  }
+
   /** PQ: compressed-domain linear scan (in-row ADC), exact rescore of
     * the top TopK·Rescore. */
   def knnPq(s: SparkSession, d: String): DataFrame = {
@@ -326,6 +364,7 @@ object FixedPointAnn {
     "knn_ivf" -> (knnIvf _),
     "knn_pq" -> (knnPq _),
     "knn_ivfpq" -> (knnIvfPq _),
+    "knn_lsh" -> (knnLshFp _),
     "ann_recall" -> (annRecall _))
 
   // ---------------------------------------------------------------- oracle
@@ -438,7 +477,51 @@ object FixedPointAnn {
        |    ORDER BY dist, vec_id) AS INT) AS rnk, adc, dist
        |FROM sc QUALIFY rnk <= $TopK ORDER BY qid, rnk""".stripMargin
 
+  /** The SRP plane matrix as '+'/'-' strings (plane p ↦ 64-char row),
+    * generated from the SAME [[graft.dedup.SrpKernel]] matrix the Spark
+    * expression uses — embedded verbatim in the knn_lsh oracle (the
+    * LcTable-in-SQL convention). */
+  private lazy val lshSignRows: String =
+    graft.dedup.SrpKernel.signMatrix(LshBands * LshBits, Dim)
+      .map(row => "'" + row.map(s => if (s > 0) '+' else '-').mkString + "'")
+      .mkString("[", ", ", "]")
+
   def oracle: Map[String, String] = Map(
+    // identical plane matrix (literal), integer projections, identical
+    // band-key packing and (dist, nid) ranking
+    "knn_lsh" ->
+      s"""WITH $eCte,
+         |sgn AS (
+         |  SELECT generate_subscripts(sl, 1) - 1 AS p, unnest(sl) AS sstr
+         |  FROM (SELECT $lshSignRows AS sl)),
+         |ex AS (
+         |  SELECT vec_id, generate_subscripts(qe, 1) AS i, unnest(qe) AS x
+         |  FROM e),
+         |proj AS (
+         |  SELECT ex.vec_id, g.p,
+         |    CAST(sum(CASE WHEN substr(g.sstr, CAST(ex.i AS INT), 1) = '+'
+         |                  THEN ex.x ELSE -ex.x END) AS BIGINT) AS proj
+         |  FROM ex CROSS JOIN sgn g
+         |  GROUP BY 1, 2),
+         |keys AS (
+         |  SELECT vec_id, p // $LshBits AS band,
+         |    CAST(sum(CASE WHEN proj > 0
+         |                  THEN CAST(1 AS BIGINT) << (p % $LshBits)
+         |                  ELSE 0 END) AS BIGINT) AS bk
+         |  FROM proj GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS qid, c.vec_id
+         |  FROM keys q JOIN keys c ON c.band = q.band AND c.bk = q.bk
+         |  WHERE q.vec_id < $NQueries AND c.vec_id <> q.vec_id),
+         |sc AS (
+         |  SELECT cand.qid, cand.vec_id,
+         |    CAST(${fullDist("eq.qe", "en.qe")} AS BIGINT) AS dist
+         |  FROM cand JOIN e eq ON eq.vec_id = cand.qid
+         |            JOIN e en ON en.vec_id = cand.vec_id)
+         |SELECT qid, vec_id AS nid,
+         |  CAST(row_number() OVER (PARTITION BY qid
+         |    ORDER BY dist, vec_id) AS INT) AS rnk, dist
+         |FROM sc QUALIFY rnk <= $TopK ORDER BY qid, rnk""".stripMargin,
     "knn_ivf" ->
       s"""WITH $eCte,
          |${lloydCtes("g_", 1, Nlist)},

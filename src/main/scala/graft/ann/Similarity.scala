@@ -309,18 +309,10 @@ object Similarity {
         .orderBy(col("vec_id"))
     }),
 
-    // LSH-bucketed top-k SEARCH — the scale path for the knn_brute
-    // semantics: only rows sharing an SRP band with a query are scored,
-    // so per-query cost is O(bands × bucket) ≈ constant in corpus size
-    // (adaptive bits keep buckets ~16 docs as n grows), vs knn_brute's
-    // O(n). Banding is the codegen'd SrpBandsExpr over the cached
-    // corpus; the query side is 5 rows → its banded keys broadcast-join
-    // against the corpus banding; scoring is the codegen'd
-    // CosineSimExpr. Nothing driver-side. Hash-dependent candidate set →
-    // rows-only; SimilaritySpec asserts recall@1 = 1 on the planted
-    // near-dups and that returned cosines match knn_brute's exactly.
-    "knn_lsh" -> ((s, d) => knnLsh(embWithNearDupsCached(s, d),
-      maxQid = 5, k = 3, n = embWithNearDupsCount(s, d))),
+    // (the `knn_lsh` driver entry moved to [[FixedPointAnn.knnLshFp]] —
+    // integer-grid SRP with a bit-exact oracle; the float/adaptive
+    // [[knnLsh]] below remains the production-shaped path and keeps its
+    // recall + cosine-equality specs in SimilaritySpec.)
   )
 
   /** LSH-bucketed approximate top-`k` cosine search for the query rows

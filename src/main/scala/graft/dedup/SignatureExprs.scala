@@ -257,6 +257,41 @@ object SrpKernel {
       }
     })
 
+  /** The deterministic ±1 plane matrix (plane p, dim i ↦ parity of
+    * xxhash64(p, xxhash64(i, 42))) — exposed so oracle-SQL builders can
+    * embed the EXACT matrix the kernels use as a literal. */
+  def signMatrix(planes: Int, dim: Int): Array[Array[Double]] =
+    signs(planes, dim)
+
+  /** Integer-grid variant of [[bandKeys]] for `array<long>` quantized
+    * embeddings: the projection Σ qe(i)·s(p,i) accumulates in LONG, so
+    * the sign bit is order-independent and replays exactly in SQL — the
+    * construction that graduates SRP-LSH queries to hash-checked
+    * oracles (same plane matrix, same key packing as the float path). */
+  def bandKeysFp(a: ArrayData, bands: Int, bits: Int): ArrayData = {
+    val v = a.toLongArray()
+    val m = signs(bands * bits, v.length)
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var key = 0L
+      var j = 0
+      while (j < bits) {
+        val s = m(b * bits + j)
+        var proj = 0L
+        var i = 0
+        while (i < v.length) {
+          proj += (if (s(i) > 0) v(i) else -v(i)); i += 1
+        }
+        if (proj > 0) key |= (1L << j)
+        j += 1
+      }
+      keys(b) = key
+      b += 1
+    }
+    new GenericArrayData(keys)
+  }
+
   /** `bands` keys; band b's key packs the signs of planes
     * [b·bits, (b+1)·bits) into bits [0, bits). Band 0 with bits = 8 is
     * exactly the legacy single-key [[graft.ann.Similarity.srpKey]]. */
@@ -318,6 +353,37 @@ case class SrpBandsExpr(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = c)
 }
 
+/** [[SrpBandsExpr]] on the 2⁻¹⁰ fixed-point grid (`array<long>` input):
+  * integer projections, so band keys are exactly SQL-replayable. */
+case class SrpBandsFpExpr(child: Expression, bands: Int, bitsPerBand: Int)
+    extends UnaryExpression {
+  require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 63,
+    s"srp_bands_fp: need 1..n bands of 1..63 bits, got $bands×$bitsPerBand")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "srp_bands_fp"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"srp_bands_fp requires an array<bigint> argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SrpKernel.bandKeysFp(v.asInstanceOf[ArrayData], bands, bitsPerBand)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.SrpKernel.bandKeysFp($a, $bands, $bitsPerBand);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SignatureExprs {
   def simhash64Fast(text: Column): Column =
     CatalystBridge.column(SimHash64Expr(CatalystBridge.expression(text)))
@@ -333,4 +399,7 @@ object SignatureExprs {
   def srpBands(emb: Column, bands: Int, bitsPerBand: Int): Column =
     CatalystBridge.column(
       SrpBandsExpr(CatalystBridge.expression(emb), bands, bitsPerBand))
+  def srpBandsFp(qe: Column, bands: Int, bitsPerBand: Int): Column =
+    CatalystBridge.column(
+      SrpBandsFpExpr(CatalystBridge.expression(qe), bands, bitsPerBand))
 }

@@ -22,9 +22,9 @@ class ContractSpec extends AnyFunSuite {
     // new query missing its oracle fails here instead of silently
     // weakening the driver gate. (dedup_minhash/dedup_simhash graduated
     // in round 7 via XxhSql; knn_ivf/knn_pq graduated in round 8 via the
-    // FixedPointAnn grid replay.)
+    // FixedPointAnn grid replay; knn_lsh in round 9 via integer-grid SRP.)
     val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
-      "knn_lsh", "text_quality_filter_approx")
+      "text_quality_filter_approx")
     assert((qs -- os) == rowsOnlyAllowed,
       s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
         s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")
@@ -60,12 +60,12 @@ class ContractSpec extends AnyFunSuite {
     assert(!plan.contains("l_orderkey"), "column pruning regressed: unused column read")
   }
 
-  test("plan regression net: knn_lsh scores via codegen'd cosine_sim, ngram joins on hashed key") {
+  test("plan regression net: knn_lsh buckets via codegen'd srp_bands_fp, ngram joins on hashed key") {
     val spark = TestSpark.spark
     val lsh = SparkEntry.queries("knn_lsh")(spark, "/root/testdata/sf0.001")
       .queryExecution.executedPlan.toString
-    assert(lsh.contains("cosine_sim("),
-      "knn_lsh no longer scores through the native join-based kernel")
+    assert(lsh.contains("srp_bands_fp("),
+      "knn_lsh no longer buckets through the codegen'd integer-grid SRP kernel")
     val ngram = SparkEntry.queries("dedup_ngram")(spark, "/root/testdata/sf0.001")
       .queryExecution.optimizedPlan.toString
     // round 5: the hash moved INTO the fused shingle kernel — the join

@@ -55,6 +55,41 @@ class FixedPointAnnSpec extends SparkSpec {
     assert(recall >= 0.8, s"PQ-fp recall@3 = $recall")
   }
 
+  test("knn_lsh (fixed-point): dists exact; candidates genuinely share a band") {
+    val q = quantizedRef(sf0001)
+    val rows = FixedPointAnn.knnLshFp(spark, sf0001).collect()
+    assert(rows.nonEmpty, "LSH returned no rows at all")
+    rows.foreach { r =>
+      val want = sqDist(q(r.getAs[Long]("qid")), q(r.getAs[Long]("nid")))
+      assert(r.getAs[Long]("dist") == want, s"dist drift at $r")
+    }
+    // candidate correctness: every returned neighbor must share ≥ 1 SRP
+    // band key with its query — replay the banding with the SAME kernel
+    // (this corpus plants no near-dups, so recall floors live with the
+    // adaptive float path's spec in SimilaritySpec; what THIS query
+    // guarantees is the exact bucketing + exact scoring replayed here)
+    def keys(v: Array[Long]): Array[Long] =
+      graft.dedup.SrpKernel.bandKeysFp(
+        new org.apache.spark.sql.catalyst.util.GenericArrayData(v),
+        FixedPointAnn.LshBands, FixedPointAnn.LshBits).toLongArray()
+    rows.foreach { r =>
+      val kq = keys(q(r.getAs[Long]("qid")))
+      val kn = keys(q(r.getAs[Long]("nid")))
+      assert(kq.indices.exists(b => kq(b) == kn(b)),
+        s"pair (${r.getAs[Long]("qid")}, ${r.getAs[Long]("nid")}) shares no band")
+    }
+    // shape: ≤ k rows per query, contiguous ranks, dist non-decreasing
+    rows.groupBy(_.getAs[Long]("qid")).foreach { case (qid, rs) =>
+      assert(rs.length <= FixedPointAnn.TopK)
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length),
+        s"ranks for $qid")
+      val ds = sorted.map(_.getAs[Long]("dist"))
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b },
+        s"dist not monotone for $qid")
+    }
+  }
+
   test("knn_ivfpq: recall vs brute; result ⊆ probed-cell candidates") {
     val rows = FixedPointAnn.knnIvfPq(spark, sf0001).collect()
     assert(rows.length == 15)

@@ -93,7 +93,11 @@ class SimilaritySpec extends SparkSpec {
     // exact top-3 over the SAME corpus (dense kernel; same tiebreak)
     val exact = VectorKernels.topK(e, (0L until 5L).toSet, 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
-    val lsh = Similarity.queries("knn_lsh")(spark, sf0001)
+    // the float/adaptive production path (the driver's knn_lsh entry is
+    // now the integer-grid FixedPointAnn.knnLshFp; this spec pins the
+    // recall contract of the adaptive variant it mirrors)
+    val lsh = Similarity.knnLsh(Similarity.embWithNearDupsCached(spark, sf0001),
+      maxQid = 5, k = 3, n = Similarity.embWithNearDupsCount(spark, sf0001))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
     // rank 1 is the planted near-dup at cos ≈ 0.996: the srpParams miss
     // bound (≤ 1e-8 at τ=0.99) makes finding it effectively certain
