@@ -1,6 +1,7 @@
 package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -116,12 +117,15 @@ object TextAnalysis {
 
     // The 100 TB form of the percentile cutoff: exact percentile() holds
     // EVERY group value in aggregation state (memory ∝ group size — a
-    // non-starter when one lang has 10¹⁰ docs); percentile_approx is a
-    // bounded-memory, mergeable quantile sketch, so the cutoff costs one
-    // map-side-combinable agg at any scale. Sketch output is
-    // merge-order-dependent → rows-only here; TextAnalysisSpec pins the
-    // approx cutoff to the exact p25 within sketch accuracy and checks
-    // the kept fraction.
+    // non-starter when one lang has 10¹⁰ docs). The fixed-grid histogram
+    // (the `winsorize` machinery) is the variant that is BOTH bounded and
+    // replayable: one (lang, bin) count aggregation — map-side combined,
+    // state ≤ langs × bins regardless of corpus size (bin = 1e-4 on the
+    // ~[-5, 2] quality domain ⇒ ≤ 70k bins/lang) — then the cutoff is
+    // the first bin whose running mass reaches ¼, all integer arithmetic
+    // the oracle replays bit-for-bit. Cutoff error ≤ one bin width;
+    // TextAnalysisSpec (LayoutSpec) pins the kept set to the exact-p25
+    // filter within 2%.
     "text_quality_filter_approx" -> ((s, d) => {
       val ws = words(col("text"))
       val nWords = size(ws).cast("double")
@@ -132,10 +136,19 @@ object TextAnalysis {
         .repartition(s.sparkContext.defaultParallelism)
         .select(col("doc_id"), col("lang"),
           ((nStop / nWords) * 2.0 - (nPunct / nChars) * 5.0).as("quality"))
-      val cut = scored.groupBy(col("lang"))
-        .agg(percentile_approx(col("quality"), lit(0.25), lit(10000)).as("q25"))
+      val qg = floor(col("quality") * 10000).cast("long")
+      val hist = scored.select(col("lang"), qg.as("qg"))
+        .groupBy(col("lang"), col("qg")).agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("lang")).orderBy(col("qg"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("lang"))
+      val cut = hist
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .groupBy(col("lang"))
+        .agg(min(when(col("cum") * 4 >= col("n"), col("qg"))).as("gcut"))
       scored.join(broadcast(cut), Seq("lang"))
-        .filter(col("quality") >= col("q25"))
+        .filter(qg >= col("gcut"))
         .select(col("doc_id"), col("lang"), col("quality"))
         .orderBy(col("doc_id"))
     }),
@@ -399,6 +412,34 @@ object TextAnalysis {
         |SELECT s.doc_id, s.lang, s.quality
         |FROM scored s JOIN cut c ON c.lang = s.lang
         |WHERE s.quality >= c.q25
+        |ORDER BY s.doc_id""".stripMargin,
+    // identical double scoring, identical 1e-4 grid bucketing, identical
+    // first-bin-at-quarter-mass integer cutoff rule
+    "text_quality_filter_approx" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    (CAST(len(list_filter(string_split(text,' '),
+        |       w -> w IN ('the','a','an','and','of','to','in','is'))) AS DOUBLE)
+        |      / len(string_split(text,' '))) * 2.0
+        |     - (CAST(len(regexp_extract_all(text, '[^A-Za-z0-9 ]')) AS DOUBLE)
+        |      / length(text)) * 5.0 AS quality
+        |  FROM documents),
+        |h AS (
+        |  SELECT lang, CAST(floor(quality * 10000) AS BIGINT) AS qg,
+        |    count(1) AS cnt
+        |  FROM scored GROUP BY 1, 2),
+        |cu AS (
+        |  SELECT lang, qg,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY qg
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |cut AS (
+        |  SELECT lang, min(CASE WHEN cum * 4 >= n THEN qg END) AS gcut
+        |  FROM cu GROUP BY 1)
+        |SELECT s.doc_id, s.lang, s.quality
+        |FROM scored s JOIN cut c ON c.lang = s.lang
+        |WHERE CAST(floor(s.quality * 10000) AS BIGINT) >= c.gcut
         |ORDER BY s.doc_id""".stripMargin,
     "text_top_terms" ->
       """WITH terms AS (

@@ -22,9 +22,10 @@ class ContractSpec extends AnyFunSuite {
     // new query missing its oracle fails here instead of silently
     // weakening the driver gate. (dedup_minhash/dedup_simhash graduated
     // in round 7 via XxhSql; knn_ivf/knn_pq graduated in round 8 via the
-    // FixedPointAnn grid replay; knn_lsh in round 9 via integer-grid SRP.)
-    val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge",
-      "text_quality_filter_approx")
+    // FixedPointAnn grid replay; knn_lsh in round 9 via integer-grid SRP,
+    // text_quality_filter_approx in round 9 via the fixed-grid histogram
+    // cutoff.)
+    val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge")
     assert((qs -- os) == rowsOnlyAllowed,
       s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
         s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")

@@ -135,9 +135,9 @@ class LayoutSpec extends SparkSpec {
     val approx = graft.text.TextAnalysis
       .queries("text_quality_filter_approx")(spark, sf0001)
       .select("doc_id").collect().map(_.getLong(0)).toSet
-    // percentile() INTERPOLATES between order statistics; the sketch
-    // returns an actual dataset element ≤ the interpolated value — so a
-    // few docs between the two cutoffs legitimately flip. Allow 2%,
+    // percentile() INTERPOLATES between order statistics; the fixed-grid
+    // histogram cutoff is a bin lower edge ≤ one bin width (1e-4) away —
+    // so a few docs between the two cutoffs legitimately flip. Allow 2%,
     // never a gross drift.
     val sym = (exact diff approx) ++ (approx diff exact)
     assert(sym.size <= math.max(2, exact.size / 50),
