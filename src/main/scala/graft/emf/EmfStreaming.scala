@@ -319,6 +319,28 @@ object EmfStreaming {
     val acc = new SlotAcc
   }
 
+  /** Hard cap on distinct comparison values PER (group, dependent slot).
+    * Dependent/chained streaming EMF keeps one [[HistCell]] per distinct
+    * comparison value seen in a group — bounded by the column's value
+    * DOMAIN (fine for `quant`-like columns, the corpus shapes), but
+    * nothing about the query form itself enforces that. A near-unique
+    * comparison column (a timestamp, an id) would grow state without
+    * bound and surface as an executor OOM hours in; failing fast at a
+    * width no domain-bounded column reaches turns that into an immediate,
+    * named error (the broadcast-guard convention,
+    * [[graft.ann.VectorKernels]]). Test-tunable so the fail-fast is
+    * exercisable without 65k-row fixtures (EmfStreamingSpec). */
+  @volatile private[emf] var MaxHistBuckets = 65536
+
+  private def boundHist(h: java.util.HashMap[java.lang.Long, HistCell],
+      slot: String, mode: String): Unit =
+    if (h.size > MaxHistBuckets)
+      throw new IllegalStateException(
+        s"$mode streaming EMF: comparison-value histogram of slot $slot " +
+          s"exceeds $MaxHistBuckets distinct values — the comparison " +
+          "column is not domain-bounded; state would grow with the " +
+          "stream. Use a batch EMF pass or bucket the comparison column.")
+
   /** State for one group: its own-aggregate accumulators (the threshold
     * sources) plus, per dependent slot, the comparison-value histogram. */
   final class DepState extends Serializable {
@@ -497,6 +519,7 @@ object EmfStreaming {
                   if (cell == null) {
                     cell = new HistCell(r.cmpR(j).get)
                     st.hists(j).put(cm, cell)
+                    boundHist(st.hists(j), depSpecs(j).name, "dependent")
                   } else if (cell.raw != r.cmpR(j).get)
                     // a second double below decimal-6 resolution would
                     // silently classify by the first-seen representative;
@@ -752,6 +775,7 @@ object EmfStreaming {
                   if (cell == null) {
                     cell = new HistCell(r.cmpR(j).get)
                     hs(j).put(cm, cell)
+                    boundHist(hs(j), depSpecs(j).name, "chained")
                   } else if (cell.raw != r.cmpR(j).get)
                     throw new IllegalStateException(
                       s"chained streaming EMF: comparison values " +

@@ -167,18 +167,34 @@ object Multimodal {
         } else Nil
         (id, aHash64(p)) +: twin
       }.toDF("media_id", "h")
-      def banded(side: String) = hashed.select(
-        col("media_id").as(s"id_$side"), col("h").as(s"h_$side"),
+      // Grouped-postings per (band, key) bucket — the dedup_simhash
+      // shape: ONE hash aggregation collects each bucket's (id, hash)
+      // members into a sorted struct array (id_a < id_b by
+      // construction), candidate pairs stream out of codegen'd
+      // generators, and the hamming filter runs BEFORE the distinct
+      // shuffle so only near-pairs move. Replaces the sort-heavy SMJ
+      // self-join of the banded frame (two full sorts of n×4 rows plus
+      // a shuffle of every same-bucket candidate) that made this the
+      // 11× entry at the ×100 rehearsal. Candidates, filters, and
+      // output are unchanged — the oracle replays the identical
+      // 4×16-bit band predicate.
+      val banded = hashed.select(col("media_id"), col("h"),
         explode(array((0 until 4).map(b =>
           struct(lit(b).as("band"),
             shiftrightunsigned(col("h"), b * 16)
               .bitwiseAND(lit(0xFFFFL)).as("key"))): _*)).as("bk"))
-        .select(col(s"id_$side"), col(s"h_$side"),
+        .select(col("media_id"), col("h"),
           col("bk.band").as("band"), col("bk.key").as("key"))
-      banded("a").join(banded("b"), Seq("band", "key"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          hamming64(col("h_a"), col("h_b")).as("dist"))
+      val posts = banded.groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("media_id"), col("h"))))
+          .as("ms"))
+        .filter(size(col("ms")) >= 2)
+      posts
+        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
+        .select(col("a"),
+          explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
+        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
+          hamming64(col("a.h"), col("b.h")).as("dist"))
         .filter(col("dist") <= 6)
         .distinct()
         .orderBy(col("id_a"), col("id_b"))

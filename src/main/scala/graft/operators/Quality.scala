@@ -64,9 +64,18 @@ object Quality {
           sum(when(col("__pk").isNull, 1L).otherwise(0L)).as("v_fk_p"),
           sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
             .otherwise(0L)).as("v_qty"))
+      // Exact PK-duplicate count as a TWO-LEVEL aggregation: per-key
+      // counts (hash-partitioned by the composite key, partial-agg
+      // combined, per-task state bounded by the task's key share and
+      // spillable) then Σ(cnt−1) — byte-identical to
+      // count − count_distinct but without the single exact-distinct
+      // aggregate whose state must hold every key (the 11× term at the
+      // ×100 rehearsal; at 10¹⁰ fact rows the one-aggregate form is a
+      // non-starter while per-key counting scales with executors).
       val liPk = li
-        .agg((count(lit(1)) - count_distinct(struct(col("l_orderkey"),
-          col("l_linenumber")))).as("v_pk"))
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(count(lit(1)).as("cnt"))
+        .agg(coalesce(sum(col("cnt") - lit(1L)), lit(0L)).as("v_pk"))
       val oRep = o
         .join(broadcast(c.select(col("c_custkey").as("__ck")).distinct()),
           col("o_custkey") === col("__ck"), "left")

@@ -291,6 +291,36 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("dependent streaming fails fast when the comparison column is not domain-bounded") {
+    // adversarial: every tuple carries a NEW comparison value, so the
+    // per-(group, slot) histogram grows with the stream — the guard must
+    // name the problem immediately instead of OOMing hours in
+    val q2 = EmfParser.parseOne(
+      """prod,avg_quant_1,count_quant_2
+        |2
+        |prod
+        |avg_quant_1,count_quant_2
+        |{MF.prod.avg_quant_1}[=]{prod},{MF.prod.count_quant_2}[=]{prod}:{MF.avg_quant_1.count_quant_2}[>]{quant}""".stripMargin, cols)
+    val old = EmfStreaming.MaxHistBuckets
+    EmfStreaming.MaxHistBuckets = 8
+    try {
+      val stream = MemoryStream[SalesRow](spark)
+      val sq = EmfStreaming.planDependent(q2, stream.toDF())
+        .writeStream.format("memory").queryName("emf_dep_guard")
+        .outputMode(OutputMode.Update).start()
+      try {
+        stream.addData((1 to 40).map(i => SalesRow("p1", "x", 1, "NY", i)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          sq.processAllAvailable())
+        def causes(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ causes(x.getCause))
+        assert(causes(e).exists(_.contains("comparison-value histogram")),
+          s"guard did not fire or renamed its error: ${causes(e)}")
+      } finally sq.stop()
+    } finally EmfStreaming.MaxHistBuckets = old
+  }
+
   // q8 shape: dependent chained onto a WINDOWED aggregate
   private val q8Q = EmfParser.parseOne(
     """cust,month,avg_quant_1,count_quant_2
