@@ -51,6 +51,7 @@ object Bench {
       graft.ann.KMeans.clearCache()
       graft.operators.Mining.clearCache()
       graft.text.Bpe.clearCache()
+      graft.emf.GoldenQueries.clearCache()
       graft.ann.FixedPointAnn.clearCache()
     }
     val failed = scala.collection.mutable.ArrayBuffer[String]()
@@ -78,6 +79,8 @@ object Bench {
         (() => { graft.ann.KMeans.assignmentCached(spark, sfDir).count(); () }),
       "_shared_basket_pairs" ->
         (() => { graft.operators.Mining.pairsCached(spark, sfDir).count(); () }),
+      "_shared_sales_view" ->
+        (() => { graft.emf.GoldenQueries.salesViewCached(spark, sfDir).count(); () }),
       "_shared_ann_models" ->
         (() => {
           import graft.ann.FixedPointAnn
@@ -112,6 +115,7 @@ object Bench {
     graft.ann.KMeans.clearCache()
     graft.operators.Mining.clearCache()
     graft.text.Bpe.clearCache()
+    graft.emf.GoldenQueries.clearCache()
     graft.ann.FixedPointAnn.clearCache()
     // 1-min system load at the end of the run: totals on this class of
     // machine track background contention (observed 50→135s on identical

@@ -42,6 +42,7 @@ object Verify {
     graft.ann.KMeans.clearCache()
     graft.operators.Mining.clearCache()
     graft.text.Bpe.clearCache()
+    graft.emf.GoldenQueries.clearCache()
     graft.ann.FixedPointAnn.clearCache()
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -353,6 +353,64 @@ case class SrpBandsExpr(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = c)
 }
 
+/** All ordered pairs of a sorted id array, PACKED one per long
+  * ((id_a << 31) | id_b — ids must fit 31 bits, checked): the pair
+  * generator of the exact-Jaccard postings self-join. One output array
+  * allocation per posting row instead of the posexplode + per-position
+  * `slice` copy chain (which allocated |ids| arrays per row), and the
+  * packed key halves the bytes the pair-count shuffle moves — the
+  * dominant wire volume of the ngram build at the ×100 rehearsal. */
+case class PackedPairsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "packed_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"packed_pairs requires an array<bigint> argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PairKernel.packedPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.PairKernel.packedPairs($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PairKernel {
+  /** Max id representable in a packed pair (31 bits per side). The
+    * fail-fast mirrors the broadcast guard convention: at a corpus
+    * whose id space outgrows 31 bits, switch the pair key to the
+    * two-column (id_a, id_b) form — wider wire, same plan shape. */
+  val MaxId: Long = (1L << 31) - 1
+
+  def packedPairs(a: ArrayData): ArrayData = {
+    val v = a.toLongArray()
+    val n = v.length
+    if (n > 0 && (v(0) < 0 || v(n - 1) > MaxId))
+      throw new IllegalArgumentException(
+        s"packed_pairs: ids must be in [0, $MaxId], got [${v(0)}, ${v(n - 1)}]")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val hi = v(i) << 31
+      var j = i + 1
+      while (j < n) { out(k) = hi | v(j); k += 1; j += 1 }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 /** [[SrpBandsExpr]] on the 2⁻¹⁰ fixed-point grid (`array<long>` input):
   * integer projections, so band keys are exactly SQL-replayable. */
 case class SrpBandsFpExpr(child: Expression, bands: Int, bitsPerBand: Int)
@@ -402,4 +460,6 @@ object SignatureExprs {
   def srpBandsFp(qe: Column, bands: Int, bitsPerBand: Int): Column =
     CatalystBridge.column(
       SrpBandsFpExpr(CatalystBridge.expression(qe), bands, bitsPerBand))
+  def packedPairs(ids: Column): Column =
+    CatalystBridge.column(PackedPairsExpr(CatalystBridge.expression(ids)))
 }

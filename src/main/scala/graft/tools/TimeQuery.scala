@@ -26,18 +26,31 @@ object TimeQuery {
     graft.Tables.lineitem(spark, sfDir).count() // warmup
     for (it <- 1 to iters; name <- names) {
       val t0 = System.nanoTime()
-      val n =
-        if (name == "_shared_ngram_build")
+      val n = name match {
+        case "_shared_ngram_build" =>
           graft.dedup.Dedup.queriesNgramPairs(spark, sfDir).count()
-        else graft.SparkEntry.queries(name)(spark, sfDir).count()
+        case "_shared_cc_labels" =>
+          graft.dedup.Dedup.ccLabelsCached(spark, sfDir).count()
+        case "_shared_kmeans_assign" =>
+          graft.ann.KMeans.assignmentCached(spark, sfDir).count()
+        case "_shared_basket_pairs" =>
+          graft.operators.Mining.pairsCached(spark, sfDir).count()
+        case "_shared_sales_view" =>
+          graft.emf.GoldenQueries.salesViewCached(spark, sfDir).count()
+        case _ => graft.SparkEntry.queries(name)(spark, sfDir).count()
+      }
       val dt = (System.nanoTime() - t0) / 1e9
       println(f"[time] iter=$it $name%-24s ${dt}%8.3f s  ($n rows)")
       graft.emf.EmfPlanner.unpersistAll()
-      if (it < iters) { // fresh rebuild per iteration
+      // fresh rebuild per ITERATION (clearing inside the name loop would
+      // also wipe the shared caches between queries of the same pass,
+      // which is not how Bench runs them)
+      if (it < iters && name == names.last) {
         graft.dedup.Dedup.clearCache()
         graft.ann.Similarity.clearCache()
         graft.ann.KMeans.clearCache()
         graft.operators.Mining.clearCache()
+        graft.emf.GoldenQueries.clearCache()
       }
     }
     spark.stop()

@@ -5,6 +5,47 @@ import org.apache.spark.sql.functions._
 
 class ScaleSpec extends SparkSpec {
 
+  test("AQE skew join: the hot partition is split (skew=true in the final plan)") {
+    // skew_salted_join proves the MANUAL salting path; this pins the
+    // case where salting is NOT hand-written — AQE's OptimizeSkewedJoin
+    // must split the hot partition at runtime. Thresholds are lowered so
+    // the deterministic 90%-one-key fixture triggers at spec scale; the
+    // sf10 run of the same shape at the same thresholds is recorded in
+    // PLANS.md (tools/SkewDemo).
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "65536",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32768",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // 200k-row fact, 90% of rows on key 0; dim = one row per key.
+      // The hot shuffle partition carries ~180k rows (~3 MB ≫ the 64 KB
+      // threshold and ≫ 2× the median partition), the rest are tiny.
+      val fact = spark.range(0, 200000).select(
+        when(col("id") % 10 < 9, lit(0L)).otherwise(col("id")).as("k"),
+        col("id").as("v"))
+      // unique-by-construction dim (a distinct() would leave its final
+      // HashAggregate between the shuffle read and the join, and
+      // OptimizeSkewedJoin only matches Sort-over-shuffle join inputs)
+      val dim = spark.range(0, 200000)
+        .filter(col("id") % 10 === 9).select(col("id").as("k"))
+        .union(spark.range(0, 1).select(lit(0L).as("k")))
+      val j = fact.join(dim, "k")
+      // execute THIS queryExecution (count() builds its own) so the
+      // adaptive plan below is the final, executed one
+      assert(j.collect().length == 200000) // result correctness first
+      val plan = j.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"OptimizeSkewedJoin did not split the hot partition:\n${plan.take(3000)}")
+    } finally old.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted sum equals plain groupBy sum") {
     val li = Tables.lineitem(spark, sf0001)
     val got = Scale.saltedSum(li, Seq("l_returnflag"), "l_quantity")
