@@ -69,15 +69,20 @@ object Mining {
     * n_orders ≥ MinSupport). The full capped-basket pipeline described
     * above. */
   private def pairCounts(s: SparkSession, d: String): DataFrame = {
+    // pair generation via the codegen'd packed-pair kernel (the ngram
+    // build's [[graft.dedup.PackedPairsExpr]]): one long per pair from
+    // the already-sorted basket array, replacing a nested interpreted
+    // HOF chain (two lambda dispatches + a struct allocation PER PAIR)
+    // and halving the bytes the support-count shuffle moves
     baskets(s, d)
-      .select(explode(expr(
-        """flatten(transform(parts, (x, i) ->
-          |  transform(slice(parts, i + 2, size(parts)),
-          |    y -> named_struct('a', x, 'b', y))))""".stripMargin))
-        .as("pr"))
-      .groupBy(col("pr.a").as("part_a"), col("pr.b").as("part_b"))
+      .select(explode(
+        graft.dedup.SignatureExprs.packedPairs(col("parts"))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= MinSupport)
+      .select(shiftrightunsigned(col("pk"), 31).as("part_a"),
+        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("part_b"),
+        col("n_orders"))
   }
 
   /** The pair frame, memoized per (session, dir): `basket_pairs` and

@@ -55,7 +55,12 @@ object Quality {
       // the same aggregation (Expand ×2 of the scan — cheaper than the
       // separate full scan + distinct it replaces).
       val liRep = li
-        .join(o.select(col("o_orderkey").as("__ok")).distinct(),
+        // shuffle-hash, not sort-merge: the deduped key side hash-builds
+        // per partition (~keys/shuffle-partitions rows) while SMJ would
+        // SORT the full fact side — measured as the dominant dq_checks
+        // term at the ×100 rehearsal
+        .join(o.select(col("o_orderkey").as("__ok")).distinct()
+          .hint("shuffle_hash"),
           col("l_orderkey") === col("__ok"), "left")
         .join(broadcast(p.select(col("p_partkey").as("__pk")).distinct()),
           col("l_partkey") === col("__pk"), "left")
