@@ -67,10 +67,12 @@ object FixedPointAnn {
   private val Iters = 2
 
   /** Integer squared L2 between two quantized vectors (≤ 2²⁸ at d=64,
-    * exact in long, order-independent). */
+    * exact in long, order-independent). Codegen'd kernel
+    * ([[VecFpExprs]]); value-identical to the HOF
+    * `aggregate(zip_with(...))` spec it replaced (FixedPointAnnSpec
+    * replays every emitted dist in plain Scala). */
   private def sqDistFp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    VecFpExprs.sqDistFp(a, b)
 
   /** Codebook-training sample bound: training vectors are those with
     * `vec_id < MaxTrain` — a deterministic id-prefix cut that reaches
@@ -118,14 +120,9 @@ object FixedPointAnn {
       val target = if (i < Iters) subTrain else subAll
       codes = target.join(broadcast(centArr), "m")
         .select(col("vec_id"), col("m"), col("sq"),
-          aggregate(col("cents"),
-            struct(lit(Long.MaxValue).as("dist"), lit(-1).as("cell")),
-            (acc, c) => {
-              val dist = sqDistFp(col("sq"), c.getField("qc"))
-              when(dist < acc.getField("dist"),
-                struct(dist.as("dist"), c.getField("cell").as("cell")))
-                .otherwise(acc)
-            }).as("x"))
+          // codegen'd argmin kernel — strict <, ties to the lowest cell
+          // (cents is cell-ascending), identical to the HOF fold spec
+          VecFpExprs.argMinCell(col("sq"), col("cents")).as("x"))
         .select(col("vec_id"), col("m"), col("sq"),
           col("x.cell").as("cell"), col("x.dist").as("dist"))
       if (i < Iters)
@@ -208,12 +205,11 @@ object FixedPointAnn {
       .agg(map_from_entries(collect_list(struct(col("slot"), col("pd")))).as("dt"))
   }
 
-  /** In-row ADC distance: M map lookups folded over the code array. */
+  /** In-row ADC distance: M map lookups folded over the code array
+    * (codegen'd kernel — one primitive entry scan instead of M
+    * interpreted `element_at` passes over the unsorted MapData). */
   private def adcDist(codes: Column, dt: Column): Column =
-    aggregate(
-      zip_with(codes, sequence(lit(0), lit(M - 1)),
-        (c, m) => element_at(dt, (m * Kpq + c).cast("int"))),
-      lit(0L), (acc, x) => acc + x)
+    VecFpExprs.adcDist(codes, dt, Kpq)
 
   private def topKBy(df: DataFrame, ord: Column): DataFrame =
     df.withColumn("rnk", row_number().over(

@@ -73,10 +73,10 @@ object KMeans {
   private[ann] def quantize(emb: Column): Column =
     transform(emb, x => floor(x.cast("double") * P).cast("long"))
 
-  /** Integer squared L2 between two quantized vectors. */
+  /** Integer squared L2 between two quantized vectors (codegen'd kernel,
+    * value-identical to the HOF spec it replaced). */
   private def sqDistFp(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0L), (acc, v) => acc + v)
+    VecFpExprs.sqDistFp(a, b)
 
   /** `Iters` unrolled Lloyd iterations; returns the final assignment
     * frame (vec_id, qe, dist, cell) where dist is against the centroids
@@ -104,14 +104,9 @@ object KMeans {
           .as("cents"))
       assigned = e.crossJoin(broadcast(centArr))
         .select(col("vec_id"), col("qe"),
-          aggregate(col("cents"),
-            struct(lit(Long.MaxValue).as("dist"), lit(-1).as("cell")),
-            (acc, c) => {
-              val dist = sqDistFp(col("qe"), c.getField("qc"))
-              when(dist < acc.getField("dist"),
-                struct(dist.as("dist"), c.getField("cell").as("cell")))
-                .otherwise(acc)
-            }).as("m"))
+          // codegen'd argmin kernel — strict <, ties to the lowest cell,
+          // identical to the HOF fold spec it replaced
+          VecFpExprs.argMinCell(col("qe"), col("cents")).as("m"))
         .select(col("vec_id"), col("qe"),
           col("m.dist").as("dist"), col("m.cell").as("cell"))
       cent = assigned

@@ -37,6 +37,12 @@ object TimeQuery {
           graft.operators.Mining.pairsCached(spark, sfDir).count()
         case "_shared_sales_view" =>
           graft.emf.GoldenQueries.salesViewCached(spark, sfDir).count()
+        case "_shared_ann_models" =>
+          import graft.ann.FixedPointAnn
+          val (c1, g1) = FixedPointAnn.modelCached(spark, sfDir, 1, FixedPointAnn.Nlist)
+          val (c2, g2) = FixedPointAnn.modelCached(spark, sfDir,
+            FixedPointAnn.M, FixedPointAnn.Kpq)
+          Seq(g1, g2, c1, c2).map(_.count()).sum
         case _ => graft.SparkEntry.queries(name)(spark, sfDir).count()
       }
       val dt = (System.nanoTime() - t0) / 1e9
@@ -51,6 +57,8 @@ object TimeQuery {
         graft.ann.KMeans.clearCache()
         graft.operators.Mining.clearCache()
         graft.emf.GoldenQueries.clearCache()
+        graft.text.Bpe.clearCache()
+        graft.ann.FixedPointAnn.clearCache()
       }
     }
     spark.stop()
