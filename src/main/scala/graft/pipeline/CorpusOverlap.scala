@@ -40,25 +40,45 @@ object CorpusOverlap {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "corpus_overlap" -> ((s, d) => {
-      val posts = Tables.documents(s, d)
-        .select(col("source"),
-          explode(graft.dedup.Dedup.shingles(col("text"), N)).as("sh"))
+      import graft.dedup.SignatureExprs
+      // Round 9: the postings shuffle keys on the fused 8-byte
+      // shingle HASH (the dedup_ngram convention — counts over
+      // xxhash64 keys equal the string counts up to ~2⁻⁶⁴ collisions,
+      // the documented tradeoff), sources are coded to dense ints
+      // IN-ROW against the 1-row broadcast sorted-source array (≤
+      // |sources| elements — no window, no extra shuffle), and source
+      // pairs stream out of the codegen'd packed-pair kernel instead
+      // of a nested interpreted HOF over string arrays. sid order ≡
+      // alphabetical source order, so pair orientation (sid_a < sid_b)
+      // matches the oracle's string comparison exactly.
+      val docs = Tables.documents(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+      val srcArr = docs.agg(sort_array(collect_set(col("source"))).as("srcs"))
+      val posts = docs
+        .crossJoin(broadcast(srcArr))
+        .select((array_position(col("srcs"), col("source")) - 1).as("sid"),
+          explode(SignatureExprs.shingleHashes(col("text"), N)).as("sh"))
         .groupBy(col("sh"))
-        .agg(sort_array(collect_set(col("source"))).as("srcs"))
-      val sizes = posts.select(explode(col("srcs")).as("source"))
-        .groupBy(col("source")).agg(count(lit(1)).as("n_sh"))
+        .agg(sort_array(collect_set(col("sid"))).as("sids"))
+      val sizes = posts.select(explode(col("sids")).as("sid"))
+        .groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
       val pairs = posts
-        .filter(size(col("srcs")) > 1)
-        .select(explode(flatten(transform(col("srcs"), (a, i) =>
-          transform(slice(col("srcs"), i + 2, size(col("srcs"))), b =>
-            struct(a.as("src_a"), b.as("src_b")))))).as("p"))
-        .groupBy(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"))
-        .agg(count(lit(1)).as("n_inter"))
+        .filter(size(col("sids")) > 1)
+        .select(explode(SignatureExprs.packedPairs(col("sids"))).as("pk"))
+        .groupBy(col("pk")).agg(count(lit(1)).as("n_inter"))
+        .select(shiftrightunsigned(col("pk"), 31).as("sid_a"),
+          col("pk").bitwiseAND(lit((1L << 31) - 1)).as("sid_b"),
+          col("n_inter"))
       pairs
-        .join(broadcast(sizes.withColumnRenamed("source", "src_a")
-          .withColumnRenamed("n_sh", "n_a")), "src_a")
-        .join(broadcast(sizes.withColumnRenamed("source", "src_b")
-          .withColumnRenamed("n_sh", "n_b")), "src_b")
+        .join(broadcast(sizes.withColumnRenamed("sid", "sid_a")
+          .withColumnRenamed("n_sh", "n_a")), "sid_a")
+        .join(broadcast(sizes.withColumnRenamed("sid", "sid_b")
+          .withColumnRenamed("n_sh", "n_b")), "sid_b")
+        .crossJoin(broadcast(srcArr))
+        .select(
+          element_at(col("srcs"), (col("sid_a") + 1).cast("int")).as("src_a"),
+          element_at(col("srcs"), (col("sid_b") + 1).cast("int")).as("src_b"),
+          col("n_a"), col("n_b"), col("n_inter"))
         .selectExpr("src_a", "src_b", "n_a", "n_b", "n_inter",
           "CAST(n_inter * 1000000 div (n_a + n_b - n_inter) AS BIGINT) AS jaccard_ppm",
           "CAST(n_inter * 1000000 div least(n_a, n_b) AS BIGINT) AS containment_ppm")
