@@ -133,11 +133,15 @@ object Similarity {
       .groupBy(col("band"), col("key"))
       .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+    // packed-pair kernel (the ngram-build shape): one long per candidate
+    // pair, deduplicated on the 8-byte key — half the distinct-shuffle
+    // width of the (id_a, id_b) pair rows it replaces
     posts
-      .select(col("ids"), posexplode(col("ids")).as(Seq("i", "id_a")))
-      .select(col("id_a"),
-        explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("id_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(explode(
+        graft.dedup.SignatureExprs.packedPairs(col("ids"))).as("pk"))
+      .dropDuplicates("pk")
+      .select(shiftrightunsigned(col("pk"), 31).as("id_a"),
+        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("id_b"))
   }
 
   /** SRP-LSH parameter selection for near-dup detection at threshold
