@@ -279,6 +279,7 @@ object EmfStreaming {
             if (cells == null) {
               cells = Array.fill(specs.length)(new SlotAcc)
               st.groups.put(r.o, cells)
+              boundOrderDomain(st.groups.size, "windowed")
             }
             var i = 0
             while (i < specs.length) {
@@ -331,6 +332,18 @@ object EmfStreaming {
     * [[graft.ann.VectorKernels]]). Test-tunable so the fail-fast is
     * exercisable without 65k-row fixtures (EmfStreamingSpec). */
   @volatile private[emf] var MaxHistBuckets = 65536
+
+  /** Same contract for the ORDER-attribute domain: windowed/chained
+    * state keys one slot array per distinct order value (months in the
+    * corpus — calendar-bounded), which the query form itself does not
+    * enforce either. */
+  private def boundOrderDomain(n: Int, mode: String): Unit =
+    if (n > MaxHistBuckets)
+      throw new IllegalStateException(
+        s"$mode streaming EMF: more than $MaxHistBuckets distinct order " +
+          "values in one group's state — the order attribute is not " +
+          "domain-bounded; state would grow with the stream. Use a batch " +
+          "EMF pass or bucket the order column.")
 
   private def boundHist(h: java.util.HashMap[java.lang.Long, HistCell],
       slot: String, mode: String): Unit =
@@ -760,6 +773,7 @@ object EmfStreaming {
               st.groups.put(r.o, cells)
               st.hists.put(r.o, Array.fill(depSpecs.length)(
                 new java.util.HashMap[java.lang.Long, HistCell]()))
+              boundOrderDomain(st.groups.size, "chained")
             }
             var i = 0
             while (i < specs.length) {

@@ -291,6 +291,30 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("windowed streaming fails fast when the order column is not domain-bounded") {
+    // adversarial: every tuple lands on a NEW order value, so per-key
+    // state gains one slot array per tuple — the same unbounded-domain
+    // exposure as the dependent histogram, guarded identically
+    val old = EmfStreaming.MaxHistBuckets
+    EmfStreaming.MaxHistBuckets = 8
+    try {
+      val stream = MemoryStream[SalesRow](spark)
+      val sq = EmfStreaming.planWindowed(windowedQ, stream.toDF())
+        .writeStream.format("memory").queryName("emf_win_guard")
+        .outputMode(OutputMode.Update).start()
+      try {
+        stream.addData((1 to 40).map(i => SalesRow("c1", "x", i, "NY", 5)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          sq.processAllAvailable())
+        def causes(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ causes(x.getCause))
+        assert(causes(e).exists(_.contains("distinct order values")),
+          s"order-domain guard did not fire: ${causes(e)}")
+      } finally sq.stop()
+    } finally EmfStreaming.MaxHistBuckets = old
+  }
+
   test("dependent streaming fails fast when the comparison column is not domain-bounded") {
     // adversarial: every tuple carries a NEW comparison value, so the
     // per-(group, slot) histogram grows with the stream — the guard must
