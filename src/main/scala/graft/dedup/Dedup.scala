@@ -225,13 +225,15 @@ object Dedup {
         .groupBy(col("band"), col("key"))
         .agg(sort_array(collect_list(struct(col("doc_id"), col("sig")))).as("ms"))
         .filter(size(col("ms")) >= 2)
+      // round 9: the hamming verify moved INSIDE the codegen'd pair
+      // kernel — a bucket emits only its near pairs (B²/2 popcounts in
+      // registers, no candidate row stream, no post-filter); emitted
+      // set identical to the explode + bit_count chain it replaces
       posts
-        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
-        .select(col("a"),
-          explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-        .filter(col("hamming") <= 6)
+        .select(explode(
+          SignatureExprs.hammingPairs(col("ms"), 6)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.dist").as("hamming"))
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),

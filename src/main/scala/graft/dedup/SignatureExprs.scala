@@ -392,6 +392,32 @@ object PairKernel {
     * two-column (id_a, id_b) form — wider wire, same plan shape. */
   val MaxId: Long = (1L << 31) - 1
 
+  def hammingPairs(a: ArrayData, maxDist: Int): ArrayData = {
+    val n = a.numElements()
+    val ids = new Array[Long](n)
+    val sigs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0); sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        val d = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (d <= maxDist)
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](ids(i), ids(j), d))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def packedPairs(a: ArrayData): ArrayData = {
     val v = a.toLongArray()
     val n = v.length
@@ -409,6 +435,50 @@ object PairKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+/** All near pairs of one LSH bucket: input `array<struct<id:long,
+  * sig:long>>` sorted by id, output `array<struct<id_a, id_b,
+  * dist:int>>` holding ONLY the pairs at hamming(sig_a, sig_b) ≤
+  * `maxDist`. The hamming verify moves INSIDE the generator kernel, so
+  * a bucket of B members costs B²/2 register-level popcounts and emits
+  * just its near pairs — no candidate row stream, no post-filter. The
+  * emitted set is exactly what the explode + `bit_count(xor)` ≤ d
+  * filter chain it replaces produced (id_a < id_b from the sort). */
+case class HammingPairsExpr(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  require(maxDist >= 0 && maxDist <= 64, s"hamming_pairs: bad maxDist $maxDist")
+
+  private val outStruct = StructType(Seq(
+    StructField("id_a", LongType, nullable = false),
+    StructField("id_b", LongType, nullable = false),
+    StructField("dist", IntegerType, nullable = false)))
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  override def prettyName: String = "hamming_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.fields.length == 2 &&
+            st.fields(0).dataType == LongType &&
+            st.fields(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"hamming_pairs requires array<struct<bigint, bigint>>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PairKernel.hammingPairs(v.asInstanceOf[ArrayData], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.PairKernel.hammingPairs($a, $maxDist);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** [[SrpBandsExpr]] on the 2⁻¹⁰ fixed-point grid (`array<long>` input):
@@ -462,4 +532,7 @@ object SignatureExprs {
       SrpBandsFpExpr(CatalystBridge.expression(qe), bands, bitsPerBand))
   def packedPairs(ids: Column): Column =
     CatalystBridge.column(PackedPairsExpr(CatalystBridge.expression(ids)))
+  def hammingPairs(members: Column, maxDist: Int): Column =
+    CatalystBridge.column(
+      HammingPairsExpr(CatalystBridge.expression(members), maxDist))
 }

@@ -145,11 +145,10 @@ object Multimodal {
     // while the closest non-twin candidate is at 12). Scale shape
     // mirrors dedup_simhash: hash in the codec's mapPartitions
     // contract, candidates from a 4×16-bit band equi-join (never
-    // all-pairs), the codegen'd native `hamming64` verify, distinct
+    // all-pairs), the in-kernel hamming verify, distinct
     // pairs out.
     "multimodal_phash" -> ((s, d) => {
       import s.implicits._
-      import graft.functions.HammingDistance.hamming64
       val m = mediaTable(s, d)
       val withMax = m.toDF()
         .crossJoin(broadcast(m.toDF().agg(max(col("media_id")).as("mx"))))
@@ -189,13 +188,13 @@ object Multimodal {
         .agg(sort_array(collect_list(struct(col("media_id"), col("h"))))
           .as("ms"))
         .filter(size(col("ms")) >= 2)
+      // round 9: hamming verify inside the codegen'd pair kernel (the
+      // dedup_simhash change) — buckets emit only near pairs
       posts
-        .select(col("ms"), posexplode(col("ms")).as(Seq("i", "a")))
-        .select(col("a"),
-          explode(slice(col("ms"), col("i") + 2, size(col("ms")))).as("b"))
-        .select(col("a.media_id").as("id_a"), col("b.media_id").as("id_b"),
-          hamming64(col("a.h"), col("b.h")).as("dist"))
-        .filter(col("dist") <= 6)
+        .select(explode(graft.dedup.SignatureExprs
+          .hammingPairs(col("ms"), 6)).as("p"))
+        .select(col("p.id_a").as("id_a"), col("p.id_b").as("id_b"),
+          col("p.dist").as("dist"))
         .distinct()
         .orderBy(col("id_a"), col("id_b"))
     }),
