@@ -1,0 +1,63 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalatest.prop.TableDrivenPropertyChecks
+
+/** Direct unit specs of the round-9 pair kernels against plain-Scala
+  * references — the end-to-end guarantees live in the query oracles
+  * (dedup_ngram, basket_pairs, dedup_simhash, multimodal_phash,
+  * knn_lsh); these pin the kernel semantics in isolation so a kernel
+  * regression is named at the kernel, not at a downstream hash
+  * mismatch. */
+class PairKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
+  import spark.implicits._
+
+  test("packedPairs equals the nested-loop reference and round-trips ids") {
+    val cases = Seq(
+      Seq.empty[Long], Seq(7L), Seq(1L, 5L), Seq(0L, 1L, 2L, 3L),
+      (0L until 32L).toSeq, Seq(0L, PairKernel.MaxId))
+    for (ids <- cases) {
+      val got = Seq(Tuple1(ids)).toDF("ids")
+        .select(explode(SignatureExprs.packedPairs(col("ids"))).as("pk"))
+        .select(shiftrightunsigned(col("pk"), 31).as("a"),
+          col("pk").bitwiseAND(lit((1L << 31) - 1)).as("b"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        i <- ids.indices; j <- (i + 1) until ids.length
+      } yield (ids(i), ids(j))).sorted
+      assert(got == want, s"ids=$ids")
+    }
+  }
+
+  test("packedPairs fails fast past the 31-bit id guard") {
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1(Seq(1L, PairKernel.MaxId + 1)))
+        .toDF("ids")
+        .select(explode(SignatureExprs.packedPairs(col("ids"))))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ causes(x.getCause))
+    assert(causes(e).exists(_.contains("packed_pairs")), causes(e).mkString)
+  }
+
+  test("hammingPairs equals the explode + bit_count filter it replaced") {
+    val members = Seq(
+      (1L, 0x0L), (2L, 0x3L), (5L, 0xFFL), (9L, 0x1L),
+      (11L, 0xFFFFFFFFFFFFFFFL), (12L, -1L))
+    for (maxD <- Seq(0, 2, 6, 64)) {
+      val got = Seq(Tuple1(members)).toDF("ms")
+        .select(explode(SignatureExprs.hammingPairs(col("ms"), maxD)).as("p"))
+        .select("p.id_a", "p.id_b", "p.dist")
+        .as[(Long, Long, Int)].collect().toSeq.sorted
+      val want = (for {
+        i <- members.indices; j <- (i + 1) until members.length
+        d = java.lang.Long.bitCount(members(i)._2 ^ members(j)._2)
+        if d <= maxD
+      } yield (members(i)._1, members(j)._1, d)).sorted
+      assert(got == want, s"maxD=$maxD")
+    }
+  }
+}
