@@ -61,6 +61,27 @@ object VecFpKernel {
       }
       e += 1
     }
+    // fail FAST on a missing slot instead of returning a partial sum:
+    // the element_at fold this kernel replaced propagated NULL there,
+    // so a model-construction bug must surface as an error, never as a
+    // plausible-but-wrong distance.
+    if (found < m) {
+      var miss = -1
+      var i3 = 0
+      while (i3 < m && miss < 0) {
+        var e2 = 0
+        var hit = false
+        while (e2 < n && !hit) {
+          if (keys.getInt(e2) == want(i3)) hit = true else e2 += 1
+        }
+        if (!hit) miss = want(i3)
+        i3 += 1
+      }
+      throw new IllegalStateException(
+        s"adc_dist: distance table is missing slot $miss " +
+          s"(found $found of $m code slots) — the PQ codes reference a " +
+          "codebook cell the table was not built from")
+    }
     s
   }
 

@@ -392,8 +392,28 @@ object PairKernel {
     * two-column (id_a, id_b) form — wider wire, same plan shape. */
   val MaxId: Long = (1L << 31) - 1
 
+  /** Max members per bucket BEFORE pair generation. Both kernels
+    * materialize the bucket's n(n−1)/2 pairs in one allocation, so a
+    * hot bucket — thousands of identical docs, the core dedup case —
+    * must fail FAST and NAMED here rather than as a
+    * NegativeArraySizeException (int sizing overflows at ~65k members)
+    * or a silent task OOM (16k members is already a 1 GiB pair array).
+    * The fix at that scale is upstream, not a bigger buffer: df-cap the
+    * bucket like the ngram path's maxShingleDf, or salt the bucket key
+    * — a bucket that hot is all-duplicates and needs no exact verify. */
+  val MaxBucketMembers: Int = 1 << 14
+
+  private def checkBucket(n: Int, kernel: String): Unit =
+    if (n > MaxBucketMembers)
+      throw new IllegalStateException(
+        s"$kernel: bucket of $n members exceeds MaxBucketMembers=" +
+          s"$MaxBucketMembers (the n(n-1)/2 pair array would be " +
+          s"${n.toLong * (n - 1) / 2} entries); df-cap or salt the " +
+          "bucket key upstream (see Dedup maxShingleDf)")
+
   def hammingPairs(a: ArrayData, maxDist: Int): ArrayData = {
     val n = a.numElements()
+    checkBucket(n, "hamming_pairs")
     val ids = new Array[Long](n)
     val sigs = new Array[Long](n)
     var i = 0
@@ -421,9 +441,18 @@ object PairKernel {
   def packedPairs(a: ArrayData): ArrayData = {
     val v = a.toLongArray()
     val n = v.length
-    if (n > 0 && (v(0) < 0 || v(n - 1) > MaxId))
-      throw new IllegalArgumentException(
-        s"packed_pairs: ids must be in [0, $MaxId], got [${v(0)}, ${v(n - 1)}]")
+    checkBucket(n, "packed_pairs")
+    // validate EVERY id, not just the endpoints: endpoint-only checking
+    // is sound only for sorted input, and an unsorted caller with one
+    // mid-array out-of-range id would silently bleed bits into id_a.
+    // One compare per element — negligible next to the O(n²) emit.
+    var c = 0
+    while (c < n) {
+      if (v(c) < 0 || v(c) > MaxId)
+        throw new IllegalArgumentException(
+          s"packed_pairs: ids must be in [0, $MaxId], got ${v(c)} at $c")
+      c += 1
+    }
     val out = new Array[Long](n * (n - 1) / 2)
     var k = 0
     var i = 0

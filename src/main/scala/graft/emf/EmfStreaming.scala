@@ -533,10 +533,17 @@ object EmfStreaming {
                     cell = new HistCell(r.cmpR(j).get)
                     st.hists(j).put(cm, cell)
                     boundHist(st.hists(j), depSpecs(j).name, "dependent")
-                  } else if (cell.raw != r.cmpR(j).get)
+                  } else if (cell.raw != r.cmpR(j).get &&
+                      !(java.lang.Double.isNaN(cell.raw) &&
+                        java.lang.Double.isNaN(r.cmpR(j).get)))
                     // a second double below decimal-6 resolution would
                     // silently classify by the first-seen representative;
-                    // fail loud instead (the domain-guard convention)
+                    // fail loud instead (the domain-guard convention).
+                    // The both-NaN escape matters: x != x is true for
+                    // every NaN, so bare != would report two identical
+                    // NaNs as "distinct" values; IEEE == (not
+                    // Double.compare) keeps -0.0 == 0.0 passing as the
+                    // pre-guard code did
                     throw new IllegalStateException(
                       s"dependent streaming EMF: comparison values " +
                         s"${cell.raw} and ${r.cmpR(j).get} of slot " +

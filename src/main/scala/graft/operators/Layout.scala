@@ -28,15 +28,18 @@ import graft.Tables
   *    layout.
   *
   *  - '''Mergeable-sketch re-aggregation''' ([[Layout.queries]]
-  *    `agg_hll_merge`): per-shard HLL sketches (DataSketches
-  *    `hll_sketch_agg`) union into an exact-merge global sketch
-  *    (`hll_union_agg`) — the pattern that lets a 1000-shard ingest keep
+  *    `agg_hll_merge`): per-shard HLL register states max-merge into a
+  *    global sketch — the pattern that lets a 1000-shard ingest keep
   *    per-shard distinct-count state (KBs each) and answer corpus-wide
   *    NDV without ever re-scanning. Unlike `approx_count_distinct`, the
-  *    sketch is a COLUMN — storable, re-groupable, unionable across
-  *    days/shards. HLL updates/merges are register-max operations, so
-  *    the estimate is partitioning- and order-independent (asserted in
-  *    LayoutSpec).
+  *    sketch is DATA — storable, re-groupable, unionable across
+  *    days/shards. Built on [[graft.sketch.Hll]]'s deterministic
+  *    integer arithmetic so the DuckDB oracle replays it bit-for-bit;
+  *    HLL updates/merges are register-max operations, so the estimate
+  *    is partitioning- and order-independent (the oracle's single-pass
+  *    estimate equaling the shard-merged result proves it, and
+  *    LayoutSpec pins the same identity for Spark's DataSketches
+  *    `hll_sketch_agg`/`hll_union_agg` wrappers).
   *
   * Reference has nothing comparable (single-table nested loops,
   * SURVEY.md §2.2) — this module is 100 TB north-star surface.
@@ -133,22 +136,38 @@ object Layout {
         .orderBy(col("zval"), col("o_orderkey"))
     }),
 
-    // Mergeable-sketch NDV: per-shard HLL sketches unioned into one
-    // global estimate — the re-aggregatable distinct-count state a
-    // sharded 100 TB ingest keeps. Sketch bytes are hash-derived → no
-    // SQL oracle (rows-only); LayoutSpec asserts the estimate equals the
-    // direct single-pass sketch, is partitioning-independent, and lands
-    // within HLL error of the exact NDV.
+    // Mergeable-sketch NDV: per-shard HLL register states max-merged
+    // into one global estimate — the re-aggregatable distinct-count
+    // state a sharded 100 TB ingest keeps (KBs per shard, unionable
+    // across days/shards without re-scanning). Built on the repo's own
+    // bit-exact HLL ([[graft.sketch.Hll]]) rather than Spark's
+    // DataSketches wrapper so the WHOLE pipeline — mix, register, rho,
+    // per-shard max, cross-shard max-merge, fixed-point estimate — is
+    // replayed by the DuckDB oracle hash-for-hash. The oracle computes
+    // the estimate in ONE global register pass, which equals the
+    // shard-merged result precisely BECAUSE register max-merge is
+    // lossless — so the correctness gate itself proves the merge
+    // identity (LayoutSpec additionally pins Spark's DataSketches
+    // variant and partitioning-independence). Spark's engine-private
+    // hll_sketch_agg stays covered by that spec.
     "agg_hll_merge" -> ((s, d) => {
-      val perShard = Tables.lineitem(s, d)
+      import graft.sketch.Hll
+      val li = Tables.lineitem(s, d)
         .withColumn("shard", pmod(col("l_orderkey"), lit(8)))
-        .groupBy(col("shard"))
-        .agg(hll_sketch_agg(col("l_partkey")).as("sk"),
-          count(lit(1)).as("shard_rows"))
-      perShard.agg(
-        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est_parts"),
-        count(lit(1)).as("n_shards"),
-        sum(col("shard_rows")).as("total_rows"))
+      // per-shard sketch: the storable register column (≤ shards×32 rows)
+      val perShard = Hll.regRho(li, col("l_partkey"))
+        .groupBy(col("shard"), col("reg"))
+        .agg(max(col("rho")).as("rho"))
+      // cross-shard merge = per-register MAX; then the shared estimator
+      val merged = perShard
+        .select(lit("all").as("scope"), col("reg"), col("rho"))
+      val est = Hll.estimate(merged, "scope")
+      val totals = li.agg(
+        countDistinct(col("shard")).as("n_shards"),
+        count(lit(1)).as("total_rows"))
+      est.crossJoin(totals)
+        .select(col("hll_est").as("est_parts"),
+          col("n_shards"), col("total_rows"))
     }),
   )
 
@@ -169,6 +188,51 @@ object Layout {
          |  FROM orders)
          |SELECT o_orderkey, $z AS zval
          |FROM t ORDER BY zval, o_orderkey""".stripMargin
+    },
+    // the identical Hll mix/register/rho arithmetic replayed in SQL as
+    // ONE global register pass — equal to Spark's shard-merged result
+    // because register max-merge is lossless (max over per-shard maxes
+    // == global max); the hash match IS the merge-identity proof
+    "agg_hll_merge" -> {
+      import graft.sketch.Hll.{M, AlphaPpm, LcTable}
+      s"""WITH h1 AS (
+         |  SELECT xor((l_partkey % 1000003) * 2654435761,
+         |             ((l_partkey % 1000003) * 2654435761) >> 13) AS h1
+         |  FROM lineitem),
+         |h AS (
+         |  SELECT xor((h1 % 999983) * 1779033703,
+         |             ((h1 % 999983) * 1779033703) >> 17) AS h
+         |  FROM h1),
+         |rr AS (
+         |  SELECT h % $M AS reg,
+         |    CASE WHEN h >> 5 = 0 THEN 20
+         |         ELSE least(CAST(bit_count(((h >> 5) & -(h >> 5)) - 1)
+         |                      AS BIGINT) + 1, 20)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (SELECT reg, max(rho) AS mj FROM rr GROUP BY 1),
+         |agg AS (
+         |  SELECT count(1) AS touched,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(20 - mj AS INT)) AS BIGINT)
+         |      AS s_touched
+         |  FROM regs),
+         |est AS (
+         |  SELECT CAST($M - touched AS BIGINT) AS v_zero,
+         |    (CAST($AlphaPpm AS BIGINT) * ${M * M} * 1048576)
+         |      // (CAST(1000000 AS BIGINT)
+         |          * (s_touched + ($M - touched) * 1048576)) AS hll_raw
+         |  FROM agg),
+         |tot AS (
+         |  SELECT count(DISTINCT l_orderkey % 8) AS n_shards,
+         |    count(1) AS total_rows
+         |  FROM lineitem)
+         |SELECT
+         |  CASE WHEN est.v_zero > 0 AND est.hll_raw <= ${(2.5 * M).toLong}
+         |    THEN CAST(list_extract([${LcTable.mkString(", ")}],
+         |                           CAST(est.v_zero AS INT)) AS BIGINT)
+         |    ELSE est.hll_raw END AS est_parts,
+         |  tot.n_shards, tot.total_rows
+         |FROM est, tot""".stripMargin
     },
   )
 }

@@ -537,16 +537,25 @@ object RelationalQueries {
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
-    // IN / NOT IN subqueries (planned as semi/anti joins).
+    // IN / NOT-EXISTS subqueries (planned as semi/anti joins). The
+    // exclusion is written NOT EXISTS rather than NOT IN on purpose:
+    // NOT IN over a nullable-typed subquery forces Spark's null-aware
+    // anti join, which exists ONLY in broadcast form — the exclusion
+    // set here is fact-sized (~half of orders), so that plan broadcasts
+    // a table that grows linearly with the data and OOMs long before
+    // 100 TB. NOT EXISTS decorrelates to a plain LEFT ANTI hash join
+    // that shuffles both sides on the key; o_orderkey is a non-null
+    // primary key, so the two forms are semantically identical.
     "subquery_in" -> ((s, d) => {
       Tables.orders(s, d).createOrReplaceTempView("orders_in")
       Tables.customer(s, d).createOrReplaceTempView("customer_in")
       s.sql(
-        """SELECT o_orderkey FROM orders_in
+        """SELECT o_orderkey FROM orders_in o
           |WHERE o_custkey IN (SELECT c_custkey FROM customer_in
           |                    WHERE c_mktsegment = 'MACHINERY')
-          |  AND o_orderkey NOT IN (SELECT o_orderkey FROM orders_in
-          |                         WHERE o_orderstatus = 'F')
+          |  AND NOT EXISTS (SELECT 1 FROM orders_in f
+          |                  WHERE f.o_orderstatus = 'F'
+          |                    AND f.o_orderkey = o.o_orderkey)
           |ORDER BY o_orderkey""".stripMargin)
     }),
 
@@ -612,14 +621,28 @@ object RelationalQueries {
         .orderBy(col("o_orderstatus"))
     }),
 
-    // Approximate distinct (HLL++). No DuckDB oracle — algorithm-specific
-    // results; driver records a rows-only check.
+    // Approximate distinct (Spark's built-in HLL++). The raw estimates
+    // are engine-private (HLL++ hashes differ from anything DuckDB can
+    // replay), so the oracle-checkable contract is the ERROR BOUND: the
+    // query emits the exact NDVs plus 0/1 flags asserting each estimate
+    // lands within 3·rsd (rsd = 0.05 default → 15%) of the exact count.
+    // A correct HLL++ at thousands of distincts is inside 3σ with
+    // overwhelming probability; a broken one hash-fails the gate. The
+    // exact COUNT(DISTINCT) columns are the test harness, not the scale
+    // path — at 100 TB you'd ship only the estimate.
     "agg_approx_distinct" -> ((s, d) => {
       Tables.lineitem(s, d)
         .groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_suppkey")).as("approx_supps"))
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          approx_count_distinct(col("l_partkey")).as("ap"),
+          approx_count_distinct(col("l_suppkey")).as("asup"))
+        .select(col("l_returnflag"), col("n_parts"), col("n_supps"),
+          (abs(col("ap") - col("n_parts")) * 100 <= col("n_parts") * 15)
+            .cast("int").as("parts_in_3rsd"),
+          (abs(col("asup") - col("n_supps")) * 100 <= col("n_supps") * 15)
+            .cast("int").as("supps_in_3rsd"))
         .orderBy(col("l_returnflag"))
     }),
   )
@@ -958,7 +981,14 @@ object RelationalQueries {
         | count(1) AS n_orders
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
-    // agg_approx_distinct: intentionally no oracle (HLL++ estimates are
-    // implementation-specific) — rows-only check.
+    // agg_approx_distinct: the raw HLL++ estimates are engine-private;
+    // the checkable contract is exact NDVs + always-true 3σ bound flags.
+    "agg_approx_distinct" ->
+      """SELECT l_returnflag,
+        | count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | CAST(1 AS INT) AS parts_in_3rsd,
+        | CAST(1 AS INT) AS supps_in_3rsd
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }

@@ -302,16 +302,29 @@ object CorpusOps {
     // Per-doc rarity mass: sum over tokens of the corpus inverse
     // frequency, fixed-point ppm (integer division — exact, summation-
     // order-independent, nothing for two engines to round differently).
+    // Scale shape: the token stream collapses to DISTINCT (doc, word)
+    // pairs with counts FIRST (map-side-combining shuffle), so the
+    // vocab join, the frequency aggregate, and the final per-doc sum
+    // all run on the pair frame, never the raw token stream — a doc's
+    // repeated words cost one row. The pair→frequency join is
+    // deliberately UNHINTED: the vocabulary of a web-scale corpus is
+    // billions of distinct tokens (Heaps' law doesn't flatten at
+    // 100 TB), so a forced broadcast of `cnt` would grow with the data
+    // and kill the plan; both sides hash-partition cleanly on `w`, and
+    // AQE may still broadcast when the vocab happens to be small. The
+    // 1-row `tot` broadcast is constant.
     "text_surprisal" -> ((s, d) => {
-      val w = Tables.documents(s, d)
+      val dw = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-      val cnt = w.groupBy(col("w")).agg(count(lit(1)).as("c"))
-      val tot = w.agg(count(lit(1)).as("t"))
-      w.join(broadcast(cnt), Seq("w"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("dwc"))
+      val cnt = dw.groupBy(col("w")).agg(sum(col("dwc")).as("c"))
+      val tot = dw.agg(sum(col("dwc")).as("t"))
+      dw.join(cnt, Seq("w"))
         .crossJoin(broadcast(tot))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_tok"),
-          sum(expr("(t * 1000000L) div c")).as("rarity_ppm"))
+        .agg(sum(col("dwc")).as("n_tok"),
+          sum(col("dwc") * expr("(t * 1000000L) div c")).as("rarity_ppm"))
         .orderBy(col("doc_id"))
     }),
 

@@ -40,11 +40,11 @@ import graft.Tables
   */
 object Hll {
 
-  private val M = 32
+  private[graft] val M = 32
   /** round(10⁶ · α₃₂), α₃₂ = 0.697 (Flajolet et al. 2007, m=32). */
-  private val AlphaPpm = 697000L
+  private[graft] val AlphaPpm = 697000L
   /** round(m·ln(m/V)) for V = 1..32 — the linear-counting estimates. */
-  private val LcTable = Seq(
+  private[graft] val LcTable = Seq(
     111, 89, 76, 67, 59, 54, 49, 44, 41, 37, 34, 31, 29, 26, 24, 22,
     20, 18, 17, 15, 13, 12, 11, 9, 8, 7, 5, 4, 3, 2, 1, 0)
 
@@ -56,7 +56,7 @@ object Hll {
     * empty, est within 10%). Each product is (id mod ~10⁶)·(odd 31-bit
     * constant) ≤ 2⁵¹ — no overflow in either engine, ~46 usable bits
     * after the register split. */
-  private[sketch] def mix(id: Column): Column = {
+  private[graft] def mix(id: Column): Column = {
     val m0 = pmod(id, lit(1000003L)) * lit(2654435761L)
     val h1 = m0.bitwiseXOR(shiftright(m0, 13))
     val h2 = pmod(h1, lit(999983L)) * lit(1779033703L)
@@ -66,7 +66,7 @@ object Hll {
   /** Per-value (register, rho): register = low 5 bits, rho = trailing
     * zeros of the rest + 1, capped at 20 so 2^(20−rho) stays an exact
     * long term (w == 0 hits the cap). */
-  private[sketch] def regRho(df: DataFrame, value: Column): DataFrame =
+  private[graft] def regRho(df: DataFrame, value: Column): DataFrame =
     df.withColumn("h", mix(value))
       .withColumn("reg", col("h") % M)
       .withColumn("w", shiftright(col("h"), 5))
@@ -79,7 +79,7 @@ object Hll {
     * fixed point (absent registers contribute the full 2²⁰ term), raw
     * estimate = α·m²·2²⁰ / S as one integer division, linear-counting
     * lookup when V > 0 and the raw estimate ≤ 2.5m. */
-  private[sketch] def estimate(regs: DataFrame, key: String): DataFrame =
+  private[graft] def estimate(regs: DataFrame, key: String): DataFrame =
     regs
       .groupBy(col(key), col("reg"))
       .agg(max(col("rho")).as("mj"))

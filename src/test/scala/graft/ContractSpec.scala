@@ -16,19 +16,18 @@ class ContractSpec extends AnyFunSuite {
     // +1 bpe_fertility, +1 sketch_hll_intersect, +1 dedup_recall) so a
     // silently-dropped query fails the suite; raise when adding.
     assert(qs.size >= 182, s"query surface shrank: ${qs.size}")
-    // the rows-only set is CLOSED: every query without an oracle must be
-    // on this documented allowlist (each entry is hash/algorithm-specific
-    // — HLL, LSH candidates — and carries a spec-level substitute). A
-    // new query missing its oracle fails here instead of silently
-    // weakening the driver gate. (dedup_minhash/dedup_simhash graduated
-    // in round 7 via XxhSql; knn_ivf/knn_pq graduated in round 8 via the
-    // FixedPointAnn grid replay; knn_lsh in round 9 via integer-grid SRP,
-    // text_quality_filter_approx in round 9 via the fixed-grid histogram
-    // cutoff.)
-    val rowsOnlyAllowed = Set("agg_approx_distinct", "agg_hll_merge")
-    assert((qs -- os) == rowsOnlyAllowed,
-      s"undocumented rows-only queries: ${(qs -- os) -- rowsOnlyAllowed}; " +
-        s"stale allowlist entries: ${rowsOnlyAllowed -- (qs -- os)}")
+    // the rows-only set is CLOSED at ZERO: every query has a DuckDB
+    // oracle. History of the graduations that got here:
+    // dedup_minhash/dedup_simhash in round 7 via XxhSql; knn_ivf/knn_pq
+    // in round 8 via the FixedPointAnn grid replay; knn_lsh in round 9
+    // via integer-grid SRP; text_quality_filter_approx in round 9 via
+    // the fixed-grid histogram cutoff; agg_hll_merge in round 10 by
+    // re-basing on graft.sketch.Hll's oracle-replayable registers;
+    // agg_approx_distinct in round 10 via exact NDVs + 3σ bound flags.
+    // A new query missing its oracle fails HERE instead of silently
+    // weakening the driver gate.
+    assert((qs -- os).isEmpty,
+      s"queries without an oracle: ${qs -- os}")
   }
 
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {
