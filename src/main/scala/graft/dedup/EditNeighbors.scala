@@ -24,10 +24,17 @@ import graft.Tables
   * (mirror of `dedup_ngram`'s hot-shingle cap) is the escape hatch for
   * adversarial hubs and would be mirrored in the oracle the same way.
   *
-  * Scale shape: one scan emitting |s|+1 hashed keys per row, one
-  * uniform 8-byte-key shuffle for the candidate join, one pair-keyed
-  * distinct (a pair with repeated characters can share two variants),
-  * then the codegen'd exact filter. Never O(n²).
+  * Scale shape (the grouped-postings + in-kernel-verify pattern shared
+  * with the simhash/phash bucket families): one scan emitting |s|+1
+  * hashed keys per row, ONE uniform 8-byte-key shuffle grouping each
+  * variant's postings into a bucket row, then [[EditPairsExpr]]
+  * generates the bucket's pairs with the exact one-edit check INSIDE
+  * the kernel — only TRUE pairs leave the bucket, so the pair-keyed
+  * distinct exchange (a pair with repeated characters can share two
+  * variants) carries ≈ output-size rows, never the candidate stream.
+  * This replaced a variant-keyed self-join whose candidate stream was
+  * ~4× the true-pair count at sf10. Never O(n²); hot buckets hit
+  * [[PairKernel.MaxBucketMembers]]'s named fail-fast.
   */
 object EditNeighbors {
 
@@ -42,22 +49,17 @@ object EditNeighbors {
   /** All unordered pairs of `df` rows with `levenshtein(strCol) == 1`,
     * exactly once each, as (a_id, a_name, b_id, b_name). */
   def neighbors(df: DataFrame, idCol: String, strCol: String): DataFrame = {
-    val v = df
+    val buckets = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
         explode(deletionVariants(col("s"))).as("vstr"))
-      .select(col("id"), col("s"), xxhash64(col("vstr")).as("key"))
-    v.select(col("id").as("a_id"), col("s").as("a_name"), col("key"))
-      .join(v.select(col("id").as("b_id"), col("s").as("b_name"), col("key")),
-        Seq("key"))
-      .filter(col("a_id") < col("b_id"))
-      // exact check BEFORE the pair distinct: the codegen'd levenshtein
-      // runs map-side on the candidate stream, so the distinct exchange
-      // carries only TRUE pairs (≈ output size), not every candidate.
-      // The threshold form runs the BANDED DP — O(len) per candidate
-      // instead of O(len²), and candidates dominate this operator's cost
-      .filter(levenshtein(col("a_name"), col("b_name"), 1) === 1)
-      .select(col("a_id"), col("a_name"), col("b_id"), col("b_name"))
+      .groupBy(xxhash64(col("vstr")).as("key"))
+      // sort by id: the kernel emits i<j pairs, so a_id < b_id for free
+      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("ms"))
+    buckets
+      .select(explode(SignatureExprs.editPairs(col("ms"))).as("p"))
+      .select(col("p.a_id").as("a_id"), col("p.a_name").as("a_name"),
+        col("p.b_id").as("b_id"), col("p.b_name").as("b_name"))
       .distinct()
   }
 

@@ -438,6 +438,62 @@ object PairKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** levenshtein(a, b) == 1, the two-pointer specialization: equal
+    * lengths → exactly one substitution position; lengths off by one →
+    * the shorter embeds in the longer with one skip. Identical strings
+    * (distance 0) return false. O(min-len) per call. */
+  private def oneEditApart(a: UTF8String, b: UTF8String): Boolean = {
+    val x = a.toString; val y = b.toString
+    val lx = x.length; val ly = y.length
+    if (math.abs(lx - ly) > 1) return false
+    if (lx == ly) {
+      var diff = 0
+      var i = 0
+      while (i < lx) {
+        if (x.charAt(i) != y.charAt(i)) { diff += 1; if (diff > 1) return false }
+        i += 1
+      }
+      diff == 1
+    } else {
+      val (s, t) = if (lx < ly) (x, y) else (y, x)
+      var i = 0; var j = 0; var skipped = false
+      while (i < s.length) {
+        if (s.charAt(i) == t.charAt(j)) { i += 1; j += 1 }
+        else {
+          if (skipped) return false
+          skipped = true; j += 1
+        }
+      }
+      true
+    }
+  }
+
+  def editPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    checkBucket(n, "edit_pairs")
+    val ids = new Array[Long](n)
+    val strs = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0); strs(i) = row.getUTF8String(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        if (oneEditApart(strs(i), strs(j)))
+          out += new org.apache.spark.sql.catalyst.expressions
+            .GenericInternalRow(Array[Any](ids(i), strs(i), ids(j), strs(j)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def packedPairs(a: ArrayData): ArrayData = {
     val v = a.toLongArray()
     val n = v.length
@@ -464,6 +520,50 @@ object PairKernel {
     }
     new GenericArrayData(out)
   }
+}
+
+/** All edit-distance-1 pairs of one deletion-neighborhood bucket:
+  * input `array<struct<id:long, s:string>>` sorted by id, output
+  * `array<struct<a_id, a_name, b_id, b_name>>` holding ONLY the pairs
+  * at levenshtein == 1. The verify moves INSIDE the generator (the
+  * [[HammingPairsExpr]] pattern): a bucket of B members costs B²/2
+  * two-pointer one-edit checks — each O(len), the distance-1
+  * specialization of the banded DP — and emits just its true pairs, so
+  * no candidate row stream ever hits the pair-distinct exchange. The
+  * check compares UTF-16 units (exact for BMP text; the corpus and the
+  * SQL oracles are ASCII). id order gives a_id < b_id for free. */
+case class EditPairsExpr(child: Expression) extends UnaryExpression {
+  private val outStruct = StructType(Seq(
+    StructField("a_id", LongType, nullable = false),
+    StructField("a_name", StringType, nullable = false),
+    StructField("b_id", LongType, nullable = false),
+    StructField("b_name", StringType, nullable = false)))
+  override def dataType: DataType = ArrayType(outStruct, containsNull = false)
+  override def prettyName: String = "edit_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.fields.length == 2 &&
+            st.fields(0).dataType == LongType &&
+            st.fields(1).dataType == StringType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"edit_pairs requires array<struct<bigint, string>>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PairKernel.editPairs(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.PairKernel.editPairs($a);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 /** All near pairs of one LSH bucket: input `array<struct<id:long,
@@ -564,4 +664,6 @@ object SignatureExprs {
   def hammingPairs(members: Column, maxDist: Int): Column =
     CatalystBridge.column(
       HammingPairsExpr(CatalystBridge.expression(members), maxDist))
+  def editPairs(members: Column): Column =
+    CatalystBridge.column(EditPairsExpr(CatalystBridge.expression(members)))
 }

@@ -43,6 +43,69 @@ class PairKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(causes(e).exists(_.contains("packed_pairs")), causes(e).mkString)
   }
 
+  test("packedPairs catches a mid-array out-of-range id (unsorted caller)") {
+    // endpoint-only validation would miss this: v(0) and v(n-1) are in
+    // range, the violation is in the middle of an UNSORTED array
+    val e = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1(Seq(1L, PairKernel.MaxId + 7, 5L)))
+        .toDF("ids")
+        .select(explode(SignatureExprs.packedPairs(col("ids"))))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ causes(x.getCause))
+    assert(causes(e).exists(m =>
+      m.contains("packed_pairs") && m.contains("at 1")), causes(e).mkString)
+  }
+
+  test("both pair kernels fail fast and NAMED on a hot bucket") {
+    // past MaxBucketMembers the n(n-1)/2 allocation must not be
+    // attempted — the error names the kernel and the upstream fix
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val hotIds = (0L to PairKernel.MaxBucketMembers.toLong).toSeq
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1(hotIds)).toDF("ids")
+        .select(explode(SignatureExprs.packedPairs(col("ids"))))
+        .collect()
+    }
+    assert(causes(e1).exists(m =>
+      m.contains("packed_pairs") && m.contains("MaxBucketMembers")),
+      causes(e1).mkString)
+    val hotMembers = hotIds.map(i => (i, 0L))
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1(hotMembers)).toDF("ms")
+        .select(explode(SignatureExprs.hammingPairs(col("ms"), 3)))
+        .collect()
+    }
+    assert(causes(e2).exists(m =>
+      m.contains("hamming_pairs") && m.contains("MaxBucketMembers")),
+      causes(e2).mkString)
+  }
+
+  test("editPairs equals the levenshtein == 1 filter it replaced") {
+    val members = Seq(
+      (1L, "kitten"), (2L, "mitten"), (3L, "kitte"), (4L, "kittens"),
+      (5L, "sitting"), (6L, "kitten"), (7L, ""), (8L, "a"), (9L, "b"))
+    val got = Seq(Tuple1(members)).toDF("ms")
+      .select(explode(SignatureExprs.editPairs(col("ms"))).as("p"))
+      .select("p.a_id", "p.b_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    // reference: Spark's own levenshtein over the quadratic pair set
+    val want = (for {
+      i <- members.indices; j <- (i + 1) until members.length
+    } yield (members(i), members(j)))
+      .map { case ((ia, sa), (ib, sb)) => (ia, sa, ib, sb) }
+      .toDF("a_id", "a_name", "b_id", "b_name")
+      .filter(levenshtein(col("a_name"), col("b_name")) === 1)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == want)
+    // identical strings (distance 0) must NOT pair
+    assert(!got.contains((1L, 6L)))
+  }
+
   test("hammingPairs equals the explode + bit_count filter it replaced") {
     val members = Seq(
       (1L, 0x0L), (2L, 0x3L), (5L, 0xFFL), (9L, 0x1L),
