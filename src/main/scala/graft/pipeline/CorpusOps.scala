@@ -488,29 +488,37 @@ object CorpusOps {
     // word-pairs score low, never-seen-together transitions score
     // high; this is the cheap stand-in for an LM perplexity filter).
     // Bigrams are generated IN-ROW (two shifted slices zipped — the
-    // chunk_overlap/skipgram trick, no positional self-join), counted
-    // with ONE bigram-keyed shuffle bounded by the observed-bigram
-    // vocabulary (≪ corpus tokens; ≤ vocab²), and probed back with a
-    // broadcast here — at a vocabulary too big to broadcast the probe
-    // becomes a uniform hash join on the same 8-byte key, nothing else
-    // changes. Unigram conditioning counts use the LAST word of each
-    // doc excluded (c1 counts bigram LEFT positions, so the ratio is a
+    // chunk_overlap/skipgram trick, no positional self-join), then the
+    // stream collapses to DISTINCT (doc, w1, w2) triples with counts
+    // FIRST (the text_surprisal shape): the bigram-count aggregate, the
+    // probe joins, and the per-doc sum all run on the triple frame, so
+    // a doc's repeated transitions cost one row. Both probe joins are
+    // deliberately UNHINTED — the observed-bigram table of a 100 TB
+    // corpus is far past broadcast size (it grows faster than the
+    // unigram vocab), so they must stay uniform hash joins on the
+    // bigram/unigram keys; AQE still broadcasts when a corpus is small.
+    // Unigram conditioning counts use the LAST word of each doc
+    // excluded (c1 counts bigram LEFT positions, so the ratio is a
     // true conditional: Σ_w2 c2(w1,w2) = c1(w1) exactly).
     "text_bigram_lm" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val bg = docs.select(col("doc_id"),
+      val dbg = docs.select(col("doc_id"),
         explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
         .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
-      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+        .groupBy(col("doc_id"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dbc"))
+      val c2 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("dbc")).as("c2"))
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
-      bg.join(broadcast(c2), Seq("w1", "w2"))
-        .join(broadcast(c1), Seq("w1"))
+      // fold c1 into the bigram-vocab frame first (vocab-sized join),
+      // so the big triple stream is joined/shuffled exactly ONCE
+      val cc = c2.join(c1, Seq("w1"))
+      dbg.join(cc, Seq("w1", "w2"))
         .groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_bigrams"),
-          sum(expr("(c1 * 1000000L) div c2")).as("lm_ppm"))
+        .agg(sum(col("dbc")).as("n_bigrams"),
+          sum(col("dbc") * expr("(c1 * 1000000L) div c2")).as("lm_ppm"))
         .orderBy(col("doc_id"))
     }),
   )

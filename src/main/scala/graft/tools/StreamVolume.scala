@@ -1,0 +1,88 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.emf.{EmfPlanner, EmfStreaming, GoldenQueries}
+
+/** Volume rehearsal for the incremental streaming EMF planners: drives
+  * the REAL sf-dir sales_view row stream (not a micro fixture) through
+  * planWindowed / planDependent / planChained in micro-batches,
+  * asserts the final snapshot equals the batch planner on the same
+  * rows, and reports throughput plus the state-store footprint the
+  * domain-bound guards promise stays bounded (state rows ≤ groups ×
+  * value-domain, independent of stream length — the claim this run
+  * certifies on real volume). Usage:
+  *   runMain graft.tools.StreamVolume <sfDir> [nChunks]
+  */
+object StreamVolume {
+  final case class SaleRow(cust: String, prod: String, day: Int,
+      month: Int, year: Int, state: String, quant: Int)
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val nChunks = if (args.length > 1) args(1).toInt else 10
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    val rows = graft.Tables.salesView(spark, sfDir)
+      .as[SaleRow].collect()
+    val chunkSize = math.max(1, (rows.length + nChunks - 1) / nChunks)
+    println(s"[streamvol] ${rows.length} sales rows, " +
+      s"$nChunks micro-batches of ~$chunkSize")
+
+    val cases = Seq[(String, graft.emf.EmfQuery,
+        (graft.emf.EmfQuery, DataFrame) => DataFrame)](
+      // q4's cross-group membership (!= cust) is microBatch-only by
+      // design; q6 is the corpus's full-pin DEPENDENT shape
+      ("q3_windowed", GoldenQueries.parsed(2), EmfStreaming.planWindowed),
+      ("q6_dependent", GoldenQueries.parsed(5), EmfStreaming.planDependent),
+      ("q8_chained", GoldenQueries.parsed(7), EmfStreaming.planChained))
+
+    for ((name, q, planFn) <- cases) {
+      val stream = MemoryStream[SaleRow](spark)
+      val sq = planFn(q, stream.toDF())
+        .writeStream.format("memory").queryName(s"sv_$name")
+        .outputMode(OutputMode.Update).start()
+      val t0 = System.nanoTime()
+      try {
+        rows.grouped(chunkSize).foreach { chunk =>
+          stream.addData(chunk.toSeq)
+          sq.processAllAvailable()
+        }
+        val secs = (System.nanoTime() - t0) / 1e9
+        val prog = sq.lastProgress
+        val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
+        val stateBytes = prog.stateOperators.map(_.memoryUsedBytes).sum
+        // Update-mode memory sink accumulates every emitted version of
+        // a group; snapshot() keeps the latest per key
+        val snapDf = EmfStreaming.snapshot(spark.table(s"sv_$name"), q)
+        val snapCols = snapDf.columns
+        val snap = snapDf
+          .orderBy(snapCols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq
+        val batch0 = EmfPlanner.plan(q, rows.toSeq.toDF())
+        val batch = batch0
+          .select(snapCols.map(org.apache.spark.sql.functions.col): _*)
+          .orderBy(snapCols.map(org.apache.spark.sql.functions.col): _*)
+          .collect().toSeq
+        val eq = snap == batch
+        println(f"[streamvol] $name%-14s rows=${rows.length}%d " +
+          f"wall=$secs%.1fs thru=${rows.length / secs}%.0f rows/s " +
+          f"stateRows=$stateRows%d stateMB=${stateBytes / 1048576.0}%.1f " +
+          f"outGroups=${snap.length}%d snapshot==batch: $eq%s")
+        require(eq, s"$name: streaming snapshot diverged from batch planner " +
+          s"(${snap.length} vs ${batch.length} rows)")
+      } finally sq.stop()
+    }
+    spark.stop()
+  }
+}
