@@ -72,6 +72,11 @@ object Tables {
     * examples.
     */
   def salesView(s: SparkSession, d: String): DataFrame = {
+    // Fixture-builder caveat: the dim hints below are fine HERE because
+    // this join exists only to synthesize the reference's `sales` table
+    // from the TPC-H testdata — at deployment sales is a stored table
+    // (the reference reads it directly) and this code never runs at
+    // 100 TB. Production queries over SF-scaled dims stay unhinted.
     val l = lineitem(s, d)
     val o = orders(s, d)
     val c = customer(s, d)

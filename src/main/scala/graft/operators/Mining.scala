@@ -140,7 +140,10 @@ object Mining {
       val dv = deg.select(col("x").as("v"), col("dg").as("dv"))
       val srcFirst = col("du") < col("dv") ||
         (col("du") === col("dv") && col("u") < col("v"))
-      val oriented = e.join(broadcast(du), "u").join(broadcast(dv), "v")
+      // UNHINTED: the degree table is |V| rows and grows with the
+      // graph — the u/v keys hash uniformly, AQE broadcasts small
+      // graphs on its own
+      val oriented = e.join(du, "u").join(dv, "v")
         .select(when(srcFirst, col("u")).otherwise(col("v")).as("src"),
           when(srcFirst, col("v")).otherwise(col("u")).as("dst"))
         .persist()
@@ -295,11 +298,13 @@ object Mining {
     // in exact integer ppm, both rule directions, deterministic top-20.
     // Item supports use the SAME first-8-by-id basket cap as the pair
     // frame (a cap-less denominator would overstate confidence for
-    // capped-out items); the |items|-sized support frame broadcasts,
-    // the 1-row basket census cross-joins, and the >2⁶³ lift product
-    // rides DECIMAL(38,0)/HUGEINT like feature_corr. Cost beyond the
-    // memoized pair build: one window-capped distinct + two broadcast
-    // probes over the |pairs| frame.
+    // capped-out items); the |items|-sized support frames join
+    // UNHINTED (the item dimension is fact-scaled in TPC-H — SF×200k
+    // parts — so a forced broadcast grows with the data; AQE still
+    // broadcasts small catalogs), the 1-row basket census cross-joins,
+    // and the >2⁶³ lift product rides DECIMAL(38,0)/HUGEINT like
+    // feature_corr. Cost beyond the memoized pair build: one
+    // window-capped distinct + two keyed probes over the |pairs| frame.
     "assoc_rules" -> ((s, d) => {
       val capped = cappedItems(s, d)
       val itemN = capped.groupBy(col("l_partkey"))
@@ -311,10 +316,10 @@ object Mining {
         .unionAll(pairs.select(col("part_b").as("antecedent"),
           col("part_a").as("consequent"), col("n_orders")))
       both
-        .join(broadcast(itemN.select(col("l_partkey").as("antecedent"),
-          col("n_item").as("n_ante"))), "antecedent")
-        .join(broadcast(itemN.select(col("l_partkey").as("consequent"),
-          col("n_item").as("n_cons"))), "consequent")
+        .join(itemN.select(col("l_partkey").as("antecedent"),
+          col("n_item").as("n_ante")), "antecedent")
+        .join(itemN.select(col("l_partkey").as("consequent"),
+          col("n_item").as("n_cons")), "consequent")
         .crossJoin(broadcast(nb))
         .selectExpr("antecedent", "consequent", "n_orders AS n_pair",
           "n_ante", "n_cons",

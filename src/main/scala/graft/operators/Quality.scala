@@ -62,7 +62,11 @@ object Quality {
         .join(o.select(col("o_orderkey").as("__ok")).distinct()
           .hint("shuffle_hash"),
           col("l_orderkey") === col("__ok"), "left")
-        .join(broadcast(p.select(col("p_partkey").as("__pk")).distinct()),
+        // part is a fact-scaled dimension in TPC-H (SF×200k keys) —
+        // same shuffle-hash probe as the orders FK, never a broadcast
+        // that grows with SF
+        .join(p.select(col("p_partkey").as("__pk")).distinct()
+          .hint("shuffle_hash"),
           col("l_partkey") === col("__pk"), "left")
         .agg(count(lit(1)).as("n_li"),
           sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("v_fk_o"),
@@ -82,7 +86,9 @@ object Quality {
         .agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt") - lit(1L)), lit(0L)).as("v_pk"))
       val oRep = o
-        .join(broadcast(c.select(col("c_custkey").as("__ck")).distinct()),
+        // customer scales with SF too (SF×150k) — shuffle-hash probe
+        .join(c.select(col("c_custkey").as("__ck")).distinct()
+          .hint("shuffle_hash"),
           col("o_custkey") === col("__ck"), "left")
         .agg(count(lit(1)).as("n_o"),
           sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("v_fk_c"),

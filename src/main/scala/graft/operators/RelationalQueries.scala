@@ -52,7 +52,10 @@ object RelationalQueries {
     }),
 
     // Broadcast hash join: fact ⋈ small dim. No shuffle on the fact side
-    // at all — the dim ships to every executor.
+    // at all — the dim ships to every executor. The hint IS this demo
+    // operator's semantics (join_shuffle is the sibling strategy); a
+    // production query on a dim that scales with the fact should stay
+    // unhinted and let AQE pick, as every non-demo query here does.
     "join_broadcast" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
@@ -107,11 +110,13 @@ object RelationalQueries {
     }),
 
     // Equi join with a non-equi residual: hash join on partkey, residual
-    // predicate evaluated in the join — NOT a nested-loop.
+    // predicate evaluated in the join — NOT a nested-loop. Unhinted:
+    // part scales with the fact in TPC-H (SF×200k), so AQE decides;
+    // the equi key alone drives the join either way.
     "join_nonequi" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      l.join(broadcast(p),
+      l.join(p,
           l("l_partkey") === p("p_partkey") && l("l_quantity") > p("p_size"))
         .groupBy(col("p_brand"))
         .agg(count(lit(1)).as("n_over"), sum(dec(col("l_quantity"))).cast("double").as("sum_qty"))
@@ -145,7 +150,7 @@ object RelationalQueries {
     "window_lag" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val p = Tables.part(s, d)
-      val monthly = l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      val monthly = l.join(p, l("l_partkey") === p("p_partkey"))
         .groupBy(col("p_brand"), date_trunc("month", col("l_shipdate")).as("month"))
         .agg(sum(dec(col("l_extendedprice"))).as("rev"))
       val w = Window.partitionBy(col("p_brand")).orderBy(col("month"))
@@ -347,8 +352,10 @@ object RelationalQueries {
     }),
 
     // TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k.
-    // customer broadcast; orders⋈lineitem shuffles on orderkey; top-10 via
-    // TakeOrderedAndProject (no global sort).
+    // customer join unhinted (customer scales with the fact — AQE
+    // broadcasts the filtered segment when it fits); orders⋈lineitem
+    // shuffles on orderkey; top-10 via TakeOrderedAndProject (no
+    // global sort).
     "q3_shipping_priority" -> ((s, d) => {
       val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       val o = Tables.orders(s, d)
@@ -356,7 +363,7 @@ object RelationalQueries {
       val l = Tables.lineitem(s, d)
         .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -364,6 +371,8 @@ object RelationalQueries {
     }),
 
     // TPC-H Q5 shape: 5-way snowflake join, revenue per nation.
+    // nation/region broadcast (25/5 rows at ANY scale); supplier
+    // unhinted (SF-scaled — AQE decides).
     "q5_local_volume" -> ((s, d) => {
       val l = Tables.lineitem(s, d)
       val o = Tables.orders(s, d)
@@ -371,7 +380,7 @@ object RelationalQueries {
       val n = Tables.nation(s, d)
       val r = Tables.region(s, d)
       l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
         .filter(col("r_name") === "REGION_0")

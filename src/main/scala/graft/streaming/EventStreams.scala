@@ -387,8 +387,10 @@ object EventStreams {
     // Weeks are INTEGER arithmetic from a fixed Monday epoch
     // (2024-01-01), not date_trunc, so both engines bucket identically
     // with no week-start convention to match. Plan: one user-keyed min
-    // aggregation for the cohort frame (|users| rows, joined back —
-    // broadcastable at any realistic user count), then one
+    // aggregation for the cohort frame (|users| rows, joined back
+    // UNHINTED — the user dimension is billions at 100 TB, so a forced
+    // broadcast would grow with the data; user_id hash-partitions
+    // uniformly and AQE broadcasts small user sets), then one
     // (cohort, age) distinct-user count; distinct is exact because a
     // user appears once per (cohort, age) cell after the de-dup — the
     // whole matrix is |cohorts|² cells.
@@ -399,7 +401,7 @@ object EventStreams {
         .select(col("user_id"), wk.as("wk"))
       val cohort = ev.groupBy(col("user_id"))
         .agg(min(col("wk")).as("cohort_wk"))
-      ev.join(broadcast(cohort), "user_id")
+      ev.join(cohort, "user_id")
         .select(col("user_id"), col("cohort_wk"),
           (col("wk") - col("cohort_wk")).as("age_wk"))
         .distinct()

@@ -76,9 +76,13 @@ object LangIdNb {
       val model = langWord.select(col("lang"), col("w"),
         expr("CAST(round(ln(CAST(cw + 1 AS DOUBLE)) * 1000000) AS BIGINT)")
           .as("ln_c1"))
-      // evidence: inner join is exact (absent (lang, word) ⇒ ln 1 = 0)
+      // evidence: inner join is exact (absent (lang, word) ⇒ ln 1 = 0).
+      // UNHINTED: the (lang, word) model is vocabulary-scaled — a
+      // forced broadcast would grow with the corpus; `w` hash-
+      // partitions uniformly (the lang-bounded prior/total frames
+      // below stay broadcast — they are |langs| rows at any scale)
       val evidence = docWords
-        .join(broadcast(model), "w")
+        .join(model, "w")
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("c") * col("ln_c1")).as("t1"))
       // every doc × every lang, then the two broadcast model frames

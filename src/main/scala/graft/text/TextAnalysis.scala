@@ -157,9 +157,11 @@ object TextAnalysis {
     // ordering (tf desc, df asc, term asc) — no floating tie-break, so
     // the result is bit-stable across engines and partitionings. Shapes:
     // explode → two keyed aggregations (tf by (doc, term), df by term)
-    // → broadcast df back → per-doc window. At corpus scale df is one
-    // row per distinct term (small) and broadcasts; the window keys on
-    // doc_id, which distributes uniformly.
+    // → join df back UNHINTED → per-doc window. The df table is
+    // vocabulary-sized — billions of distinct terms on a web corpus
+    // (Heaps' law) — so a forced broadcast would grow with the data;
+    // the term key hash-partitions uniformly and AQE still broadcasts
+    // small vocabularies. The window keys on doc_id (uniform).
     "text_top_terms" -> ((s, d) => {
       val terms = Tables.documents(s, d)
         .select(col("doc_id"), explode(words(col("text"))).as("term"))
@@ -169,7 +171,7 @@ object TextAnalysis {
         .groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
-      tf.join(broadcast(df), Seq("term"))
+      tf.join(df, Seq("term"))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
         .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
@@ -309,9 +311,11 @@ object TextAnalysis {
     // DECIMAL(38,0) numerator ×10⁹, DECIMAL product denominator (never
     // a raw BIGINT product — n_a·n_b overflows 2⁶³ at web scale, the
     // trend_slope lesson), truncating div. Three corpus-shaped aggs
-    // (unigrams, adjacent bigrams via the shifted-slice zip, then a
-    // broadcast join of the vocab-sized unigram counts onto the
-    // bigram frame); everything after the scans is vocab², KB-sized.
+    // (unigrams, adjacent bigrams via the shifted-slice zip, then
+    // UNHINTED joins of the unigram counts onto the bigram frame —
+    // both tables are vocabulary-scaled, so forcing a broadcast would
+    // grow with the corpus; the w1/w2 keys hash uniformly and AQE
+    // broadcasts small vocabularies on its own).
     "phrase_mining" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val docs = Tables.documents(s, d)
@@ -325,8 +329,8 @@ object TextAnalysis {
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
         .agg(count(lit(1)).as("n_ab"))
       bi
-        .join(broadcast(uni.select(col("w").as("w1"), col("n").as("n_w1"))), "w1")
-        .join(broadcast(uni.select(col("w").as("w2"), col("n").as("n_w2"))), "w2")
+        .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), "w2")
         .filter(col("n_ab") >= 8)
         .selectExpr("w1", "w2", "n_ab", "n_w1", "n_w2",
           """CAST((CAST(n_ab - 5 AS DECIMAL(38,0)) * 1000000000)
