@@ -9,8 +9,12 @@ import graft.Tables
   * window functions, sorts/top-k, set operations, grouping analytics.
   *
   * Scale notes (100 TB design):
-  *  - Dimension joins (`part`, `customer`, `nation`) are broadcast — they
-  *    stay small relative to the fact tables at any SF.
+  *  - Only CONSTANT-size dimensions (`nation` 25 rows, `region` 5) carry
+  *    broadcast hints. `part`/`customer`/`supplier` scale with SF (a
+  *    100 TB warehouse has TB-scale "dims"), so those joins are
+  *    unhinted — AQE broadcasts them while they fit and shuffles them
+  *    when they don't. `join_broadcast` alone keeps its hint, because
+  *    demonstrating that strategy is the operator's purpose.
   *  - Fact-fact joins (lineitem ⋈ orders) shuffle on the join key; AQE
   *    re-plans to broadcast when a filtered side shrinks below the
   *    threshold, and handles skew.
@@ -383,7 +387,7 @@ object RelationalQueries {
         .join(su, l("l_suppkey") === su("s_suppkey"))
         .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
         .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
-        .filter(col("r_name") === "REGION_0")
+        .filter(col("r_name") === "ASIA")
         .groupBy(col("n_name"))
         .agg(sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount")))).cast("double").as("revenue"))
         .orderBy(col("n_name"))
@@ -954,7 +958,7 @@ object RelationalQueries {
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
         |JOIN region ON n_regionkey = r_regionkey
-        |WHERE r_name = 'REGION_0'
+        |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
     "agg_argmax" ->
       """SELECT o_orderpriority, o_orderkey AS top_orderkey,
