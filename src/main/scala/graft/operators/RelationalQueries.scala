@@ -93,10 +93,14 @@ object RelationalQueries {
         .orderBy(col("c_custkey"))
     }),
 
-    // Left-anti: NOT EXISTS. Customers who never ordered.
+    // Left-anti: NOT EXISTS. Customers with no URGENT order — the
+    // filtered right side keeps the result non-empty in this testdata
+    // (every customer has SOME order, so the unfiltered "never ordered"
+    // form was a vacuous empty-vs-empty oracle match).
     "join_anti" -> ((s, d) => {
       val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
       c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
         .select(col("c_custkey"), col("c_name"))
         .orderBy(col("c_custkey"))
@@ -703,7 +707,9 @@ object RelationalQueries {
         |ORDER BY c_custkey""".stripMargin,
     "join_anti" ->
       """SELECT c_custkey, c_name FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "join_outer" ->
       """SELECT c_custkey, count(o_orderkey) AS n_orders
