@@ -490,6 +490,65 @@ object RelationalQueries {
         .orderBy(col("event_type"))
     }),
 
+    // EXACT distributed quantile in two bounded passes — the 100 TB
+    // answer when bin-edge error (quantile_hist) isn't acceptable and a
+    // full sort is off the table. Pass 1 is quantile_hist's fixed-grid
+    // histogram (shuffle bounded at groups×bins); from its cumulative
+    // counts each group derives the TARGET BIN holding the nearest-rank
+    // value and the rank offset k inside that bin (r = ceil(q·n), all
+    // integer cross-multiplication). Pass 2 joins the scan to the
+    // groups×quantiles-sized target frame on (group, bin) — AQE
+    // broadcasts it at any size because its cardinality is bounded by
+    // the group domain, not the data — and ranks ONLY the single target
+    // bin's members (≈ n/bins rows per group, the only sort anywhere).
+    // The picked element is the exact order statistic: bins below the
+    // target contribute `below` ranks, so the k-th smallest member IS
+    // the r-th smallest overall. Values are integer cents throughout,
+    // so the DuckDB oracle (a plain row_number selection) matches
+    // bit-for-bit.
+    "quantile_exact" -> ((s, d) => {
+      val cents = (col("value").cast("decimal(18,2)") * 100).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), cents.as("c"))
+        .withColumn("bin", expr("c div 1000"))
+      val bins = ev.groupBy(col("event_type"), col("bin"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(col("event_type")).orderBy(col("bin"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("event_type"))
+      val tgt = bins
+        .withColumn("cum", sum(col("cnt")).over(wc))
+        .withColumn("n", sum(col("cnt")).over(wt))
+        .groupBy(col("event_type"), col("n"))
+        .agg(
+          // min over (bin, below) structs = the FIRST bin whose cum
+          // reaches the rank (integer form of cum >= ceil(q*n)), and
+          // that bin's count of ranks below it
+          min(when(col("cum") * 100 >= col("n") * 50,
+            struct(col("bin"), (col("cum") - col("cnt")).as("below"))))
+            .as("t50"),
+          min(when(col("cum") * 100 >= col("n") * 90,
+            struct(col("bin"), (col("cum") - col("cnt")).as("below"))))
+            .as("t90"))
+        .select(col("event_type"), col("n"), explode(array(
+          struct(lit(50).as("q"), col("t50.bin").as("bin"),
+            (expr("(n * 50 + 99) div 100") - col("t50.below")).as("k")),
+          struct(lit(90).as("q"), col("t90.bin").as("bin"),
+            (expr("(n * 90 + 99) div 100") - col("t90.below")).as("k"))))
+          .as("t"))
+        .select(col("event_type"), col("n"),
+          col("t.q").as("q"), col("t.bin").as("bin"), col("t.k").as("k"))
+      val wr = Window.partitionBy(col("event_type"), col("q"))
+        .orderBy(col("c"))
+      ev.join(tgt, Seq("event_type", "bin"))
+        .withColumn("rn", row_number().over(wr))
+        .filter(col("rn") === col("k"))
+        .groupBy(col("event_type"), col("n"))
+        .agg(min(when(col("q") === 50, col("c"))).as("p50_c"),
+          min(when(col("q") === 90, col("c"))).as("p90_c"))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H Q6 shape: pure filter + global aggregate — the minimal
     // pushdown showcase (all three predicates reach the parquet scan).
     "q6_revenue_delta" -> ((s, d) => {
@@ -907,6 +966,25 @@ object RelationalQueries {
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin_lo END)
         |    AS BIGINT) AS p90_lo
         |FROM c GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    // the DEFINITION (nearest-rank order statistic via a full ranking),
+    // not the two-pass algorithm — matching hashes prove the bounded
+    // histogram+target-bin plan picks the exact same element
+    "quantile_exact" ->
+      """WITH e AS (
+        |  SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |r AS (
+        |  SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c) AS rn,
+        |    count(1) OVER (PARTITION BY event_type) AS n
+        |  FROM e)
+        |SELECT event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN rn = (n * 50 + 99) // 100 THEN c END)
+        |    AS BIGINT) AS p50_c,
+        |  CAST(min(CASE WHEN rn = (n * 90 + 99) // 100 THEN c END)
+        |    AS BIGINT) AS p90_c
+        |FROM r GROUP BY event_type, n ORDER BY event_type""".stripMargin,
     // identical cents grid, identical nearest-rank edges, identical clamp
     "winsorize" ->
       """WITH ev AS (

@@ -181,6 +181,29 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("quantile_exact: two-pass pick equals the sorted-order statistic") {
+    val rows =
+      RelationalQueries.queries("quantile_exact")(spark, sf0001).collect()
+    val cents = graft.Tables.events(spark, sf0001)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), BigDecimal(r.getDouble(1))
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).*(100).toLong))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    assert(rows.map(_.getString(0)).toSet == cents.keySet)
+    rows.foreach { r =>
+      val t = r.getString(0)
+      val cs = cents(t)
+      val n = cs.length.toLong
+      // nearest-rank definition straight off the fully sorted values —
+      // the thing the two-pass plan must reproduce without ever sorting
+      // more than one bin
+      def nr(q: Int): Long = cs((((n * q + 99) / 100) - 1).toInt)
+      assert(r.getLong(1) == n, t)
+      assert(r.getLong(2) == nr(50), s"$t p50")
+      assert(r.getLong(3) == nr(90), s"$t p90")
+    }
+  }
+
   test("winsorize: scalar replay of edges + clamp; clip mass stays within grid slack") {
     val rows = RelationalQueries.queries("winsorize")(spark, sf0001).collect()
     val cents = graft.Tables.events(spark, sf0001)
