@@ -137,6 +137,49 @@ object EventStreams {
         col("rnk").cast("int").as("rnk"))
   }
 
+  /** Windowed value histogram on the $10 fixed grid — the
+    * streaming-STATEFUL part of [[windowQuantile]]: an incremental
+    * (window, type, bin) count whose state is bounded at
+    * windows × types × bins regardless of event volume, exactly the
+    * property that lets a latency-percentile dashboard run forever.
+    * Counter addition also merges snapshots across shards/restarts. */
+  def windowValueBins(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        (floor(col("value") / 10).cast("long") * 10).as("bin_lo"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Snapshot readout for [[windowValueBins]]: nearest-rank p50/p90 as
+    * the first bin whose cumulative mass reaches ceil(q·n) — integer
+    * cross-multiplication, deterministic, bin-width-bounded error (the
+    * streaming counterpart of `quantile_hist`; `quantile_exact` is the
+    * batch path when edge error is unacceptable). Runs on the emitted
+    * state snapshot, so the rank never touches the event stream. */
+  def quantileReadout(bins: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wc = Window.partitionBy(col("w"), col("event_type"))
+      .orderBy(col("bin_lo"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wt = Window.partitionBy(col("w"), col("event_type"))
+    bins
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("n", sum(col("cnt")).over(wt))
+      .groupBy(col("w"), col("event_type"), col("n"))
+      .agg(
+        min(when(col("cum") * 100 >= col("n") * 50, col("bin_lo")))
+          .as("p50_lo"),
+        min(when(col("cum") * 100 >= col("n") * 90, col("bin_lo")))
+          .as("p90_lo"))
+      .select(col("w.start").as("wstart"), col("event_type"), col("n"),
+        col("p50_lo"), col("p90_lo"))
+  }
+
+  /** Per-window value percentiles (batch form of the streaming pair
+    * above; StreamingSpec pins batch ≡ stream across a state-carrying
+    * batch split). */
+  def windowQuantile(events: DataFrame): DataFrame =
+    quantileReadout(windowValueBins(events))
+
   /** Decimal sums surfaced as double at the checked-output boundary —
     * both engines cast the same exact decimal, so bits (and the driver's
     * stringified compare) agree. */
@@ -159,6 +202,9 @@ object EventStreams {
     "stream_topk" -> ((s, d) =>
       windowTopK(Tables.events(s, d))
         .orderBy(col("wstart"), col("rnk"))),
+    "stream_quantile" -> ((s, d) =>
+      windowQuantile(Tables.events(s, d))
+        .orderBy(col("wstart"), col("event_type"))),
     "session_trajectories" -> ((s, d) =>
       sessionTrajectories(Tables.events(s, d))
         .orderBy(col("user_id"), col("session_start"))),
@@ -473,6 +519,27 @@ object EventStreams {
         |  CAST(row_number() OVER (PARTITION BY wstart
         |    ORDER BY n DESC, item) AS INT) AS rnk
         |FROM g QUALIFY rnk <= 3 ORDER BY wstart, rnk""".stripMargin,
+    // identical hour bucketing, identical $10 grid, identical integer
+    // nearest-rank cutoffs (the quantile_hist rule per window)
+    "stream_quantile" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    CAST(floor(value / 10) AS BIGINT) * 10 AS bin_lo,
+        |    count(1) AS cnt
+        |  FROM events GROUP BY 1, 2, 3),
+        |c AS (
+        |  SELECT wstart, event_type, bin_lo,
+        |    sum(cnt) OVER (PARTITION BY wstart, event_type ORDER BY bin_lo
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY wstart, event_type) AS n
+        |  FROM b)
+        |SELECT wstart, event_type, CAST(n AS BIGINT) AS n,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 50 THEN bin_lo END)
+        |    AS BIGINT) AS p50_lo,
+        |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin_lo END)
+        |    AS BIGINT) AS p90_lo
+        |FROM c GROUP BY wstart, event_type, n
+        |ORDER BY wstart, event_type""".stripMargin,
     // same lag→flag→running-sum sessionization (strict < 10-min gap in
     // integer microseconds), trajectory = types ordered by (ts, event_id)
     "session_trajectories" ->

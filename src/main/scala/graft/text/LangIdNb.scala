@@ -45,19 +45,24 @@ object LangIdNb {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "langid_nb" -> ((s, d) => {
+      // per-doc word multiplicities computed IN-ROW (word_counts
+      // kernel): the (doc, word) collapse happens at the scan, so no
+      // corpus-token stream ever reaches an exchange — the evidence
+      // side ships one row per DISTINCT (doc, word) straight into the
+      // join, and model training partial-aggregates pre-collapsed
+      // counts instead of raw tokens
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("true_lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          split(col("text"), " ").as("ws"))
+          TextExprs.wordCounts(col("text")).as("wc"))
       val docWords = docs
-        .select(col("doc_id"), explode(col("ws")).as("w"))
-        .groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("c"))
+        .select(col("doc_id"), explode(col("wc")).as("p"))
+        .select(col("doc_id"), col("p.w").as("w"), col("p.c").as("c"))
       // model: (lang, word) counts + per-lang totals, V = corpus vocab
       val langWord = Tables.documents(s, d)
-        .select(col("lang"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("lang"), col("w"))
-        .agg(count(lit(1)).as("cw"))
+        .select(col("lang"), explode(TextExprs.wordCounts(col("text"))).as("p"))
+        .groupBy(col("lang"), col("p.w").as("w"))
+        .agg(sum(col("p.c")).as("cw"))
       val vocab = langWord.agg(
         count_distinct(col("w")).as("v")) // 1 row
       val langTot = langWord
@@ -82,7 +87,7 @@ object LangIdNb {
       // partitions uniformly (the lang-bounded prior/total frames
       // below stay broadcast — they are |langs| rows at any scale)
       val evidence = docWords
-        .join(model, "w")
+        .join(model.hint("shuffle_hash"), "w")
         .groupBy(col("doc_id"), col("lang"))
         .agg(sum(col("c") * col("ln_c1")).as("t1"))
       // every doc × every lang, then the two broadcast model frames
@@ -93,12 +98,15 @@ object LangIdNb {
         .select(col("doc_id"), col("true_lang"), col("lang"),
           (col("prior") + coalesce(col("t1"), lit(0L)) -
             col("n_tok") * col("ln_tot_v")).as("score"))
+      // per-doc argmax as a hash-aggregated struct-min — (score desc,
+      // lang asc) tie-break encoded as min(struct(-score, lang)), so the
+      // doc×lang grid collapses in a partial-aggregating HashAggregate
+      // instead of a full (doc_id)-window SORT of |docs|·|langs| rows
       val pred = scored
-        .withColumn("rk", row_number().over(
-          Window.partitionBy(col("doc_id"))
-            .orderBy(col("score").desc, col("lang"))))
-        .filter(col("rk") === 1)
-      pred.groupBy(col("true_lang"), col("lang").as("pred_lang"))
+        .groupBy(col("doc_id"), col("true_lang"))
+        .agg(min(struct((-col("score")).as("ns"), col("lang").as("lang")))
+          .as("m"))
+      pred.groupBy(col("true_lang"), col("m.lang").as("pred_lang"))
         .agg(count(lit(1)).as("n_docs"))
         .orderBy(col("true_lang"), col("pred_lang"))
     }))

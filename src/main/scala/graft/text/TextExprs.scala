@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.CatalystBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -234,6 +235,73 @@ object NgramRepStatsExpr {
   }
 }
 
+/** Per-document word multiplicities in ONE pass:
+  * `array<struct<w string, c bigint>>`, sorted by word bytes — the
+  * in-row equivalent of `explode(split(text, ' '))` followed by
+  * `groupBy(doc_id, w).count()`. The point is the SHUFFLE it deletes:
+  * bag-of-words consumers (langid_nb's evidence stream, its (lang, word)
+  * model training) otherwise push every token of the corpus through an
+  * exchange just to collapse per-doc repeats; this computes the collapsed
+  * pairs where the text already is, so only distinct (doc, word) rows
+  * ever leave the scan. Tokenization matches `split(text, " ")` exactly
+  * (single-space separator, empties kept) — asserted in
+  * TextAnalysisSpec. */
+case class WordCountsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("w", StringType, nullable = false),
+    StructField("c", LongType, nullable = false))), containsNull = false)
+  override def prettyName: String = "word_counts"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"word_counts requires a string argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    WordCountsExpr.counts(v.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.text.WordCountsExpr.counts($t);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object WordCountsExpr {
+  import org.apache.spark.sql.catalyst.InternalRow
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Sorted (word, count) rows. The word slices reference the input
+    * buffer (same contract as Spark's own StringSplit result — the
+    * consuming projection copies them before the next input row). */
+  def counts(text: UTF8String): ArrayData = {
+    val parts = text.split(space, -1)
+    val m = new java.util.TreeMap[UTF8String, Array[Long]]()
+    var i = 0
+    while (i < parts.length) {
+      val cur = m.get(parts(i))
+      if (cur == null) m.put(parts(i), Array(1L)) else cur(0) += 1L
+      i += 1
+    }
+    val out = new Array[Any](m.size)
+    val it = m.entrySet().iterator()
+    var j = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(j) = InternalRow(e.getKey, e.getValue()(0))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 object TextExprs {
   /** Codegen'd count of code points outside [A-Za-z0-9 ] — the hot-path
     * form of `regexp_count(text, lit("[^A-Za-z0-9 ]"))`. */
@@ -245,6 +313,12 @@ object TextExprs {
   def dictWordCount(text: Column, dict: Seq[String]): Column =
     CatalystBridge.column(
       DictWordCountExpr(CatalystBridge.expression(text), dict))
+
+  /** Codegen'd per-doc sorted word multiplicities:
+    * `array<struct<w, c>>` == the groupBy(doc, word) counts, computed
+    * in-row (no shuffle). */
+  def wordCounts(text: Column): Column =
+    CatalystBridge.column(WordCountsExpr(CatalystBridge.expression(text)))
 
   /** Codegen'd per-doc repetition stats: struct(n_words, distinct_words,
     * top_ngram_count) for word `n`-grams. */

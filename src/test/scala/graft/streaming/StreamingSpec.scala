@@ -133,6 +133,28 @@ class StreamingSpec extends SparkSpec {
     assert(ranked == batch)
   }
 
+  test("stream_quantile: incremental histogram + snapshot readout equal batch") {
+    // the (window, type, bin) count is the stateful part — bounded at
+    // windows×types×bins, never event volume; the nearest-rank readout
+    // runs on the emitted snapshot. Two time-split batches pin that the
+    // second batch's counter increments land on carried state.
+    val evs = batchEvents.as[Ev].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[Ev](spark)
+    val q = EventStreams.windowValueBins(stream.toDF())
+      .writeStream.format("memory").queryName("qbins")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = EventStreams.quantileReadout(spark.table("qbins"))
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    val batch = EventStreams.windowQuantile(Tables.events(spark, sf0001))
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    assert(streamed == batch)
+  }
+
   test("stream_topk drops digit-free props instead of erroring under ANSI") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._

@@ -161,6 +161,34 @@ class TextAnalysisSpec extends SparkSpec {
       s"'${r.getString(2)}': regex=${r.getInt(0)} native=${r.getInt(1)}"))
   }
 
+  test("wordCounts (in-row kernel) equals explode+groupBy on the corpus + edges") {
+    // corpus parity: kernel pairs re-exploded == the shuffle formulation
+    val viaKernel = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(TextExprs.wordCounts(col("text"))).as("p"))
+      .select(col("doc_id"), col("p.w").as("w"), col("p.c").as("c"))
+    val viaShuffle = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("c"))
+    assert(viaKernel.exceptAll(viaShuffle).isEmpty &&
+      viaShuffle.exceptAll(viaKernel).isEmpty)
+    // edges: empties kept exactly like split(text, " ") — consecutive
+    // separators, trailing separator, empty string; plus sortedness
+    val df = spark.createDataFrame(Seq(
+      "a b a", "a  b", "a b ", "", " ", "same same same").map(Tuple1.apply))
+      .toDF("text")
+    val rows = df.select(col("text"),
+      TextExprs.wordCounts(col("text")).as("wc"),
+      split(col("text"), " ").as("ws")).collect()
+    rows.foreach { r =>
+      val ws = r.getSeq[String](2)
+      val expect = ws.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val got = r.getSeq[org.apache.spark.sql.Row](1)
+        .map(p => p.getString(0) -> p.getLong(1))
+      assert(got.toMap == expect, s"'${r.getString(0)}'")
+      assert(got.map(_._1) == got.map(_._1).sorted, s"unsorted: $got")
+    }
+  }
+
   test("ngram_counts: scalar recount agrees, threshold and order hold") {
     val got = TextAnalysis.queries("ngram_counts")(spark, sf0001).collect()
       .map(r => (r.getAs[Int]("n"), r.getAs[String]("gram"), r.getAs[Long]("cnt")))
