@@ -125,23 +125,79 @@ object Similarity {
     * codegen'd posexplode/slice/explode generators (ids sorted ⇒
     * id_a < id_b by construction). The previous sort-merge self-join on
     * (band, key) paid two full sorts of the banded frame for the same
-    * rows. Output is distinct pairs — nothing driver-side anywhere. */
-  def lshCandidates(e: DataFrame, bands: Int, bits: Int): DataFrame = {
-    val posts = e.select(col("vec_id"),
-      posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
-        .as(Seq("band", "key")))
-      .groupBy(col("band"), col("key"))
-      .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
-      .filter(size(col("ids")) >= 2)
-    // packed-pair kernel (the ngram-build shape): one long per candidate
-    // pair, deduplicated on the 8-byte key — half the distinct-shuffle
-    // width of the (id_a, id_b) pair rows it replaces
-    posts
-      .select(explode(
-        graft.dedup.SignatureExprs.packedPairs(col("ids"))).as("pk"))
-      .dropDuplicates("pk")
-      .select(shiftrightunsigned(col("pk"), 31).as("id_a"),
-        col("pk").bitwiseAND(lit((1L << 31) - 1)).as("id_b"))
+    * rows. Output is distinct pairs — nothing driver-side anywhere.
+    *
+    * `fpMaxDist ≥ 0` adds the round-10 in-bucket prune: each posting
+    * carries a 64-bit SRP fingerprint from planes DISJOINT from the
+    * banding planes ([[graft.dedup.SrpFpExpr]] at offset bands·bits —
+    * disjointness keeps fingerprint bits independent of bucket
+    * membership), and the pair generator emits only pairs at
+    * fingerprint hamming ≤ fpMaxDist
+    * ([[graft.dedup.FpPackedPairsExpr]], the dedup_simhash
+    * verify-in-kernel pattern). At scale the overwhelming share of
+    * band collisions are near-orthogonal junk (a 2⁻ᵇⁱᵗˢ random
+    * agreement), and one XOR+popcount kills them BEFORE the
+    * pair-distinct exchange and the two embedding-array scorer joins —
+    * the wire-dominant stages. Callers pick fpMaxDist so a τ-level
+    * pair fails the prune with probability ≤ 1e-11
+    * ([[fpPruneDist]]) — two decades under the banding miss bound, so
+    * the oracle guarantee is unchanged. */
+  def lshCandidates(e: DataFrame, bands: Int, bits: Int,
+      fpMaxDist: Int = -1): DataFrame = {
+    val unpack = (pk: Column) => (
+      shiftrightunsigned(pk, 31).as("id_a"),
+      pk.bitwiseAND(lit((1L << 31) - 1)).as("id_b"))
+    if (fpMaxDist < 0) {
+      val posts = e.select(col("vec_id"),
+        posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
+          .as(Seq("band", "key")))
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(col("vec_id"))).as("ids"))
+        .filter(size(col("ids")) >= 2)
+      // packed-pair kernel (the ngram-build shape): one long per candidate
+      // pair, deduplicated on the 8-byte key — half the distinct-shuffle
+      // width of the (id_a, id_b) pair rows it replaces
+      val p = posts
+        .select(explode(
+          graft.dedup.SignatureExprs.packedPairs(col("ids"))).as("pk"))
+        .dropDuplicates("pk")
+      val (a, b) = unpack(col("pk")); p.select(a, b)
+    } else {
+      val posts = e.select(col("vec_id"),
+        graft.dedup.SignatureExprs.srpFp(col("emb"), bands * bits).as("fp"),
+        posexplode(graft.dedup.SignatureExprs.srpBands(col("emb"), bands, bits))
+          .as(Seq("band", "key")))
+        .groupBy(col("band"), col("key"))
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("fp"))))
+          .as("ms"))
+        .filter(size(col("ms")) >= 2)
+      val p = posts
+        .select(explode(graft.dedup.SignatureExprs
+          .fpPackedPairs(col("ms"), fpMaxDist)).as("pk"))
+        .dropDuplicates("pk")
+      val (a, b) = unpack(col("pk")); p.select(a, b)
+    }
+  }
+
+  /** Largest fingerprint hamming a τ-level pair plausibly shows: the
+    * smallest h with P(Binomial(64, acos(τ)/π) > h) ≤ 1e-11 — exact
+    * pmf by recurrence, no approximation. A pair ABOVE τ misses even
+    * less, so pruning candidates past h adds ≤ 1e-11 per-pair miss on
+    * top of the banding bound (≤ 1e-8) — invisible to the oracle. */
+  private[ann] def fpPruneDist(tau: Double): Int = {
+    val p = math.acos(math.min(1.0, math.max(-1.0, tau))) / math.Pi
+    if (p <= 0.0) return 0
+    val pmf = new Array[Double](65)
+    pmf(0) = math.pow(1 - p, 64)
+    var k = 1
+    while (k <= 64) {
+      pmf(k) = pmf(k - 1) * (64 - k + 1) / k * p / (1 - p)
+      k += 1
+    }
+    var h = 64
+    var tail = 0.0
+    while (h > 0 && tail + pmf(h) <= 1e-11) { tail += pmf(h); h -= 1 }
+    h
   }
 
   /** SRP-LSH parameter selection for near-dup detection at threshold
@@ -209,7 +265,8 @@ object Similarity {
     * all `bands` 8-24-bit sign blocks to disagree (P ≤ 1e-8). */
   def embCosPairs(e: DataFrame, tau: Double, n: Long = -1L): DataFrame = {
     val (bands, bits) = srpParams(if (n >= 0) n else e.count(), tau)
-    VectorKernels.scorePairs(lshCandidates(e, bands, bits), e, tau)
+    VectorKernels.scorePairs(
+      lshCandidates(e, bands, bits, fpPruneDist(tau)), e, tau)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -316,6 +316,27 @@ object SrpKernel {
     }
     new GenericArrayData(keys)
   }
+
+  /** One 64-bit SRP fingerprint from planes [offset, offset+64). With
+    * `offset` = the banding pass's plane count, the fingerprint bits
+    * are INDEPENDENT of bucket membership — the property the in-bucket
+    * hamming prune's miss bound relies on (conditioning on a band
+    * collision must not tilt the fingerprint distribution). */
+  def fpKey(a: ArrayData, offset: Int): Long = {
+    val v = a.toDoubleArray()
+    val m = signs(offset + 64, v.length)
+    var key = 0L
+    var j = 0
+    while (j < 64) {
+      val s = m(offset + j)
+      var proj = 0.0
+      var i = 0
+      while (i < v.length) { proj += v(i) * s(i); i += 1 }
+      if (proj > 0) key |= (1L << j)
+      j += 1
+    }
+    key
+  }
 }
 
 /** Codegen'd SRP banding of an `array<double>` embedding: `bands` 64-bit
@@ -494,6 +515,39 @@ object PairKernel {
     new GenericArrayData(out.toArray)
   }
 
+  /** Packed pairs of a sorted (id, fp) bucket with the fingerprint
+    * hamming verify fused into the emit loop — see
+    * [[FpPackedPairsExpr]]. */
+  def fpPackedPairs(a: ArrayData, maxDist: Int): ArrayData = {
+    val n = a.numElements()
+    checkBucket(n, "fp_packed_pairs")
+    val ids = new Array[Long](n)
+    val fps = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val row = a.getStruct(i, 2)
+      ids(i) = row.getLong(0); fps(i) = row.getLong(1)
+      if (ids(i) < 0 || ids(i) > MaxId)
+        throw new IllegalArgumentException(
+          s"fp_packed_pairs: ids must be in [0, $MaxId], got ${ids(i)} at $i")
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuilder.ofLong
+    i = 0
+    while (i < n) {
+      val hi = ids(i) << 31
+      val fi = fps(i)
+      var j = i + 1
+      while (j < n) {
+        if (java.lang.Long.bitCount(fi ^ fps(j)) <= maxDist)
+          out += (hi | ids(j))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.result())
+  }
+
   def packedPairs(a: ArrayData): ArrayData = {
     val v = a.toLongArray()
     val n = v.length
@@ -641,6 +695,81 @@ case class SrpBandsFpExpr(child: Expression, bands: Int, bitsPerBand: Int)
     copy(child = c)
 }
 
+/** 64-bit SRP fingerprint of an `array<double>` embedding from planes
+  * [planeOffset, planeOffset+64) — the extra-signature companion to
+  * [[SrpBandsExpr]] for in-bucket candidate pruning (pass the banding
+  * pass's plane count as the offset so the two sign sets are disjoint). */
+case class SrpFpExpr(child: Expression, planeOffset: Int)
+    extends UnaryExpression {
+  require(planeOffset >= 0, s"srp_fp: bad plane offset $planeOffset")
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "srp_fp"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"srp_fp requires an array<double> argument, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    SrpKernel.fpKey(v.asInstanceOf[ArrayData], planeOffset)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.SrpKernel.fpKey($a, $planeOffset);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Packed candidate pairs of one LSH bucket, pre-filtered INSIDE the
+  * generator to fingerprint hamming ≤ `maxDist` (the
+  * [[HammingPairsExpr]] verify-in-kernel pattern composed with
+  * [[PackedPairsExpr]]'s one-long-per-pair wire shape): input a sorted
+  * `array<struct<id, fp>>`, output `array<bigint>` of (id_a<<31)|id_b
+  * for the surviving pairs only. The point is what never leaves the
+  * bucket: sub-threshold junk candidates (the vast majority at scale —
+  * band collisions of near-orthogonal vectors) are killed by one
+  * XOR+popcount before the pair-distinct exchange and the two
+  * embedding-array scorer joins, the wire-dominant stages of the
+  * cosine dedup path. Same named fail-fasts as the sibling kernels. */
+case class FpPackedPairsExpr(child: Expression, maxDist: Int)
+    extends UnaryExpression {
+  require(maxDist >= 0 && maxDist <= 64, s"fp_packed_pairs: bad maxDist $maxDist")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "fp_packed_pairs"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+    child.dataType match {
+      case ArrayType(st: StructType, _)
+          if st.fields.length == 2 &&
+            st.fields(0).dataType == LongType &&
+            st.fields(1).dataType == LongType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"fp_packed_pairs requires array<struct<bigint, bigint>>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(v: Any): Any =
+    PairKernel.fpPackedPairs(v.asInstanceOf[ArrayData], maxDist)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"${ev.value} = graft.dedup.PairKernel.fpPackedPairs($a, $maxDist);")
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
 object SignatureExprs {
   def simhash64Fast(text: Column): Column =
     CatalystBridge.column(SimHash64Expr(CatalystBridge.expression(text)))
@@ -661,6 +790,11 @@ object SignatureExprs {
       SrpBandsFpExpr(CatalystBridge.expression(qe), bands, bitsPerBand))
   def packedPairs(ids: Column): Column =
     CatalystBridge.column(PackedPairsExpr(CatalystBridge.expression(ids)))
+  def srpFp(emb: Column, planeOffset: Int): Column =
+    CatalystBridge.column(SrpFpExpr(CatalystBridge.expression(emb), planeOffset))
+  def fpPackedPairs(members: Column, maxDist: Int): Column =
+    CatalystBridge.column(
+      FpPackedPairsExpr(CatalystBridge.expression(members), maxDist))
   def hammingPairs(members: Column, maxDist: Int): Column =
     CatalystBridge.column(
       HammingPairsExpr(CatalystBridge.expression(members), maxDist))

@@ -143,6 +143,26 @@ class SimilaritySpec extends SparkSpec {
     assert(dist == dense) // same pairs AND bit-identical cos6 values
   }
 
+  test("fpPruneDist: conservative tail bound, monotone in tau") {
+    // tau = 1 ⇒ a true pair's fingerprints are identical: keep only d=0
+    assert(Similarity.fpPruneDist(1.0) == 0)
+    // the dedup_embcos config: threshold far above the τ-pair hamming
+    // mean (64·acos(.99)/π ≈ 2.9) yet far below a junk pair's (~32)
+    val h99 = Similarity.fpPruneDist(0.99)
+    assert(h99 >= 10 && h99 <= 40, s"h99=$h99")
+    // exact-tail check: P(Binom(64, p) > h) ≤ 1e-11 ≤ P(> h-1)
+    val p = math.acos(0.99) / math.Pi
+    def tail(h: Int): Double = {
+      val logC = (k: Int) => (1 to k).map(i =>
+        math.log(64.0 - i + 1) - math.log(i.toDouble)).sum
+      ((h + 1) to 64).map(k => math.exp(
+        logC(k) + k * math.log(p) + (64 - k) * math.log1p(-p))).sum
+    }
+    assert(tail(h99) <= 1e-11 && tail(h99 - 1) > 1e-11, s"h99=$h99")
+    // lower tau ⇒ noisier fingerprints ⇒ looser (larger) threshold
+    assert(Similarity.fpPruneDist(0.95) >= h99)
+  }
+
   test("srpParams: bits scales with log2(n), bands bounds the miss rate") {
     val (bandsSmall, bitsSmall) = Similarity.srpParams(1000L, 0.99)
     assert(bitsSmall == 9 && bandsSmall == 18) // 2-doc bucket target

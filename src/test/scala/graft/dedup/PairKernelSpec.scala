@@ -106,6 +106,72 @@ class PairKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!got.contains((1L, 6L)))
   }
 
+  test("fpPackedPairs == packedPairs at maxDist 64; filters exactly at lower") {
+    val members = Seq(
+      (1L, 0x0L), (2L, 0x3L), (5L, 0xFFL), (9L, 0x1L),
+      (11L, 0xFFFFFFFFFFFFFFFL), (12L, -1L))
+    for (maxD <- Seq(0, 2, 6, 64)) {
+      val got = Seq(Tuple1(members)).toDF("ms")
+        .select(explode(SignatureExprs.fpPackedPairs(col("ms"), maxD)).as("pk"))
+        .select(shiftrightunsigned(col("pk"), 31).as("a"),
+          col("pk").bitwiseAND(lit((1L << 31) - 1)).as("b"))
+        .as[(Long, Long)].collect().toSeq.sorted
+      val want = (for {
+        i <- members.indices; j <- (i + 1) until members.length
+        if java.lang.Long.bitCount(members(i)._2 ^ members(j)._2) <= maxD
+      } yield (members(i)._1, members(j)._1)).sorted
+      assert(got == want, s"maxD=$maxD")
+    }
+    // same named fail-fasts as the sibling kernels
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ causes(x.getCause))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1(Seq((PairKernel.MaxId + 1, 0L), (PairKernel.MaxId + 2, 0L))))
+        .toDF("ms")
+        .select(explode(SignatureExprs.fpPackedPairs(col("ms"), 64)))
+        .collect()
+    }
+    assert(causes(e1).exists(m =>
+      m.contains("fp_packed_pairs") && m.contains("ids must be")),
+      causes(e1).mkString)
+    val e2 = intercept[org.apache.spark.SparkException] {
+      Seq(Tuple1((0L to PairKernel.MaxBucketMembers.toLong).map(i => (i, 0L))))
+        .toDF("ms")
+        .select(explode(SignatureExprs.fpPackedPairs(col("ms"), 64)))
+        .collect()
+    }
+    assert(causes(e2).exists(m =>
+      m.contains("fp_packed_pairs") && m.contains("MaxBucketMembers")),
+      causes(e2).mkString)
+  }
+
+  test("srpFp: scalar sign-matrix replay; offset planes disjoint from bands") {
+    val emb = Array.tabulate(16)(i => math.sin(i * 1.7) + 0.3)
+    for (off <- Seq(0, 64, 18 * 32)) {
+      val got = Seq(Tuple1(emb.toSeq)).toDF("emb")
+        .select(SignatureExprs.srpFp(col("emb"), off).as("fp"))
+        .as[Long].head()
+      val m = SrpKernel.signMatrix(off + 64, emb.length)
+      var want = 0L
+      for (j <- 0 until 64) {
+        val proj = (0 until emb.length).map(i => emb(i) * m(off + j)(i)).sum
+        if (proj > 0) want |= (1L << j)
+      }
+      assert(got == want, s"offset=$off")
+    }
+    // identity: fp at offset 0 == the 8×8-bit band keys re-packed —
+    // bands and fp read the SAME deterministic plane matrix
+    val fp0 = Seq(Tuple1(emb.toSeq)).toDF("emb")
+      .select(SignatureExprs.srpFp(col("emb"), 0).as("fp")).as[Long].head()
+    val bandKeys = Seq(Tuple1(emb.toSeq)).toDF("emb")
+      .select(SignatureExprs.srpBands(col("emb"), 8, 8).as("ks"))
+      .as[Seq[Long]].head()
+    val repacked = bandKeys.zipWithIndex
+      .map { case (k, b) => k << (8 * b) }.reduce(_ | _)
+    assert(fp0 == repacked)
+  }
+
   test("hammingPairs equals the explode + bit_count filter it replaced") {
     val members = Seq(
       (1L, 0x0L), (2L, 0x3L), (5L, 0xFFL), (9L, 0x1L),
