@@ -102,6 +102,23 @@ object Dedup {
     "dedup_ngram" -> ((s, d) =>
       queriesNgramPairs(s, d).orderBy(col("id_a"), col("id_b"))),
 
+    // Asymmetric CONTAINMENT pairs (|A∩B| / min(|A|,|B|) ≥ 0.9): the
+    // boilerplate/quote detector Jaccard structurally misses — a small
+    // doc fully embedded in a large one has high containment but LOW
+    // Jaccard (J ≤ min/max), so a symmetric threshold never fires.
+    // Shares [[sizedPairsCached]] with dedup_ngram: the exact prune
+    // bound (4·I ≥ 3·min_nsh) already covers the 0.9·min containment
+    // requirement, so this whole query is a map-only integer filter
+    // over the one cached pair frame — no new shuffle anywhere.
+    "dedup_containment" -> ((s, d) =>
+      sizedPairsCached(s, d)
+        .filter(col("n_inter") * 10 >= least(col("n_a"), col("n_b")) * 9)
+        .select(col("id_a"), col("id_b"), col("n_inter"),
+          least(col("n_a"), col("n_b")).as("n_small"),
+          round(col("n_inter").cast("double") /
+            least(col("n_a"), col("n_b")), 6).as("cont6"))
+        .orderBy(col("id_a"), col("id_b"))),
+
     // End-to-end dedup pipeline: near-dup pairs (J ≥ 0.6) → keep the
     // smallest doc_id of each duplicate set's pairs → surviving corpus.
     "dedup_pipeline" -> ((s, d) => {
@@ -240,14 +257,32 @@ object Dedup {
   )
 
   /** Exact n-gram Jaccard pairs (J ≥ 0.6, 3-gram shingles): distinct
-    * shingles exploded, self-joined on the shingle (one shuffle keyed by
-    * shingle — word-count shape), intersection counts vs set sizes.
-    *
-    * Memoized per (session, dir) as a cached materialized intermediate:
-    * `dedup_ngram` and `dedup_pipeline` share the pair computation — the
-    * standard shared-subexpression materialization a pipeline scheduler
-    * would do. */
+    * shingles exploded, grouped postings keyed by shingle hash,
+    * intersection counts vs set sizes — a map-only threshold filter
+    * over [[sizedPairsCached]] (the memoized shared artifact;
+    * `dedup_ngram`, `dedup_pipeline`, `dedup_clusters` and
+    * `dedup_containment` all derive from it — the standard
+    * shared-subexpression materialization a pipeline scheduler would
+    * do). */
   def queriesNgramPairs(s: SparkSession, d: String): DataFrame =
+    sizedPairsCached(s, d)
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")))
+      .filter(col("jaccard") >= 0.6)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+
+  /** Sized prune survivors — (id_a, id_b, n_inter, n_a, n_b) with NO
+    * similarity threshold applied — memoized per (session, dir) as THE
+    * shared pair artifact: the exact pre-join prune keeps every pair
+    * with 4·I ≥ 3·min_nsh, which covers both downstream thresholds
+    * (J ≥ 0.6 ⟹ I ≥ 0.75·min(n_a,n_b); containment ≥ 0.9 ⟹ I ≥
+    * 0.9·min(n_a,n_b); both ≥ the corpus-min bound), so `dedup_ngram`'s
+    * Jaccard pairs AND `dedup_containment`'s asymmetric pairs are
+    * map-only filters over this one cached frame — the expensive
+    * candidate-count shuffle runs once per corpus, not per threshold
+    * family. */
+  def sizedPairsCached(s: SparkSession, d: String): DataFrame =
     pairsMemo.getOrElseUpdate((s, d), buildNgramPairs(s, d).cache())
 
   /** Connected-component labels over the near-dup graph, memoized per
@@ -361,10 +396,8 @@ object Dedup {
     surv
       .join(sizes.withColumnRenamed("doc_id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
       .join(sizes.withColumnRenamed("doc_id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
-      .withColumn("jaccard",
-        col("n_inter").cast("double") / (col("n_a") + col("n_b") - col("n_inter")))
-      .filter(col("jaccard") >= 0.6)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        col("n_a"), col("n_b"))
   }
 
   /** Connected components by alternating min-label propagation:
@@ -664,6 +697,19 @@ object Dedup {
          |JOIN sizes sa ON sa.doc_id = id_a
          |JOIN sizes sb ON sb.doc_id = id_b
          |WHERE CAST(n_inter AS DOUBLE) / (sa.n_sh + sb.n_sh - n_inter) >= 0.6
+         |ORDER BY id_a, id_b""".stripMargin,
+    // same shingle CTEs, asymmetric min-side threshold (integer
+    // cross-multiplied; the ratio only surfaces as the rounded readout)
+    "dedup_containment" ->
+      s"""WITH $ngramOracleCtes
+         |SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+         |  CAST(least(sa.n_sh, sb.n_sh) AS BIGINT) AS n_small,
+         |  round(CAST(n_inter AS DOUBLE) / least(sa.n_sh, sb.n_sh), 6)
+         |    AS cont6
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE n_inter * 10 >= least(sa.n_sh, sb.n_sh) * 9
          |ORDER BY id_a, id_b""".stripMargin,
     // connected components of the near-dup graph: transitive closure via
     // recursive CTE (min reachable id per node) — exact same cluster

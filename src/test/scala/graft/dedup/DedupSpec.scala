@@ -135,6 +135,56 @@ class DedupSpec extends SparkSpec {
     assert(lsh.subsetOf(exact))
   }
 
+  test("dedup_containment: scalar shingle-set replay; catches what Jaccard misses") {
+    val out = Dedup.queries("dedup_containment")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // scalar reference: string shingles, df cap, min-side containment
+    val texts = Dedup.docsWithNearDups(spark, sf0001)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1))
+    def shingles(t: String): Set[String] = {
+      val ws = t.split(" ", -1)
+      if (ws.length <= 3) Set(ws.mkString(" "))
+      else (0 to ws.length - 3).map(i => ws.slice(i, i + 3).mkString(" ")).toSet
+    }
+    val raw = texts.map { case (id, t) => id -> shingles(t) }
+    val df = raw.flatMap(_._2).groupBy(identity).view.mapValues(_.length).toMap
+    val capped = raw.map { case (id, sh) =>
+      id -> sh.filter(df(_) <= 32) }.filter(_._2.nonEmpty).toMap
+    val want = (for {
+      Seq((a, sa), (b, sb)) <- capped.toSeq.sortBy(_._1).combinations(2)
+      i = (sa & sb).size.toLong
+      m = math.min(sa.size, sb.size).toLong
+      if i * 10 >= m * 9
+    } yield (a, b) -> (i, m,
+      BigDecimal(i.toDouble / m).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)).toMap
+    assert(out == want,
+      s"missing=${(want.keySet -- out.keySet).take(5)} " +
+        s"extra=${(out.keySet -- want.keySet).take(5)}")
+    // non-vacuous + the asymmetry itself: containment dominates Jaccard
+    // pointwise (I/min ≥ I/union), STRICTLY whenever set sizes differ —
+    // which the planted drop-one-word near-dups guarantee. (This corpus
+    // plants no small-inside-big docs, so set-level yield beyond J ≥ 0.6
+    // would be a vacuous check here; the small-in-big semantics are
+    // pinned scalar-level below.)
+    val jd = Dedup.queries("dedup_ngram")(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out.nonEmpty)
+    val shared = out.keySet & jd.keySet
+    assert(shared.nonEmpty)
+    shared.foreach { k =>
+      assert(out(k)._3 >= jd(k) - 1e-9, s"$k: cont ${out(k)._3} < J ${jd(k)}") }
+    assert(shared.exists(k => out(k)._3 > jd(k) + 1e-9),
+      "no pair with containment strictly above Jaccard")
+    // small-in-big: a 10-shingle doc fully inside a 40-shingle doc is
+    // invisible to J ≥ 0.6 (J ≤ 0.25) but containment-1.0 — the exact
+    // integer predicates the query and oracle share
+    val (i, mSmall, big) = (10L, 10L, 40L)
+    assert(i * 10 >= mSmall * 9 && i.toDouble / (mSmall + big - i) < 0.6)
+  }
+
   test("simhash: planted near-dups are within hamming 6 and reported") {
     val out = Dedup.queries("dedup_simhash")(spark, sf0001)
     val pairs = out.select("id_a", "id_b").collect()
