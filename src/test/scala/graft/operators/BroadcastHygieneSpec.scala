@@ -28,7 +28,12 @@ class BroadcastHygieneSpec extends SparkSpec {
     ("dq_checks", 0, "FK probes are shuffle-hash, never broadcast"),
     ("text_surprisal", 1, "the 1-row corpus-total frame"),
     ("assoc_rules", 1, "the 1-row basket-census frame"),
-    ("langid_nb", 3, "1-row vocab + |langs|-row prior and total frames"))
+    ("langid_nb", 3, "1-row vocab + |langs|-row prior and total frames"),
+    ("quantile_exact", 0, "target-bin frame joined unhinted (AQE-sized)"),
+    ("stream_quantile", 0, "pure aggregation + windows — no join at all"),
+    ("dedup_containment", 1, "the 1-row corpus-min shingle-count frame"),
+    ("dedup_embcos", 1,
+      "the 1-row id-stride frame (augmentation); candidates and scorer joins unhinted"))
 
   test("no broadcast beyond the pinned bounded-hint budget (threshold -1)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"
