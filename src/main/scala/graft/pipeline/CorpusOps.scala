@@ -521,6 +521,63 @@ object CorpusOps {
           sum(col("dbc") * expr("(c1 * 1000000L) div c2")).as("lm_ppm"))
         .orderBy(col("doc_id"))
     }),
+
+    // HELD-OUT perplexity filtering (the CCNet-style pretraining gate):
+    // train an add-one-smoothed bigram LM on half the corpus (doc_id
+    // even), score the OTHER half, flag high-perplexity docs — the one
+    // case text_bigram_lm cannot exercise: a scored doc's bigram may be
+    // UNSEEN by the model, so both probe joins are LEFT joins and the
+    // smoothing backoff (c2=0 ⟹ p = 1/(c1+V); unseen w1 ⟹ 1/V) is the
+    // hot path, exactly as in production where the LM is trained on a
+    // reference corpus. Arithmetic is the integer inverse-probability
+    // discipline: inv(w1,w2) = (c1+V)·10⁶ div (c2+1) — one truncating
+    // div per DISTINCT doc transition, multiplicity-weighted, then one
+    // div for the per-doc mean — bit-stable cross-engine. Scale shape:
+    // the scored triple stream is collapsed to distinct (doc, w1, w2)
+    // counts first (one map-side-combined exchange); the c2 probe is
+    // UNHINTED (observed-bigram tables outgrow broadcast; AQE still
+    // broadcasts small corpora), the c1 probe is vocab-sized and
+    // unhinted, V is a 1-row broadcast. Census output is |langs| rows.
+    "text_ppl_filter" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), split(col("text"), " ").as("ws"))
+      def bigrams(df: DataFrame): DataFrame = df
+        .select(col("doc_id"), col("lang"),
+          explode(arrays_zip(
+            slice(col("ws"), lit(1), size(col("ws")) - 1),
+            slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
+        .select(col("doc_id"), col("lang"),
+          col("b.0").as("w1"), col("b.1").as("w2"))
+      val train = bigrams(docs.filter(col("doc_id") % 2 === 0))
+      val c2 = train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2"))
+      val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
+      val v = c1.agg(count(lit(1)).as("v")) // model contexts, 1 row
+      val dbg = bigrams(docs.filter(col("doc_id") % 2 =!= 0))
+        .groupBy(col("doc_id"), col("lang"), col("w1"), col("w2"))
+        .agg(count(lit(1)).as("dbc"))
+      val perDoc = dbg
+        .join(c2, Seq("w1", "w2"), "left")
+        .join(c1, Seq("w1"), "left")
+        .crossJoin(broadcast(v))
+        .select(col("doc_id"), col("lang"), col("dbc"),
+          (coalesce(col("c1"), lit(0L)) + col("v")).as("den"),
+          (coalesce(col("c2"), lit(0L)) + 1L).as("num"))
+        .groupBy(col("doc_id"), col("lang"))
+        .agg(sum(col("dbc")).as("nb"),
+          sum(col("dbc") * expr("(den * 1000000L) div num")).as("inv_sum"))
+        .withColumn("inv_ppm", expr("inv_sum div nb"))
+      perDoc
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("inv_ppm") > 50000000L, 1L).otherwise(0L))
+            .as("n_flagged"),
+          sum(col("inv_ppm")).as("inv_total"))
+        .withColumn("avg_inv_ppm", expr("inv_total div n_docs"))
+        .select(col("lang"), col("n_docs"), col("n_flagged"),
+          col("avg_inv_ppm"))
+        .orderBy(col("lang"))
+    }),
   )
 
   def oracle: Map[String, String] = Map(
@@ -765,5 +822,39 @@ object CorpusOps {
         |  CAST(sum((c1.c1 * 1000000) // c2.c2) AS BIGINT) AS lm_ppm
         |FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
         |GROUP BY bg.doc_id ORDER BY bg.doc_id""".stripMargin,
+    // identical even/odd split, add-one backoff via LEFT joins, the
+    // same two truncating integer divisions
+    "text_ppl_filter" ->
+      """WITH d AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |tbg AS (
+        |  SELECT unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM d WHERE doc_id % 2 = 0),
+        |c2 AS (SELECT w1, w2, count(1) AS c2 FROM tbg GROUP BY 1, 2),
+        |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+        |v AS (SELECT count(1) AS v FROM c1),
+        |sbg AS (
+        |  SELECT doc_id, lang,
+        |    unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM d WHERE doc_id % 2 <> 0),
+        |dbg AS (
+        |  SELECT doc_id, lang, w1, w2, count(1) AS dbc
+        |  FROM sbg GROUP BY 1, 2, 3, 4),
+        |perdoc AS (
+        |  SELECT doc_id, lang,
+        |    CAST(sum(dbc * (((coalesce(c1.c1, 0) + v.v) * 1000000)
+        |      // (coalesce(c2.c2, 0) + 1))) AS BIGINT)
+        |      // CAST(sum(dbc) AS BIGINT) AS inv_ppm
+        |  FROM dbg
+        |  LEFT JOIN c2 USING (w1, w2)
+        |  LEFT JOIN c1 USING (w1)
+        |  CROSS JOIN v
+        |  GROUP BY doc_id, lang)
+        |SELECT lang, CAST(count(1) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN inv_ppm > 50000000 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged,
+        |  CAST(sum(inv_ppm) // count(1) AS BIGINT) AS avg_inv_ppm
+        |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
   )
 }

@@ -33,7 +33,9 @@ class BroadcastHygieneSpec extends SparkSpec {
     ("stream_quantile", 0, "pure aggregation + windows — no join at all"),
     ("dedup_containment", 1, "the 1-row corpus-min shingle-count frame"),
     ("dedup_embcos", 1,
-      "the 1-row id-stride frame (augmentation); candidates and scorer joins unhinted"))
+      "the 1-row id-stride frame (augmentation); candidates and scorer joins unhinted"),
+    ("text_ppl_filter", 1,
+      "the 1-row model-vocab frame; c2/c1 probes unhinted LEFT joins"))
 
   test("no broadcast beyond the pinned bounded-hint budget (threshold -1)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"

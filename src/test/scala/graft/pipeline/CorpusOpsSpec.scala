@@ -150,6 +150,40 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("text_ppl_filter: scalar replay of held-out scoring incl. the backoff path") {
+    val rows = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("lang"), col("text")).collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getString(2).split(" ", -1).toSeq))
+    def bgs(ws: Seq[String]) = ws.zip(ws.drop(1))
+    val c2 = rows.filter(_._1 % 2 == 0).flatMap(r => bgs(r._3))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = c2.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val v = c1.size.toLong
+    val perDoc = rows.filter(_._1 % 2 != 0).flatMap { case (id, lang, ws) =>
+      val bs = bgs(ws)
+      if (bs.isEmpty) None else {
+        val inv = bs.groupBy(identity).map { case (b, occ) =>
+          occ.length.toLong *
+            ((c1.getOrElse(b._1, 0L) + v) * 1000000L / (c2.getOrElse(b, 0L) + 1L))
+        }.sum
+        Some((lang, inv / bs.length))
+      }
+    }
+    // the held-out split must actually exercise the backoff (unseen
+    // bigrams in the scored half) or the LEFT joins are dead code
+    val scored = rows.filter(_._1 % 2 != 0).flatMap(r => bgs(r._3))
+    assert(scored.exists(b => !c2.contains(b)), "no unseen bigram scored")
+    val want = perDoc.groupBy(_._1).map { case (lang, xs) =>
+      lang -> (xs.length.toLong,
+        xs.count(_._2 > 50000000L).toLong,
+        xs.map(_._2).sum / xs.length) }
+    val got = run("text_ppl_filter").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
   test("emb_centroid fixed-point result is within 2^-20 of the exact mean") {
     val exact = graft.Tables.embeddings(spark, sf0001)
       .select(col("label"),
