@@ -28,5 +28,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(graft.functions.ExtremumByOrd.minFunctionDescription)
     e.injectFunction(graft.functions.ExtremumByOrd.maxFunctionDescription)
     e.injectPlannerStrategy(_ => AsOfJoinStrategy)
+    e.injectOptimizerRule(_ => graft.plans.PushFilterThroughAsOfJoin)
   }
 }

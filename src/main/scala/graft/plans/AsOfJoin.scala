@@ -72,9 +72,16 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
     val rkB = BindReferences.bindReference(rightKey, right.output)
     val rtB = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.size
+    val outAttrs = output
     left.execute().zipPartitions(right.execute()) { (lIt, rIt) =>
       val nullRight = new GenericInternalRow(rightWidth)
       val joined = new JoinedRow
+      // emit UnsafeRows: a JoinedRow reaching an exchange/serializer
+      // directly (e.g. when pushdown leaves NO projection between this
+      // node and a Sort) is a ClassCastException — every exec node owes
+      // its consumers the unsafe format unless it declares otherwise
+      val toUnsafe = org.apache.spark.sql.catalyst.expressions
+        .UnsafeProjection.create(outAttrs, outAttrs)
       val rBuf = rIt.buffered
       var candKey = Long.MinValue
       var cand: InternalRow = null
@@ -82,7 +89,7 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
         val lk = lkB.eval(lrow)
         val lt = ltB.eval(lrow)
         if (lk == null || lt == null) {
-          joined(lrow, nullRight)
+          toUnsafe(joined(lrow, nullRight))
         } else {
           val lKey = lk.asInstanceOf[Long]
           val lTs = lt.asInstanceOf[Long]
@@ -102,8 +109,8 @@ case class AsOfJoinExec(left: SparkPlan, right: SparkPlan,
               } else advance = false
             }
           }
-          if (cand != null && candKey == lKey) joined(lrow, cand)
-          else joined(lrow, nullRight)
+          if (cand != null && candKey == lKey) toUnsafe(joined(lrow, cand))
+          else toUnsafe(joined(lrow, nullRight))
         }
       }
     }
@@ -155,6 +162,7 @@ object AsOfJoin {
       tieBreak: Option[String] = None): DataFrame = {
     val spark: SparkSession = leftDf.sparkSession
     CatalystBridge.addStrategy(spark, AsOfJoinStrategy)
+    CatalystBridge.addOptimization(spark, PushFilterThroughAsOfJoin)
     val lPlan = CatalystBridge.analyzed(leftDf)
     val rPlan = CatalystBridge.analyzed(rightDf)
     def attr(p: LogicalPlan, n: String): Attribute =

@@ -43,4 +43,16 @@ object CatalystBridge {
     if (!cs.experimental.extraStrategies.contains(s))
       cs.experimental.extraStrategies = cs.experimental.extraStrategies :+ s
   }
+
+  /** Add an optimizer rule to the session (idempotent). Runs in the
+    * optimizer's fixed-point "User Provided Optimizers" batch — early
+    * enough that a Filter a rule lands on a relation still reaches the
+    * file source's PushedFilters at physical planning. */
+  def addOptimization(spark: SparkSession,
+      r: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    if (!cs.experimental.extraOptimizations.contains(r))
+      cs.experimental.extraOptimizations = cs.experimental.extraOptimizations :+ r
+  }
 }

@@ -64,4 +64,58 @@ class AsOfJoinSpec extends SparkSpec {
       .select($"v").collect()
     assert(out.head.getDouble(0) == 3.0) // inclusive: rt == t wins
   }
+
+  test("optimizer rule pushes left-only filters below the join, mirrors key filters") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("p_ts"),
+        col("event_id").as("p_event_id"), col("value").as("p_value"))
+    val filtered = AsOfJoin
+      .asof(ev, purchases, "user_id", "p_user_id", "ts", "p_ts",
+        tieBreak = Some("p_event_id"))
+      .filter(col("user_id") < 50 && col("event_type") === "view")
+    // results: pushing must equal filtering the inputs up front
+    val want = AsOfJoin.asof(
+        ev.filter(col("user_id") < 50 && col("event_type") === "view"),
+        purchases, "user_id", "p_user_id", "ts", "p_ts",
+        tieBreak = Some("p_event_id"))
+      .orderBy(col("event_id")).collect().toSeq
+    assert(filtered.orderBy(col("event_id")).collect().toSeq == want)
+    // plan: both conjuncts sit BELOW the join, and the key conjunct is
+    // mirrored onto the right child too
+    val opt = filtered.queryExecution.optimizedPlan
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    val j = opt.collectFirst { case a: AsOfJoinPlan => a }.get
+    def filtersIn(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+      p.collect { case f: Filter => f.condition.sql }.mkString(" AND ")
+    assert(filtersIn(j.left).contains("user_id"), filtersIn(j.left))
+    assert(filtersIn(j.left).contains("event_type"), filtersIn(j.left))
+    assert(filtersIn(j.right).contains("p_user_id"), filtersIn(j.right))
+    assert(opt.collectFirst { case f: Filter
+        if f.child.isInstanceOf[AsOfJoinPlan] => f }.isEmpty,
+      s"left-only filter stayed above the join:\n$opt")
+    // and the pushed predicate reaches the parquet scan
+    val phys = filtered.queryExecution.executedPlan.toString
+    assert(phys.contains("PushedFilters: [IsNotNull(user_id), LessThan(user_id,50)") ||
+      phys.contains("LessThan(user_id,50)"), phys.take(4000))
+  }
+
+  test("optimizer rule leaves right-referencing filters above (semantics!)") {
+    // filtering the right side on a non-key column would RE-MATCH an
+    // earlier purchase instead of dropping the row — assert the rule
+    // refuses, and that results equal the filter-last definition
+    val left = Seq((1L, 5L, 100L)).toDF("id", "k", "t")
+    val right = Seq((5L, 90L, 0.0), (5L, 80L, 9.0)).toDF("k2", "rt", "v")
+    val out = AsOfJoin.asof(left, right, "k", "k2", "t", "rt")
+      .filter(col("v") > 1.0)
+    // as-of matches rt=90 (v=0.0), the filter then drops the row: the
+    // correct answer is EMPTY — a naive right-side push would return 9.0
+    assert(out.collect().isEmpty)
+    val j = out.queryExecution.optimizedPlan
+      .collectFirst { case a: AsOfJoinPlan => a }.get
+    import org.apache.spark.sql.catalyst.plans.logical.Filter
+    assert(j.right.collect { case f: Filter => f }
+      .forall(!_.condition.sql.contains("v")),
+      "right-referencing predicate was pushed into the right child")
+  }
 }
