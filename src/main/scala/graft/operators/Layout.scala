@@ -100,6 +100,36 @@ object Layout {
   private val bucketMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), (String, String)]()
 
+  /** One-time-per-(session, dir) month-partitioned copy of lineitem —
+    * the date-partitioned fact layout every warehouse keeps. Pays the
+    * partitioned write once; `join_dpp` then proves Spark's DYNAMIC
+    * partition pruning over it: a dim-side filter that only becomes
+    * concrete at runtime (quarter → months) prunes fact PARTITIONS via
+    * the `dynamicpruningexpression` subquery instead of scanning
+    * everything (LayoutSpec asserts the pruning in the executed plan).
+    * At 100 TB this is the difference between reading 3 months and
+    * reading 7 years. */
+  def monthPartitionedLineitem(s: SparkSession, d: String): String =
+    dppMemo.getOrElseUpdate((s, d), {
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp/$tag"
+      val t = s"graft_lineitem_ym_$tag"
+      Tables.lineitem(s, d)
+        .select(col("l_extendedprice"), col("l_quantity"),
+          date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
+        // one file per partition: the monthly marginal is small and the
+        // point is the partition PRUNING, not intra-month parallelism
+        .repartition(col("ym"))
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .option("path", base)
+        .saveAsTable(t)
+      t
+    })
+
+  private val dppMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Co-located fact×dim join over the bucketed layout: merge join with
@@ -119,6 +149,31 @@ object Layout {
           sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
             .as("sum_price"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // Dynamic partition pruning: the month-partitioned fact joined to a
+    // COMPUTED calendar dim (sequence of months with quarter labels — a
+    // local relation, nothing scanned) filtered to one quarter. The
+    // month set is only concrete at runtime, so static pruning can't
+    // fire; Spark inserts a dynamicpruningexpression subquery on the
+    // partition column and the fact scan reads 3 of ~84 month
+    // partitions (plan-asserted in LayoutSpec). Values replay on the
+    // raw parquet in DuckDB with the same quarter predicate.
+    "join_dpp" -> ((s, d) => {
+      val fact = s.table(monthPartitionedLineitem(s, d))
+      val dim = s.range(1)
+        .select(explode(expr(
+          "sequence(to_date('1992-01-01'), to_date('1998-12-01')," +
+            " interval 1 month)")).as("m"))
+        .select(date_format(col("m"), "yyyy-MM").as("ym"),
+          concat(date_format(col("m"), "yyyy"), lit("-Q"),
+            quarter(col("m")).cast("string")).as("qtr"))
+      fact.join(dim.filter(col("qtr") === "1996-Q1"), "ym")
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("revenue"))
+        .orderBy(col("ym"))
     }),
 
     // Z-order clustering key over (customer, price): the layout sort key
@@ -179,6 +234,15 @@ object Layout {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // same quarter predicate applied directly to the raw parquet
+    "join_dpp" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |WHERE strftime(l_shipdate, '%Y-%m') IN ('1996-01', '1996-02', '1996-03')
+        |GROUP BY 1 ORDER BY ym""".stripMargin,
     "layout_zorder" -> {
       val z = zvalueSql("zx", "zy")
       s"""WITH t AS (

@@ -181,6 +181,27 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("join_dpp: runtime dynamic pruning reads only the dim-selected partitions") {
+    val out = Layout.queries("join_dpp")(spark, sf0001)
+    val rows = out.collect()
+    // one quarter: exactly the three 1996-Q1 months, nothing else
+    assert(rows.map(_.getString(0)).toSeq == Seq("1996-01", "1996-02", "1996-03"))
+    // the executed fact scan must carry the runtime pruning subquery on
+    // the partition column — NOT a full read filtered later
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP subquery in:\n${plan.take(3000)}")
+    // and values equal the direct predicate on the raw parquet
+    val want = graft.Tables.lineitem(spark, sf0001)
+      .withColumn("ym", date_format(col("l_shipdate"), "yyyy-MM"))
+      .filter(col("ym").isin("1996-01", "1996-02", "1996-03"))
+      .groupBy(col("ym"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+          .as("revenue"))
+      .orderBy(col("ym")).collect().toSeq
+    assert(rows.toSeq == want)
+  }
+
   test("quantile_exact: two-pass pick equals the sorted-order statistic") {
     val rows =
       RelationalQueries.queries("quantile_exact")(spark, sf0001).collect()
