@@ -408,6 +408,24 @@ object RelationalQueries {
         .orderBy(col("o_orderpriority"))
     }),
 
+    // exact MODE per group (most frequent value, ties to the smallest
+    // value): two hash aggregations — (group, value) counts with
+    // map-side combine, then argmax as min(struct(-cnt, value)) — the
+    // scale shape whose second stage is values-per-group-bounded, vs
+    // DuckDB's mode() whose tie choice is unspecified (the oracle
+    // replays the explicit rank rule instead).
+    "agg_mode" -> ((s, d) => {
+      Tables.orders(s, d)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy(col("o_orderstatus"))
+        .agg(min(struct((-col("n")).as("nn"),
+          col("o_orderpriority").as("p"))).as("m"))
+        .select(col("o_orderstatus"), col("m.p").as("mode_priority"),
+          (-col("m.nn")).as("n_mode"))
+        .orderBy(col("o_orderstatus"))
+    }),
+
     // exact median (interpolated) per group — Spark `percentile` == DuckDB
     // `quantile_cont` on integer-valued doubles (exact rank arithmetic).
     "agg_median" -> ((s, d) => {
@@ -966,6 +984,18 @@ object RelationalQueries {
         |  CAST(min(CASE WHEN cum * 100 >= n * 90 THEN bin_lo END)
         |    AS BIGINT) AS p90_lo
         |FROM c GROUP BY event_type, n ORDER BY event_type""".stripMargin,
+    // explicit (count desc, value asc) rank — NOT DuckDB's mode(),
+    // whose tie-break is unspecified
+    "agg_mode" ->
+      """WITH c AS (
+        |  SELECT o_orderstatus, o_orderpriority, count(1) AS n
+        |  FROM orders GROUP BY 1, 2)
+        |SELECT o_orderstatus, o_orderpriority AS mode_priority,
+        |  CAST(n AS BIGINT) AS n_mode
+        |FROM c
+        |QUALIFY row_number() OVER (PARTITION BY o_orderstatus
+        |  ORDER BY n DESC, o_orderpriority) = 1
+        |ORDER BY o_orderstatus""".stripMargin,
     // the DEFINITION (nearest-rank order statistic via a full ranking),
     // not the two-pass algorithm — matching hashes prove the bounded
     // histogram+target-bin plan picks the exact same element

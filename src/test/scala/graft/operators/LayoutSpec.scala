@@ -202,6 +202,20 @@ class LayoutSpec extends SparkSpec {
     assert(rows.toSeq == want)
   }
 
+  test("agg_mode: scalar replay with the explicit (count desc, value asc) ties") {
+    val got = RelationalQueries.queries("agg_mode")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
+    val counts = graft.Tables.orders(spark, sf0001)
+      .select(col("o_orderstatus"), col("o_orderpriority")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = counts.groupBy(_._1._1).map { case (st, m) =>
+      val (k, n) = m.minBy { case ((_, p), n) => (-n, p) }
+      st -> (k._2, n)
+    }
+    assert(got == want)
+  }
+
   test("quantile_exact: two-pass pick equals the sorted-order statistic") {
     val rows =
       RelationalQueries.queries("quantile_exact")(spark, sf0001).collect()
