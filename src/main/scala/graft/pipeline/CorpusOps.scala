@@ -314,10 +314,15 @@ object CorpusOps {
     // AQE may still broadcast when the vocab happens to be small. The
     // 1-row `tot` broadcast is constant.
     "text_surprisal" -> ((s, d) => {
+      // round 10b: the (doc, word) collapse moved into the scan via the
+      // word_counts kernel (the langid_nb precedent) — the pair frame
+      // is born collapsed, so the plan's first exchange is the w-keyed
+      // frequency join, not a (doc_id, w) pre-aggregation of the same
+      // rows
       val dw = Tables.documents(s, d)
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
-        .groupBy(col("doc_id"), col("w"))
-        .agg(count(lit(1)).as("dwc"))
+        .select(col("doc_id"),
+          explode(graft.text.TextExprs.wordCounts(col("text"))).as("p"))
+        .select(col("doc_id"), col("p.w").as("w"), col("p.c").as("dwc"))
       val cnt = dw.groupBy(col("w")).agg(sum(col("dwc")).as("c"))
       val tot = dw.agg(sum(col("dwc")).as("t"))
       dw.join(cnt, Seq("w"))

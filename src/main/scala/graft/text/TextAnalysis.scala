@@ -163,12 +163,17 @@ object TextAnalysis {
     // the term key hash-partitions uniformly and AQE still broadcasts
     // small vocabularies. The window keys on doc_id (uniform).
     "text_top_terms" -> ((s, d) => {
-      val terms = Tables.documents(s, d)
-        .select(col("doc_id"), explode(words(col("text"))).as("term"))
-      val tf = terms.groupBy(col("doc_id"), col("term"))
-        .agg(count(lit(1)).as("tf"))
-      val df = terms.select(col("doc_id"), col("term")).distinct()
-        .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // round 10b: per-doc tf pairs are born collapsed at the scan
+      // (word_counts kernel — the langid_nb precedent), which deletes
+      // BOTH corpus-token exchanges this query used to pay: the
+      // groupBy(doc, term) tf aggregation AND the DISTINCT feeding df
+      // (kernel pairs are distinct per doc by construction, so df is a
+      // plain term-keyed count with map-side combine)
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(TextExprs.wordCounts(col("text"))).as("p"))
+        .select(col("doc_id"), col("p.w").as("term"), col("p.c").as("tf"))
+      val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
       tf.join(df, Seq("term"))
