@@ -76,6 +76,21 @@ class ContractSpec extends AnyFunSuite {
     assert(ngram.contains("shingle_hashes("),
       "dedup_ngram self-join key is no longer the 8-byte shingle hash")
     graft.dedup.Dedup.clearCache()
+    // round 10b: bag-of-words consumers are born collapsed at the scan;
+    // a revert silently reintroduces a corpus-token exchange per query
+    Seq("text_top_terms", "text_surprisal", "langid_nb").foreach { q =>
+      val p = SparkEntry.queries(q)(spark, "/root/testdata/sf0.001")
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("word_counts("),
+        s"$q no longer collapses (doc, word) pairs in-row")
+    }
+    // the cosine dedup candidate stream keeps its in-kernel fingerprint
+    // prune (the pair generator IS the filter)
+    val emb = SparkEntry.queries("dedup_embcos")(spark, "/root/testdata/sf0.001")
+      .queryExecution.optimizedPlan.toString
+    assert(emb.contains("fp_packed_pairs("),
+      "dedup_embcos lost the fingerprint-pruned pair kernel")
+    graft.ann.Similarity.clearCache()
   }
 
   test("Bench summary line fits the driver's 2000-char output tail at the current query count") {
