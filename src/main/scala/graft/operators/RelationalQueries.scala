@@ -359,6 +359,28 @@ object RelationalQueries {
         .orderBy(col("c_mktsegment"))
     }),
 
+    // Bitmap-index distinct aggregation — the classic OLAP rollup
+    // structure for EXACT NDV over a dense integer domain: per
+    // (group, id-bucket) the member bitmap is OR-accumulated (32 ids
+    // per long here; sign bit avoided so the shift replays in every
+    // engine), then the group's NDV is one popcount sum. The point vs
+    // countDistinct's distinct-expand: bitmap partials are tiny
+    // (domain/32 longs per group, independent of ROW count), the OR is
+    // map-side combined, and — like the HLL registers, but exact —
+    // bitmaps MERGE across shards/days by the same OR, so a 100 TB
+    // ingest keeps per-day bitmap rollups and answers cross-day NDV
+    // without touching raw events.
+    "agg_bitmap_distinct" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("user_id"))
+      ev
+        .groupBy(col("event_type"), expr("user_id div 32").as("bkt"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id % 32)))").as("bits"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(bit_count(col("bits"))).as("n_users"))
+        .orderBy(col("event_type"))
+    }),
+
     // TPC-H Q3 shape: 3-way join, filter both sides, agg, top-k.
     // customer join unhinted (customer scales with the fact — AQE
     // broadcasts the filtered segment when it fits); orders⋈lineitem
@@ -1101,6 +1123,15 @@ object RelationalQueries {
         | array_to_string(list_sort(list(DISTINCT o_orderpriority)), ',') AS prios,
         | count(1) AS n
         |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    // identical 32-id bucketing, shift, OR-merge, popcount sum
+    "agg_bitmap_distinct" ->
+      """WITH b AS (
+        |  SELECT event_type, user_id // 32 AS bkt,
+        |    bit_or((1::BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2)
+        |SELECT event_type, CAST(count(1) AS BIGINT) AS n_buckets,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+        |FROM b GROUP BY 1 ORDER BY event_type""".stripMargin,
     "agg_distinct" ->
       """SELECT c_mktsegment,
         | count(DISTINCT o_custkey) AS n_custs,

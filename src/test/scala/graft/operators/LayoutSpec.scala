@@ -202,6 +202,29 @@ class LayoutSpec extends SparkSpec {
     assert(rows.toSeq == want)
   }
 
+  test("agg_bitmap_distinct: popcount NDV equals countDistinct; bitmaps OR-merge") {
+    val got = RelationalQueries.queries("agg_bitmap_distinct")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val want = graft.Tables.events(spark, sf0001)
+      .groupBy(col("event_type")).agg(countDistinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // merge property: OR of two disjoint halves' bitmaps == the whole's
+    // (the shard/day rollup identity — exact, unlike HLL's estimate)
+    def bitmaps(f: org.apache.spark.sql.Column) =
+      graft.Tables.events(spark, sf0001).filter(f)
+        .groupBy(col("event_type"), expr("user_id div 32").as("bkt"))
+        .agg(expr("bit_or(shiftleft(1L, int(user_id % 32)))").as("bits"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val (ha, hb) = (bitmaps(col("event_id") % 2 === 0),
+      bitmaps(col("event_id") % 2 =!= 0))
+    val whole = bitmaps(lit(true))
+    assert(whole.keySet == (ha.keySet ++ hb.keySet))
+    whole.foreach { case (k, bits) =>
+      assert(bits == (ha.getOrElse(k, 0L) | hb.getOrElse(k, 0L)), s"$k") }
+  }
+
   test("agg_mode: scalar replay with the explicit (count desc, value asc) ties") {
     val got = RelationalQueries.queries("agg_mode")(spark, sf0001).collect()
       .map(r => r.getString(0) -> (r.getString(1), r.getLong(2))).toMap
