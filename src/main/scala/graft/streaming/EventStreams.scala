@@ -180,6 +180,34 @@ object EventStreams {
   def windowQuantile(events: DataFrame): DataFrame =
     quantileReadout(windowValueBins(events))
 
+  /** Windowed user bitmaps — streaming EXACT distinct-user state: per
+    * (window, type, 32-id bucket) the member bitmap OR-accumulates
+    * (`bit_or` is an incremental stateful aggregation), so the state is
+    * bounded by windows × types × |user domain|/32 longs — independent
+    * of EVENT volume, and the bits are exact where a streaming HLL
+    * would estimate. Sign bit avoided (32 ids per long) so the shift
+    * replays identically in the DuckDB oracle. */
+  def windowUserBitmaps(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"),
+        expr("user_id div 32").as("bkt"))
+      .agg(expr("bit_or(shiftleft(1L, int(user_id % 32)))").as("bits"))
+
+  /** Snapshot readout for [[windowUserBitmaps]]: exact distinct users
+    * per (window, type) as one popcount sum over the state rows. */
+  def bitmapDistinctReadout(bitmaps: DataFrame): DataFrame =
+    bitmaps
+      .groupBy(col("w"), col("event_type"))
+      .agg(sum(bit_count(col("bits"))).as("n_users"))
+      .select(col("w.start").as("wstart"), col("event_type"),
+        col("n_users"))
+
+  /** Per-window exact distinct users (batch form; StreamingSpec pins
+    * batch ≡ stream across a state-carrying batch split — the
+    * streaming counterpart of `agg_bitmap_distinct`'s shard rollup). */
+  def windowBitmapDistinct(events: DataFrame): DataFrame =
+    bitmapDistinctReadout(windowUserBitmaps(events))
+
   /** Decimal sums surfaced as double at the checked-output boundary —
     * both engines cast the same exact decimal, so bits (and the driver's
     * stringified compare) agree. */
@@ -204,6 +232,9 @@ object EventStreams {
         .orderBy(col("wstart"), col("rnk"))),
     "stream_quantile" -> ((s, d) =>
       windowQuantile(Tables.events(s, d))
+        .orderBy(col("wstart"), col("event_type"))),
+    "stream_bitmap_distinct" -> ((s, d) =>
+      windowBitmapDistinct(Tables.events(s, d))
         .orderBy(col("wstart"), col("event_type"))),
     "session_trajectories" -> ((s, d) =>
       sessionTrajectories(Tables.events(s, d))
@@ -540,6 +571,16 @@ object EventStreams {
         |    AS BIGINT) AS p90_lo
         |FROM c GROUP BY wstart, event_type, n
         |ORDER BY wstart, event_type""".stripMargin,
+    // identical hour bucketing, identical 32-id bitmap shift/OR/popcount
+    "stream_bitmap_distinct" ->
+      """WITH b AS (
+        |  SELECT time_bucket(INTERVAL '1 hour', ts) AS wstart, event_type,
+        |    user_id // 32 AS bkt,
+        |    bit_or((1::BIGINT) << CAST(user_id % 32 AS INT)) AS bits
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT wstart, event_type,
+        |  CAST(sum(bit_count(bits)) AS BIGINT) AS n_users
+        |FROM b GROUP BY 1, 2 ORDER BY wstart, event_type""".stripMargin,
     // same lag→flag→running-sum sessionization (strict < 10-min gap in
     // integer microseconds), trajectory = types ordered by (ts, event_id)
     "session_trajectories" ->

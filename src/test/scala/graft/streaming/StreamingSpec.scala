@@ -155,6 +155,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream_bitmap_distinct: incremental bitmap OR + popcount equal batch") {
+    // bit_or is the stateful part — state bounded by windows×types×
+    // (user domain / 32) longs, never event volume; exact where a
+    // streaming sketch would estimate. Two time-split batches pin that
+    // late users OR into carried bitmaps.
+    val evs = batchEvents.as[Ev].collect().sortBy(_.ts.getTime)
+    val (b1, b2) = evs.splitAt(evs.length / 2)
+    val stream = MemoryStream[Ev](spark)
+    val q = EventStreams.windowUserBitmaps(stream.toDF())
+      .writeStream.format("memory").queryName("ubits")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      stream.addData(b1.toIndexedSeq); q.processAllAvailable()
+      stream.addData(b2.toIndexedSeq); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = EventStreams.bitmapDistinctReadout(spark.table("ubits"))
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    val batch = EventStreams
+      .windowBitmapDistinct(Tables.events(spark, sf0001))
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    assert(streamed == batch)
+    // exactness: popcounts equal a plain windowed countDistinct
+    val cd = Tables.events(spark, sf0001)
+      .groupBy(window($"ts", "1 hour").as("w"), $"event_type")
+      .agg(countDistinct($"user_id").as("n_users"))
+      .select($"w.start".as("wstart"), $"event_type", $"n_users")
+      .orderBy($"wstart", $"event_type").collect().toSeq
+    assert(batch == cd)
+  }
+
   test("stream_topk drops digit-free props instead of erroring under ANSI") {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
