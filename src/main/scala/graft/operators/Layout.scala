@@ -117,9 +117,15 @@ object Layout {
       Tables.lineitem(s, d)
         .select(col("l_extendedprice"), col("l_quantity"),
           date_format(col("l_shipdate"), "yyyy-MM").as("ym"))
-        // one file per partition: the monthly marginal is small and the
-        // point is the partition PRUNING, not intra-month parallelism
-        .repartition(col("ym"))
+        // salt inside the month: repartition(ym) alone writes each
+        // month in ONE task — at 100 TB a month is ~1.2 TB, a straggler
+        // and a single giant file. The 8-way salt keeps the write
+        // parallel within a partition (8 files/month; at deployment the
+        // salt width scales with partition bytes) while the DPP story
+        // is untouched — pruning is directory-level, file count within
+        // a kept month is irrelevant to it
+        .repartition(col("ym"),
+          pmod(hash(col("l_extendedprice"), col("l_quantity")), lit(8)))
         .write.mode("overwrite")
         .partitionBy("ym")
         .option("path", base)

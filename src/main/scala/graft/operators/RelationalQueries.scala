@@ -578,11 +578,23 @@ object RelationalQueries {
           .as("t"))
         .select(col("event_type"), col("n"),
           col("t.q").as("q"), col("t.bin").as("bin"), col("t.k").as("k"))
-      val wr = Window.partitionBy(col("event_type"), col("q"))
+      // pass 2 is AGGREGATION-ONLY: values are integer cents, so the
+      // finest grid is exact — count bin members per distinct value
+      // (map-side combined; ≤ binWidth distinct values per target bin
+      // regardless of row count), then the k-th smallest is the first
+      // value whose cumulative count reaches k. The cumulative window
+      // runs over ≤ groups×quantiles×binWidth rows — never raw events —
+      // where a row_number over the bin MEMBERS would have sorted
+      // n/bins rows in one task per (group, q) at 100×.
+      val wv = Window.partitionBy(col("event_type"), col("q"))
         .orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       ev.join(tgt, Seq("event_type", "bin"))
-        .withColumn("rn", row_number().over(wr))
-        .filter(col("rn") === col("k"))
+        .groupBy(col("event_type"), col("n"), col("q"), col("k"), col("c"))
+        .agg(count(lit(1)).as("vc"))
+        .withColumn("cum", sum(col("vc")).over(wv))
+        .filter(col("cum") >= col("k") &&
+          col("cum") - col("vc") < col("k"))
         .groupBy(col("event_type"), col("n"))
         .agg(min(when(col("q") === 50, col("c"))).as("p50_c"),
           min(when(col("q") === 90, col("c"))).as("p90_c"))
