@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(graft.ann.CosineSimExpr.functionDescription)
     e.injectFunction(graft.text.TextExprs.functionDescription)
     e.injectFunction(graft.text.TextExprs.repStatsFunctionDescription)
+    e.injectFunction(graft.text.TextExprs.wordCountsFunctionDescription)
     e.injectFunction(graft.ann.QuantExprs.functionDescription)
     e.injectFunction(graft.functions.ExtremumByOrd.minFunctionDescription)
     e.injectFunction(graft.functions.ExtremumByOrd.maxFunctionDescription)

@@ -363,4 +363,19 @@ object TextExprs {
           s"ngram_rep_stats n must be an int literal, got $n")
         NgramRepStatsExpr(exprs.head, n.eval().asInstanceOf[Int])
       })
+
+  /** SQL registration: `word_counts(text)` → sorted
+    * `array<struct<w, c>>` of per-doc word multiplicities. Injected by
+    * [[graft.GraftExtensions]]. */
+  val wordCountsFunctionDescription: (org.apache.spark.sql.catalyst.FunctionIdentifier,
+      org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (org.apache.spark.sql.catalyst.FunctionIdentifier("word_counts"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[WordCountsExpr].getName, "word_counts"),
+      exprs => {
+        require(exprs.length == 1,
+          s"word_counts takes (text), got ${exprs.length} args")
+        WordCountsExpr(exprs.head)
+      })
 }

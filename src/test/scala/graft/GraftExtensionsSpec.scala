@@ -37,6 +37,9 @@ class GraftExtensionsSpec extends AnyFunSuite {
           "(SELECT ngram_rep_stats('a b a b', 2) AS r)")
       val rr = rep.head
       assert(rr.getLong(0) == 4L && rr.getLong(1) == 2L && rr.getLong(2) == 2L)
+      val wc = s.sql(
+        "SELECT transform(word_counts('b a b'), p -> concat(p.w, ':', p.c)) AS x")
+      assert(wc.head.getSeq[String](0) == Seq("a:1", "b:2"))
       val q = s.sql(
         "SELECT quantize_i8(array(2.0d, -1.0d, 0.5d)).qvec AS qv")
       assert(q.head.getSeq[Int](0) == Seq(127, -64, 32))
