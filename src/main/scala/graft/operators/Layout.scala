@@ -120,11 +120,15 @@ object Layout {
         // salt inside the month: repartition(ym) alone writes each
         // month in ONE task — at 100 TB a month is ~1.2 TB, a straggler
         // and a single giant file. The 8-way salt keeps the write
-        // parallel within a partition (8 files/month; at deployment the
-        // salt width scales with partition bytes) while the DPP story
-        // is untouched — pruning is directory-level, file count within
-        // a kept month is irrelevant to it
-        .repartition(col("ym"),
+        // parallel within a partition (≈8 files/month; at deployment
+        // the salt width scales with partition bytes) while the DPP
+        // story is untouched — pruning is directory-level, file count
+        // within a kept month is irrelevant to it. The partition count
+        // is EXPLICIT because AQE coalesces unsized repartitions on
+        // small inputs back to one task — exactly the degenerate write
+        // the salt exists to prevent (and what layout_compact's
+        // file-count assertions need to observe).
+        .repartition(s.sparkContext.defaultParallelism, col("ym"),
           pmod(hash(col("l_extendedprice"), col("l_quantity")), lit(8)))
         .write.mode("overwrite")
         .partitionBy("ym")
@@ -134,6 +138,35 @@ object Layout {
     })
 
   private val dppMemo =
+    scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
+
+  /** One-time-per-(session, dir) COMPACTED copy of
+    * [[monthPartitionedLineitem]] — the small-file maintenance pass
+    * every partitioned 100 TB table needs: the ingest layout
+    * deliberately writes many small files per partition (parallel
+    * writers, streaming micro-batches); compaction rewrites each
+    * partition into ⌈bytes/target⌉ files. Here: one shuffle keyed by
+    * the partition column re-bins the 8 ingest files per month into 1
+    * (test scale; at deployment the salt width comes from partition
+    * bytes exactly as the ingest note says), `partitionBy` keeps the
+    * DPP-prunable directory layout. LayoutSpec asserts the 8→1
+    * file-count collapse AND byte-identical data. */
+  def compactedLineitem(s: SparkSession, d: String): String =
+    compactMemo.getOrElseUpdate((s, d), {
+      val src = monthPartitionedLineitem(s, d)
+      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact/$tag"
+      val t = s"graft_lineitem_ym_c_$tag"
+      s.table(src)
+        .repartition(col("ym"))
+        .write.mode("overwrite")
+        .partitionBy("ym")
+        .option("path", base)
+        .saveAsTable(t)
+      t
+    })
+
+  private val compactMemo =
     scala.collection.concurrent.TrieMap[(SparkSession, String), String]()
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -179,6 +212,21 @@ object Layout {
         .agg(count(lit(1)).as("n"),
           sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
             .as("revenue"))
+        .orderBy(col("ym"))
+    }),
+
+    // Small-file compaction round-trip: the checked output is the
+    // per-month census read FROM THE COMPACTED TABLE — a hash match
+    // against the raw-parquet oracle proves the rewrite lost nothing
+    // (rows, cents-exact revenue); the file-count collapse itself
+    // (8 ingest files/month → 1) is asserted in LayoutSpec, since file
+    // counts aren't a DuckDB-replayable quantity.
+    "layout_compact" -> ((s, d) => {
+      s.table(compactedLineitem(s, d))
+        .groupBy(col("ym"))
+        .agg(count(lit(1)).as("n"),
+          sum((col("l_extendedprice").cast("decimal(18,2)") * 100)
+            .cast("long")).as("rev_cents"))
         .orderBy(col("ym"))
     }),
 
@@ -240,6 +288,14 @@ object Layout {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin,
+    // per-month census straight off the raw parquet — a match proves
+    // the partitioned rewrite + compaction round-trips the data
+    "layout_compact" ->
+      """SELECT strftime(l_shipdate, '%Y-%m') AS ym,
+        |  count(1) AS n,
+        |  CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100
+        |    AS BIGINT)) AS BIGINT) AS rev_cents
+        |FROM lineitem GROUP BY 1 ORDER BY ym""".stripMargin,
     // same quarter predicate applied directly to the raw parquet
     "join_dpp" ->
       """SELECT strftime(l_shipdate, '%Y-%m') AS ym,

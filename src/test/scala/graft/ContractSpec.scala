@@ -14,10 +14,10 @@ class ContractSpec extends AnyFunSuite {
     // +1 round-8 knn_ivfpq, +1 bpe_apply, +1 corpus_overlap,
     // +1 stream_topk, +1 ts_seasonal, +1 corpus_diff, +1 ann_recall,
     // +1 bpe_fertility, +1 sketch_hll_intersect, +1 dedup_recall,
-    // +8 round-10-continued: quantile_exact, stream_quantile,
-    // dedup_containment, text_ppl_filter, join_dpp, agg_mode, agg_bitmap_distinct, stream_bitmap_distinct) so a silently-dropped
+    // +9 round-10-continued: quantile_exact, stream_quantile,
+    // dedup_containment, text_ppl_filter, join_dpp, agg_mode, agg_bitmap_distinct, stream_bitmap_distinct, layout_compact) so a silently-dropped
     // query fails the suite; raise when adding.
-    assert(qs.size >= 190, s"query surface shrank: ${qs.size}")
+    assert(qs.size >= 191, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED at ZERO: every query has a DuckDB
     // oracle. History of the graduations that got here:
     // dedup_minhash/dedup_simhash in round 7 via XxhSql; knn_ivf/knn_pq

@@ -202,6 +202,29 @@ class LayoutSpec extends SparkSpec {
     assert(rows.toSeq == want)
   }
 
+  test("layout_compact: per-month files collapse 8 -> 1, data round-trips") {
+    // the census query must be green first (it builds both tables)
+    val census = Layout.queries("layout_compact")(spark, sf0001).collect()
+    assert(census.nonEmpty)
+    def filesPerPartition(table: String): Map[String, Int] = {
+      val loc = spark.sql(s"DESCRIBE FORMATTED $table").collect()
+        .find(_.getString(0) == "Location").get.getString(1)
+      val dir = new java.io.File(new java.net.URI(loc))
+      dir.listFiles().filter(_.getName.startsWith("ym=")).map { p =>
+        p.getName -> p.listFiles().count(_.getName.endsWith(".parquet"))
+      }.toMap
+    }
+    val before = filesPerPartition(Layout.monthPartitionedLineitem(spark, sf0001))
+    val after = filesPerPartition(Layout.compactedLineitem(spark, sf0001))
+    assert(before.keySet == after.keySet)
+    assert(before.values.max > 1, s"ingest wrote no small files: $before")
+    assert(after.values.forall(_ == 1), s"compaction left multiple files: $after")
+    // byte-level data equality across the rewrite
+    val a = spark.table(Layout.monthPartitionedLineitem(spark, sf0001))
+    val b = spark.table(Layout.compactedLineitem(spark, sf0001))
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("agg_bitmap_distinct: popcount NDV equals countDistinct; bitmaps OR-merge") {
     val got = RelationalQueries.queries("agg_bitmap_distinct")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
