@@ -20,9 +20,18 @@ import graft.Tables
   * xxhash64 collision, so hashing the variant to an 8-byte join key is
   * loss-free — the same argument as the n-gram family's hashed
   * shingles). A shared variant is ~length-of-string specific, so
-  * candidate groups stay small for natural vocabularies; a df-style cap
-  * (mirror of `dedup_ngram`'s hot-shingle cap) is the escape hatch for
-  * adversarial hubs and would be mirrored in the oracle the same way.
+  * candidate groups stay small for natural vocabularies — but short
+  * strings are STRUCTURALLY hot (every 1-char string shares the ""
+  * deletion variant; every copy of a duplicated token shares its own
+  * string as a variant), so each variant's posting list is capped at
+  * the first [[maxVariantDf]] members by (id, string) — the df-cap
+  * precedent of `dedup_ngram`'s maxShingleDf, mirrored bit-for-bit in
+  * the DuckDB oracle (which replays the blocking + cap + exact verify
+  * in SQL). A 100 TB run with an adversarial hub therefore COMPLETES
+  * with deterministic, oracle-checkable semantics instead of dying in
+  * [[PairKernel.MaxBucketMembers]]'s fail-fast; that fail-fast stays
+  * in force for the OTHER pair kernels, where a cap has no semantic
+  * story (their buckets are all-duplicate groups needing no verify).
   *
   * Scale shape (the grouped-postings + in-kernel-verify pattern shared
   * with the simhash/phash bucket families): one scan emitting |s|+1
@@ -38,6 +47,16 @@ import graft.Tables
   */
 object EditNeighbors {
 
+  /** Max members kept per variant posting list — first N by (id,
+    * string). Recall cost is confined to pairs BOTH of whose members
+    * rank past the cap in EVERY shared variant (a structurally hot hub
+    * — duplicate tokens or the 1-char "" neighborhood — whose intra-hub
+    * pairs are the all-duplicates case dedup collapses anyway); on the
+    * customer-name fixture no bucket comes near it at any tested SF, so
+    * the output is identical to the uncapped quadratic definition. The
+    * oracle mirrors the cap exactly (row_number ≤ cap per variant). */
+  private[dedup] val maxVariantDf = 256
+
   /** `{s} ∪ {s minus one char}`, duplicates removed (repeated chars
     * make several deletions coincide). */
   private[dedup] def deletionVariants(s: Column): Column =
@@ -47,15 +66,22 @@ object EditNeighbors {
           s.substr(i + 1, length(s) - i)))))
 
   /** All unordered pairs of `df` rows with `levenshtein(strCol) == 1`,
-    * exactly once each, as (a_id, a_name, b_id, b_name). */
-  def neighbors(df: DataFrame, idCol: String, strCol: String): DataFrame = {
+    * exactly once each, as (a_id, a_name, b_id, b_name) — over the
+    * `cap`-bounded variant universe (see [[maxVariantDf]]). */
+  def neighbors(df: DataFrame, idCol: String, strCol: String,
+                cap: Int = maxVariantDf): DataFrame = {
     val buckets = df
       .select(col(idCol).as("id"), col(strCol).as("s"))
       .select(col("id"), col("s"),
         explode(deletionVariants(col("s"))).as("vstr"))
       .groupBy(xxhash64(col("vstr")).as("key"))
-      // sort by id: the kernel emits i<j pairs, so a_id < b_id for free
-      .agg(sort_array(collect_list(struct(col("id"), col("s")))).as("ms"))
+      // BoundedCollect keeps the FIRST cap members by (id, s) with an
+      // O(cap) buffer — a collect_list + slice would still buffer the
+      // whole hot bucket during aggregation. Ascending (id, s) order
+      // also gives the kernel its sorted-input invariant (a_id < b_id
+      // for free), deterministic regardless of shuffle arrival order.
+      .agg(graft.functions.BoundedCollect.firstN(
+        col("id"), col("s"), cap).as("ms"))
     buckets
       .select(explode(SignatureExprs.editPairs(col("ms"))).as("p"))
       .select(col("p.a_id").as("a_id"), col("p.a_name").as("a_name"),
@@ -73,13 +99,38 @@ object EditNeighbors {
   )
 
   def oracle: Map[String, String] = Map(
-    // the quadratic definition the linear blocking must reproduce
+    // The blocking + cap + exact verify replayed in SQL (the
+    // maxShingleDf mirroring precedent): deletion variants per name,
+    // first maxVariantDf members per variant by (id, s), pairs from
+    // shared variants, residual levenshtein = 1 check, DISTINCT. The
+    // only Spark-side divergence is bucketing by xxhash64(variant)
+    // instead of the variant string — identical up to 2⁻⁶⁴ collisions
+    // (the n-gram family's argument). On this fixture no bucket nears
+    // the cap, so the result ALSO equals the clean quadratic
+    // definition — EditNeighborsSpec pins that equality independently.
     "word_neighbors" ->
-      """SELECT a.c_custkey AS a_id, a.c_name AS a_name,
-        |       b.c_custkey AS b_id, b.c_name AS b_name
-        |FROM customer a JOIN customer b
-        |  ON a.c_custkey < b.c_custkey
-        | AND levenshtein(a.c_name, b.c_name) = 1
-        |ORDER BY a_id, b_id""".stripMargin,
+      s"""WITH v AS (
+         |  SELECT c_custkey AS id, c_name AS s, unnest(vs) AS vstr
+         |  FROM (
+         |    SELECT c_custkey, c_name,
+         |           list_distinct(list_prepend(c_name,
+         |             list_transform(range(1, length(c_name) + 1),
+         |               i -> substr(c_name, 1, i - 1)
+         |                    || substr(c_name, i + 1, length(c_name) - i))))
+         |             AS vs
+         |    FROM customer)),
+         |capped AS (
+         |  SELECT * FROM (
+         |    SELECT id, s, vstr,
+         |           row_number() OVER (PARTITION BY vstr ORDER BY id, s)
+         |             AS rn
+         |    FROM v)
+         |  WHERE rn <= $maxVariantDf)
+         |SELECT DISTINCT a.id AS a_id, a.s AS a_name,
+         |                x.id AS b_id, x.s AS b_name
+         |FROM capped a JOIN capped x
+         |  ON a.vstr = x.vstr AND a.id < x.id
+         |WHERE levenshtein(a.s, x.s) = 1
+         |ORDER BY a_id, b_id""".stripMargin,
   )
 }

@@ -462,9 +462,10 @@ object PairKernel {
   /** levenshtein(a, b) == 1, the two-pointer specialization: equal
     * lengths → exactly one substitution position; lengths off by one →
     * the shorter embeds in the longer with one skip. Identical strings
-    * (distance 0) return false. O(min-len) per call. */
-  private def oneEditApart(a: UTF8String, b: UTF8String): Boolean = {
-    val x = a.toString; val y = b.toString
+    * (distance 0) return false. O(min-len) per call. Takes JVM Strings:
+    * the caller decodes each bucket member ONCE (O(B) decodes), not
+    * once per pair (O(B²) — up to ~268M allocations at the 16k cap). */
+  private def oneEditApart(x: String, y: String): Boolean = {
     val lx = x.length; val ly = y.length
     if (math.abs(lx - ly) > 1) return false
     if (lx == ly) {
@@ -494,10 +495,15 @@ object PairKernel {
     checkBucket(n, "edit_pairs")
     val ids = new Array[Long](n)
     val strs = new Array[UTF8String](n)
+    // decode each member to a JVM String ONCE here — the pair loop
+    // compares j chars per candidate, and a per-pair toString would be
+    // O(B²) decodes/allocations on a B-member bucket
+    val jstrs = new Array[String](n)
     var i = 0
     while (i < n) {
       val row = a.getStruct(i, 2)
       ids(i) = row.getLong(0); strs(i) = row.getUTF8String(1)
+      jstrs(i) = strs(i).toString
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
@@ -505,7 +511,11 @@ object PairKernel {
     while (i < n) {
       var j = i + 1
       while (j < n) {
-        if (oneEditApart(strs(i), strs(j)))
+        // ids(i) == ids(j) (two rows, same id, different strings) must
+        // not self-pair: the variant-join formulation this kernel
+        // replaced filtered a_id < b_id, and input sorted by (id, s)
+        // guarantees ids(i) <= ids(j) here, so != is exactly <
+        if (ids(i) != ids(j) && oneEditApart(jstrs(i), jstrs(j)))
           out += new org.apache.spark.sql.catalyst.expressions
             .GenericInternalRow(Array[Any](ids(i), strs(i), ids(j), strs(j)))
         j += 1

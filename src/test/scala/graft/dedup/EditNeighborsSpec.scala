@@ -52,6 +52,43 @@ class EditNeighborsSpec extends SparkSpec {
       s"blocking degenerated to all-pairs:\n${plan.take(1500)}")
   }
 
+  test("structurally hot bucket: capped, deterministic, and it COMPLETES") {
+    // 17000 distinct 1-char strings all share the "" deletion variant —
+    // one bucket past MaxBucketMembers (16384), which used to abort the
+    // job. The cap keeps the first maxVariantDf members by (id, s), so
+    // the run completes and the output is exactly the pairs among the
+    // 256 smallest ids (every two distinct 1-char strings are
+    // levenshtein-1, and "" is their only shared variant).
+    import spark.implicits._
+    val n = PairKernel.MaxBucketMembers + 616 // > the old fail-fast bound
+    val df = (1 to n).map(i =>
+      (i.toLong, new String(Character.toChars(255 + i)))) // distinct BMP chars
+      .toDF("id", "s")
+    val got = EditNeighbors.neighbors(df, "id", "s")
+      .select($"a_id", $"b_id").as[(Long, Long)].collect()
+    val cap = EditNeighbors.maxVariantDf
+    assert(got.length == cap * (cap - 1) / 2, s"got ${got.length} pairs")
+    // first-N-by-id semantics: survivors are EXACTLY ids 1..cap
+    assert(got.flatMap(p => Seq(p._1, p._2)).max == cap.toLong)
+    assert(got.toSet == (for {
+      a <- 1L to cap.toLong; b <- (a + 1) to cap.toLong
+    } yield (a, b)).toSet)
+  }
+
+  test("a cap that binds keeps pairs reachable through non-hot variants") {
+    // hub: 40 copies of "aa" (hot via every shared variant) next to a
+    // genuine typo pair; with cap=4 the hub collapses but (cat, cut)
+    // still pairs through their un-hot shared variant "ct"
+    import spark.implicits._
+    val hub = (1L to 40L).map(i => (i, "aa"))
+    val df = (hub ++ Seq((101L, "cat"), (102L, "cut"))).toDF("id", "s")
+    val got = EditNeighbors.neighbors(df, "id", "s", cap = 4)
+      .select($"a_id", $"b_id").as[(Long, Long)].collect().toSet
+    assert(got.contains((101L, 102L)), s"typo pair lost: $got")
+    // identical hub strings are distance 0 — never pairs, capped or not
+    assert(got == Set((101L, 102L)), s"unexpected pairs: $got")
+  }
+
   /** Textbook DP Levenshtein — the independent ground truth. */
   private def levenshteinScalar(a: String, b: String): Int = {
     val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>

@@ -106,6 +106,18 @@ class PairKernelSpec extends SparkSpec with TableDrivenPropertyChecks {
     assert(!got.contains((1L, 6L)))
   }
 
+  test("editPairs never self-pairs duplicate ids") {
+    // two rows with the SAME id but one-edit-apart strings: the
+    // variant-join formulation filtered a_id < b_id, so the kernel must
+    // not emit the (id, id) pair — only cross-id pairs survive
+    val members = Seq((1L, "cat"), (1L, "cut"), (2L, "cot"))
+    val got = Seq(Tuple1(members)).toDF("ms")
+      .select(explode(SignatureExprs.editPairs(col("ms"))).as("p"))
+      .select("p.a_id", "p.b_id")
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 2L), (1L, 2L)), s"got $got")
+  }
+
   test("fpPackedPairs == packedPairs at maxDist 64; filters exactly at lower") {
     val members = Seq(
       (1L, 0x0L), (2L, 0x3L), (5L, 0xFFL), (9L, 0x1L),
