@@ -58,6 +58,20 @@ object Bpe {
   /** Unrolled merge rounds (mirrored by the oracle). */
   val Rounds = 6
 
+  /** Vocabulary cap for the merge loop: the loop trains on the
+    * [[VocabCap]] highest-count distinct words (count desc, UTF-8-byte
+    * word tie-break — a total order, so the kept set is deterministic),
+    * exactly how production BPE trainers bound memory. Without it the
+    * single merge task materializes the FULL distinct-word table, which
+    * grows with the corpus by Heaps' law (billions of "words" on a
+    * 100 TB web corpus — typos, ids, urls); the dropped tail is the
+    * low-count end whose pair mass is negligible by construction. The
+    * cap rides a TakeOrderedAndProject (per-partition top-N, then one
+    * ≤N-row merge — never a global sort) and is mirrored bit-for-bit in
+    * the DuckDB oracle's `ORDER BY n DESC, w LIMIT` vocab CTE. 64Ki
+    * words ≈ MBs in the merge task regardless of corpus size. */
+  val VocabCap: Int = 1 << 16
+
   /** One trained merge: round number, the merged pair, its count at
     * selection time, and the fused symbol. */
   case class Merge(
@@ -141,15 +155,21 @@ object Bpe {
   }
 
   /** (merge_round, lhs, rhs, pair_n, merged) — the trained merge table:
-    * one distributed word-count job, then the merge loop in one executor
-    * task over the vocab-bounded counts (repartition(1) AFTER the
-    * aggregation, so the count itself keeps full parallelism). */
-  private def train(s: SparkSession, d: String): DataFrame = {
+    * one distributed word-count job, a [[VocabCap]] top-N (the bounded
+    * frame the merge loop actually needs — see the cap's doc), then the
+    * merge loop in one executor task over ≤ cap rows (repartition(1)
+    * AFTER the aggregation + cap, so the count keeps full parallelism
+    * and the single task's input is bounded by the cap, not the
+    * corpus). */
+  private[text] def train(
+      s: SparkSession, d: String, cap: Int = VocabCap): DataFrame = {
     import s.implicits._
     val wc = Tables.documents(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("w"))
+      .limit(cap)
       .as[(String, Long)]
     val rounds = Rounds
     val res = wc.repartition(1)
@@ -281,10 +301,11 @@ object Bpe {
          |  SELECT w, count(*)::BIGINT AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  GROUP BY w),
+         |vocab AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT $VocabCap),
          |w0 AS (
          |  SELECT list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms,
          |         n
-         |  FROM wc),
+         |  FROM vocab),
          |${(1 to Rounds).map(roundCtes).mkString(",\n")}
          |SELECT merge_round, lhs, rhs, pair_n, lhs || rhs AS merged
          |FROM (${(1 to Rounds).map(r => s"SELECT * FROM b$r")
@@ -305,10 +326,11 @@ object Bpe {
          |  SELECT w, count(*)::BIGINT AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  GROUP BY w),
+         |vocab AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT $VocabCap),
          |w0 AS (
          |  SELECT list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms,
          |         n
-         |  FROM wc),
+         |  FROM vocab),
          |${(1 to Rounds).map(roundCtes).mkString(",\n")},
          |enc AS (
          |  SELECT n, $nested AS sp
@@ -333,10 +355,11 @@ object Bpe {
          |  SELECT w, count(*)::BIGINT AS n
          |  FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  GROUP BY w),
+         |vocab AS (SELECT w, n FROM wc ORDER BY n DESC, w LIMIT $VocabCap),
          |w0 AS (
          |  SELECT list_transform(range(1, length(w)+1), i -> w[i:i]) AS syms,
          |         n
-         |  FROM wc),
+         |  FROM vocab),
          |${(1 to Rounds).map(roundCtes).mkString(",\n")},
          |lw AS (
          |  SELECT lang, w, count(*)::BIGINT AS n

@@ -55,6 +55,31 @@ class BpeSpec extends SparkSpec {
     Bpe.clearCache()
   }
 
+  test("vocab cap bounds the merge task and keeps reference semantics on the kept top-N") {
+    // the fixture has 31 distinct words; cap=8 forces the bound to BIND:
+    // training must equal the reference trainer run on exactly the 8
+    // highest-count words (count desc, UTF-8-byte word tie-break)
+    val wc = graft.Tables.documents(spark, sf0001)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(wc.length > 8, "fixture vocab too small to exercise the cap")
+    val top8 = wc.toSeq.sortWith { (a, b) =>
+      a._2 > b._2 || (a._2 == b._2 && Bpe.u8Less(a._1, b._1))
+    }.take(8).toMap
+    val got = Bpe.train(spark, sf0001, cap = 8).collect()
+      .map(r => (r.getString(1), r.getString(2), r.getLong(3)))
+    val expect = referenceBpe(top8, Bpe.Rounds).take(got.length)
+    assert(got.toSeq == expect, s"got ${got.toSeq} want $expect")
+    // scale shape: the cap is a bounded top-N (per-partition top-N +
+    // one <=N-row merge), never a global sort of the vocabulary
+    val plan = Bpe.train(spark, sf0001, cap = 8)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"vocab cap is not a bounded top-N:\n${plan.take(2000)}")
+    Bpe.clearCache()
+  }
+
   test("merge fold is greedy left-to-right: 'a a a' + (a,a) -> [aa, a]") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("bpe_fix").toString
