@@ -68,6 +68,18 @@ object Layout {
         s"(((($y) >> $b) & 1) << ${2 * b + 1})")
     }.mkString("(", " | ", ")")
 
+  /** Collision-resistant tag for a data dir's derived table names and
+    * tmp paths: first 16 hex chars of SHA-256 (64 bits). The previous
+    * `String.hashCode` tag was 32 bits — two data dirs colliding in one
+    * session would silently share/overwrite the same derived table and
+    * serve the first dir's queries wrong rows. 64 collision-resistant
+    * bits put a same-session collision at ~n²/2⁶⁵ (and SHA-256 has no
+    * adversarial-input structure the way hashCode does). */
+  private[operators] def dirTag(d: String): String =
+    java.security.MessageDigest.getInstance("SHA-256")
+      .digest(d.getBytes("UTF-8"))
+      .take(8).map(b => f"${b & 0xff}%02x").mkString
+
   /** One-time-per-(session, dir) bucketed copies of orders + customer,
     * both bucketed 8 ways on the customer key and sorted within buckets.
     * This is the INGEST-TIME shuffle a co-located layout pays once;
@@ -78,7 +90,7 @@ object Layout {
     * JVM tmpdir; overwritten on rebuild. */
   def bucketedOrdersCustomer(s: SparkSession, d: String): (String, String) =
     bucketMemo.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val tag = dirTag(d)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed/$tag"
       val ordT = s"graft_orders_b_$tag"
       val custT = s"graft_customer_b_$tag"
@@ -111,7 +123,7 @@ object Layout {
     * reading 7 years. */
   def monthPartitionedLineitem(s: SparkSession, d: String): String =
     dppMemo.getOrElseUpdate((s, d), {
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val tag = dirTag(d)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_dpp/$tag"
       val t = s"graft_lineitem_ym_$tag"
       Tables.lineitem(s, d)
@@ -154,7 +166,7 @@ object Layout {
   def compactedLineitem(s: SparkSession, d: String): String =
     compactMemo.getOrElseUpdate((s, d), {
       val src = monthPartitionedLineitem(s, d)
-      val tag = java.lang.Long.toHexString(d.hashCode.toLong & 0xFFFFFFFFL)
+      val tag = dirTag(d)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_compact/$tag"
       val t = s"graft_lineitem_ym_c_$tag"
       s.table(src)
@@ -322,12 +334,10 @@ object Layout {
     "agg_hll_merge" -> {
       import graft.sketch.Hll.{M, AlphaPpm, LcTable}
       s"""WITH h1 AS (
-         |  SELECT xor((l_partkey % 1000003) * 2654435761,
-         |             ((l_partkey % 1000003) * 2654435761) >> 13) AS h1
+         |  SELECT ${graft.sketch.Hll.mixSql1("l_partkey")} AS h1
          |  FROM lineitem),
          |h AS (
-         |  SELECT xor((h1 % 999983) * 1779033703,
-         |             ((h1 % 999983) * 1779033703) >> 17) AS h
+         |  SELECT ${graft.sketch.Hll.mixSql2("h1")} AS h
          |  FROM h1),
          |rr AS (
          |  SELECT h % $M AS reg,

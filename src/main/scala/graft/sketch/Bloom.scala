@@ -303,13 +303,11 @@ object Bloom {
          |hashes(j, a, b) AS (VALUES $valuesRows),
          |kh1 AS (
          |  SELECT o_orderkey,
-         |    xor((o_orderkey % 1000003) * 2654435761,
-         |        ((o_orderkey % 1000003) * 2654435761) >> 13) AS h1
+         |    ${Hll.mixSql1("o_orderkey")} AS h1
          |  FROM sel),
          |kh AS (
          |  SELECT o_orderkey,
-         |    xor((h1 % 999983) * 1779033703,
-         |        ((h1 % 999983) * 1779033703) >> 17) % 2147483647 AS hf
+         |    ${Hll.mixSql2("h1")} % 2147483647 AS hf
          |  FROM kh1),
          |bloom AS (
          |  SELECT pos // 32 AS word,
@@ -319,13 +317,11 @@ object Bloom {
          |lkeys AS (SELECT DISTINCT l_orderkey FROM lineitem),
          |lh1 AS (
          |  SELECT l_orderkey,
-         |    xor((l_orderkey % 1000003) * 2654435761,
-         |        ((l_orderkey % 1000003) * 2654435761) >> 13) AS h1
+         |    ${Hll.mixSql1("l_orderkey")} AS h1
          |  FROM lkeys),
          |lh AS (
          |  SELECT l_orderkey,
-         |    xor((h1 % 999983) * 1779033703,
-         |        ((h1 % 999983) * 1779033703) >> 17) % 2147483647 AS hf
+         |    ${Hll.mixSql2("h1")} % 2147483647 AS hf
          |  FROM lh1),
          |lpass AS (
          |  SELECT l_orderkey,

@@ -48,20 +48,43 @@ object Hll {
     111, 89, 76, 67, 59, 54, 49, 44, 41, 37, 34, 31, 29, 26, 24, 22,
     20, 18, 17, 15, 13, 12, 11, 9, 8, 7, 5, 4, 3, 2, 1, 0)
 
-  /** TWO rounds of the sampler family's multiplicative-xorshift
+  /** TWO rounds of the sampler family's multiplicative-xorshift shape
     * (CorpusOps.bucket1M's round, then a second fold-multiply-xorshift
     * with different constants). One round is measurably non-uniform on
     * sequential ids at the register granularity (8/32 registers empty
     * at n=150 → 3× underestimate); the second round fixes it (≤ 1
-    * empty, est within 10%). Each product is (id mod ~10⁶)·(odd 31-bit
-    * constant) ≤ 2⁵¹ — no overflow in either engine, ~46 usable bits
-    * after the register split. */
+    * empty, est within 10%).
+    *
+    * Moduli sizing: the distinguishable key domain is capped by the
+    * fold moduli — keys congruent mod [[P1]] collide before mixing, so
+    * NDV saturates at ~P1 distinct keys. The sampler family's ~10⁶
+    * moduli were fine for keep/drop decisions but capped this SKETCH's
+    * domain at ~1e6 (l_partkey exceeds that around sf5). Both moduli
+    * are now the largest primes below 2³¹ that keep every product
+    * inside a signed 64-bit in BOTH engines (DuckDB BIGINT errors on
+    * overflow): (P1−1)·C1 ≈ 5.7e18 and (P2−1)·C2 ≈ 3.8e18 < 2⁶³−1 ≈
+    * 9.2e18. Domain cap is now ~2.1e9 keys — sf ~10⁴ for l_partkey;
+    * past that, widen to a two-word mix. ~46 usable bits after the
+    * register split. */
+  private[graft] val P1 = 2147483629L // largest prime < 2^31
+  private[graft] val C1 = 2654435761L
+  private[graft] val P2 = 2147483587L // next prime below 2^31
+  private[graft] val C2 = 1779033703L
+
   private[graft] def mix(id: Column): Column = {
-    val m0 = pmod(id, lit(1000003L)) * lit(2654435761L)
+    val m0 = pmod(id, lit(P1)) * lit(C1)
     val h1 = m0.bitwiseXOR(shiftright(m0, 13))
-    val h2 = pmod(h1, lit(999983L)) * lit(1779033703L)
+    val h2 = pmod(h1, lit(P2)) * lit(C2)
     h2.bitwiseXOR(shiftright(h2, 17))
   }
+
+  /** DuckDB replay of [[mix]]'s two rounds — oracle CTEs interpolate
+    * these so the constants CANNOT drift from the Spark side. Round 1
+    * maps the raw key to `h1`; round 2 maps `h1` to the final hash. */
+  private[graft] def mixSql1(c: String): String =
+    s"xor(($c % $P1) * $C1, (($c % $P1) * $C1) >> 13)"
+  private[graft] def mixSql2(c: String): String =
+    s"xor(($c % $P2) * $C2, (($c % $P2) * $C2) >> 17)"
 
   /** Per-value (register, rho): register = low 5 bits, rho = trailing
     * zeros of the rest + 1, capped at 20 so 2^(20−rho) stays an exact
@@ -200,13 +223,11 @@ object Hll {
          |  WHERE user_id IS NOT NULL),
          |h1 AS (
          |  SELECT event_type, user_id,
-         |    xor((user_id % 1000003) * 2654435761,
-         |        ((user_id % 1000003) * 2654435761) >> 13) AS h1
+         |    ${mixSql1("user_id")} AS h1
          |  FROM ev),
          |h AS (
          |  SELECT event_type, user_id,
-         |    xor((h1 % 999983) * 1779033703,
-         |        ((h1 % 999983) * 1779033703) >> 17) AS h
+         |    ${mixSql2("h1")} AS h
          |  FROM h1),
          |rr AS (
          |  SELECT event_type, h % $M AS reg,
@@ -252,13 +273,11 @@ object Hll {
          |  WHERE user_id IS NOT NULL),
          |h1 AS (
          |  SELECT event_type, user_id,
-         |    xor((user_id % 1000003) * 2654435761,
-         |        ((user_id % 1000003) * 2654435761) >> 13) AS h1
+         |    ${mixSql1("user_id")} AS h1
          |  FROM ev),
          |h AS (
          |  SELECT event_type, user_id,
-         |    xor((h1 % 999983) * 1779033703,
-         |        ((h1 % 999983) * 1779033703) >> 17) AS h
+         |    ${mixSql2("h1")} AS h
          |  FROM h1),
          |rr AS (
          |  SELECT event_type, h % $M AS reg,

@@ -113,13 +113,24 @@ class HllSpec extends SparkSpec {
   }
 
   test("h == 0 edge: the rho cap engages instead of crashing") {
-    // user_id = 1000003 folds to 0 -> h = 0 -> w = 0 -> rho = cap
-    val df = spark.createDataFrame(Seq(("z", 1000003L), ("z", 5L)))
+    // user_id = P1 folds to 0 -> h = 0 -> w = 0 -> rho = cap
+    val df = spark.createDataFrame(Seq(("z", Hll.P1), ("z", 5L)))
       .toDF("grp", "user_id")
     val regs = Hll.regRho(df, col("user_id"))
       .select(col("user_id"), col("reg"), col("rho")).collect()
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-    assert(regs(1000003L) == ((0L, 20L)))
+    assert(regs(Hll.P1) == ((0L, 20L)))
+  }
+
+  test("keys beyond the old 1e6 fold stay distinguishable (domain cap widened)") {
+    // 5000 sequential ids ABOVE 1e6: under the old % 1000003 fold these
+    // collapsed onto the same ~1e6 residue ring as ids below it; the
+    // widened moduli must keep the estimate tracking exact
+    val df = spark.createDataFrame(
+      (1 to 5000).map(i => ("big", 1000003L * 3 + i.toLong)))
+      .toDF("grp", "user_id")
+    val (_, _, e) = est(df)("big")
+    assert(math.abs(e - 5000.0) / 5000.0 < 0.55, s"est $e vs 5000")
   }
 
   test("sketch_hll on the corpus matches a scalar replay of the mix") {
