@@ -207,8 +207,20 @@ object EmfPlanner {
     // Catalyst pushes them into the parquet scan
     val t0 = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
     val t = t0.alias("t")
-    val m = mf.alias("mf")
-    val joinCond = v.mfConds.map(mfCond(_, schema)).reduce(_ && _)
+    // Conditions whose operands are BOTH MF fields (MF-vs-MF, e.g. corpus
+    // q6's `MF.avg_1 > MF.avg_2`, or the degenerate `MF.a = MF.a`) are
+    // group-side predicates: apply them as a FILTER on the MF frame BEFORE
+    // the join. Semantically identical (the left join-back NULLs the
+    // aggregate for filtered-out groups exactly as an empty join would),
+    // cheaper (the fact table never joins against groups that can't
+    // match), and — load-bearing — keeps them out of Dataset.join's
+    // condition, whose ambiguous-self-join rewrite mis-resolves a
+    // condition referencing only one side (found by EmfPropertySpec fuzz).
+    val (mfOnly, joinSide) = v.mfConds.partition(c =>
+      c.lhs.isInstanceOf[MfField] && c.rhs.isInstanceOf[MfField])
+    val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c)))
+    val m = mFiltered.alias("mf")
+    val joinCond = joinSide.map(mfCond(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
     val joined = m.join(t, joinCond, "inner")
     val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
     joined.groupBy(gCols: _*)
@@ -389,6 +401,13 @@ object EmfPlanner {
       case (Lit(raw), TupleCol(a)) => cmp(typedLit(raw, a, schema), c.op, ref(a))
       case _ => throw new IllegalArgumentException(s"not a tuple condition: $c")
     }
+  }
+
+  /** MF-vs-MF condition evaluated against the (unaliased) MF frame —
+    * both operands name MF-frame columns. */
+  private def mfOnlyCond(c: Cond): Column = (c.lhs, c.rhs) match {
+    case (MfField(a), MfField(b)) => cmp(col(a), c.op, col(b))
+    case _ => throw new IllegalArgumentException(s"not an MF-only condition: $c")
   }
 
   /** MF condition inside a dependent join: TupleCol → fact side ("t"),

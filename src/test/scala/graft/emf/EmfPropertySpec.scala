@@ -93,6 +93,194 @@ class EmfPropertySpec extends SparkSpec {
     }
   }
 
+  // ---- round-12 planner fuzz: random EmfQuery ASTs vs the brute-force
+  // paper-semantics interpreter ([[BruteEmf]]) ---------------------------
+  //
+  // The generator spans the full parser-constructible space: 1–4 grouping
+  // variables drawn from SIMPLE / WINDOWED / subset-equality / complement
+  // (same-attr !=) / EMF-dependent (tuple-vs-earlier-aggregate) /
+  // MF-vs-MF / cross-attribute membership, each with 0–2 tuple
+  // predicates, plus variable-0 aggregates, a global WHERE, and a random
+  // HAVING tree — exactly the classification boundaries EmfPlanner picks
+  // lowerings at. Dependencies point backwards (declaration order = a
+  // valid topo order), matching the reference's sequential-scan model.
+
+  private val stringDoms = Map(
+    "g" -> Seq("a", "b", "c"), "h" -> Seq("p", "q"),
+    "state" -> Seq("NY", "CT", "NJ"))
+
+  private val genTupleCond: Gen[Cond] = Gen.oneOf(
+    for { s <- Gen.oneOf(stringDoms("state")); op <- Gen.oneOf("=", "!=") }
+      yield Cond(TupleCol("state"), op, Lit(s)),
+    for { v <- Gen.choose(5, 45); op <- Gen.oneOf("<", "<=", ">", ">=") }
+      yield Cond(TupleCol("x"), op, Lit(v.toString)),
+    for { v <- Gen.choose(1, 5); op <- Gen.oneOf("<", "<=", ">", ">=", "=", "!=") }
+      yield Cond(TupleCol("ord"), op, Lit(v.toString)),
+    for { s <- Gen.oneOf(stringDoms("g")); op <- Gen.oneOf("=", "!=") }
+      yield Cond(TupleCol("g"), op, Lit(s)))
+
+  private val anyOps = Gen.oneOf("<", "<=", ">", ">=", "=", "!=")
+
+  /** Membership-condition shapes for variable `i`, given grouping attrs
+    * and the aggregates already declared before it. */
+  private def genVar(i: Int, gAttrs: Seq[String], earlier: Seq[AggSpec]): Gen[GroupingVar] = {
+    def eq(a: String) = Cond(TupleCol(a), "=", MfField(a))
+    val eqAll = gAttrs.map(eq)
+    def eqSubset(of: Seq[String]): Gen[Seq[Cond]] =
+      Gen.someOf(of).map(_.toSeq.map(eq))
+
+    val simple: Gen[Seq[Cond]] = Gen.const(eqAll)
+    // equality on a subset + one order comparison on the integral attr
+    val windowed: Gen[Seq[Cond]] =
+      if (!gAttrs.contains("ord")) simple
+      else for {
+        eqs <- eqSubset(gAttrs.filterNot(_ == "ord"))
+        op  <- Gen.oneOf("<", "<=", ">", ">=")
+      } yield eqs :+ Cond(TupleCol("ord"), op, MfField("ord"))
+    // equality on a (possibly empty) strict subset of G
+    val subsetEq: Gen[Seq[Cond]] = eqSubset(gAttrs.dropRight(1))
+    // complement shape: eq subset + one same-attr <> (the anti attr may
+    // collide with an eq attr — contradiction, must yield NULL/0)
+    val anti: Gen[Seq[Cond]] = for {
+      eqs <- eqSubset(gAttrs)
+      a   <- Gen.oneOf(gAttrs)
+      neq <- Gen.oneOf("!=", "<>")
+    } yield eqs :+ Cond(TupleCol(a), neq, MfField(a))
+    // EMF dependency: tuple column vs an earlier variable's aggregate
+    val dep: Gen[Seq[Cond]] =
+      if (earlier.isEmpty) windowed
+      else for {
+        eqs <- Gen.oneOf(Gen.const(eqAll), eqSubset(gAttrs))
+        t   <- Gen.oneOf(earlier)
+        c   <- Gen.oneOf("x", "ord")
+        op  <- anyOps
+      } yield eqs :+ Cond(TupleCol(c), op, MfField(t.name))
+    // MF-vs-MF: group-side-only predicate (all-or-nothing membership)
+    val mfVsMf: Gen[Seq[Cond]] = {
+      val numericMf = earlier.map(_.name) ++ gAttrs.filter(_ == "ord")
+      if (numericMf.size < 2) simple
+      else for {
+        a1 <- Gen.oneOf(numericMf); a2 <- Gen.oneOf(numericMf); op <- anyOps
+      } yield eqAll :+ Cond(MfField(a1), op, MfField(a2))
+    }
+    // cross-attribute: tuple.c ? MF.a with c ≠ a (type-compatible pairs)
+    val crossAttr: Gen[Seq[Cond]] = {
+      val strPairs = gAttrs.filter(stringDoms.contains)
+        .flatMap(a => stringDoms.keys.filterNot(_ == a).map(c => (c, a)))
+      val pairs = strPairs ++ (if (gAttrs.contains("ord")) Seq(("x", "ord")) else Nil)
+      if (pairs.isEmpty) simple
+      else for { p <- Gen.oneOf(pairs); op <- anyOps }
+        yield Seq(Cond(TupleCol(p._1), op, MfField(p._2)))
+    }
+
+    for {
+      membership <- Gen.frequency(2 -> simple, 3 -> windowed, 2 -> subsetEq,
+        3 -> anti, 3 -> dep, 2 -> mfVsMf, 1 -> crossAttr)
+      nTup <- Gen.choose(0, 2)
+      tups <- Gen.listOfN(nTup, genTupleCond)
+      func <- Gen.oneOf("sum", "avg", "min", "max", "count")
+      c    <- Gen.oneOf("x", "ord")
+    } yield GroupingVar(i, AggSpec(func, c, s"${func}_${c}_v$i"), membership ++ tups)
+  }
+
+  private def genVarsSeq(n: Int, g: Seq[String], varZero: Seq[AggSpec]): Gen[Seq[GroupingVar]] =
+    (1 to n).foldLeft(Gen.const(Seq.empty[GroupingVar])) { (acc, i) =>
+      acc.flatMap(vs => genVar(i, g, varZero ++ vs.map(_.agg)).map(vs :+ _))
+    }
+
+  private def genHaving(aggs: Seq[AggSpec]): Gen[Option[HavingExpr]] = {
+    def bound(a: AggSpec): Int = a.func match {
+      case "count" => 20
+      case "sum"   => if (a.column == "x") 250 else 60
+      case _       => if (a.column == "x") 45 else 5
+    }
+    val leaf: Gen[HavingExpr] = for {
+      a  <- Gen.oneOf(aggs)
+      op <- anyOps
+      v  <- Gen.choose(0, bound(a))
+    } yield HavingLeaf(HavingCond(MfField(a.name), op, Lit(v.toString)))
+    if (aggs.isEmpty) Gen.const(None)
+    else Gen.frequency(2 -> Gen.const(None), 3 -> (for {
+      n      <- Gen.choose(1, 2)
+      leaves <- Gen.listOfN(n, leaf)
+      isAnd  <- Gen.oneOf(true, false)
+    } yield Some(leaves.reduceLeft[HavingExpr](
+      (l, r) => if (isAnd) HavingAnd(l, r) else HavingOr(l, r)))))
+  }
+
+  private val genQuery: Gen[EmfQuery] = for {
+    gAttrs <- Gen.oneOf(Seq("g"), Seq("h"), Seq("state"), Seq("g", "h"),
+      Seq("g", "ord"), Seq("ord"), Seq("h", "ord"), Seq("g", "h", "ord"))
+    nZero <- Gen.choose(0, 2)
+    zs <- Gen.listOfN(nZero, for {
+      f <- Gen.oneOf("sum", "avg", "min", "max", "count")
+      c <- Gen.oneOf("x", "ord")
+    } yield (f, c))
+    varZero = zs.zipWithIndex.map { case ((f, c), j) => AggSpec(f, c, s"${f}_${c}_z$j") }
+    nVars <- Gen.choose(1, 4)
+    vars  <- genVarsSeq(nVars, gAttrs, varZero)
+    nWhere <- Gen.choose(0, 1)
+    where  <- Gen.listOfN(nWhere, genTupleCond)
+    allAggs = varZero ++ vars.map(_.agg)
+    hav <- genHaving(allAggs)
+  } yield EmfQuery(gAttrs ++ allAggs.map(_.name), gAttrs, varZero, vars, where, hav)
+
+  private def sampleQuery(seed: Long): EmfQuery = {
+    var s = seed
+    var q: Option[EmfQuery] = None
+    while (q.isEmpty) { // Gen retry on the rare filtered-out sample
+      q = genQuery.apply(Gen.Parameters.default, rng.Seed(s))
+      s += 7919
+    }
+    q.get
+  }
+
+  private def eqVal(a: Any, b: Any): Boolean = (a, b) match {
+    case (null, null)           => true
+    case (x: Number, y: Number) => math.abs(x.doubleValue - y.doubleValue) < 1e-9
+    case _                      => a == b
+  }
+
+  private def assertAgree(q: EmfQuery, got: Seq[Seq[Any]], want: Seq[Seq[Any]]): Unit = {
+    def key(r: Seq[Any]) = r.take(q.groupAttrs.size).map(String.valueOf).mkString("|")
+    val gs = got.sortBy(key)
+    val ws = want.sortBy(key)
+    assert(gs.size == ws.size,
+      s"row count ${gs.size} vs ${ws.size}\nquery=$q\nplanner=$gs\nbrute=$ws")
+    gs.zip(ws).foreach { case (g, w) =>
+      g.indices.foreach { i =>
+        assert(eqVal(g(i), w(i)),
+          s"col '${q.select(i)}': planner=${g(i)} brute=${w(i)}\nquery=$q\nrow=$g vs $w")
+      }
+    }
+  }
+
+  test("fuzz: 240 random EMF queries match brute-force paper semantics") {
+    var checked = 0
+    sampleTables(4).zipWithIndex.foreach { case (rows, ti) =>
+      val df = rows.toDF().persist()
+      df.count()
+      val brute: Seq[BruteEmf.TRow] = rows.map(r =>
+        Map("g" -> r.g, "h" -> r.h, "ord" -> r.ord, "state" -> r.state, "x" -> r.x))
+      (0 until 60).foreach { qi =>
+        val q = sampleQuery(100000L * (ti + 1) + qi)
+        EmfParser.validate(q, cols) // generator must stay inside the grammar
+        val got =
+          try EmfPlanner.plan(q, df).collect().toSeq
+            .map(r => (0 until r.length).map(r.get))
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"planner failed on seed ${100000L * (ti + 1) + qi}\nquery=$q", e)
+          }
+        assertAgree(q, got, BruteEmf.run(q, brute))
+        checked += 1
+      }
+      df.unpersist()
+      EmfPlanner.unpersistAll()
+    }
+    assert(checked == 240)
+  }
+
   test("dedup idempotent; sum/count/avg consistent on random tables") {
     sampleTables(4).foreach { rows =>
       val df = rows.toDF()
