@@ -419,6 +419,50 @@ object RelationalQueries {
         .orderBy(col("n_name"))
     }),
 
+    // TPC-H Q21 shape: the deepest join pipeline in the suite — six
+    // relations: supplier ⋈ lineitem(l1) ⋈ orders ⋈ nation plus a semi
+    // (EXISTS other-supplier line) and an anti (NOT EXISTS other
+    // at-fault supplier) self-correlation of lineitem. The fault marker
+    // is l_returnflag = 'R' (the synthetic schema has no receipt/commit
+    // dates). Scale shape: the orders join, the semi and the anti are
+    // ALL keyed on l_orderkey — one shuffle partitioning reused by
+    // three consecutive joins, with the <> predicates as join residuals
+    // (never a BNLJ: every join has an equality key). supplier ⋈
+    // broadcast(nation) prefilters the supplier side to 4/25 nations;
+    // the fact-side supplier join stays UNHINTED because supplier is
+    // SF-scaled (AQE broadcasts the 16% remnant while it fits,
+    // shuffle-joins past that). Alternative at extreme order-key skew:
+    // one groupBy(l_orderkey) pass computing distinct-supplier and
+    // distinct-fault-supplier counts replaces both self-joins with the
+    // same single shuffle; the self-join form is kept as the join-order
+    // exercise and is what SQL EXISTS planning produces.
+    "q21_waiting_suppliers" -> ((s, d) => {
+      val n = Tables.nation(s, d).filter(col("n_name").isin(
+        "NATION_1", "NATION_7", "NATION_13", "NATION_19"))
+      val suN = Tables.supplier(s, d)
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"))
+      val o = Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
+      val l = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val l1 = l.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_suppkey"))
+      val l2 = l.select(col("l_orderkey").as("x_orderkey"),
+        col("l_suppkey").as("x_suppkey"))
+      val l3 = l1.select(col("l_orderkey").as("y_orderkey"),
+        col("l_suppkey").as("y_suppkey"))
+      l1.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(l2, col("l_orderkey") === col("x_orderkey") &&
+          col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+        .join(l3, col("l_orderkey") === col("y_orderkey") &&
+          col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+        .join(suN, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+    }),
+
     // argmax per group, tie-broken deterministically via struct ordering
     // (max of (price, key) pairs) — one aggregation, no window shuffle.
     "agg_argmax" -> ((s, d) => {
@@ -1108,6 +1152,23 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q21_waiting_suppliers" ->
+      """SELECT s_name, count(*) AS numwait
+        |FROM lineitem l1
+        |JOIN orders ON o_orderkey = l1.l_orderkey
+        |JOIN supplier ON s_suppkey = l1.l_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+        |  AND n_name IN ('NATION_1','NATION_7','NATION_13','NATION_19')
+        |  AND EXISTS (SELECT 1 FROM lineitem l2
+        |              WHERE l2.l_orderkey = l1.l_orderkey
+        |                AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+        |              WHERE l3.l_orderkey = l1.l_orderkey
+        |                AND l3.l_suppkey <> l1.l_suppkey
+        |                AND l3.l_returnflag = 'R')
+        |GROUP BY s_name
+        |ORDER BY numwait DESC, s_name""".stripMargin,
     "agg_argmax" ->
       """SELECT o_orderpriority, o_orderkey AS top_orderkey,
         | CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS top_price

@@ -6,12 +6,17 @@ import org.apache.spark.sql.SparkSession
   * queries on a given sf dir — the source for PLANS.md plan audits.
   * Not part of the shipped surface.
   *
-  * Usage: `runMain graft.tools.PlanDump <sfDir> <name> [name ...]`
+  * Usage: `runMain graft.tools.PlanDump <sfDir> [--exec] <name> [name ...]`
+  *
+  * With `--exec` the query is executed first and the FINAL
+  * AQE-re-optimized physical plan is printed (runtime join strategy
+  * picks, DPP, skew splits) — the pre-execution plan hides those.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
-    val names = args.drop(1)
+    val exec = args.contains("--exec")
+    val names = args.drop(1).filterNot(_ == "--exec")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -24,8 +29,12 @@ object PlanDump {
     for (name <- names) {
       println(s"===== $name =====")
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
-      println(df.queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      if (exec) {
+        df.collect()
+        println(df.queryExecution.executedPlan.toString)
+      } else
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
       graft.emf.EmfPlanner.unpersistAll()
     }
     spark.stop()

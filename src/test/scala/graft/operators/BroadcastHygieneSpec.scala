@@ -25,6 +25,8 @@ class BroadcastHygieneSpec extends SparkSpec {
     ("join_nonequi", 0, "SF-scaled part side unhinted"),
     ("window_lag", 0, "SF-scaled part side unhinted"),
     ("q3_shipping_priority", 0, "SF-scaled customer side unhinted"),
+    ("q21_waiting_suppliers", 1,
+      "25-row nation dim; supplier, orders, semi and anti sides unhinted"),
     ("dq_checks", 0, "FK probes are shuffle-hash, never broadcast"),
     ("text_surprisal", 1, "the 1-row corpus-total frame"),
     ("assoc_rules", 1, "the 1-row basket-census frame"),
