@@ -136,8 +136,11 @@ object EmfPlanner {
     * Returns (equality attrs E, anti attr c) when the identity
     * `f({x: x.E = g.E ∧ x.c ≠ g.c}) = f({x: x.E = g.E}) ⊖
     *  f({x: x.E = g.E ∧ x.c = g.c})`
-    * applies (sum/count subtract; avg = sum diff / count diff). */
-  private def complementInfo(v: GroupingVar, q: EmfQuery)
+    * applies (sum/count subtract; avg = sum diff / count diff).
+    * Shared with the incremental streaming lowering
+    * ([[EmfStreaming.planCrossGroup]]), which keys its state by E on the
+    * same identity. */
+  private[emf] def complementInfo(v: GroupingVar, q: EmfQuery)
       : Option[(Seq[String], String)] = {
     if (!Set("sum", "count", "avg").contains(v.agg.func)) return None
     if (v.dependsOn(q.aggNames).nonEmpty) return None

@@ -46,13 +46,23 @@ import org.apache.spark.sql.Row
   *    window frames over partials and re-classifies each group's
   *    histogram against ITS frame-derived threshold. Three-level
   *    sufficient statistic: key → order value → comparison value.
+  *  - DEPENDENT variables with cross-group COMPLEMENT membership
+  *    (corpus q4: equality on a grouping subset E plus one same-attr
+  *    `!=`, a subtractable aggregate) run incrementally via
+  *    [[planCrossGroup]]: the cross-group span is confined to groups
+  *    sharing E, so keying the state by E restores a key-local
+  *    sufficient statistic through the batch planner's own subtraction
+  *    identity — per anti value one accumulator row, emission renders
+  *    `total(key) ⊖ own(group)` and re-emits every group of a touched
+  *    key (the revision other groups' arrivals force).
   *  - DEPENDENT variables with genuinely unpinned cross-group
   *    predicates (membership spanning groups that share NO equality
-  *    key) still run the full batch planner on each micro-batch via
-  *    `foreachBatch` — [[microBatch]] — the standard full-expressiveness
-  *    escape hatch: there the qualifying set of ONE group moves when
-  *    arbitrary OTHER groups' aggregates move, so no key-local
-  *    sufficient statistic exists.
+  *    key, or non-subtractable complement aggregates) still run the
+  *    full batch planner on each micro-batch via `foreachBatch` —
+  *    [[microBatch]] — the standard full-expressiveness escape hatch:
+  *    there the qualifying set of ONE group moves when arbitrary OTHER
+  *    groups' aggregates move, so no key-local sufficient statistic
+  *    exists.
   */
 object EmfStreaming {
 
@@ -580,6 +590,232 @@ object EmfStreaming {
     emitted.toDF("__json", "__ver")
       .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
       .select(col("r.*"), col("__ver"))
+  }
+
+  // ---- incremental CROSS-GROUP lowering (complement shape, corpus q4) ----
+
+  final case class CrossRow(k: String, a: String,
+      micro: Seq[Option[Long]], raw: Seq[Option[Double]])
+
+  /** State for one equality key E (e.g. prod): one accumulator row per
+    * anti-attribute value (e.g. cust) — the key's slice of the MF
+    * structure. Base slots accumulate the group's own aggregates;
+    * complement slots accumulate the group's OWN contribution, and the
+    * key total is their fold — so `complement(g) = total ⊖ own(g)` is
+    * computable at emission with no cross-key traffic. */
+  final class CrossState extends Serializable {
+    var ver: Long = 0L
+    val groups = new java.util.HashMap[String, Array[SlotAcc]]()
+  }
+
+  /** Incremental lowering for the cross-group COMPLEMENT shape (corpus
+    * q4: `avg(quant) over tuples with the same prod but a DIFFERENT
+    * cust`): varZero/SIMPLE variables plus DEPENDENT variables that are
+    * complement-decomposable ([[EmfPlanner.complementInfo]] — equality
+    * on a grouping subset E, exactly one same-attr `!=` on the remaining
+    * grouping attr, a subtractable aggregate) with G = E ∪ {anti}.
+    *
+    * The membership of group (e, a) genuinely spans OTHER groups — the
+    * shape [[planDependent]] rejects — but the span is confined to
+    * groups sharing e, so keying the state by E restores a key-local
+    * sufficient statistic via the batch planner's own subtraction
+    * identity: per anti value, ONE accumulator row holding the group's
+    * base aggregates and its own complement-slot contribution; emission
+    * renders `complement(g) = Σ_own(key) ⊖ own(g)` — two-level state
+    * (per-E totals as a fold of per-(E,anti) partials), O(groups-per-
+    * key), no history re-scan. Each micro-batch touching a key re-emits
+    * ALL the key's groups: one new (c₃, p) tuple moves the complement of
+    * every (cᵢ, p) group, and those groups' revisions must reach the
+    * sink without any cᵢ row arriving (the retraction the batch planner
+    * gets for free by recomputing).
+    *
+    * Arithmetic matches [[EmfPlanner.complementPass]] bit-for-bit within
+    * the decimal-6 exactness contract: exact micro-unit sums and counts
+    * subtract; an empty complement (cntDiff = 0) renders NULL for
+    * sum/avg and 0 for count. Output/emission contract (UPDATE mode,
+    * `__ver`, [[snapshot]], HAVING on the snapshot) is identical to
+    * [[planWindowed]]. State per key is O(|anti domain within the
+    * key|) — the MF frame's own cardinality for that key — guarded by
+    * the same fail-fast the windowed/dependent paths use. */
+  def planCrossGroup(q: EmfQuery, stream: DataFrame): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val schema = stream.schema
+
+    val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
+    require(winVars.isEmpty,
+      "incremental cross-group streaming supports variable-0/SIMPLE + " +
+        "complement-decomposable DEPENDENT variables only; use " +
+        "planChained(...) for windowed mixes or microBatch(...) beyond that")
+    require(depVars.nonEmpty,
+      "no DEPENDENT variable; use plan(...) for all-SIMPLE queries")
+
+    val infos = depVars.map(v => v -> EmfPlanner.complementInfo(v, q))
+    infos.foreach { case (v, i) =>
+      require(i.isDefined,
+        s"dependent variable ${v.agg.name} is not complement-decomposable " +
+          "(equality on a grouping subset + exactly one same-attr != + " +
+          "sum/count/avg); use planDependent(...) for own-group aggregate " +
+          "comparisons or microBatch(...) beyond that")
+    }
+    val (eqAttrs, antiAttr) = infos.head._2.get
+    infos.foreach { case (v, Some((e, a))) =>
+      require(e.toSet == eqAttrs.toSet && a == antiAttr,
+        s"complement variable ${v.agg.name} must share equality attrs " +
+          s"$eqAttrs and anti attr $antiAttr; mixed complement keys need " +
+          "microBatch(...)")
+      case _ => ()
+    }
+    require(eqAttrs.nonEmpty,
+      "cross-group streaming needs ≥ 1 equality attr (a keyless global " +
+        "complement has no state key); use microBatch(...)")
+    require(!eqAttrs.contains(antiAttr),
+      s"anti attr $antiAttr also appears in the equality set — the " +
+        "membership is contradictory (always empty); use microBatch(...)")
+    require(q.groupAttrs.toSet == (eqAttrs :+ antiAttr).toSet,
+      s"grouping set ${q.groupAttrs} must be exactly equality attrs " +
+        s"$eqAttrs plus anti attr $antiAttr; use microBatch(...)")
+
+    def colType(n: String): DataType =
+      schema.find(_.name == n).map(_.dataType).getOrElse(
+        throw new IllegalArgumentException(s"unknown column $n"))
+    def numeric(n: String): Unit = colType(n) match {
+      case ByteType | ShortType | IntegerType | LongType | FloatType |
+           DoubleType => ()
+      case other => throw new IllegalArgumentException(
+        s"cross-group streaming needs numeric aggregate columns; $n: $other")
+    }
+
+    // ---- slots: varZero + SIMPLE (kind 0), then complement (kind 2)
+    final case class SlotDef(spec: SlotSpec, srcCol: String, cond: Option[Column])
+    val baseSlots: Seq[SlotDef] =
+      q.varZero.map { a =>
+        numeric(a.column)
+        SlotDef(SlotSpec(a.name, a.func, isFloat(colType(a.column)),
+          isIntegral(colType(a.column)), 0, ""), a.column, None)
+      } ++
+      simpleVars.map { v =>
+        numeric(v.agg.column)
+        SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+          isIntegral(colType(v.agg.column)), 0, ""), v.agg.column,
+          condOf(v, schema))
+      }
+    val compSlots: Seq[SlotDef] = depVars.map { v =>
+      numeric(v.agg.column)
+      SlotDef(SlotSpec(v.agg.name, v.agg.func, isFloat(colType(v.agg.column)),
+        isIntegral(colType(v.agg.column)), 2, ""), v.agg.column,
+        condOf(v, schema))
+    }
+    val slots = baseSlots ++ compSlots
+    val specs = slots.map(_.spec).toArray
+    val nBase = baseSlots.length
+
+    // ---- input projection: E-key JSON, anti-value JSON, slot values
+    val base = stream.filter(EmfPlanner.whereColumn(q.where, schema))
+    def guarded(s: SlotDef): Column =
+      s.cond.map(c => when(c, col(s.srcCol))).getOrElse(col(s.srcCol))
+    // ignoreNullFields=false: a null key/anti field must keep its slot in
+    // the JSON (default to_json DROPS null fields, which would splice a
+    // malformed `{...,,...}` row and alias distinct null patterns)
+    val keepNulls = Map("ignoreNullFields" -> "false")
+    val projected = base.select(
+      to_json(struct(eqAttrs.map(col): _*), keepNulls).as("k"),
+      to_json(struct(col(antiAttr)), keepNulls).as("a"),
+      array(slots.map(s =>
+        (guarded(s).cast("decimal(27,6)") * lit(1000000L)).cast("long")): _*)
+        .as("micro"),
+      array(slots.map(s => guarded(s).cast("double")): _*).as("raw"))
+      .as[CrossRow]
+
+    // ---- the stateful combine
+    implicit val stateEnc: Encoder[CrossState] = Encoders.kryo[CrossState]
+    val emitted = projected
+      .groupByKey(_.k)
+      .flatMapGroupsWithState[CrossState, (String, Long)](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[CrossRow], state: GroupState[CrossState]) =>
+          val st = state.getOption.getOrElse(new CrossState)
+          rows.foreach { r =>
+            var cells = st.groups.get(r.a)
+            if (cells == null) {
+              cells = Array.fill(specs.length)(new SlotAcc)
+              st.groups.put(r.a, cells)
+              boundAntiDomain(st.groups.size)
+            }
+            var i = 0
+            while (i < specs.length) {
+              fold(cells(i), r.micro(i), r.raw(i), specs(i).name)
+              i += 1
+            }
+          }
+          st.ver += 1
+          state.update(st)
+          emitCrossKey(key, st, specs, nBase, antiAttr)
+      }
+
+    // ---- typed reconstruction (same shape as planWindowed)
+    val outSchema = StructType(
+      eqAttrs.map(n => StructField(n, colType(n), nullable = true)) ++
+        Seq(StructField(antiAttr, colType(antiAttr), nullable = true)) ++
+        slots.map(s => StructField(s.spec.name,
+          outType(s.spec, colType(s.srcCol)), nullable = true)))
+    emitted.toDF("__json", "__ver")
+      .select(from_json(col("__json"), outSchema).as("r"), col("__ver"))
+      .select(col("r.*"), col("__ver"))
+  }
+
+  /** Anti-domain analogue of [[boundOrderDomain]]: one accumulator row
+    * per anti value per key — the key's own group count. */
+  private def boundAntiDomain(n: Int): Unit =
+    if (n > MaxHistBuckets)
+      throw new IllegalStateException(
+        s"cross-group streaming EMF: more than $MaxHistBuckets distinct " +
+          "anti-attribute values in one key's state — the anti attribute " +
+          "is not domain-bounded within its equality key; state would " +
+          "grow with the stream. Use a batch EMF pass instead.")
+
+  /** Emit one JSON row per (key, anti value): base slots straight from
+    * the group's accumulators; complement slots render the subtraction
+    * `total(key) ⊖ own(group)` — [[EmfPlanner.complementPass]]'s
+    * identity over exact partials. */
+  private def emitCrossKey(key: String, st: CrossState,
+      specs: Array[SlotSpec], nBase: Int, antiAttr: String)
+      : Iterator[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    val nComp = specs.length - nBase
+    val tot = Array.fill(nComp)(new Comb)
+    st.groups.values().asScala.foreach { cells =>
+      var j = 0
+      while (j < nComp) { tot(j).add(cells(nBase + j)); j += 1 }
+    }
+    val keyInner = key.substring(1, key.length - 1)
+    val out = st.groups.entrySet().asScala.iterator.map { e =>
+      val antiInner = e.getKey.substring(1, e.getKey.length - 1)
+      val cells = e.getValue
+      val sb = new StringBuilder(96)
+      sb.append('{')
+      if (keyInner.nonEmpty) { sb.append(keyInner); sb.append(',') }
+      sb.append(antiInner)
+      var i = 0
+      while (i < nBase) {
+        val c = new Comb; c.add(cells(i))
+        sb.append(",\"").append(specs(i).name).append("\":")
+          .append(render(specs(i), c))
+        i += 1
+      }
+      var j = 0
+      while (j < nComp) {
+        val diff = new Comb
+        diff.sumMicro = tot(j).sumMicro - cells(nBase + j).sumMicro
+        diff.cnt = tot(j).cnt - cells(nBase + j).cnt
+        sb.append(",\"").append(specs(nBase + j).name).append("\":")
+          .append(render(specs(nBase + j), diff))
+        j += 1
+      }
+      sb.append('}')
+      (sb.toString, st.ver)
+    }
+    out.toIndexedSeq.iterator
   }
 
   // ---- incremental CHAINED lowering (dependent-on-windowed, corpus q8) ----

@@ -41,9 +41,10 @@ object StreamVolume {
 
     val cases = Seq[(String, graft.emf.EmfQuery,
         (graft.emf.EmfQuery, DataFrame) => DataFrame)](
-      // q4's cross-group membership (!= cust) is microBatch-only by
-      // design; q6 is the corpus's full-pin DEPENDENT shape
       ("q3_windowed", GoldenQueries.parsed(2), EmfStreaming.planWindowed),
+      // q4: cross-group complement membership (!= cust), incremental via
+      // the per-prod total ⊖ own subtraction state
+      ("q4_crossgroup", GoldenQueries.parsed(3), EmfStreaming.planCrossGroup),
       ("q6_dependent", GoldenQueries.parsed(5), EmfStreaming.planDependent),
       ("q8_chained", GoldenQueries.parsed(7), EmfStreaming.planChained))
 

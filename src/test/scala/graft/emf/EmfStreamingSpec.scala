@@ -420,6 +420,125 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  // q4 shape: cross-group complement membership (same prod, OTHER cust)
+  private val crossQ = EmfParser.parseOne(
+    """cust,prod,sum_quant_own,avg_quant_oth,count_quant_oth
+      |3
+      |cust,prod
+      |sum_quant_own,avg_quant_oth,count_quant_oth
+      |{MF.cust.sum_quant_own}[=]{cust}:{MF.prod.sum_quant_own}[=]{prod},{MF.prod.avg_quant_oth}[=]{prod}:{MF.cust.avg_quant_oth}[!=]{cust},{MF.prod.count_quant_oth}[=]{prod}:{MF.cust.count_quant_oth}[!=]{cust}:{state}[=]{NY}""".stripMargin, cols)
+
+  test("incremental CROSS-GROUP EMF (q4 shape): snapshot equals batch at each step") {
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planCrossGroup(crossQ, stream.toDF())
+      .writeStream.format("memory").queryName("emf_cross")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows.take(3))
+      sq.processAllAvailable()
+      val snap1 = EmfStreaming.snapshot(spark.table("emf_cross"), crossQ)
+        .orderBy("cust", "prod").collect().toSeq
+      val batch1 = EmfPlanner.plan(crossQ, rows.take(3).toDF())
+        .orderBy("cust", "prod").collect().toSeq
+      assert(snap1 == batch1)
+      // batch 2 adds other-cust tuples for the same prods: existing
+      // groups' complement aggregates move without any of THEIR rows
+      // arriving — the re-emission of every group of a touched key
+      stream.addData(rows.drop(3))
+      sq.processAllAvailable()
+      val snap2 = EmfStreaming.snapshot(spark.table("emf_cross"), crossQ)
+        .orderBy("cust", "prod").collect().toSeq
+      val batch2 = EmfPlanner.plan(crossQ, rows.toDF())
+        .orderBy("cust", "prod").collect().toSeq
+      assert(snap2 == batch2)
+      assert(snap2 != snap1)
+    } finally sq.stop()
+  }
+
+  test("cross-group streaming: other groups' arrivals revise a group's emission") {
+    // the retraction shape: (c1,p1) gets NO new rows after batch 1, yet
+    // its complement average must move 20 → 10 when c3's cheap tuple
+    // arrives — and a group whose complement was EMPTY (sum NULL) must
+    // revise to a value
+    val q = EmfParser.parseOne(
+      """cust,prod,avg_quant_oth
+        |1
+        |cust,prod
+        |avg_quant_oth
+        |{MF.prod.avg_quant_oth}[=]{prod}:{MF.cust.avg_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planCrossGroup(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_cross_rev")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val b1 = Seq(SalesRow("c1", "p1", 1, "NY", 10), SalesRow("c2", "p1", 1, "NY", 20))
+      stream.addData(b1)
+      sq.processAllAvailable()
+      def snap() = EmfStreaming.snapshot(spark.table("emf_cross_rev"), q)
+      val s1 = snap().collect().map(r => (r.getString(0), r.get(2))).toMap
+      assert(s1 == Map("c1" -> 20.0, "c2" -> 10.0))
+      stream.addData(SalesRow("c3", "p1", 2, "CT", 0))
+      sq.processAllAvailable()
+      val s2 = snap().orderBy("cust", "prod").collect().toSeq
+      val all = b1 :+ SalesRow("c3", "p1", 2, "CT", 0)
+      assert(s2 == EmfPlanner.plan(q, all.toDF())
+        .orderBy("cust", "prod").collect().toSeq)
+      val m2 = s2.map(r => (r.getString(0), r.get(2))).toMap
+      // c1's average dropped via a row it never saw; c3's complement
+      // filled in from history it never streamed
+      assert(m2 == Map("c1" -> 10.0, "c2" -> 5.0, "c3" -> 15.0))
+    } finally sq.stop()
+  }
+
+  test("cross-group streaming rejects non-complement and mis-keyed shapes loudly") {
+    val stream = MemoryStream[SalesRow](spark)
+    // own-group aggregate comparison: dependent but NOT complement
+    val e1 = intercept[IllegalArgumentException](
+      EmfStreaming.planCrossGroup(dependentQ, stream.toDF()))
+    assert(e1.getMessage.contains("complement-decomposable"))
+    // G larger than E ∪ {anti}: month is unconstrained
+    val qWide = EmfParser.parseOne(
+      """cust,prod,month,sum_quant_oth
+        |1
+        |cust,prod,month
+        |sum_quant_oth
+        |{MF.prod.sum_quant_oth}[=]{prod}:{MF.cust.sum_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val e2 = intercept[IllegalArgumentException](
+      EmfStreaming.planCrossGroup(qWide, stream.toDF()))
+    assert(e2.getMessage.contains("grouping set"))
+    // all-SIMPLE is the wrong entry point
+    val e3 = intercept[IllegalArgumentException](
+      EmfStreaming.planCrossGroup(simpleQ, stream.toDF()))
+    assert(e3.getMessage.contains("DEPENDENT"))
+  }
+
+  test("cross-group streaming fails fast when the anti domain is not key-bounded") {
+    val q = EmfParser.parseOne(
+      """cust,prod,sum_quant_oth
+        |1
+        |cust,prod
+        |sum_quant_oth
+        |{MF.prod.sum_quant_oth}[=]{prod}:{MF.cust.sum_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val old = EmfStreaming.MaxHistBuckets
+    EmfStreaming.MaxHistBuckets = 8
+    try {
+      val stream = MemoryStream[SalesRow](spark)
+      val sq = EmfStreaming.planCrossGroup(q, stream.toDF())
+        .writeStream.format("memory").queryName("emf_cross_guard")
+        .outputMode(OutputMode.Update).start()
+      try {
+        stream.addData((1 to 40).map(i => SalesRow(s"c$i", "p1", 1, "NY", 5)))
+        val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException](
+          sq.processAllAvailable())
+        def causes(t: Throwable): Seq[String] =
+          Option(t).toSeq.flatMap(x =>
+            Option(x.getMessage).toSeq ++ causes(x.getCause))
+        assert(causes(e).exists(_.contains("anti-attribute values")),
+          s"anti-domain guard did not fire: ${causes(e)}")
+      } finally sq.stop()
+    } finally EmfStreaming.MaxHistBuckets = old
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
