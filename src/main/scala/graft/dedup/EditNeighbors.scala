@@ -48,13 +48,25 @@ import graft.Tables
 object EditNeighbors {
 
   /** Max members kept per variant posting list — first N by (id,
-    * string). Recall cost is confined to pairs BOTH of whose members
-    * rank past the cap in EVERY shared variant (a structurally hot hub
-    * — duplicate tokens or the 1-char "" neighborhood — whose intra-hub
-    * pairs are the all-duplicates case dedup collapses anyway); on the
-    * customer-name fixture no bucket comes near it at any tested SF, so
-    * the output is identical to the uncapped quadratic definition. The
-    * oracle mirrors the cap exactly (row_number ≤ cap per variant). */
+    * string). Recall cost: a pair is LOST when every variant the two
+    * strings share evicts at least ONE of them (one-sided eviction
+    * suffices — e.g. a rank-1 hub member keeps its slot in a
+    * hub-dominated variant while its true high-rank partner is evicted,
+    * and if that variant was their only shared one, the pair is gone).
+    * So hub-ADJACENT non-hub strings can lose pairs too, not only
+    * intra-hub ones. The loss is deterministic (rank by (id, s)) and
+    * the oracle mirrors the cap exactly (row_number ≤ cap per variant),
+    * so streaming and batch agree bit-for-bit on WHAT is kept.
+    *
+    * Behavior change vs the pre-cap kernel: buckets of 257..16384
+    * members previously completed EXHAUSTIVELY (and >16384 hit
+    * [[PairKernel.MaxBucketMembers]]'s abort); they now complete with
+    * capped postings. Callers that want the old exhaustive window pass
+    * a larger cap through [[neighbors]]'s `cap` parameter — the cap is
+    * a query-level knob, this constant only sets the default. On the
+    * customer-name fixture no bucket comes near either bound at any
+    * tested SF, so the output is identical to the uncapped quadratic
+    * definition. */
   private[dedup] val maxVariantDf = 256
 
   /** `{s} ∪ {s minus one char}`, duplicates removed (repeated chars

@@ -15,8 +15,13 @@ import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded posting-list collector: the `limit` smallest (id, s) pairs
   * of the group, ascending by (id, then UTF8-binary s) — value-equal to
-  * `slice(sort_array(collect_list(struct(id, s))), 1, limit)` but with
-  * an O(limit) aggregation buffer instead of O(group).
+  * `slice(sort_array(collect_list(struct(id, s))), 1, limit)` for rows
+  * whose id AND s are both non-null, but with an O(limit) aggregation
+  * buffer instead of O(group). Null-bearing rows are SKIPPED by
+  * `update` (consistent with the declared non-nullable struct fields),
+  * where collect_list would keep a struct with null fields — so the
+  * equivalence is exact only on null-free inputs (the sole call site's
+  * c_custkey/c_name are non-null; the skip is spec-pinned).
   *
   * Why this exists: the blocking joins (deletion-variant neighbors,
   * posting-list dedup) group candidate members per bucket key, and a
