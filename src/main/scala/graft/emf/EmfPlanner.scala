@@ -34,6 +34,24 @@ import org.apache.spark.sql.types._
   * dependent pass and the final join-back; the planner persists the
   * frame (MEMORY_AND_DISK, one row per group) so scan-0 computes once
   * regardless of AQE staging.
+  *
+  * '''Null contract.''' Groups follow SQL GROUP BY: a null grouping
+  * value IS a group. Membership conditions of the form
+  * `tuple.a OP MF.a` with `a` a grouping attribute are PARTITION
+  * selectors and are therefore null-safe: `=` means "same group slice
+  * on a" (`<=>`), `!=`/`<>` means "a different slice" (`NOT <=>`) — so
+  * every lowering (scan-0 fold, window partition, complement
+  * subtraction, dependent join) computes the same answer for null
+  * groups, instead of the general join silently emptying them while
+  * scan-0/windowPartitionBy kept them. All OTHER comparisons
+  * (tuple-vs-literal, cross-attribute, aggregate thresholds, HAVING)
+  * keep standard SQL three-valued semantics: a null operand compares
+  * false. One documented boundary: the WINDOWED lowering assumes the
+  * ORDER attribute carries no nulls (an order comparison is not a
+  * partition selector, and Spark's window frame over null order values
+  * differs from compare-false semantics); null-ordered data belongs to
+  * the dependent path. EmfPropertySpec fuzzes the contract on
+  * null-bearing tables against the brute-force interpreter.
   */
 object EmfPlanner {
 
@@ -87,7 +105,9 @@ object EmfPlanner {
         mf = complementPass(v, mf, base, q, schema, eqAttrs, antiAttr)
       case None =>
         val varAgg = dependentPass(v, mf, base, q, schema)
-        mf = mf.join(varAgg, q.groupAttrs, "left")
+        // null-safe join-back: a null grouping value is a group (SQL
+        // GROUP BY), and a plain USING join would drop its aggregate
+        mf = joinNullSafe(mf, varAgg, q.groupAttrs)
         if (v.agg.func == "count")
           mf = mf.withColumn(v.agg.name, coalesce(col(v.agg.name), lit(0L)))
     }
@@ -184,10 +204,15 @@ object EmfPlanner {
       else t.agg(sum(sumIn).as("__t_sum"), count(c0).as("__t_cnt"))
     val own = t.groupBy(ownKeys.map(col): _*)
       .agg(sum(sumIn).as("__o_sum"), count(c0).as("__o_cnt"))
+    // null-safe joins: the groupBys above put null keys in their own
+    // rows (SQL GROUP BY), so the lookups must match them too — a plain
+    // USING join would hand a null-anti group the TOTal (own lookup
+    // misses) and a null-E group nothing, both off the partition algebra
     val joined =
-      (if (eqAttrs.nonEmpty) mf.join(tot, eqAttrs, "left")
-       else mf.crossJoin(broadcast(tot))) // keyless: totals are ONE row
-        .join(own, ownKeys, "left")
+      joinNullSafe(
+        if (eqAttrs.nonEmpty) joinNullSafe(mf, tot, eqAttrs)
+        else mf.crossJoin(broadcast(tot)), // keyless: totals are ONE row
+        own, ownKeys)
     val sumDiff = coalesce(col("__t_sum"), lit(0)) - coalesce(col("__o_sum"), lit(0))
     val cntDiff = coalesce(col("__t_cnt"), lit(0L)) - coalesce(col("__o_cnt"), lit(0L))
     val value = v.agg.func match {
@@ -223,7 +248,8 @@ object EmfPlanner {
       c.lhs.isInstanceOf[MfField] && c.rhs.isInstanceOf[MfField])
     val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c)))
     val m = mFiltered.alias("mf")
-    val joinCond = joinSide.map(mfCond(_, schema)).reduceOption(_ && _).getOrElse(lit(true))
+    val joinCond = joinSide.map(mfCond(_, schema, q.groupAttrs))
+      .reduceOption(_ && _).getOrElse(lit(true))
     val joined = m.join(t, joinCond, "inner")
     val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
     joined.groupBy(gCols: _*)
@@ -406,6 +432,23 @@ object EmfPlanner {
     }
   }
 
+  /** Left join on `keys` with NULL-SAFE equality, keeping the left
+    * side's key columns — the lookup shape the null contract needs
+    * everywhere an aggregate frame joins back to the MF frame (null
+    * grouping values are groups and must find their rows). `<=>` keys
+    * hash-partition like `=` keys (nulls co-locate), so the join plans
+    * as an ordinary shuffled/broadcast hash join at any scale. */
+  private def joinNullSafe(left: DataFrame, right: DataFrame,
+      keys: Seq[String]): DataFrame = {
+    val l = left.alias("jl")
+    val r = right.alias("jr")
+    val cond = keys.map(k => col(s"jl.$k") <=> col(s"jr.$k")).reduce(_ && _)
+    val payload = right.columns.filterNot(keys.contains)
+    l.join(r, cond, "left").select(
+      left.columns.map(c => col(s"jl.$c")) ++
+        payload.map(c => col(s"jr.$c")): _*)
+  }
+
   /** MF-vs-MF condition evaluated against the (unaliased) MF frame —
     * both operands name MF-frame columns. */
   private def mfOnlyCond(c: Cond): Column = (c.lhs, c.rhs) match {
@@ -414,8 +457,13 @@ object EmfPlanner {
   }
 
   /** MF condition inside a dependent join: TupleCol → fact side ("t"),
-    * MfField → MF frame side ("mf"). */
-  private def mfCond(c: Cond, schema: StructType): Column = {
+    * MfField → MF frame side ("mf"). Same-attribute comparisons on a
+    * grouping attribute are partition selectors and use null-safe
+    * equality (see the null contract in the object scaladoc) — this is
+    * what keeps the general join path consistent with scan-0's GROUP BY
+    * and the complement pass's partition algebra on null groups. */
+  private def mfCond(c: Cond, schema: StructType,
+      groupAttrs: Seq[String]): Column = {
     def side(o: Operand, other: Operand): Column = o match {
       case TupleCol(n) => col(s"t.$n")
       case MfField(n)  => col(s"mf.$n")
@@ -425,7 +473,17 @@ object EmfPlanner {
         }
         typedLit(raw, colName, schema)
     }
-    cmp(side(c.lhs, c.rhs), c.op, side(c.rhs, c.lhs))
+    val partitionSelector = (c.lhs, c.rhs) match {
+      case (TupleCol(a), MfField(b)) => a == b && groupAttrs.contains(a)
+      case (MfField(b), TupleCol(a)) => a == b && groupAttrs.contains(a)
+      case _                         => false
+    }
+    val (l, r) = (side(c.lhs, c.rhs), side(c.rhs, c.lhs))
+    if (partitionSelector) c.op match {
+      case "=" | "=="  => l <=> r
+      case "!=" | "<>" => !(l <=> r)
+      case _           => cmp(l, c.op, r)
+    } else cmp(l, c.op, r)
   }
 
   private def havingExpr(h: HavingExpr): Column = h match {

@@ -17,6 +17,13 @@ package graft.emf
   * "null compares false" (filter-equivalent); empty aggregation sets
   * yield NULL for sum/avg/min/max and 0 for count, exactly like the
   * planner's left-join-back / coalesce contract.
+  *
+  * Null contract (mirrors [[EmfPlanner]]'s object scaladoc): a null
+  * grouping value is a group; same-attribute comparisons on grouping
+  * attributes are PARTITION selectors — `=` is null-safe equality,
+  * `!=`/`<>` its negation. Every other comparison treats a null
+  * operand as false. Null aggregate inputs are skipped (SQL agg
+  * semantics; count(col) counts non-null).
   */
 object BruteEmf {
   type TRow = Map[String, Any]
@@ -26,7 +33,8 @@ object BruteEmf {
     * declaration order, so EMF dependencies must point backwards — the
     * same restriction the reference's sequential scans impose. */
   def run(q: EmfQuery, table: Seq[TRow]): Seq[Seq[Any]] = {
-    val rows = table.filter(r => q.where.forall(c => cond(c, r, Map.empty)))
+    val gAttrs = q.groupAttrs.toSet
+    val rows = table.filter(r => q.where.forall(c => cond(c, r, Map.empty, gAttrs)))
     val groups = rows.map(r => q.groupAttrs.map(r(_))).distinct
     val mfRows = groups.map { gv =>
       var mf: TRow = q.groupAttrs.zip(gv).toMap
@@ -34,7 +42,7 @@ object BruteEmf {
       for (a <- q.varZero)
         mf += a.name -> agg(a.func, own.map(_(a.column)))
       for (v <- q.vars) { // scan i: one full pass of R per variable
-        val members = rows.filter(r => v.conds.forall(c => cond(c, r, mf)))
+        val members = rows.filter(r => v.conds.forall(c => cond(c, r, mf, gAttrs)))
         mf += v.agg.name -> agg(v.agg.func, members.map(_(v.agg.column)))
       }
       mf
@@ -49,26 +57,41 @@ object BruteEmf {
     case other   => throw new IllegalArgumentException(s"non-integral agg input $other")
   }
 
-  private def agg(func: String, vs: Seq[Any]): Any = func match {
-    case "count" => vs.size.toLong
-    case _ if vs.isEmpty => null
-    case "sum"   => java.lang.Long.valueOf(vs.map(toL).sum)
-    case "avg"   => java.lang.Double.valueOf(vs.map(toL).sum.toDouble / vs.size)
-    case "min"   => vs.minBy(toL)
-    case "max"   => vs.maxBy(toL)
-    case other   => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+  private def agg(func: String, vs0: Seq[Any]): Any = {
+    val vs = vs0.filter(_ != null) // SQL aggregates skip nulls
+    func match {
+      case "count" => vs.size.toLong
+      case _ if vs.isEmpty => null
+      case "sum"   => java.lang.Long.valueOf(vs.map(toL).sum)
+      case "avg"   => java.lang.Double.valueOf(vs.map(toL).sum.toDouble / vs.size)
+      case "min"   => vs.minBy(toL)
+      case "max"   => vs.maxBy(toL)
+      case other   => throw new IllegalArgumentException(s"unknown aggregate '$other'")
+    }
   }
 
   /** One membership/WHERE condition against tuple `row` and MF row `mf`.
     * Literals are typed by the non-literal side's runtime value (mirrors
-    * the planner's typedLit-against-the-fact-schema). */
-  private def cond(c: Cond, row: TRow, mf: TRow): Boolean = {
+    * the planner's typedLit-against-the-fact-schema). Same-attr
+    * comparisons on grouping attrs follow the partition-selector rule. */
+  private def cond(c: Cond, row: TRow, mf: TRow, gAttrs: Set[String]): Boolean = {
     def resolve(o: Operand): Any = o match {
       case TupleCol(n) => row(n)
       case MfField(n)  => mf.getOrElse(n, null)
       case Lit(_)      => throw new IllegalStateException("lit resolved via other side")
     }
-    (c.lhs, c.rhs) match {
+    val partitionSelector = (c.lhs, c.rhs) match {
+      case (TupleCol(a), MfField(b)) => a == b && gAttrs(a)
+      case (MfField(b), TupleCol(a)) => a == b && gAttrs(a)
+      case _                         => false
+    }
+    if (partitionSelector && Set("=", "==", "!=", "<>").contains(c.op)) {
+      val (l, r) = (resolve(c.lhs), resolve(c.rhs))
+      val same =
+        if (l == null || r == null) l == null && r == null
+        else compare(l, "=", r)
+      if (c.op == "=" || c.op == "==") same else !same
+    } else (c.lhs, c.rhs) match {
       case (Lit(raw), other) => compare(litFor(raw, resolve(other)), c.op, resolve(other))
       case (other, Lit(raw)) => compare(resolve(other), c.op, litFor(raw, resolve(other)))
       case (l, r)            => compare(resolve(l), c.op, resolve(r))

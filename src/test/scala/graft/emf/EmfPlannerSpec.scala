@@ -322,6 +322,48 @@ class EmfPlannerSpec extends SparkSpec {
     assert(b1.isNullAt(2) && b1.getLong(3) == 30L)
   }
 
+  test("null grouping values follow the partition-selector contract in every lowering") {
+    // A null group IS a group (SQL GROUP BY); same-attr membership on a
+    // grouping attr is null-safe. Pinned on the two paths that used to
+    // diverge: the complement pass (a null-anti group's own lookup
+    // missed, handing it the TOTAL) and the general dependent join
+    // (t.g != null compared false, emptying the null group's set).
+    val df = Seq(
+      (null.asInstanceOf[String], 10),
+      ("a", 20),
+      ("b", 30)).toDF("g", "x")
+    val cols = Set("g", "x")
+    // complement path: sum/count are subtractable → complementPass
+    val qc = EmfParser.parseOne(
+      """g,sum_x_oth,count_x_oth
+        |2
+        |g
+        |sum_x_oth,count_x_oth
+        |{MF.g.sum_x_oth}[!=]{g},{MF.g.count_x_oth}[!=]{g}""".stripMargin, cols)
+    // general dependent path: min is NOT subtractable → dependentPass
+    val qd = EmfParser.parseOne(
+      """g,min_x_oth
+        |1
+        |g
+        |min_x_oth
+        |{MF.g.min_x_oth}[!=]{g}""".stripMargin, cols)
+    val gotC = EmfPlanner.plan(qc, df).collect()
+      .map(r => (r.getString(0), r.get(1), r.get(2))).toSet
+    assert(gotC == Set(
+      (null, 50L, 2L),  // complement of the null group = {20, 30}
+      ("a", 40L, 2L),   // {10, 30} — the null row BELONGS to a's complement
+      ("b", 30L, 2L)))  // {10, 20}
+    val gotD = EmfPlanner.plan(qd, df).collect()
+      .map(r => (r.getString(0), r.get(1))).toSet
+    assert(gotD == Set((null, 20), ("a", 10), ("b", 10)))
+    // and both agree with the interpreter
+    val rows = Seq(Map[String, Any]("g" -> null, "x" -> 10),
+      Map[String, Any]("g" -> "a", "x" -> 20),
+      Map[String, Any]("g" -> "b", "x" -> 30))
+    assert(BruteEmf.run(qc, rows).map(r => (r(0), r(1), r(2))).toSet == gotC)
+    assert(BruteEmf.run(qd, rows).map(r => (r(0), r(1))).toSet == gotD)
+  }
+
   test("cyclic EMF dependencies are rejected") {
     val cyc = EmfQuery(
       Seq("g", "sum_a_x", "sum_b_y"), Seq("g"), Nil,

@@ -4,6 +4,7 @@ import graft.SparkSpec
 import org.scalacheck.{Gen, rng}
 
 case class PropRow(g: String, h: String, ord: Int, state: String, x: Int)
+case class NPropRow(g: String, h: String, ord: Int, state: String, x: Option[Int])
 
 /** Property tests (SURVEY.md §5.4): the planner's specialized lowerings
   * must agree with the general join formulation — and with plain SQL — on
@@ -279,6 +280,58 @@ class EmfPropertySpec extends SparkSpec {
       EmfPlanner.unpersistAll()
     }
     assert(checked == 240)
+  }
+
+  // ---- null-contract fuzz: same generator, tables with nulls in the
+  // grouping/filter/aggregate columns (ord stays non-null — the
+  // documented WINDOWED boundary). Checks that every lowering class
+  // implements the partition-selector null rule identically: scan-0
+  // GROUP BY, window partitions, the complement pass's null-safe
+  // subtraction joins, the dependent pass's <=> membership and
+  // null-safe join-back all must agree with the interpreter.
+
+  private val nullRowGen: Gen[NPropRow] = for {
+    g <- Gen.frequency(8 -> Gen.oneOf("a", "b", "c"), 2 -> Gen.const(null: String))
+    h <- Gen.frequency(9 -> Gen.oneOf("p", "q"), 1 -> Gen.const(null: String))
+    ord <- Gen.choose(1, 5)
+    state <- Gen.frequency(8 -> Gen.oneOf("NY", "CT", "NJ"), 2 -> Gen.const(null: String))
+    x <- Gen.frequency(8 -> Gen.choose(0, 50).map(Option(_)), 2 -> Gen.const(None: Option[Int]))
+  } yield NPropRow(g, h, ord, state, x)
+
+  test("fuzz with nulls: 120 random EMF queries match the partition-selector null contract") {
+    var checked = 0
+    (1 to 2).foreach { ti =>
+      val rows = {
+        var s = 5000L + ti
+        var r: Option[List[NPropRow]] = None
+        while (r.isEmpty) {
+          r = Gen.listOfN(40, nullRowGen).apply(Gen.Parameters.default, rng.Seed(s))
+          s += 7919
+        }
+        r.get
+      }
+      val df = rows.toDF().persist()
+      df.count()
+      val brute: Seq[BruteEmf.TRow] = rows.map(r =>
+        Map("g" -> r.g, "h" -> r.h, "ord" -> r.ord, "state" -> r.state,
+          "x" -> r.x.map(Int.box).orNull))
+      (0 until 60).foreach { qi =>
+        val q = sampleQuery(900000L * ti + qi)
+        EmfParser.validate(q, cols)
+        val got =
+          try EmfPlanner.plan(q, df).collect().toSeq
+            .map(r => (0 until r.length).map(r.get))
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"planner failed on null-fuzz seed ${900000L * ti + qi}\nquery=$q", e)
+          }
+        assertAgree(q, got, BruteEmf.run(q, brute))
+        checked += 1
+      }
+      df.unpersist()
+      EmfPlanner.unpersistAll()
+    }
+    assert(checked == 120)
   }
 
   test("dedup idempotent; sum/count/avg consistent on random tables") {
