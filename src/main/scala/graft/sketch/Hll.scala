@@ -63,19 +63,46 @@ object Hll {
     * are now the largest primes below 2³¹ that keep every product
     * inside a signed 64-bit in BOTH engines (DuckDB BIGINT errors on
     * overflow): (P1−1)·C1 ≈ 5.7e18 and (P2−1)·C2 ≈ 3.8e18 < 2⁶³−1 ≈
-    * 9.2e18. Domain cap is now ~2.1e9 keys — sf ~10⁴ for l_partkey;
-    * past that, widen to a two-word mix. ~46 usable bits after the
+    * 9.2e18. Domain cap is ~2.1e9 keys — sf ~10⁴ for l_partkey; past
+    * that the SIZE HINT on [[regRho]] selects [[mixWide]], the
+    * two-word mix with no pre-mix fold. ~46 usable bits after the
     * register split. */
   private[graft] val P1 = 2147483629L // largest prime < 2^31
   private[graft] val C1 = 2654435761L
   private[graft] val P2 = 2147483587L // next prime below 2^31
   private[graft] val C2 = 1779033703L
 
+  /** Keys-per-sketch bound above which [[mix]]'s fold moduli alias raw
+    * keys (ids congruent mod [[P1]] hash identically) — the size hint
+    * switches to [[mixWide]] past it. */
+  private[graft] val NarrowDomainMax = P1
+
   private[graft] def mix(id: Column): Column = {
     val m0 = pmod(id, lit(P1)) * lit(C1)
     val h1 = m0.bitwiseXOR(shiftright(m0, 13))
     val h2 = pmod(h1, lit(P2)) * lit(C2)
     h2.bitwiseXOR(shiftright(h2, 17))
+  }
+
+  /** Two-word mix for key domains past [[NarrowDomainMax]]: the key
+    * splits into two 31-bit words BEFORE any fold, so no two distinct
+    * keys below 2⁶² share a pre-mix image (the structured aliasing of
+    * `id % P1` — sequential ids P1 apart colliding deterministically —
+    * is gone; residual collisions are the ~2⁻³¹-per-pair accidents of
+    * the final fold, random rather than periodic). Round 1 scrambles
+    * the low word exactly like [[mix]]'s first round; round 2 multiplies
+    * `(hi XOR h1 % P2)` — both 31-bit, so every product stays inside
+    * signed-64 in both engines — which degenerates to [[mix]]'s own
+    * round 2 when hi = 0: small keys keep two full rounds of avalanche.
+    * x XOR (x >> k) is a bijection, lo·C1 is injective below 2³¹, so
+    * h1 is injective in lo and hi injects before the only fold. */
+  private[graft] def mixWide(id: Column): Column = {
+    val lo = id.bitwiseAND(lit(2147483647L))
+    val hi = shiftright(id, 31).bitwiseAND(lit(2147483647L))
+    val m1 = lo * lit(C1)
+    val h1 = m1.bitwiseXOR(shiftright(m1, 13))
+    val m2 = hi.bitwiseXOR(pmod(h1, lit(P2))) * lit(C2)
+    m2.bitwiseXOR(shiftright(m2, 17))
   }
 
   /** DuckDB replay of [[mix]]'s two rounds — oracle CTEs interpolate
@@ -86,11 +113,27 @@ object Hll {
   private[graft] def mixSql2(c: String): String =
     s"xor(($c % $P2) * $C2, (($c % $P2) * $C2) >> 17)"
 
+  /** DuckDB replay of [[mixWide]], interpolated for the same
+    * no-constant-drift guarantee. Word split (`wideSqlLo`/`wideSqlHi` →
+    * h1), then the combining round. */
+  private[graft] def mixWideSql1(c: String): String = {
+    val m1 = s"(($c & 2147483647) * $C1)"
+    s"xor($m1, $m1 >> 13)"
+  }
+  private[graft] def mixWideSql2(c: String, h1: String): String = {
+    val m2 = s"(xor(($c >> 31) & 2147483647, $h1 % $P2) * $C2)"
+    s"xor($m2, $m2 >> 17)"
+  }
+
   /** Per-value (register, rho): register = low 5 bits, rho = trailing
     * zeros of the rest + 1, capped at 20 so 2^(20−rho) stays an exact
-    * long term (w == 0 hits the cap). */
-  private[graft] def regRho(df: DataFrame, value: Column): DataFrame =
-    df.withColumn("h", mix(value))
+    * long term (w == 0 hits the cap). `expectedDomain` is the size
+    * hint: past [[NarrowDomainMax]] distinct keys the folded [[mix]]
+    * would alias, so the sketch switches to [[mixWide]]. */
+  private[graft] def regRho(df: DataFrame, value: Column,
+      expectedDomain: Long = 1L << 20): DataFrame =
+    df.withColumn("h",
+        if (expectedDomain > NarrowDomainMax) mixWide(value) else mix(value))
       .withColumn("reg", col("h") % M)
       .withColumn("w", shiftright(col("h"), 5))
       .withColumn("rho",
@@ -134,6 +177,30 @@ object Hll {
       val est = estimate(regRho(ev, col("user_id")), "event_type")
       val exact = ev.groupBy(col("event_type"))
         .agg(countDistinct(col("user_id")).as("n_exact"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_exact"), col("v_zero"),
+          col("hll_raw"), col("hll_est"))
+        .orderBy(col("event_type"))
+    }),
+
+    // The size hint's reason to exist, oracle-checked end-to-end: every
+    // user contributes TWO keys exactly P1 apart ({uid, uid + P1}), a
+    // key set the folded mix aliases pairwise (both land on the same
+    // residue, halving apparent NDV), spread across a > 2³¹ domain.
+    // With the hint past NarrowDomainMax the sketch runs the two-word
+    // mix and the estimate tracks the DOUBLED exact count; HllSpec
+    // additionally pins that the narrow mix on the same keys collapses
+    // to the single count (the aliasing this query proves is gone).
+    "sketch_hll_wide" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id").isNotNull)
+        .select(col("event_type"),
+          explode(array(col("user_id"), col("user_id") + lit(P1)))
+            .as("wid"))
+      val est = estimate(
+        regRho(ev, col("wid"), expectedDomain = 1L << 42), "event_type")
+      val exact = ev.groupBy(col("event_type"))
+        .agg(countDistinct(col("wid")).as("n_exact"))
       est.join(exact, Seq("event_type"))
         .select(col("event_type"), col("n_exact"), col("v_zero"),
           col("hll_raw"), col("hll_est"))
@@ -259,6 +326,58 @@ object Hll {
          |  FROM est),
          |exact AS (
          |  SELECT event_type, count(DISTINCT user_id) AS n_exact
+         |  FROM ev GROUP BY 1)
+         |SELECT lc.event_type, exact.n_exact, lc.v_zero, lc.hll_raw,
+         |  lc.hll_est
+         |FROM lc JOIN exact USING (event_type)
+         |ORDER BY lc.event_type""".stripMargin,
+    // the two-word mix replayed in SQL on the widened key set — the
+    // same register/rho/fixed-point arithmetic, mixWideSql interpolated
+    "sketch_hll_wide" ->
+      s"""WITH ev AS (
+         |  SELECT event_type, wid FROM (
+         |    SELECT event_type,
+         |      unnest([CAST(user_id AS BIGINT),
+         |              CAST(user_id AS BIGINT) + $P1]) AS wid
+         |    FROM events WHERE user_id IS NOT NULL)),
+         |h1 AS (
+         |  SELECT event_type, wid,
+         |    ${mixWideSql1("wid")} AS h1
+         |  FROM ev),
+         |h AS (
+         |  SELECT event_type, wid,
+         |    ${mixWideSql2("wid", "h1")} AS h
+         |  FROM h1),
+         |rr AS (
+         |  SELECT event_type, h % $M AS reg,
+         |    CASE WHEN h >> 5 = 0 THEN 20
+         |         ELSE least(CAST(bit_count(((h >> 5) & -(h >> 5)) - 1)
+         |                      AS BIGINT) + 1, 20)
+         |    END AS rho
+         |  FROM h),
+         |regs AS (
+         |  SELECT event_type, reg, max(rho) AS mj FROM rr GROUP BY 1, 2),
+         |agg AS (
+         |  SELECT event_type, count(1) AS touched,
+         |    CAST(sum(CAST(1 AS BIGINT) << CAST(20 - mj AS INT)) AS BIGINT)
+         |      AS s_touched
+         |  FROM regs GROUP BY 1),
+         |est AS (
+         |  SELECT event_type, CAST($M - touched AS BIGINT) AS v_zero,
+         |    (CAST($AlphaPpm AS BIGINT) * ${M * M} * 1048576)
+         |      // (CAST(1000000 AS BIGINT)
+         |          * (s_touched + ($M - touched) * 1048576))
+         |      AS hll_raw
+         |  FROM agg),
+         |lc AS (
+         |  SELECT est.event_type, est.v_zero, est.hll_raw,
+         |    CASE WHEN est.v_zero > 0 AND est.hll_raw <= ${(2.5 * M).toLong}
+         |      THEN CAST(list_extract([${LcTable.mkString(", ")}],
+         |                             CAST(est.v_zero AS INT)) AS BIGINT)
+         |      ELSE est.hll_raw END AS hll_est
+         |  FROM est),
+         |exact AS (
+         |  SELECT event_type, count(DISTINCT wid) AS n_exact
          |  FROM ev GROUP BY 1)
          |SELECT lc.event_type, exact.n_exact, lc.v_zero, lc.hll_raw,
          |  lc.hll_est

@@ -133,6 +133,38 @@ class HllSpec extends SparkSpec {
     assert(math.abs(e - 5000.0) / 5000.0 < 0.55, s"est $e vs 5000")
   }
 
+  test("size hint: keys past 2^31 stay distinguishable under the wide mix") {
+    // 400 users, each contributing {u, u+P1} — 800 true distinct keys
+    // spanning a > 2^31 domain. The folded narrow mix aliases every
+    // pair (u ≡ u+P1 mod P1) and must read ~400; the two-word mix the
+    // size hint selects must read ~800. Bounds are the suite's 3-sigma
+    // convention at m=32 (±55%), with the wide>narrow gap asserted
+    // directly (the aliasing itself).
+    val rows = (1 to 400).map(i => ("w", 7919L * i))
+      .flatMap { case (g, u) => Seq((g, u), (g, u + Hll.P1)) }
+    val df = spark.createDataFrame(rows).toDF("grp", "user_id")
+    def estWith(dom: Long): Long =
+      Hll.estimate(Hll.regRho(df, col("user_id"), expectedDomain = dom), "grp")
+        .collect().head.getLong(3)
+    val wide = estWith(1L << 42)
+    val narrow = estWith(1L << 20)
+    assert(math.abs(wide - 800.0) / 800.0 < 0.55,
+      s"wide-mix est $wide vs 800 true keys")
+    assert(math.abs(narrow - 400.0) / 400.0 < 0.55,
+      s"narrow-mix est $narrow should collapse to ~400 aliased keys")
+    assert(wide > narrow, s"wide $wide must resolve what narrow $narrow aliases")
+  }
+
+  test("sketch_hll_wide on the corpus tracks the doubled exact count") {
+    val out = Hll.queries("sketch_hll_wide")(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    out.foreach { r =>
+      val (exact, e) = (r.getLong(1), r.getLong(4))
+      assert(math.abs(e - exact.toDouble) / exact < 0.55,
+        s"${r.getString(0)}: $e vs $exact")
+    }
+  }
+
   test("sketch_hll on the corpus matches a scalar replay of the mix") {
     val out = Hll.queries("sketch_hll")(spark, sf0001).collect()
     assert(out.nonEmpty)
