@@ -83,19 +83,31 @@ object Tables {
     val p = part(s, d)
     val su = supplier(s, d)
     val n = nation(s, d)
+    // Every output derives from an inner-join match over non-null
+    // testdata columns, so null is impossible — but parquet schemas say
+    // nullable, and nullable GROUPING attrs push EmfPlanner onto its
+    // null-safe membership joins (an extra exchange per dependent pass,
+    // measured 2-3× on the corpus queries). AssertNotNull DECLARES the
+    // non-nullability in the schema — restoring the `=`-key fast path —
+    // and turns a null (which here could only mean corrupt testdata)
+    // into a loud error instead of a silent group.
+    def nn(col: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.CatalystBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.graftbridge.CatalystBridge.expression(col)))
     l.join(o, l("l_orderkey") === o("o_orderkey"))
       .join(broadcast(c), o("o_custkey") === c("c_custkey"))
       .join(broadcast(p), l("l_partkey") === p("p_partkey"))
       .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
       .join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
       .select(
-        c("c_name").as("cust"),
-        p("p_brand").as("prod"),
-        dayofmonth(o("o_orderdate")).as("day"),
-        month(o("o_orderdate")).as("month"),
-        year(o("o_orderdate")).as("year"),
-        n("n_name").as("state"),
-        floor(l("l_quantity")).cast("int").as("quant"))
+        nn(c("c_name")).as("cust"),
+        nn(p("p_brand")).as("prod"),
+        nn(dayofmonth(o("o_orderdate"))).as("day"),
+        nn(month(o("o_orderdate"))).as("month"),
+        nn(year(o("o_orderdate"))).as("year"),
+        nn(n("n_name")).as("state"),
+        nn(floor(l("l_quantity")).cast("int")).as("quant"))
   }
 
   /** DuckDB-side equivalent of [[salesView]], for embedding in oracle SQL

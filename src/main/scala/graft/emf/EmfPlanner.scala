@@ -432,14 +432,29 @@ object EmfPlanner {
     }
   }
 
+  /** Is `n` nullable per the frame's schema? (Unknown columns count as
+    * nullable — conservative.) */
+  private def nullableIn(df: DataFrame, n: String): Boolean =
+    df.schema.find(_.name == n).forall(_.nullable)
+
   /** Left join on `keys` with NULL-SAFE equality, keeping the left
     * side's key columns — the lookup shape the null contract needs
     * everywhere an aggregate frame joins back to the MF frame (null
-    * grouping values are groups and must find their rows). `<=>` keys
-    * hash-partition like `=` keys (nulls co-locate), so the join plans
-    * as an ordinary shuffled/broadcast hash join at any scale. */
+    * grouping values are groups and must find their rows).
+    *
+    * Cost gate: `<=>` keys still hash-join, but Spark extracts them as
+    * `(coalesce(k, d), isnull(k))` expression keys, which no longer
+    * match the MF frame's `hashpartitioning(k)` from scan-0 — one extra
+    * exchange per pass (measured 2-3× on the emf corpus queries at
+    * sf0.1). When the schema PROVES every key non-nullable, `<=>` ≡ `=`
+    * and the plain USING join keeps the partitioning reuse; fixtures
+    * whose keys derive from inner joins declare that via AssertNotNull
+    * ([[graft.Tables.salesView]]). Only genuinely nullable keys pay the
+    * null-safe exchange. */
   private def joinNullSafe(left: DataFrame, right: DataFrame,
       keys: Seq[String]): DataFrame = {
+    if (keys.forall(k => !nullableIn(left, k) && !nullableIn(right, k)))
+      return left.join(right, keys, "left")
     val l = left.alias("jl")
     val r = right.alias("jr")
     val cond = keys.map(k => col(s"jl.$k") <=> col(s"jr.$k")).reduce(_ && _)
@@ -473,10 +488,15 @@ object EmfPlanner {
         }
         typedLit(raw, colName, schema)
     }
+    // null-safe only when the schema can't rule nulls out — a provably
+    // non-null attr keeps plain = keys and their partitioning reuse
+    // (same cost gate as joinNullSafe)
     val partitionSelector = (c.lhs, c.rhs) match {
-      case (TupleCol(a), MfField(b)) => a == b && groupAttrs.contains(a)
-      case (MfField(b), TupleCol(a)) => a == b && groupAttrs.contains(a)
-      case _                         => false
+      case (TupleCol(a), MfField(b)) =>
+        a == b && groupAttrs.contains(a) && nullableAttr(a, schema)
+      case (MfField(b), TupleCol(a)) =>
+        a == b && groupAttrs.contains(a) && nullableAttr(a, schema)
+      case _ => false
     }
     val (l, r) = (side(c.lhs, c.rhs), side(c.rhs, c.lhs))
     if (partitionSelector) c.op match {
@@ -485,6 +505,10 @@ object EmfPlanner {
       case _           => cmp(l, c.op, r)
     } else cmp(l, c.op, r)
   }
+
+  /** Is `n` nullable per the fact schema? (missing → conservative yes) */
+  private def nullableAttr(n: String, schema: StructType): Boolean =
+    schema.find(_.name == n).forall(_.nullable)
 
   private def havingExpr(h: HavingExpr): Column = h match {
     case HavingAnd(l, r) => havingExpr(l) && havingExpr(r)
