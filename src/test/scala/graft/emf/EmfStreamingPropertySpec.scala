@@ -1,0 +1,233 @@
+package graft.emf
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalacheck.{Gen, rng}
+
+case class SPropRow(g: String, h: String, ord: Int, state: String, x: Int)
+
+/** Property fuzz for the four INCREMENTAL streaming EMF lowerings —
+  * the hand-rolled state machinery (exact micro-unit accumulators,
+  * window recombination, histogram re-classification, complement
+  * subtraction) that the batch planner never executes. For each class,
+  * random queries inside that class's accepted shape run over a random
+  * table fed in TWO micro-batches; after EVERY batch the snapshot must
+  * equal the batch planner on the rows seen so far — the strongest form
+  * of the incremental contract (revisions and retractions included),
+  * checked against an independently fuzzed planner (EmfPropertySpec
+  * pins the planner itself against BruteEmf).
+  */
+class EmfStreamingPropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rowGen: Gen[SPropRow] = for {
+    g <- Gen.oneOf("a", "b", "c")
+    h <- Gen.oneOf("p", "q")
+    ord <- Gen.choose(1, 4)
+    state <- Gen.oneOf("NY", "CT", "NJ")
+    x <- Gen.choose(0, 50)
+  } yield SPropRow(g, h, ord, state, x)
+
+  private def sample[T](g: Gen[T], seed: Long): T = {
+    var s = seed
+    var r: Option[T] = None
+    while (r.isEmpty) { r = g.apply(Gen.Parameters.default, rng.Seed(s)); s += 7919 }
+    r.get
+  }
+
+  private val genTupleCond: Gen[Cond] = Gen.oneOf(
+    for { s <- Gen.oneOf("NY", "CT", "NJ"); op <- Gen.oneOf("=", "!=") }
+      yield Cond(TupleCol("state"), op, Lit(s)),
+    for { v <- Gen.choose(5, 45); op <- Gen.oneOf("<", "<=", ">", ">=") }
+      yield Cond(TupleCol("x"), op, Lit(v.toString)))
+
+  private def eq(a: String) = Cond(TupleCol(a), "=", MfField(a))
+  private val funcs = Gen.oneOf("sum", "avg", "min", "max", "count")
+  private val subFuncs = Gen.oneOf("sum", "avg", "count") // subtractable
+
+  private def genVarZero(n: Int): Gen[Seq[AggSpec]] =
+    Gen.listOfN(n, funcs).map(_.zipWithIndex.map { case (f, j) =>
+      AggSpec(f, "x", s"${f}_x_z$j") })
+
+  private def simpleVar(i: Int, gAttrs: Seq[String]): Gen[GroupingVar] = for {
+    f <- funcs
+    nT <- Gen.choose(0, 2)
+    ts <- Gen.listOfN(nT, genTupleCond)
+  } yield GroupingVar(i, AggSpec(f, "x", s"${f}_x_v$i"), gAttrs.map(eq) ++ ts)
+
+  private def havingGen(aggs: Seq[AggSpec]): Gen[Option[HavingExpr]] =
+    if (aggs.isEmpty) Gen.const(None)
+    else Gen.frequency(2 -> Gen.const(None), 1 -> (for {
+      a <- Gen.oneOf(aggs)
+      op <- Gen.oneOf("<", "<=", ">", ">=")
+      v <- Gen.choose(0, 60)
+    } yield Some(HavingLeaf(HavingCond(MfField(a.name), op, Lit(v.toString)))
+      : HavingExpr)))
+
+  // ---- per-class query generators (inside each lowering's shape) -----
+
+  /** all-SIMPLE → EmfStreaming.plan */
+  private val genSimpleQ: Gen[EmfQuery] = for {
+    gAttrs <- Gen.oneOf(Seq("g"), Seq("h"), Seq("g", "h"), Seq("g", "state"))
+    nZ <- Gen.choose(0, 1)
+    vz <- genVarZero(nZ)
+    nV <- Gen.choose(1, 3)
+    vars <- Gen.sequence[Seq[GroupingVar], GroupingVar](
+      (1 to nV).map(simpleVar(_, gAttrs)))
+    nW <- Gen.choose(0, 1)
+    wh <- Gen.listOfN(nW, genTupleCond)
+    hav <- havingGen(vz ++ vars.map(_.agg))
+  } yield EmfQuery(gAttrs ++ (vz ++ vars.map(_.agg)).map(_.name),
+    gAttrs, vz, vars, wh, hav)
+
+  /** SIMPLE + WINDOWED with G = E ∪ {ord} → planWindowed */
+  private val genWindowedQ: Gen[EmfQuery] = for {
+    eqAttrs <- Gen.oneOf(Seq("g"), Seq("h"), Seq("g", "h"))
+    gAttrs = eqAttrs :+ "ord"
+    nV <- Gen.choose(1, 3)
+    vars <- Gen.sequence[Seq[GroupingVar], GroupingVar]((1 to nV).map { i =>
+      for {
+        f <- funcs
+        // var 1 always carries an order comparison (planWindowed needs
+        // ≥ 1); later vars draw order / whole-partition / SIMPLE shapes
+        shape <- if (i == 1) Gen.const(0) else Gen.choose(0, 2)
+        op <- Gen.oneOf("<", "<=", ">", ">=")
+        nT <- Gen.choose(0, 1)
+        ts <- Gen.listOfN(nT, genTupleCond)
+      } yield {
+        val conds = shape match {
+          case 0 => eqAttrs.map(eq) :+ Cond(TupleCol("ord"), op, MfField("ord"))
+          case 1 => eqAttrs.map(eq) // whole-partition frame
+          case _ => gAttrs.map(eq)  // SIMPLE alongside
+        }
+        GroupingVar(i, AggSpec(f, "x", s"${f}_x_v$i"), conds ++ ts)
+      }
+    })
+    nZ <- Gen.choose(0, 1)
+    vz <- genVarZero(nZ)
+    nW <- Gen.choose(0, 1)
+    wh <- Gen.listOfN(nW, genTupleCond)
+    hav <- havingGen(vz ++ vars.map(_.agg))
+  } yield EmfQuery(gAttrs ++ (vz ++ vars.map(_.agg)).map(_.name),
+    gAttrs, vz, vars, wh, hav)
+
+  /** varZero/SIMPLE threshold sources + full-pin dependent → planDependent */
+  private val genDependentQ: Gen[EmfQuery] = for {
+    gAttrs <- Gen.oneOf(Seq("g"), Seq("h"), Seq("g", "h"))
+    base <- simpleVar(1, gAttrs)
+    depF <- funcs
+    op <- Gen.oneOf("<", "<=", ">", ">=", "=", "!=")
+    nT <- Gen.choose(0, 1)
+    ts <- Gen.listOfN(nT, genTupleCond)
+    nW <- Gen.choose(0, 1)
+    wh <- Gen.listOfN(nW, genTupleCond)
+    dep = GroupingVar(2, AggSpec(depF, "x", s"${depF}_x_v2"),
+      gAttrs.map(eq) ++ Seq(Cond(TupleCol("x"), op, MfField(base.agg.name))) ++ ts)
+    hav <- havingGen(Seq(base.agg, dep.agg))
+  } yield EmfQuery(gAttrs ++ Seq(base.agg.name, dep.agg.name),
+    gAttrs, Nil, Seq(base, dep), wh, hav)
+
+  /** complement shape (G = E ∪ {anti}) → planCrossGroup */
+  private val genCrossQ: Gen[EmfQuery] = for {
+    pair <- Gen.oneOf(("g", "h"), ("h", "g"), ("g", "state"), ("state", "g"))
+    (eqA, anti) = pair
+    gAttrs = Seq(anti, eqA)
+    nSimple <- Gen.choose(0, 1)
+    simples <- Gen.sequence[Seq[GroupingVar], GroupingVar](
+      (1 to nSimple).map(simpleVar(_, gAttrs)))
+    nComp <- Gen.choose(1, 2)
+    comps <- Gen.sequence[Seq[GroupingVar], GroupingVar](
+      (1 to nComp).map { j =>
+        for {
+          f <- subFuncs
+          neq <- Gen.oneOf("!=", "<>")
+          nT <- Gen.choose(0, 1)
+          ts <- Gen.listOfN(nT, genTupleCond)
+        } yield GroupingVar(10 + j, AggSpec(f, "x", s"${f}_x_c$j"),
+          Seq(eq(eqA), Cond(TupleCol(anti), neq, MfField(anti))) ++ ts)
+      })
+    nZ <- Gen.choose(0, 1)
+    vz <- genVarZero(nZ)
+    nW <- Gen.choose(0, 1)
+    wh <- Gen.listOfN(nW, genTupleCond)
+    vars = simples ++ comps
+    hav <- havingGen(vz ++ vars.map(_.agg))
+  } yield EmfQuery(gAttrs ++ (vz ++ vars.map(_.agg)).map(_.name),
+    gAttrs, vz, vars, wh, hav)
+
+  // ---- the harness ---------------------------------------------------
+
+  private val factCols = Set("g", "h", "ord", "state", "x")
+  private var qId = 0
+
+  private def check(q: EmfQuery,
+      planFn: (EmfQuery, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame,
+      rows: Seq[SPropRow], complete: Boolean): Unit = {
+    EmfParser.validate(q, factCols)
+    qId += 1
+    val name = s"emf_sprop_$qId"
+    val stream = MemoryStream[SPropRow](spark)
+    val sq = planFn(q, stream.toDF())
+      .writeStream.format("memory").queryName(name)
+      .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
+      .start()
+    try {
+      val cut = rows.length / 2
+      Seq(rows.take(cut), rows.drop(cut)).zipWithIndex
+        .foldLeft(Seq.empty[SPropRow]) { case (seen, (batch, bi)) =>
+          stream.addData(batch)
+          sq.processAllAvailable()
+          val all = seen ++ batch
+          val cols = q.select
+          def ordered(df: org.apache.spark.sql.DataFrame) = df
+            .select(cols.map(org.apache.spark.sql.functions.col): _*)
+            .orderBy(cols.map(org.apache.spark.sql.functions.col): _*)
+            .collect().toSeq
+          // complete mode: the memory table IS the current result;
+          // update mode: per-group latest emission via snapshot(__ver)
+          val snap =
+            if (complete) ordered(spark.table(name))
+            else ordered(EmfStreaming.snapshot(spark.table(name), q))
+          val batchR = ordered(EmfPlanner.plan(q, all.toDF()))
+          assert(snap == batchR,
+            s"batch $bi diverged\nquery=$q\nsnap=$snap\nbatch=$batchR")
+          all
+        }
+    } finally sq.stop()
+    EmfPlanner.unpersistAll()
+  }
+
+  private def fuzzClass(label: String, gen: Gen[EmfQuery],
+      planFn: (EmfQuery, org.apache.spark.sql.DataFrame) =>
+        org.apache.spark.sql.DataFrame,
+      n: Int, seed0: Long, complete: Boolean = false): Unit =
+    (0 until n).foreach { i =>
+      val rows = sample(Gen.listOfN(36, rowGen), seed0 + 31 * i)
+      val q = sample(gen, seed0 + 1000 + i)
+      try check(q, planFn, rows, complete)
+      catch {
+        case e: AssertionError => throw e
+        case e: Throwable =>
+          throw new AssertionError(s"$label query $i failed\nquery=$q", e)
+      }
+    }
+
+  test("fuzz: all-SIMPLE streaming == batch at each micro-batch (8 queries)") {
+    fuzzClass("simple", genSimpleQ, EmfStreaming.plan, 8, 11000L,
+      complete = true)
+  }
+
+  test("fuzz: WINDOWED streaming == batch at each micro-batch (8 queries)") {
+    fuzzClass("windowed", genWindowedQ, EmfStreaming.planWindowed, 8, 12000L)
+  }
+
+  test("fuzz: DEPENDENT streaming == batch at each micro-batch (8 queries)") {
+    fuzzClass("dependent", genDependentQ, EmfStreaming.planDependent, 8, 13000L)
+  }
+
+  test("fuzz: CROSS-GROUP streaming == batch at each micro-batch (8 queries)") {
+    fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8, 14000L)
+  }
+}
