@@ -463,6 +463,35 @@ object RelationalQueries {
         .orderBy(col("numwait").desc, col("s_name"))
     }),
 
+    // TPC-H Q18 shape (large-volume "whale" orders): the agg-subquery
+    // pattern the suite's other headlines don't cover — the fact table
+    // aggregates FIRST (one l_orderkey shuffle, map-side combine),
+    // HAVING prunes to the whales (~3.4% of orders on the synthetic
+    // quantity distribution), and only THEN do dimensions join. The
+    // whale frame is deliberately UNHINTED: AQE broadcasts it at small
+    // SF and switches to an orderkey SMJ once it outgrows the threshold
+    // (sf10 executed plan: SMJ — the correct call for a 3.4% set; both
+    // behaviors are the same declarative plan). Top-100 via
+    // TakeOrderedAndProject, tie-broken on the unique key. At 100 TB
+    // the aggregate-then-join order is the whole story: the naive
+    // join-then-aggregate shape carries orders x lineitem through the
+    // shuffle before dropping ~97% of it.
+    "q18_large_orders" -> ((s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_quantity")).as("qty"))
+        .filter(col("qty") > 220)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      o.join(big, o("o_orderkey") === big("l_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          dec(col("o_totalprice")).cast("double").as("total_price"),
+          col("qty"))
+        .orderBy(col("total_price").desc, col("o_orderkey"))
+        .limit(100)
+    }),
+
     // argmax per group, tie-broken deterministically via struct ordering
     // (max of (price, key) pairs) — one aggregation, no window shuffle.
     "agg_argmax" -> ((s, d) => {
@@ -1152,6 +1181,17 @@ object RelationalQueries {
         |JOIN region ON n_regionkey = r_regionkey
         |WHERE r_name = 'ASIA'
         |GROUP BY n_name ORDER BY n_name""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_name, o_orderkey, o_orderdate,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS total_price,
+        |  qty
+        |FROM orders
+        |JOIN (SELECT l_orderkey, sum(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1
+        |      HAVING sum(l_quantity) > 220) big
+        |  ON o_orderkey = big.l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |ORDER BY total_price DESC, o_orderkey LIMIT 100""".stripMargin,
     "q21_waiting_suppliers" ->
       """SELECT s_name, count(*) AS numwait
         |FROM lineitem l1
