@@ -334,6 +334,84 @@ class EmfPropertySpec extends SparkSpec {
     assert(checked == 120)
   }
 
+  // ---- frontend-equivalence fuzz: render a random EmfQuery into the
+  // papers' SUCH-THAT SQL dialect, parse it with MfSqlParser, and
+  // require the EXACT same AST back — the two frontends must feed the
+  // planner identical queries. The renderable subset excludes MF-vs-MF
+  // conditions (the dialect's lhs is always a variable column) and
+  // vars with no membership condition (the parser's own-group
+  // auto-rewrite would rewrite them, by design).
+
+  private def renderable(q: EmfQuery): Boolean =
+    q.vars.forall { v =>
+      v.mfConds.nonEmpty &&
+        v.conds.forall(c => !c.lhs.isInstanceOf[MfField])
+    }
+
+  private def renderMfSql(q: EmfQuery): String = {
+    def lit(raw: String): String =
+      if (raw.matches("-?\\d+(\\.\\d+)?")) raw else s"'$raw'"
+    def rhs(o: Operand): String = o match {
+      case MfField(n) => n
+      case Lit(raw)   => lit(raw)
+      case TupleCol(n) =>
+        throw new IllegalArgumentException(s"tuple rhs $n not renderable")
+    }
+    val varName = q.vars.map(v => v.agg.name -> s"V${v.index}").toMap
+    val selAggs =
+      q.varZero.map(a => s"${a.func}(${a.column}) AS ${a.name}") ++
+        q.vars.map(v =>
+          s"${v.agg.func}(${varName(v.agg.name)}.${v.agg.column}) AS ${v.agg.name}")
+    val such = q.vars.map { v =>
+      v.conds.map { case Cond(TupleCol(c), op, r) =>
+        s"${varName(v.agg.name)}.$c $op ${rhs(r)}"
+      }.mkString(" AND ")
+    }
+    def havingStr(h: HavingExpr): String = h match {
+      case HavingAnd(l, r) => s"${havingStr(l)} AND ${havingStr(r)}"
+      case HavingOr(l, r)  => s"${havingStr(l)} OR ${havingStr(r)}"
+      case HavingLeaf(HavingCond(a, op, b)) =>
+        def side(o: Operand) = o match {
+          case MfField(n) => n
+          case Lit(raw)   => lit(raw)
+          case TupleCol(n) => n
+        }
+        s"${side(a)} $op ${side(b)}"
+    }
+    val sb = new StringBuilder
+    sb ++= s"SELECT ${(q.groupAttrs ++ selAggs).mkString(", ")}\nFROM t\n"
+    if (q.where.nonEmpty)
+      sb ++= "WHERE " + q.where.map {
+        case Cond(TupleCol(c), op, Lit(raw)) => s"$c $op ${lit(raw)}"
+        case other => throw new IllegalArgumentException(s"bad WHERE $other")
+      }.mkString(" AND ") + "\n"
+    sb ++= s"GROUP BY ${q.groupAttrs.mkString(", ")} ; " +
+      s"${q.vars.map(v => varName(v.agg.name)).mkString(", ")}\n"
+    sb ++= s"SUCH THAT ${such.mkString(",\n          ")}"
+    q.having.foreach(h => sb ++= s"\nHAVING ${havingStr(h)}")
+    sb.toString
+  }
+
+  test("fuzz: MF-SQL frontend round-trips 150 random queries to identical ASTs") {
+    var checked = 0
+    var seed = 42000L
+    while (checked < 150) {
+      val q = sampleQuery(seed)
+      seed += 1
+      if (renderable(q)) {
+        val sql = renderMfSql(q)
+        val q2 =
+          try MfSqlParser.parse(sql, cols)
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"parse failed\nsql=$sql\nquery=$q", e)
+          }
+        assert(q2 == q, s"AST round-trip diverged\nsql=$sql\nwant=$q\ngot =$q2")
+        checked += 1
+      }
+    }
+  }
+
   test("dedup idempotent; sum/count/avg consistent on random tables") {
     sampleTables(4).foreach { rows =>
       val df = rows.toDF()
