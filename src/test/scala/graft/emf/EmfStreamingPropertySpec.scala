@@ -6,6 +6,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import org.scalacheck.{Gen, rng}
 
 case class SPropRow(g: String, h: String, ord: Int, state: String, x: Int)
+case class SNPropRow(g: String, h: String, ord: Int, state: String, x: Option[Int])
 
 /** Property fuzz for the four INCREMENTAL streaming EMF lowerings —
   * the hand-rolled state machinery (exact micro-unit accumulators,
@@ -161,14 +162,14 @@ class EmfStreamingPropertySpec extends SparkSpec {
   private val factCols = Set("g", "h", "ord", "state", "x")
   private var qId = 0
 
-  private def check(q: EmfQuery,
+  private def check[T <: Product : org.apache.spark.sql.Encoder](q: EmfQuery,
       planFn: (EmfQuery, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame,
-      rows: Seq[SPropRow], complete: Boolean): Unit = {
+      rows: Seq[T], complete: Boolean): Unit = {
     EmfParser.validate(q, factCols)
     qId += 1
     val name = s"emf_sprop_$qId"
-    val stream = MemoryStream[SPropRow](spark)
+    val stream = MemoryStream[T](spark)
     val sq = planFn(q, stream.toDF())
       .writeStream.format("memory").queryName(name)
       .outputMode(if (complete) OutputMode.Complete else OutputMode.Update)
@@ -176,7 +177,7 @@ class EmfStreamingPropertySpec extends SparkSpec {
     try {
       val cut = rows.length / 2
       Seq(rows.take(cut), rows.drop(cut)).zipWithIndex
-        .foldLeft(Seq.empty[SPropRow]) { case (seen, (batch, bi)) =>
+        .foldLeft(Seq.empty[T]) { case (seen, (batch, bi)) =>
           stream.addData(batch)
           sq.processAllAvailable()
           val all = seen ++ batch
@@ -190,7 +191,7 @@ class EmfStreamingPropertySpec extends SparkSpec {
           val snap =
             if (complete) ordered(spark.table(name))
             else ordered(EmfStreaming.snapshot(spark.table(name), q))
-          val batchR = ordered(EmfPlanner.plan(q, all.toDF()))
+          val batchR = ordered(EmfPlanner.plan(q, spark.createDataset(all).toDF()))
           assert(snap == batchR,
             s"batch $bi diverged\nquery=$q\nsnap=$snap\nbatch=$batchR")
           all
@@ -199,12 +200,14 @@ class EmfStreamingPropertySpec extends SparkSpec {
     EmfPlanner.unpersistAll()
   }
 
-  private def fuzzClass(label: String, gen: Gen[EmfQuery],
+  private def fuzzClass[T <: Product : org.apache.spark.sql.Encoder](
+      label: String, gen: Gen[EmfQuery],
       planFn: (EmfQuery, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame,
-      n: Int, seed0: Long, complete: Boolean = false): Unit =
+      n: Int, seed0: Long, complete: Boolean = false,
+      rowG: Gen[T]): Unit =
     (0 until n).foreach { i =>
-      val rows = sample(Gen.listOfN(36, rowGen), seed0 + 31 * i)
+      val rows = sample(Gen.listOfN(36, rowG), seed0 + 31 * i)
       val q = sample(gen, seed0 + 1000 + i)
       try check(q, planFn, rows, complete)
       catch {
@@ -214,20 +217,47 @@ class EmfStreamingPropertySpec extends SparkSpec {
       }
     }
 
+  /** Null-bearing row stream: nulls in the grouping/filter columns and
+    * the aggregate column (ord stays non-null — the windowed boundary).
+    * Exercises the streaming null machinery: JSON state keys over null
+    * key fields, guarded projections folding null aggregates, and the
+    * batch planner's null-safe lowerings on the comparison side. */
+  private val nullRowGen: Gen[SNPropRow] = for {
+    g <- Gen.frequency(8 -> Gen.oneOf("a", "b", "c"), 2 -> Gen.const(null: String))
+    h <- Gen.frequency(9 -> Gen.oneOf("p", "q"), 1 -> Gen.const(null: String))
+    ord <- Gen.choose(1, 4)
+    state <- Gen.frequency(8 -> Gen.oneOf("NY", "CT", "NJ"), 2 -> Gen.const(null: String))
+    x <- Gen.frequency(8 -> Gen.choose(0, 50).map(Option(_)), 2 -> Gen.const(None: Option[Int]))
+  } yield SNPropRow(g, h, ord, state, x)
+
   test("fuzz: all-SIMPLE streaming == batch at each micro-batch (8 queries)") {
     fuzzClass("simple", genSimpleQ, EmfStreaming.plan, 8, 11000L,
-      complete = true)
+      complete = true, rowG = rowGen)
   }
 
   test("fuzz: WINDOWED streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("windowed", genWindowedQ, EmfStreaming.planWindowed, 8, 12000L)
+    fuzzClass("windowed", genWindowedQ, EmfStreaming.planWindowed, 8, 12000L,
+      rowG = rowGen)
   }
 
   test("fuzz: DEPENDENT streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("dependent", genDependentQ, EmfStreaming.planDependent, 8, 13000L)
+    fuzzClass("dependent", genDependentQ, EmfStreaming.planDependent, 8, 13000L,
+      rowG = rowGen)
   }
 
   test("fuzz: CROSS-GROUP streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8, 14000L)
+    fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8, 14000L,
+      rowG = rowGen)
+  }
+
+  test("fuzz with nulls: each streaming class == batch on null-bearing streams (16 queries)") {
+    fuzzClass("simple-null", genSimpleQ, EmfStreaming.plan, 4, 21000L,
+      complete = true, rowG = nullRowGen)
+    fuzzClass("windowed-null", genWindowedQ, EmfStreaming.planWindowed, 4,
+      22000L, rowG = nullRowGen)
+    fuzzClass("dependent-null", genDependentQ, EmfStreaming.planDependent, 4,
+      23000L, rowG = nullRowGen)
+    fuzzClass("crossgroup-null", genCrossQ, EmfStreaming.planCrossGroup, 4,
+      24000L, rowG = nullRowGen)
   }
 }
