@@ -66,6 +66,42 @@ import org.apache.spark.sql.Row
   */
 object EmfStreaming {
 
+  /** What [[planAuto]] returns: the lowered streaming frame plus its
+    * consumption contract. `usesSnapshot` = the frame carries `__ver`
+    * emissions and the current MF structure is reconstructed with
+    * [[snapshot]] from an update-mode sink (HAVING applies there);
+    * otherwise the frame is a plain streaming aggregation whose
+    * complete-mode sink IS the result (HAVING already applied). */
+  final case class StreamingPlan(df: DataFrame, usesSnapshot: Boolean)
+
+  /** Route a query to its cheapest incremental lowering — the same
+    * classification the batch planner uses, so callers never pick a
+    * lowering by hand:
+    *
+    *  - all SIMPLE → [[plan]] (plain stateful aggregation)
+    *  - SIMPLE + WINDOWED → [[planWindowed]]
+    *  - + DEPENDENT, all complement-decomposable → [[planCrossGroup]]
+    *  - + DEPENDENT referencing own-group aggregates → [[planDependent]]
+    *  - DEPENDENT chained onto WINDOWED → [[planChained]]
+    *
+    * Shapes outside every incremental class (genuinely unpinned
+    * cross-group membership, non-subtractable complements, fractional
+    * order attrs) propagate the specific lowering's rejection, which
+    * names `microBatch(...)` — the full-expressiveness fallback. */
+  def planAuto(q: EmfQuery, stream: DataFrame): StreamingPlan = {
+    val (_, winVars, depVars) = EmfPlanner.classifyVars(q, stream.schema)
+    if (winVars.isEmpty && depVars.isEmpty)
+      StreamingPlan(plan(q, stream), usesSnapshot = false)
+    else if (depVars.isEmpty)
+      StreamingPlan(planWindowed(q, stream), usesSnapshot = true)
+    else if (winVars.nonEmpty)
+      StreamingPlan(planChained(q, stream), usesSnapshot = true)
+    else if (depVars.forall(v => EmfPlanner.complementInfo(v, q).isDefined))
+      StreamingPlan(planCrossGroup(q, stream), usesSnapshot = true)
+    else
+      StreamingPlan(planDependent(q, stream), usesSnapshot = true)
+  }
+
   /** Incremental lowering for all-SIMPLE queries. The returned streaming
     * DataFrame must be started in complete (or update) output mode. */
   def plan(q: EmfQuery, stream: DataFrame): DataFrame = {
@@ -444,7 +480,7 @@ object EmfStreaming {
       }
     require(baseSlots.nonEmpty,
       "dependent streaming needs at least one variable-0/SIMPLE aggregate " +
-        "(the threshold source)")
+        "(the threshold source); shapes without one need microBatch(...)")
     val baseIdx = baseSlots.map(_._1.name).zipWithIndex.toMap
 
     // ---- dependent slots

@@ -539,6 +539,51 @@ class EmfStreamingSpec extends SparkSpec {
     } finally EmfStreaming.MaxHistBuckets = old
   }
 
+  test("planAuto routes every corpus shape to its incremental lowering") {
+    def route(q: EmfQuery): (Boolean, String) = {
+      val stream = MemoryStream[SalesRow](spark)
+      val p = EmfStreaming.planAuto(q, stream.toDF())
+      // identify the lowering by its output shape: plain aggregations
+      // carry no __ver; emission streams do
+      (p.usesSnapshot, if (p.df.columns.contains("__ver")) "ver" else "agg")
+    }
+    assert(route(simpleQ) == ((false, "agg")))
+    assert(route(windowedQ) == ((true, "ver")))
+    assert(route(dependentQ) == ((true, "ver")))
+    assert(route(crossQ) == ((true, "ver")))
+    assert(route(q8Q) == ((true, "ver")))
+
+    // end-to-end through the facade: the cross-group shape again, but
+    // routed automatically
+    val stream = MemoryStream[SalesRow](spark)
+    val p = EmfStreaming.planAuto(crossQ, stream.toDF())
+    assert(p.usesSnapshot)
+    val sq = p.df.writeStream.format("memory").queryName("emf_auto")
+      .outputMode(OutputMode.Update).start()
+    try {
+      stream.addData(rows)
+      sq.processAllAvailable()
+      val snap = EmfStreaming.snapshot(spark.table("emf_auto"), crossQ)
+        .orderBy("cust", "prod").collect().toSeq
+      val batch = EmfPlanner.plan(crossQ, rows.toDF())
+        .orderBy("cust", "prod").collect().toSeq
+      assert(snap == batch && snap.nonEmpty)
+    } finally sq.stop()
+
+    // outside every incremental class: a non-subtractable (min)
+    // complement routes to planDependent, whose rejection names the
+    // microBatch fallback
+    val qMin = EmfParser.parseOne(
+      """cust,prod,min_quant_oth
+        |1
+        |cust,prod
+        |min_quant_oth
+        |{MF.prod.min_quant_oth}[=]{prod}:{MF.cust.min_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val e = intercept[IllegalArgumentException](
+      EmfStreaming.planAuto(qMin, MemoryStream[SalesRow](spark).toDF()))
+    assert(e.getMessage.contains("microBatch"))
+  }
+
   test("dependent query rejected by incremental path, works via microBatch") {
     val emfQ = EmfParser.parseOne(
       """prod,avg_quant_1,count_quant_2
