@@ -166,10 +166,21 @@ object GoldenQueries {
       |HAVING avg_value_purchase > avg_value_error""".stripMargin
 
   def runEventsMf(s: SparkSession, dir: String): DataFrame = {
+    // NOT NULL constraints declared at the view boundary (the standard
+    // warehouse move): the generator never emits null user_id/
+    // event_type/value (checked at every SF), and nullable grouping
+    // keys would push EmfPlanner onto its null-safe membership joins —
+    // an extra exchange per dependent pass for nulls that cannot occur.
+    // AssertNotNull makes the constraint load-bearing: a violating
+    // regeneration fails loudly instead of silently slowing plans.
+    def nn(c: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.graftbridge.CatalystBridge.column(
+        org.apache.spark.sql.catalyst.expressions.objects.AssertNotNull(
+          org.apache.spark.sql.graftbridge.CatalystBridge.expression(c)))
     val fact = Tables.events(s, dir)
-      .select(org.apache.spark.sql.functions.col("user_id"),
-        org.apache.spark.sql.functions.col("event_type"),
-        org.apache.spark.sql.functions.col("value"))
+      .select(nn(org.apache.spark.sql.functions.col("user_id")).as("user_id"),
+        nn(org.apache.spark.sql.functions.col("event_type")).as("event_type"),
+        nn(org.apache.spark.sql.functions.col("value")).as("value"))
     val q = MfSqlParser.parse(eventsMfSql, fact.columns.toSet)
     EmfPlanner.plan(q, fact)
       .orderBy(org.apache.spark.sql.functions.col("user_id"))
