@@ -412,6 +412,88 @@ class EmfPropertySpec extends SparkSpec {
     }
   }
 
+  // ---- positional-format round-trip: render a random EmfQuery into the
+  // reference's 5/6-line spec format — INCLUDING the operand inversion
+  // its MF conditions carry ({MF.field.agg}[op]{rhs} evaluates rhs op
+  // MF.field) — and require EmfParser to normalize back to the exact
+  // same AST. Not renderable: vars with no MF condition (auto-rewrite
+  // would add eq-on-G) and HAVING trees that mix AND under OR in shapes
+  // the [&&]/[||] grammar's fixed precedence can't spell.
+
+  private def positionalRenderable(q: EmfQuery): Boolean = {
+    def havingOk(h: HavingExpr): Boolean = h match {
+      case HavingLeaf(_) => true
+      case HavingAnd(l, r) => havingOk(l) && havingOk(r) &&
+        !l.isInstanceOf[HavingOr] && !r.isInstanceOf[HavingOr]
+      case HavingOr(l, r) => havingOk(l) && havingOk(r)
+    }
+    q.vars.forall(_.mfConds.nonEmpty) && q.having.forall(havingOk) &&
+      // AggSpec.parse must reconstruct the same (func, column, name):
+      // our generated names are func_col_tag with col a real fact column
+      (q.varZero ++ q.vars.map(_.agg)).forall(a =>
+        a.name.startsWith(s"${a.func}_${a.column}_"))
+  }
+
+  private def renderPositional(q: EmfQuery): String = {
+    def operandTok(o: Operand): String = o match {
+      case TupleCol(n) => n
+      case MfField(n)  => s"MF.$n"
+      case Lit(raw)    => raw
+    }
+    // normalized Cond(rhs, op, MfField(field)) renders inverted as
+    // {MF.field.<aggName>}[op]{rhs}; tuple conds render directly
+    def cond(c: Cond, aggName: String): String = c match {
+      case Cond(lhs, op, MfField(f)) => s"{MF.$f.$aggName}[$op]{${operandTok(lhs)}}"
+      case Cond(TupleCol(a), op, Lit(raw)) => s"{$a}[$op]{$raw}"
+      case other => throw new IllegalArgumentException(s"unrenderable $other")
+    }
+    val groups = q.vars.map(v => v.conds.map(cond(_, v.agg.name)).mkString(":"))
+    val whereGroup =
+      if (q.where.isEmpty) Nil
+      else Seq(q.where.map { case Cond(TupleCol(a), op, Lit(raw)) =>
+        s"{$a}[$op]{$raw}"
+      }.mkString(":"))
+    def havingStr(h: HavingExpr): String = h match {
+      case HavingLeaf(HavingCond(a, op, b)) =>
+        def side(o: Operand) = o match {
+          case MfField(n) => n
+          case Lit(raw)   => raw
+          case TupleCol(n) => n
+        }
+        s"{${side(a)},$op,${side(b)}}"
+      case HavingAnd(l, r) => s"${havingStr(l)} [&&] ${havingStr(r)}"
+      case HavingOr(l, r)  => s"${havingStr(l)} [||] ${havingStr(r)}"
+    }
+    val lines = Seq(
+      q.select.mkString(","),
+      q.vars.size.toString,
+      q.groupAttrs.mkString(","),
+      q.vars.map(_.agg.name).mkString(","),
+      (groups ++ whereGroup).mkString(",")) ++
+      q.having.map(havingStr).toSeq
+    lines.mkString("\n")
+  }
+
+  test("fuzz: positional format round-trips 150 random queries to identical ASTs") {
+    var checked = 0
+    var seed = 52000L
+    while (checked < 150) {
+      val q = sampleQuery(seed)
+      seed += 1
+      if (positionalRenderable(q)) {
+        val text = renderPositional(q)
+        val q2 =
+          try EmfParser.parseOne(text, cols)
+          catch {
+            case e: Throwable =>
+              throw new AssertionError(s"parse failed\nspec=$text\nquery=$q", e)
+          }
+        assert(q2 == q, s"AST round-trip diverged\nspec=$text\nwant=$q\ngot =$q2")
+        checked += 1
+      }
+    }
+  }
+
   test("dedup idempotent; sum/count/avg consistent on random tables") {
     sampleTables(4).foreach { rows =>
       val df = rows.toDF()
