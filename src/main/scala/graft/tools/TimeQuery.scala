@@ -14,12 +14,20 @@ object TimeQuery {
     val iters = args(1).toInt
     val names = args.drop(2)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // sf100 probes want more shuffle partitions than cores: 600M-row
+    // shuffles at 32 partitions put ~19M rows in one sort task; AQE
+    // coalesces small partitions back, so oversizing is cheap
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.files.maxPartitionBytes", "4m")
+      // 4m keeps file-per-split on the MB-sized sf0.1/sf10 tables; a
+      // sf100 probe (22 GB) wants the 128m default back or scans pay
+      // ~5000 task launches each
+      .config("spark.sql.files.maxPartitionBytes",
+        sys.env.getOrElse("SPARK_GRAFT_MAXPART", "4m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
