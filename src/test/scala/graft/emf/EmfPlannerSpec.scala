@@ -364,6 +364,20 @@ class EmfPlannerSpec extends SparkSpec {
     assert(BruteEmf.run(qd, rows).map(r => (r(0), r(1))).toSet == gotD)
   }
 
+  test("fixture fact views declare non-nullable schemas (the =-key fast-path gate)") {
+    // EmfPlanner pays null-safe membership joins (one extra exchange per
+    // dependent pass) exactly when a grouping attr's schema says
+    // nullable. The fixture views prove non-nullability via
+    // AssertNotNull; if a refactor drops that, every corpus query
+    // silently slows 2-3x — pin the schema here instead.
+    val sv = graft.Tables.salesView(spark, sf0001)
+    sv.schema.fields.foreach(f =>
+      assert(!f.nullable, s"salesView.${f.name} became nullable — " +
+        "the EMF =-key fast path is lost"))
+    val ev = GoldenQueries.runEventsMf(spark, sf0001)
+    assert(ev.columns.nonEmpty) // events MF runs end-to-end on the view
+  }
+
   test("cyclic EMF dependencies are rejected") {
     val cyc = EmfQuery(
       Seq("g", "sum_a_x", "sum_b_y"), Seq("g"), Nil,
