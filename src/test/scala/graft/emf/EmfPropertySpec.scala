@@ -202,11 +202,13 @@ class EmfPropertySpec extends SparkSpec {
     } yield HavingLeaf(HavingCond(MfField(a.name), op, Lit(v.toString)))
     if (aggs.isEmpty) Gen.const(None)
     else Gen.frequency(2 -> Gen.const(None), 3 -> (for {
-      n      <- Gen.choose(1, 2)
+      n      <- Gen.choose(1, 3)
       leaves <- Gen.listOfN(n, leaf)
-      isAnd  <- Gen.oneOf(true, false)
-    } yield Some(leaves.reduceLeft[HavingExpr](
-      (l, r) => if (isAnd) HavingAnd(l, r) else HavingOr(l, r)))))
+      ops    <- Gen.listOfN(math.max(0, n - 1), Gen.oneOf(true, false))
+    } yield Some(leaves.tail.zip(ops).foldLeft(leaves.head) {
+      case (acc, (l, isAnd)) =>
+        if (isAnd) HavingAnd(acc, l) else HavingOr(acc, l)
+    })))
   }
 
   private val genQuery: Gen[EmfQuery] = for {
@@ -220,7 +222,7 @@ class EmfPropertySpec extends SparkSpec {
     varZero = zs.zipWithIndex.map { case ((f, c), j) => AggSpec(f, c, s"${f}_${c}_z$j") }
     nVars <- Gen.choose(1, 4)
     vars  <- genVarsSeq(nVars, gAttrs, varZero)
-    nWhere <- Gen.choose(0, 1)
+    nWhere <- Gen.choose(0, 2)
     where  <- Gen.listOfN(nWhere, genTupleCond)
     allAggs = varZero ++ vars.map(_.agg)
     hav <- genHaving(allAggs)
@@ -342,11 +344,19 @@ class EmfPropertySpec extends SparkSpec {
   // vars with no membership condition (the parser's own-group
   // auto-rewrite would rewrite them, by design).
 
-  private def renderable(q: EmfQuery): Boolean =
+  private def renderable(q: EmfQuery): Boolean = {
+    // flat AND/OR text with SQL precedence can't spell Or-under-And
+    def havingOk(h: HavingExpr): Boolean = h match {
+      case HavingLeaf(_) => true
+      case HavingAnd(l, r) => havingOk(l) && havingOk(r) &&
+        !l.isInstanceOf[HavingOr] && !r.isInstanceOf[HavingOr]
+      case HavingOr(l, r) => havingOk(l) && havingOk(r)
+    }
     q.vars.forall { v =>
       v.mfConds.nonEmpty &&
         v.conds.forall(c => !c.lhs.isInstanceOf[MfField])
-    }
+    } && q.having.forall(havingOk)
+  }
 
   private def renderMfSql(q: EmfQuery): String = {
     def lit(raw: String): String =
