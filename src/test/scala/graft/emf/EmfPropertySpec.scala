@@ -15,6 +15,10 @@ class EmfPropertySpec extends SparkSpec {
 
   private val cols = Set("g", "h", "ord", "state", "x")
 
+  /** Fuzz-depth multiplier: GRAFT_FUZZ_N=k runs k× the default query
+    * counts (deep one-off shakeouts without inflating the CI suite). */
+  private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(1)
+
   private val rowGen: Gen[PropRow] = for {
     g <- Gen.oneOf("a", "b", "c")
     h <- Gen.oneOf("p", "q")
@@ -260,7 +264,7 @@ class EmfPropertySpec extends SparkSpec {
 
   test("fuzz: 240 random EMF queries match brute-force paper semantics") {
     var checked = 0
-    sampleTables(4).zipWithIndex.foreach { case (rows, ti) =>
+    sampleTables(4 * fuzzN).zipWithIndex.foreach { case (rows, ti) =>
       val df = rows.toDF().persist()
       df.count()
       val brute: Seq[BruteEmf.TRow] = rows.map(r =>
@@ -281,7 +285,7 @@ class EmfPropertySpec extends SparkSpec {
       df.unpersist()
       EmfPlanner.unpersistAll()
     }
-    assert(checked == 240)
+    assert(checked == 240 * fuzzN)
   }
 
   // ---- null-contract fuzz: same generator, tables with nulls in the
@@ -302,7 +306,7 @@ class EmfPropertySpec extends SparkSpec {
 
   test("fuzz with nulls: 120 random EMF queries match the partition-selector null contract") {
     var checked = 0
-    (1 to 2).foreach { ti =>
+    (1 to 2 * fuzzN).foreach { ti =>
       val rows = {
         var s = 5000L + ti
         var r: Option[List[NPropRow]] = None
@@ -333,7 +337,7 @@ class EmfPropertySpec extends SparkSpec {
       df.unpersist()
       EmfPlanner.unpersistAll()
     }
-    assert(checked == 120)
+    assert(checked == 120 * fuzzN)
   }
 
   // ---- frontend-equivalence fuzz: render a random EmfQuery into the
@@ -405,7 +409,7 @@ class EmfPropertySpec extends SparkSpec {
   test("fuzz: MF-SQL frontend round-trips 150 random queries to identical ASTs") {
     var checked = 0
     var seed = 42000L
-    while (checked < 150) {
+    while (checked < 150 * fuzzN) {
       val q = sampleQuery(seed)
       seed += 1
       if (renderable(q)) {
@@ -487,7 +491,7 @@ class EmfPropertySpec extends SparkSpec {
   test("fuzz: positional format round-trips 150 random queries to identical ASTs") {
     var checked = 0
     var seed = 52000L
-    while (checked < 150) {
+    while (checked < 150 * fuzzN) {
       val q = sampleQuery(seed)
       seed += 1
       if (positionalRenderable(q)) {
