@@ -162,6 +162,9 @@ class EmfStreamingPropertySpec extends SparkSpec {
   private val factCols = Set("g", "h", "ord", "state", "x")
   private var qId = 0
 
+  /** Depth multiplier, same convention as EmfPropertySpec. */
+  private val fuzzN = sys.env.get("GRAFT_FUZZ_N").map(_.toInt).getOrElse(1)
+
   private def check[T <: Product : org.apache.spark.sql.Encoder](q: EmfQuery,
       planFn: (EmfQuery, org.apache.spark.sql.DataFrame) =>
         org.apache.spark.sql.DataFrame,
@@ -231,33 +234,33 @@ class EmfStreamingPropertySpec extends SparkSpec {
   } yield SNPropRow(g, h, ord, state, x)
 
   test("fuzz: all-SIMPLE streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("simple", genSimpleQ, EmfStreaming.plan, 8, 11000L,
+    fuzzClass("simple", genSimpleQ, EmfStreaming.plan, 8 * fuzzN, 11000L,
       complete = true, rowG = rowGen)
   }
 
   test("fuzz: WINDOWED streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("windowed", genWindowedQ, EmfStreaming.planWindowed, 8, 12000L,
+    fuzzClass("windowed", genWindowedQ, EmfStreaming.planWindowed, 8 * fuzzN, 12000L,
       rowG = rowGen)
   }
 
   test("fuzz: DEPENDENT streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("dependent", genDependentQ, EmfStreaming.planDependent, 8, 13000L,
+    fuzzClass("dependent", genDependentQ, EmfStreaming.planDependent, 8 * fuzzN, 13000L,
       rowG = rowGen)
   }
 
   test("fuzz: CROSS-GROUP streaming == batch at each micro-batch (8 queries)") {
-    fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8, 14000L,
+    fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8 * fuzzN, 14000L,
       rowG = rowGen)
   }
 
   test("fuzz with nulls: each streaming class == batch on null-bearing streams (16 queries)") {
-    fuzzClass("simple-null", genSimpleQ, EmfStreaming.plan, 4, 21000L,
+    fuzzClass("simple-null", genSimpleQ, EmfStreaming.plan, 4 * fuzzN, 21000L,
       complete = true, rowG = nullRowGen)
-    fuzzClass("windowed-null", genWindowedQ, EmfStreaming.planWindowed, 4,
+    fuzzClass("windowed-null", genWindowedQ, EmfStreaming.planWindowed, 4 * fuzzN,
       22000L, rowG = nullRowGen)
-    fuzzClass("dependent-null", genDependentQ, EmfStreaming.planDependent, 4,
+    fuzzClass("dependent-null", genDependentQ, EmfStreaming.planDependent, 4 * fuzzN,
       23000L, rowG = nullRowGen)
-    fuzzClass("crossgroup-null", genCrossQ, EmfStreaming.planCrossGroup, 4,
+    fuzzClass("crossgroup-null", genCrossQ, EmfStreaming.planCrossGroup, 4 * fuzzN,
       24000L, rowG = nullRowGen)
   }
 }
