@@ -304,6 +304,20 @@ object Dedup {
   private val innerCaches =
     scala.collection.concurrent.TrieMap[DataFrame, Unit]()
 
+  /** Cache `df` unless a canonical-plan twin is already cached.
+    * `dedup_recall` re-runs [[minhashPairs]] over the exact frame
+    * `dedup_minhash` cached moments earlier — CacheManager serves the
+    * twin either way, but a second `.cache()` call logs
+    * "Asked to cache already cached data"; this guard keeps the bench
+    * log warning-clean. Registered in [[innerCaches]] regardless so
+    * [[clearCache]] evicts whichever instance owns the cache entry. */
+  private def cacheOnce(df: DataFrame): DataFrame = {
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.cache()
+    innerCaches.put(df, ())
+    df
+  }
+
   /** Evict the memoized pair frames (and their cached subtrees). Call in
     * long-lived sessions once the dependent queries have run; the next
     * `queriesNgramPairs` call simply rebuilds. */
@@ -479,11 +493,9 @@ object Dedup {
     // same counts as string sets up to ~2⁻⁶⁴-probability collisions
     // cached: feeds four subtrees (both banded self-join sides + the two
     // candidate set joins) — the shingle/signature pass runs once
-    val docs = docsWithNearDups(s, d)
+    val docs = cacheOnce(docsWithNearDups(s, d)
       .withColumn("hsh", SignatureExprs.shingleHashes(col("text"), 3))
-      .withColumn("mh", SignatureExprs.minhashFromHashes(col("hsh"), k))
-      .cache()
-    innerCaches.put(docs, ())
+      .withColumn("mh", SignatureExprs.minhashFromHashes(col("hsh"), k)))
     // the band explode/shuffle carries ONLY (doc_id, band, key) — the
     // shingle sets would be duplicated ×bands through the shuffle
     // otherwise; candidates (few) join them back below. Grouped-postings

@@ -150,7 +150,13 @@ object EmfParser {
         // an MF-valued rhs strips the trailing `.<tag>` segment, exactly
         // like the lhs above (reference `src/QueryProcessor1.java:259-261`
         // requires the `MF.<field>.<tag>` form; we also accept the bare
-        // `MF.<field>` two-token spelling)
+        // `MF.<field>` two-token spelling). A numeric rhs is a LITERAL
+        // (`{MF.count_x.count_x}[>]{0}` — group-side threshold), same
+        // digit/minus-head rule as HAVING operands; column identifiers
+        // can't start with a digit, and before this rule a numeric rhs
+        // was a guaranteed unknown-column error, so nothing legal changes
+        // meaning. Bare strings stay TupleCol — a quoting convention
+        // would be a new grammar, and the corpus never needs one here.
         val rhs: Operand =
           if (right.startsWith("MF.")) {
             val rbody = right.stripPrefix("MF.")
@@ -158,7 +164,9 @@ object EmfParser {
               if (rbody.contains('.')) rbody.substring(0, rbody.lastIndexOf('.'))
               else rbody
             MfField(rfield)
-          } else TupleCol(right)
+          } else if (right.nonEmpty && (right.head.isDigit || right.head == '-'))
+            Lit(right)
+          else TupleCol(right)
         Cond(rhs, op.trim, MfField(field))
       } else {
         Cond(TupleCol(left.trim), op.trim, Lit(right.trim))

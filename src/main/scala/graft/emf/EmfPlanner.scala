@@ -235,18 +235,20 @@ object EmfPlanner {
     // Catalyst pushes them into the parquet scan
     val t0 = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
     val t = t0.alias("t")
-    // Conditions whose operands are BOTH MF fields (MF-vs-MF, e.g. corpus
-    // q6's `MF.avg_1 > MF.avg_2`, or the degenerate `MF.a = MF.a`) are
-    // group-side predicates: apply them as a FILTER on the MF frame BEFORE
-    // the join. Semantically identical (the left join-back NULLs the
-    // aggregate for filtered-out groups exactly as an empty join would),
-    // cheaper (the fact table never joins against groups that can't
-    // match), and — load-bearing — keeps them out of Dataset.join's
-    // condition, whose ambiguous-self-join rewrite mis-resolves a
-    // condition referencing only one side (found by EmfPropertySpec fuzz).
+    // Conditions with NO fact-side (TupleCol) operand — MF-vs-MF, e.g.
+    // corpus q6's `MF.avg_1 > MF.avg_2`, MF-vs-literal, or the degenerate
+    // `MF.a = MF.a` — are group-side predicates: apply them as a FILTER on
+    // the MF frame BEFORE the join. Semantically identical (the left
+    // join-back NULLs the aggregate for filtered-out groups exactly as an
+    // empty join would), cheaper (the fact table never joins against
+    // groups that can't match), and — load-bearing — keeps them out of
+    // Dataset.join's condition, whose ambiguous-self-join rewrite
+    // mis-resolves a condition referencing only one side (found by
+    // EmfPropertySpec fuzz; the MF-vs-Lit class is one-sided the same way,
+    // round-13 advice).
     val (mfOnly, joinSide) = v.mfConds.partition(c =>
-      c.lhs.isInstanceOf[MfField] && c.rhs.isInstanceOf[MfField])
-    val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c)))
+      !c.lhs.isInstanceOf[TupleCol] && !c.rhs.isInstanceOf[TupleCol])
+    val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c, schema)))
     val m = mFiltered.alias("mf")
     val joinCond = joinSide.map(mfCond(_, schema, q.groupAttrs))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -464,10 +466,15 @@ object EmfPlanner {
         payload.map(c => col(s"jr.$c")): _*)
   }
 
-  /** MF-vs-MF condition evaluated against the (unaliased) MF frame —
-    * both operands name MF-frame columns. */
-  private def mfOnlyCond(c: Cond): Column = (c.lhs, c.rhs) match {
+  /** Fact-side-free condition evaluated against the (unaliased) MF frame —
+    * every operand is an MF-frame column or a literal. Literals type
+    * against the fact schema exactly as they would inside the join
+    * condition ([[mfCond]] uses the same [[typedLit]]), so routing a
+    * condition here instead of into the join never changes its typing. */
+  private def mfOnlyCond(c: Cond, schema: StructType): Column = (c.lhs, c.rhs) match {
     case (MfField(a), MfField(b)) => cmp(col(a), c.op, col(b))
+    case (MfField(a), Lit(raw))   => cmp(col(a), c.op, typedLit(raw, a, schema))
+    case (Lit(raw), MfField(b))   => cmp(typedLit(raw, b, schema), c.op, col(b))
     case _ => throw new IllegalArgumentException(s"not an MF-only condition: $c")
   }
 

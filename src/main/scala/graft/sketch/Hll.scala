@@ -89,7 +89,16 @@ object Hll {
     * keys below 2⁶² share a pre-mix image (the structured aliasing of
     * `id % P1` — sequential ids P1 apart colliding deterministically —
     * is gone; residual collisions are the ~2⁻³¹-per-pair accidents of
-    * the final fold, random rather than periodic). Round 1 scrambles
+    * the final fold, random rather than periodic).
+    *
+    * KEY-DOMAIN CONTRACT: keys must be non-negative and < 2⁶². A
+    * negative id (arithmetic shiftright smears the sign bit through
+    * `hi`) or an id ≥ 2⁶² (bits above the two 31-bit words are simply
+    * dropped) aliases pre-mix again — exactly the periodic collision
+    * class this mix exists to remove. [[regRho]] fail-fasts on a size
+    * hint past 2⁶² (a DOMAIN larger than 2⁶² cannot fit the contract
+    * for any key assignment); per-row key-range validation is the
+    * caller's job, same as every other fail-fast boundary here. Round 1 scrambles
     * the low word exactly like [[mix]]'s first round; round 2 multiplies
     * `(hi XOR h1 % P2)` — both 31-bit, so every product stays inside
     * signed-64 in both engines — which degenerates to [[mix]]'s own
@@ -129,9 +138,29 @@ object Hll {
     * zeros of the rest + 1, capped at 20 so 2^(20−rho) stays an exact
     * long term (w == 0 hits the cap). `expectedDomain` is the size
     * hint: past [[NarrowDomainMax]] distinct keys the folded [[mix]]
-    * would alias, so the sketch switches to [[mixWide]]. */
+    * would alias, so the sketch switches to [[mixWide]] (keys must then
+    * be non-negative and < 2⁶² — see [[mixWide]]'s domain contract; a
+    * hint past 2⁶² fails loudly below).
+    *
+    * MERGE/ALGEBRA CONTRACT: register-level algebra (the per-register
+    * max that merges sketches, and inclusion-exclusion intersection on
+    * top of it — `sketch_hll_intersect`) is only meaningful between
+    * sketches built with the SAME mix variant; a wide-mix register set
+    * merged with a narrow-mix one combines two different hash spaces
+    * and estimates nothing. All sketches entering one algebra must be
+    * built under the same `expectedDomain` side of the
+    * [[NarrowDomainMax]] switch — build them from one [[regRho]] call
+    * (as the intersect query does) or assert
+    * `mixVariant(domA) == mixVariant(domB)` first. */
+  private[graft] def mixVariant(expectedDomain: Long): String =
+    if (expectedDomain > NarrowDomainMax) "wide" else "narrow"
+
   private[graft] def regRho(df: DataFrame, value: Column,
-      expectedDomain: Long = 1L << 20): DataFrame =
+      expectedDomain: Long = 1L << 20): DataFrame = {
+    require(expectedDomain <= (1L << 62),
+      s"HLL size hint $expectedDomain exceeds mixWide's 2^62 key-domain " +
+        "ceiling — keys above 2^62 (or negative) alias pre-mix; " +
+        "re-key the domain into [0, 2^62) first")
     df.withColumn("h",
         if (expectedDomain > NarrowDomainMax) mixWide(value) else mix(value))
       .withColumn("reg", col("h") % M)
@@ -140,6 +169,7 @@ object Hll {
         when(col("w") === 0, lit(20L))
           .otherwise(least(
             expr("CAST(bit_count((w & -w) - 1) AS BIGINT) + 1"), lit(20L))))
+  }
 
   /** Registers → estimate for one grouping column: the harmonic sum in
     * fixed point (absent registers contribute the full 2²⁰ term), raw

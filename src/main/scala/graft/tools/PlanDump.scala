@@ -30,7 +30,13 @@ object PlanDump {
       println(s"===== $name =====")
       val df = graft.SparkEntry.queries(name)(spark, sfDir)
       if (exec) {
-        df.collect()
+        // drive the plan to completion WITHOUT materializing the result
+        // on the driver (a collect() here OOMs the tool on large-output
+        // queries at sf100). foreach executes the dataset's OWN
+        // QueryExecution — a noop-sink write or count() would run a
+        // different one and the executedPlan below would print the
+        // UN-executed AQE plan (the exact trap this tool exists to avoid)
+        df.foreach(_ => ())
         println(df.queryExecution.executedPlan.toString)
       } else
         println(df.queryExecution.explainString(

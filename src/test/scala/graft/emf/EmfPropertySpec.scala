@@ -168,6 +168,41 @@ class EmfPropertySpec extends SparkSpec {
         a1 <- Gen.oneOf(numericMf); a2 <- Gen.oneOf(numericMf); op <- anyOps
       } yield eqAll :+ Cond(MfField(a1), op, MfField(a2))
     }
+    // MF-vs-literal: group-side-only predicate in NORMALIZED parser form
+    // (Lit on the lhs — exactly what `{MF.f.agg}[op]{lit}` parses to).
+    // Exercises the pre-join MF-filter route for fact-side-free
+    // conditions beyond MF-vs-MF (round-13 advice: this class previously
+    // rode Dataset.join's condition, the mis-resolving one-sided shape).
+    val mfVsLit: Gen[Seq[Cond]] = {
+      def bound(a: AggSpec): Int = a.func match {
+        case "count" => 20
+        case "sum"   => if (a.column == "x") 250 else 60
+        case _       => if (a.column == "x") 45 else 5
+      }
+      val numTargets: Seq[(String, Int)] =
+        earlier.map(a => a.name -> bound(a)) ++
+          (if (gAttrs.contains("ord")) Seq("ord" -> 5) else Nil)
+      val strTargets = gAttrs.filter(stringDoms.contains)
+      val condGens: Seq[Gen[Cond]] =
+        (if (numTargets.isEmpty) Nil
+         else Seq(for {
+           t  <- Gen.oneOf(numTargets)
+           op <- anyOps
+           v  <- Gen.choose(0, t._2)
+         } yield Cond(Lit(v.toString), op, MfField(t._1)))) ++
+        (if (strTargets.isEmpty) Nil
+         else Seq(for {
+           a  <- Gen.oneOf(strTargets)
+           op <- Gen.oneOf("=", "!=")
+           s  <- Gen.oneOf(stringDoms(a))
+         } yield Cond(Lit(s), op, MfField(a))))
+      if (condGens.isEmpty) simple
+      else for {
+        eqs <- Gen.oneOf(Gen.const(eqAll), eqSubset(gAttrs))
+        i   <- Gen.choose(0, condGens.size - 1)
+        c   <- condGens(i)
+      } yield eqs :+ c
+    }
     // cross-attribute: tuple.c ? MF.a with c ≠ a (type-compatible pairs)
     val crossAttr: Gen[Seq[Cond]] = {
       val strPairs = gAttrs.filter(stringDoms.contains)
@@ -180,7 +215,7 @@ class EmfPropertySpec extends SparkSpec {
 
     for {
       membership <- Gen.frequency(2 -> simple, 3 -> windowed, 2 -> subsetEq,
-        3 -> anti, 3 -> dep, 2 -> mfVsMf, 1 -> crossAttr)
+        3 -> anti, 3 -> dep, 2 -> mfVsMf, 1 -> crossAttr, 2 -> mfVsLit)
       nTup <- Gen.choose(0, 2)
       tups <- Gen.listOfN(nTup, genTupleCond)
       func <- Gen.oneOf("sum", "avg", "min", "max", "count")
@@ -358,7 +393,9 @@ class EmfPropertySpec extends SparkSpec {
     }
     q.vars.forall { v =>
       v.mfConds.nonEmpty &&
-        v.conds.forall(c => !c.lhs.isInstanceOf[MfField])
+        // the dialect's lhs is always a variable (tuple-side) column, so
+        // MF-vs-MF (MfField lhs) and MF-vs-literal (Lit lhs) don't render
+        v.conds.forall(c => c.lhs.isInstanceOf[TupleCol])
     } && q.having.forall(havingOk)
   }
 
@@ -442,6 +479,13 @@ class EmfPropertySpec extends SparkSpec {
       case HavingOr(l, r) => havingOk(l) && havingOk(r)
     }
     q.vars.forall(_.mfConds.nonEmpty) && q.having.forall(havingOk) &&
+      // a Lit-lhs membership cond renders as `{MF.f.agg}[op]{raw}`, whose
+      // rhs re-parses as a literal only under the digit/minus-head rule —
+      // string literals are grammatically columns there, so not renderable
+      q.vars.forall(_.conds.forall {
+        case Cond(Lit(raw), _, _) => raw.matches("-?\\d+(\\.\\d+)?")
+        case _                    => true
+      }) &&
       // AggSpec.parse must reconstruct the same (func, column, name):
       // our generated names are func_col_tag with col a real fact column
       (q.varZero ++ q.vars.map(_.agg)).forall(a =>

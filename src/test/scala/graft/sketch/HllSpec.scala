@@ -174,4 +174,16 @@ class HllSpec extends SparkSpec {
         s"${r.getString(0)}: $e vs $exact")
     }
   }
+
+  test("size hint past 2^62 fails loudly (mixWide key-domain ceiling)") {
+    val df = spark.createDataFrame(Seq(Tuple1(1L), Tuple1(2L))).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      Hll.regRho(df, col("id"), expectedDomain = (1L << 62) + 1)
+    }
+    assert(e.getMessage.contains("2^62"), e.getMessage)
+    // the boundary itself is legal, and the variant switch is visible
+    Hll.regRho(df, col("id"), expectedDomain = 1L << 62)
+    assert(Hll.mixVariant(1L << 20) == "narrow")
+    assert(Hll.mixVariant(1L << 42) == "wide")
+  }
 }
