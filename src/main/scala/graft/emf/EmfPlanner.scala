@@ -150,19 +150,16 @@ object EmfPlanner {
   private[emf] def whereColumn(conds: Seq[Cond], schema: StructType): Column =
     conds.map(tupleCond(_, schema, None)).reduceOption(_ && _).getOrElse(lit(true))
 
-  /** Complement-decomposable variable: every MF condition is a same-attr
-    * equality on a grouping attr plus EXACTLY ONE same-attr `<>`/`!=` on
-    * a grouping attr, no EMF dependencies, and a subtractable aggregate.
-    * Returns (equality attrs E, anti attr c) when the identity
-    * `f({x: x.E = g.E ∧ x.c ≠ g.c}) = f({x: x.E = g.E}) ⊖
-    *  f({x: x.E = g.E ∧ x.c = g.c})`
-    * applies (sum/count subtract; avg = sum diff / count diff).
-    * Shared with the incremental streaming lowering
-    * ([[EmfStreaming.planCrossGroup]]), which keys its state by E on the
-    * same identity. */
-  private[emf] def complementInfo(v: GroupingVar, q: EmfQuery)
+  /** Complement SHAPE: every MF condition is a same-attr equality on a
+    * grouping attr plus EXACTLY ONE same-attr `<>`/`!=` on a grouping
+    * attr, no EMF dependencies — the membership
+    * `{x: x.E = g.E ∧ x.c ≠ g.c}` for ANY aggregate function. Returns
+    * (equality attrs E, anti attr c). The incremental streaming lowering
+    * ([[EmfStreaming.planCrossGroup]]) keys its state by E on this shape
+    * alone: its emission combines all-but-self over the key's per-group
+    * partials, which needs no subtraction, so min/max qualify there. */
+  private[emf] def complementShape(v: GroupingVar, q: EmfQuery)
       : Option[(Seq[String], String)] = {
-    if (!Set("sum", "count", "avg").contains(v.agg.func)) return None
     if (v.dependsOn(q.aggNames).nonEmpty) return None
     // = / <> are symmetric, so both operand orders qualify
     def attrOf(c: Cond, ops: Set[String]): Option[String] = c match {
@@ -178,6 +175,17 @@ object EmfPlanner {
       Some((eqs.distinct, antis.head))
     else None
   }
+
+  /** [[complementShape]] restricted to SUBTRACTABLE aggregates — the gate
+    * for the BATCH [[complementPass]], whose identity
+    * `f({x: x.E = g.E ∧ x.c ≠ g.c}) = f({x: x.E = g.E}) ⊖
+    *  f({x: x.E = g.E ∧ x.c = g.c})`
+    * needs an inverse (sum/count subtract; avg = sum diff / count diff;
+    * min/max have none and take the dependent-pass join instead). */
+  private[emf] def complementInfo(v: GroupingVar, q: EmfQuery)
+      : Option[(Seq[String], String)] =
+    if (!Set("sum", "count", "avg").contains(v.agg.func)) None
+    else complementShape(v, q)
 
   /** Lower a complement-decomposable variable ([[complementInfo]]) as two
     * LINEAR aggregations of the (tuple-filtered) fact table — totals per

@@ -48,21 +48,23 @@ import org.apache.spark.sql.Row
   *    sufficient statistic: key → order value → comparison value.
   *  - DEPENDENT variables with cross-group COMPLEMENT membership
   *    (corpus q4: equality on a grouping subset E plus one same-attr
-  *    `!=`, a subtractable aggregate) run incrementally via
+  *    `!=`, ANY of the five aggregates) run incrementally via
   *    [[planCrossGroup]]: the cross-group span is confined to groups
   *    sharing E, so keying the state by E restores a key-local
-  *    sufficient statistic through the batch planner's own subtraction
-  *    identity — per anti value one accumulator row, emission renders
-  *    `total(key) ⊖ own(group)` and re-emits every group of a touched
-  *    key (the revision other groups' arrivals force).
+  *    sufficient statistic — per anti value one accumulator row,
+  *    emission combines ALL-BUT-SELF over the key's per-group partials
+  *    (a prefix/suffix pass; ≡ the batch planner's `total ⊖ own`
+  *    subtraction for sum/count/avg, and the only formulation that
+  *    works for min/max, which have no inverse) and re-emits every
+  *    group of a touched key (the revision other groups' arrivals
+  *    force).
   *  - DEPENDENT variables with genuinely unpinned cross-group
   *    predicates (membership spanning groups that share NO equality
-  *    key, or non-subtractable complement aggregates) still run the
-  *    full batch planner on each micro-batch via `foreachBatch` —
-  *    [[microBatch]] — the standard full-expressiveness escape hatch:
-  *    there the qualifying set of ONE group moves when arbitrary OTHER
-  *    groups' aggregates move, so no key-local sufficient statistic
-  *    exists.
+  *    key) still run the full batch planner on each micro-batch via
+  *    `foreachBatch` — [[microBatch]] — the standard
+  *    full-expressiveness escape hatch: there the qualifying set of
+  *    ONE group moves when arbitrary OTHER groups' aggregates move, so
+  *    no key-local sufficient statistic exists.
   */
 object EmfStreaming {
 
@@ -96,7 +98,7 @@ object EmfStreaming {
       StreamingPlan(planWindowed(q, stream), usesSnapshot = true)
     else if (winVars.nonEmpty)
       StreamingPlan(planChained(q, stream), usesSnapshot = true)
-    else if (depVars.forall(v => EmfPlanner.complementInfo(v, q).isDefined))
+    else if (depVars.forall(v => EmfPlanner.complementShape(v, q).isDefined))
       StreamingPlan(planCrossGroup(q, stream), usesSnapshot = true)
     else
       StreamingPlan(planDependent(q, stream), usesSnapshot = true)
@@ -636,9 +638,10 @@ object EmfStreaming {
   /** State for one equality key E (e.g. prod): one accumulator row per
     * anti-attribute value (e.g. cust) — the key's slice of the MF
     * structure. Base slots accumulate the group's own aggregates;
-    * complement slots accumulate the group's OWN contribution, and the
-    * key total is their fold — so `complement(g) = total ⊖ own(g)` is
-    * computable at emission with no cross-key traffic. */
+    * complement slots accumulate the group's OWN contribution, and
+    * `complement(g) = ⊕_{g'≠g} own(g')` is computable at emission as an
+    * all-but-self fold of the key's rows — no cross-key traffic, no
+    * inverse needed (which is what admits min/max). */
   final class CrossState extends Serializable {
     var ver: Long = 0L
     val groups = new java.util.HashMap[String, Array[SlotAcc]]()
@@ -647,29 +650,35 @@ object EmfStreaming {
   /** Incremental lowering for the cross-group COMPLEMENT shape (corpus
     * q4: `avg(quant) over tuples with the same prod but a DIFFERENT
     * cust`): varZero/SIMPLE variables plus DEPENDENT variables that are
-    * complement-decomposable ([[EmfPlanner.complementInfo]] — equality
-    * on a grouping subset E, exactly one same-attr `!=` on the remaining
-    * grouping attr, a subtractable aggregate) with G = E ∪ {anti}.
+    * complement-SHAPED ([[EmfPlanner.complementShape]] — equality on a
+    * grouping subset E, exactly one same-attr `!=` on the remaining
+    * grouping attr, any of sum/count/avg/min/max) with G = E ∪ {anti}.
     *
     * The membership of group (e, a) genuinely spans OTHER groups — the
     * shape [[planDependent]] rejects — but the span is confined to
     * groups sharing e, so keying the state by E restores a key-local
-    * sufficient statistic via the batch planner's own subtraction
-    * identity: per anti value, ONE accumulator row holding the group's
-    * base aggregates and its own complement-slot contribution; emission
-    * renders `complement(g) = Σ_own(key) ⊖ own(g)` — two-level state
-    * (per-E totals as a fold of per-(E,anti) partials), O(groups-per-
-    * key), no history re-scan. Each micro-batch touching a key re-emits
-    * ALL the key's groups: one new (c₃, p) tuple moves the complement of
-    * every (cᵢ, p) group, and those groups' revisions must reach the
-    * sink without any cᵢ row arriving (the retraction the batch planner
-    * gets for free by recomputing).
+    * sufficient statistic: per anti value, ONE accumulator row holding
+    * the group's base aggregates and its own complement-slot
+    * contribution; emission combines `complement(g) = ⊕_{g'≠g} own(g')`
+    * all-but-self over the key's groups (prefix/suffix pass, see
+    * [[emitCrossKey]]) — two-level state, O(groups-per-key), no history
+    * re-scan. For sum/count/avg this is exactly the batch planner's
+    * `total ⊖ own` subtraction; min/max have no inverse, and the
+    * all-but-self combine is what makes them streamable here (the batch
+    * planner routes them through the dependent-pass join instead —
+    * [[EmfPlanner.complementInfo]] stays subtractable-only). Each
+    * micro-batch touching a key re-emits ALL the key's groups: one new
+    * (c₃, p) tuple moves the complement of every (cᵢ, p) group, and
+    * those groups' revisions must reach the sink without any cᵢ row
+    * arriving (the retraction the batch planner gets for free by
+    * recomputing).
     *
-    * Arithmetic matches [[EmfPlanner.complementPass]] bit-for-bit within
-    * the decimal-6 exactness contract: exact micro-unit sums and counts
-    * subtract; an empty complement (cntDiff = 0) renders NULL for
-    * sum/avg and 0 for count. Output/emission contract (UPDATE mode,
-    * `__ver`, [[snapshot]], HAVING on the snapshot) is identical to
+    * Arithmetic matches the batch pass bit-for-bit within the decimal-6
+    * exactness contract: exact micro-unit sums and counts; min/max over
+    * integral slots in exact micro-units (doubles would round past
+    * 2⁵³); an empty complement renders NULL for sum/avg/min/max and 0
+    * for count. Output/emission contract (UPDATE mode, `__ver`,
+    * [[snapshot]], HAVING on the snapshot) is identical to
     * [[planWindowed]]. State per key is O(|anti domain within the
     * key|) — the MF frame's own cardinality for that key — guarded by
     * the same fail-fast the windowed/dependent paths use. */
@@ -686,13 +695,13 @@ object EmfStreaming {
     require(depVars.nonEmpty,
       "no DEPENDENT variable; use plan(...) for all-SIMPLE queries")
 
-    val infos = depVars.map(v => v -> EmfPlanner.complementInfo(v, q))
+    val infos = depVars.map(v => v -> EmfPlanner.complementShape(v, q))
     infos.foreach { case (v, i) =>
       require(i.isDefined,
-        s"dependent variable ${v.agg.name} is not complement-decomposable " +
-          "(equality on a grouping subset + exactly one same-attr != + " +
-          "sum/count/avg); use planDependent(...) for own-group aggregate " +
-          "comparisons or microBatch(...) beyond that")
+        s"dependent variable ${v.agg.name} is not complement-shaped " +
+          "(equality on a grouping subset + exactly one same-attr !=); " +
+          "use planDependent(...) for own-group aggregate comparisons or " +
+          "microBatch(...) beyond that")
     }
     val (eqAttrs, antiAttr) = infos.head._2.get
     infos.foreach { case (v, Some((e, a))) =>
@@ -811,41 +820,62 @@ object EmfStreaming {
           "grow with the stream. Use a batch EMF pass instead.")
 
   /** Emit one JSON row per (key, anti value): base slots straight from
-    * the group's accumulators; complement slots render the subtraction
-    * `total(key) ⊖ own(group)` — [[EmfPlanner.complementPass]]'s
-    * identity over exact partials. */
+    * the group's accumulators; complement slots combine ALL-BUT-SELF over
+    * the key's per-group partials — `complement(gᵢ) = ⊕_{j≠i} own(gⱼ)`,
+    * rendered from a strict-prefix ⊕ strict-suffix pair per slot (the
+    * windowed pass's own recombination trick, O(groups) total). For
+    * sum/count/avg this equals [[EmfPlanner.complementPass]]'s
+    * `total ⊖ own` subtraction over exact partials bit-for-bit; for
+    * min/max it is the identity that subtraction CANNOT express (min has
+    * no inverse), which is what lets non-subtractable complements stream
+    * incrementally — the round-12 residue this closed. */
   private def emitCrossKey(key: String, st: CrossState,
       specs: Array[SlotSpec], nBase: Int, antiAttr: String)
       : Iterator[(String, Long)] = {
     import scala.jdk.CollectionConverters._
     val nComp = specs.length - nBase
-    val tot = Array.fill(nComp)(new Comb)
-    st.groups.values().asScala.foreach { cells =>
-      var j = 0
-      while (j < nComp) { tot(j).add(cells(nBase + j)); j += 1 }
+    val entries = st.groups.entrySet().asScala.toArray
+    val n = entries.length
+    // per complement slot: prefix(i) = ⊕ cells(0..i-1), suffix(i) =
+    // ⊕ cells(i+1..n-1); complement(i) = prefix(i) ⊕ suffix(i)
+    val prefix = Array.tabulate(nComp) { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = 0
+      while (i < n) {
+        arr(i) = run.copyOf; run.add(entries(i).getValue()(nBase + j)); i += 1
+      }
+      arr
+    }
+    val suffix = Array.tabulate(nComp) { j =>
+      val arr = new Array[Comb](n); val run = new Comb
+      var i = n - 1
+      while (i >= 0) {
+        arr(i) = run.copyOf; run.add(entries(i).getValue()(nBase + j)); i -= 1
+      }
+      arr
     }
     val keyInner = key.substring(1, key.length - 1)
-    val out = st.groups.entrySet().asScala.iterator.map { e =>
+    val out = (0 until n).iterator.map { i =>
+      val e = entries(i)
       val antiInner = e.getKey.substring(1, e.getKey.length - 1)
       val cells = e.getValue
       val sb = new StringBuilder(96)
       sb.append('{')
       if (keyInner.nonEmpty) { sb.append(keyInner); sb.append(',') }
       sb.append(antiInner)
-      var i = 0
-      while (i < nBase) {
-        val c = new Comb; c.add(cells(i))
-        sb.append(",\"").append(specs(i).name).append("\":")
-          .append(render(specs(i), c))
-        i += 1
+      var b = 0
+      while (b < nBase) {
+        val c = new Comb; c.add(cells(b))
+        sb.append(",\"").append(specs(b).name).append("\":")
+          .append(render(specs(b), c))
+        b += 1
       }
       var j = 0
       while (j < nComp) {
-        val diff = new Comb
-        diff.sumMicro = tot(j).sumMicro - cells(nBase + j).sumMicro
-        diff.cnt = tot(j).cnt - cells(nBase + j).cnt
+        val comp = prefix(j)(i).copyOf
+        comp.addComb(suffix(j)(i))
         sb.append(",\"").append(specs(nBase + j).name).append("\":")
-          .append(render(specs(nBase + j), diff))
+          .append(render(specs(nBase + j), comp))
         j += 1
       }
       sb.append('}')
@@ -1317,6 +1347,13 @@ object EmfStreaming {
       if (a.mx > mx) mx = a.mx
       if (a.mnMic < mnMic) mnMic = a.mnMic
       if (a.mxMic > mxMic) mxMic = a.mxMic
+    }
+    def addComb(c: Comb): Unit = {
+      sumMicro += c.sumMicro; cnt += c.cnt
+      if (c.mn < mn) mn = c.mn
+      if (c.mx > mx) mx = c.mx
+      if (c.mnMic < mnMic) mnMic = c.mnMic
+      if (c.mxMic > mxMic) mxMic = c.mxMic
     }
     def copyOf: Comb = {
       val c = new Comb

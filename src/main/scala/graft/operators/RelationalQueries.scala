@@ -34,6 +34,71 @@ object RelationalQueries {
   /** decimal-exact money expression */
   private def dec(c: Column): Column = c.cast("decimal(18,2)")
 
+  /** Columns the profiler queries cover (orders table). */
+  private[graft] val ProfileCols =
+    Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+
+  /** Input-size gate for [[profileColumns]]'s exact↔approx switch: 1 GiB
+    * of scan input (parquet file bytes). Under it the exact multi-distinct
+    * Expand costs ~|rows|·|cols| extra aggregation input — fine at
+    * fixture scale (orders at sf10 is 267 MB and profiles exactly);
+    * above it the Expand is the profiler's scale killer (measured 211×
+    * wall at ×1000 data, BASELINE.md sf100 probe) and the distinct
+    * counts switch to approx_count_distinct in one scan-shaped pass. */
+  private[graft] val ProfileExactMaxBytes = 1L << 30
+
+  /** Per-column profile: non-null/null counts, min/max (as strings),
+    * and distinct counts — EXACT below `exactMaxBytes` of scan input,
+    * APPROX (HLL++, rsd 0.05) above it. The gate reads the logical
+    * plan's size statistics (parquet footer/file metadata — no job runs
+    * to decide), so the plan genuinely switches on data scale:
+    *
+    *  - exact regime: TWO single-row aggregates, crossed. Mixing the
+    *    multi-distinct rewrite (Expand ×|cols|) with min/max(string) in
+    *    ONE agg forces the whole expanded frame into SortAggregate
+    *    (string buffers are not hash-aggregable), sorting |rows|·|cols|
+    *    — measured 2.8 s at sf0.1. Split, the distinct counts
+    *    hash-aggregate over the expanded keys and the min/max/null pass
+    *    is a plain scan-shaped single-group agg: no sort anywhere,
+    *    2.8 s → ~0.8 s.
+    *  - approx regime: ONE aggregation pass — approx_count_distinct's
+    *    HLL++ buffers ride the same ObjectHashAggregate as the
+    *    min/max/null aggs, so the profiler reads the data once and
+    *    never Expands. This is the 100 TB path.
+    *
+    * ProfilingSpec pins the plan shape of both regimes and the approx
+    * regime's 3·rsd accuracy; the `profile_columns` oracle replays the
+    * exact regime bit-for-bit at every gate SF. */
+  def profileColumns(df: DataFrame, cols: Seq[String],
+      exactMaxBytes: Long = ProfileExactMaxBytes): DataFrame = {
+    val exact =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes <= BigInt(exactMaxBytes)
+    val bAggs = cols.flatMap { c =>
+      Seq(
+        count(col(c)).as(s"${c}__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"))
+    }
+    val stacked =
+      s"stack(${cols.size}, " + cols.map(c =>
+        s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
+        .mkString(", ") +
+        ") as (col_name, n_nonnull, n_null, n_distinct, min_val, max_val)"
+    val profiled =
+      if (exact) {
+        val dAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+        df.agg(bAggs.head, bAggs.tail: _*)
+          .crossJoin(broadcast(df.agg(dAggs.head, dAggs.tail: _*)))
+      } else {
+        val aAggs = cols.map(c =>
+          approx_count_distinct(col(c)).as(s"${c}__distinct"))
+        val all = bAggs ++ aAggs
+        df.agg(all.head, all.tail: _*)
+      }
+    profiled.selectExpr(stacked).orderBy(col("col_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: the canonical scan → filter → hash-agg pipeline.
@@ -271,39 +336,42 @@ object RelationalQueries {
     }),
 
     // Data profiling — the catalog/schema probe grown up: per-column
-    // non-null/null/distinct counts and min/max in ONE aggregation pass
-    // (Catalyst expands the multi-distinct into one Expand + aggregate),
-    // then a stack() unpivot of the single stats row into a row per
-    // column. min/max surface as strings so one schema serves every
-    // column type (bigint/varchar here; doubles are excluded because
-    // float-to-string rendering differs across engines). At 100 TB the
-    // exact distincts swap for approx_count_distinct (agg_approx_distinct
-    // is that variant); everything else is a map-side-combined scan.
-    "profile_columns" -> ((s, d) => {
-      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
-      // TWO single-row aggregates, crossed: mixing the multi-distinct
-      // rewrite (Expand ×|cols|) with min/max(string) in ONE agg forces
-      // the WHOLE expanded frame into SortAggregate (string buffers are
-      // not hash-aggregable), sorting |rows|·|cols| — measured 2.8 s at
-      // sf0.1. Split, the distinct counts hash-aggregate over the
-      // expanded keys and the min/max/null pass is a plain scan-shaped
-      // single-group agg: no sort anywhere, 2.8 s → ~0.8 s.
+    // non-null/null/distinct counts and min/max, then a stack() unpivot
+    // of the stats row into a row per column. min/max surface as strings
+    // so one schema serves every column type (bigint/varchar here;
+    // doubles are excluded because float-to-string rendering differs
+    // across engines). The distinct counts switch EXACT↔APPROX on input
+    // size — see [[profileColumns]]; at every SF the correctness gate
+    // runs (≤ sf10) the orders scan is under the 1 GiB gate and the
+    // profile is exact, so the oracle below replays it bit-for-bit.
+    // `profile_columns_approx` pins the above-the-gate regime against
+    // the same oracle via the error-bound contract.
+    "profile_columns" -> ((s, d) =>
+      profileColumns(Tables.orders(s, d), ProfileCols)),
+
+    // The profiler's APPROX regime as its own oracle-checked entry (the
+    // agg_approx_distinct pattern): force the gate, then emit the exact
+    // NDVs plus 0/1 flags asserting each HLL++ estimate lands within
+    // 3·rsd (rsd = 0.05 default → 15%) of exact. The exact distincts
+    // here are the test harness, not the scale path — above the gate
+    // you'd ship only the estimates, which is the point of the switch.
+    "profile_columns_approx" -> ((s, d) => {
       val o = Tables.orders(s, d)
-      val dAggs = cols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
-      val bAggs = cols.flatMap { c =>
-        Seq(
-          count(col(c)).as(s"${c}__n"),
-          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-          min(col(c)).cast("string").as(s"${c}__min"),
-          max(col(c)).cast("string").as(s"${c}__max"))
-      }
-      o.agg(bAggs.head, bAggs.tail: _*)
-        .crossJoin(broadcast(o.agg(dAggs.head, dAggs.tail: _*)))
+      val ap = profileColumns(o, ProfileCols, exactMaxBytes = -1L)
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct").as("n_est"), col("min_val"), col("max_val"))
+      val dAggs = ProfileCols.map(c => countDistinct(col(c)).as(s"${c}__distinct"))
+      val ex = o.agg(dAggs.head, dAggs.tail: _*)
         .selectExpr(
-          s"stack(${cols.size}, " + cols.map(c =>
-            s"'$c', ${c}__n, ${c}__nulls, ${c}__distinct, ${c}__min, ${c}__max")
-            .mkString(", ") +
-            ") as (col_name, n_nonnull, n_null, n_distinct, min_val, max_val)")
+          s"stack(${ProfileCols.size}, " + ProfileCols.map(c =>
+            s"'$c', ${c}__distinct").mkString(", ") +
+            ") as (col_name, n_distinct)")
+      ap.join(broadcast(ex), Seq("col_name"))
+        .select(col("col_name"), col("n_nonnull"), col("n_null"),
+          col("n_distinct"),
+          (abs(col("n_est") - col("n_distinct")) * 100 <= col("n_distinct") * 15)
+            .cast("int").as("distinct_in_3rsd"),
+          col("min_val"), col("max_val"))
         .orderBy(col("col_name"))
     }),
 
@@ -851,11 +919,25 @@ object RelationalQueries {
   /** DuckDB oracle SQL — column names/types matched to the Spark side. */
   def oracle: Map[String, String] = Map(
     "profile_columns" ->
-      Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority")
+      ProfileCols
         .map(c =>
           s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
              | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
              | count(DISTINCT $c) AS n_distinct,
+             | CAST(min($c) AS VARCHAR) AS min_val,
+             | CAST(max($c) AS VARCHAR) AS max_val
+             |FROM orders""".stripMargin)
+        .mkString("", "\nUNION ALL\n", "\nORDER BY col_name"),
+    // profile_columns_approx: the HLL++ estimates are engine-private;
+    // the checkable contract is exact NDVs + always-true 3σ bound flags
+    // (the agg_approx_distinct pattern).
+    "profile_columns_approx" ->
+      ProfileCols
+        .map(c =>
+          s"""SELECT '$c' AS col_name, count($c) AS n_nonnull,
+             | CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             | count(DISTINCT $c) AS n_distinct,
+             | CAST(1 AS INT) AS distinct_in_3rsd,
              | CAST(min($c) AS VARCHAR) AS min_val,
              | CAST(max($c) AS VARCHAR) AS max_val
              |FROM orders""".stripMargin)

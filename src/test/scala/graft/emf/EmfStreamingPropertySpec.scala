@@ -141,7 +141,11 @@ class EmfStreamingPropertySpec extends SparkSpec {
     comps <- Gen.sequence[Seq[GroupingVar], GroupingVar](
       (1 to nComp).map { j =>
         for {
-          f <- subFuncs
+          // ALL five aggregates since round 13: min/max complements
+          // stream via the all-but-self combine (no inverse needed) —
+          // the batch side routes them through the dependent-pass join,
+          // so agreement here is two independent formulations meeting
+          f <- funcs
           neq <- Gen.oneOf("!=", "<>")
           nT <- Gen.choose(0, 1)
           ts <- Gen.listOfN(nT, genTupleCond)

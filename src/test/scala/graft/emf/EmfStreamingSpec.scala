@@ -490,12 +490,75 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("cross-group streaming: min/max complements (round-13) — retraction proven") {
+    // min/max have no inverse, so these CANNOT use the subtraction
+    // identity; the all-but-self combine must still revise a group's
+    // emission when OTHER groups' rows arrive (the batch side routes
+    // the same query through the dependent-pass join — agreement is
+    // two independent formulations meeting)
+    val q = EmfParser.parseOne(
+      """cust,prod,min_quant_oth,max_quant_oth
+        |2
+        |cust,prod
+        |min_quant_oth,max_quant_oth
+        |{MF.prod.min_quant_oth}[=]{prod}:{MF.cust.min_quant_oth}[!=]{cust},{MF.prod.max_quant_oth}[=]{prod}:{MF.cust.max_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val sq = EmfStreaming.planCrossGroup(q, stream.toDF())
+      .writeStream.format("memory").queryName("emf_cross_minmax")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def snap() = EmfStreaming.snapshot(spark.table("emf_cross_minmax"), q)
+      // p1 has two custs; p2 has ONE (its complement must render NULL)
+      val b1 = Seq(SalesRow("c1", "p1", 1, "NY", 10),
+        SalesRow("c2", "p1", 1, "NY", 20), SalesRow("c1", "p2", 1, "NY", 7))
+      stream.addData(b1)
+      sq.processAllAvailable()
+      val s1 = snap().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> ((r.get(2), r.get(3)))).toMap
+      assert(s1(("c1", "p1")) == ((20, 20)))
+      assert(s1(("c2", "p1")) == ((10, 10)))
+      assert(s1(("c1", "p2")) == ((null, null)), "empty complement is NULL")
+      assert(s1.keySet.size == 3)
+      // batch 2: c3's cheap p1 tuple moves BOTH existing p1 groups' min
+      // (no row of theirs arrives — the retraction re-emission); c2's
+      // first p2 tuple fills c1's previously-NULL p2 complement
+      stream.addData(Seq(SalesRow("c3", "p1", 2, "CT", 5),
+        SalesRow("c2", "p2", 2, "CT", 9)))
+      sq.processAllAvailable()
+      val all = b1 ++ Seq(SalesRow("c3", "p1", 2, "CT", 5),
+        SalesRow("c2", "p2", 2, "CT", 9))
+      val s2 = snap().orderBy("cust", "prod").collect().toSeq
+      assert(s2 == EmfPlanner.plan(q, all.toDF())
+        .orderBy("cust", "prod").collect().toSeq)
+      val m2 = s2.map(r => (r.getString(0), r.getString(1)) -> ((r.get(2), r.get(3)))).toMap
+      assert(m2(("c1", "p1")) == ((5, 20)))
+      assert(m2(("c2", "p1")) == ((5, 10)))
+      assert(m2(("c3", "p1")) == ((10, 20)), "filled from history never streamed to it")
+      assert(m2(("c1", "p2")) == ((9, 9)), "NULL revised to a value")
+      assert(m2(("c2", "p2")) == ((7, 7)))
+    } finally sq.stop()
+  }
+
+  test("planAuto routes a min/max complement to planCrossGroup (round-13)") {
+    val q = EmfParser.parseOne(
+      """cust,prod,max_quant_oth
+        |1
+        |cust,prod
+        |max_quant_oth
+        |{MF.prod.max_quant_oth}[=]{prod}:{MF.cust.max_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val p = EmfStreaming.planAuto(q, stream.toDF())
+    // previously this shape fell to the rejection chain (microBatch);
+    // now it carries the cross-group lowering's __ver emission contract
+    assert(p.usesSnapshot && p.df.columns.contains("__ver"))
+  }
+
   test("cross-group streaming rejects non-complement and mis-keyed shapes loudly") {
     val stream = MemoryStream[SalesRow](spark)
     // own-group aggregate comparison: dependent but NOT complement
     val e1 = intercept[IllegalArgumentException](
       EmfStreaming.planCrossGroup(dependentQ, stream.toDF()))
-    assert(e1.getMessage.contains("complement-decomposable"))
+    assert(e1.getMessage.contains("complement-shaped"))
     // G larger than E ∪ {anti}: month is unconstrained
     val qWide = EmfParser.parseOne(
       """cust,prod,month,sum_quant_oth
@@ -570,17 +633,18 @@ class EmfStreamingSpec extends SparkSpec {
       assert(snap == batch && snap.nonEmpty)
     } finally sq.stop()
 
-    // outside every incremental class: a non-subtractable (min)
-    // complement routes to planDependent, whose rejection names the
-    // microBatch fallback
-    val qMin = EmfParser.parseOne(
-      """cust,prod,min_quant_oth
+    // outside every incremental class: a KEYLESS global complement
+    // (no equality attr to key the state by — the genuinely unpinned
+    // cross-group residue; min/max complements stream since round 13),
+    // whose rejection names the microBatch fallback
+    val qKeyless = EmfParser.parseOne(
+      """cust,min_quant_oth
         |1
-        |cust,prod
+        |cust
         |min_quant_oth
-        |{MF.prod.min_quant_oth}[=]{prod}:{MF.cust.min_quant_oth}[!=]{cust}""".stripMargin, cols)
+        |{MF.cust.min_quant_oth}[!=]{cust}""".stripMargin, cols)
     val e = intercept[IllegalArgumentException](
-      EmfStreaming.planAuto(qMin, MemoryStream[SalesRow](spark).toDF()))
+      EmfStreaming.planAuto(qKeyless, MemoryStream[SalesRow](spark).toDF()))
     assert(e.getMessage.contains("microBatch"))
   }
 

@@ -37,7 +37,12 @@ class BroadcastHygieneSpec extends SparkSpec {
     ("dedup_embcos", 1,
       "the 1-row id-stride frame (augmentation); candidates and scorer joins unhinted"),
     ("text_ppl_filter", 1,
-      "the 1-row model-vocab frame; c2/c1 probes unhinted LEFT joins"))
+      "the 1-row model-vocab frame; c2/c1 probes unhinted LEFT joins"),
+    ("profile_columns", 1,
+      "the 1-row exact-distinct frame (exact regime below the size gate)"),
+    ("profile_columns_approx", 1,
+      "the |cols|-row exact-NDV harness frame; the approx profile itself " +
+        "is one agg pass with no join"))
 
   test("no broadcast beyond the pinned bounded-hint budget (threshold -1)") {
     val key = "spark.sql.autoBroadcastJoinThreshold"

@@ -80,6 +80,68 @@ class MiningSpec extends SparkSpec {
     graft.operators.Mining.clearCache()
   }
 
+  // ---- pageRankConverged (round-13): the delta-based production path
+  // behind the fixed-unroll oracle query -------------------------------
+
+  /** Brute reference for the integer micro-unit damped power step. */
+  private def brutePr(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+    val od = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    var rank = od.keys.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val in = collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (src, dst) =>
+        in(dst) = in.getOrElse(dst, 0L) + rank(src) / od(src)
+      }
+      rank = od.keys.map(n =>
+        n -> (150000L + 850000L * in.getOrElse(n, 0L) / 1000000L)).toMap
+    }
+    rank
+  }
+
+  private def edgesDf(edges: Seq[(Long, Long)]) =
+    spark.createDataFrame(edges).toDF("src", "dst")
+
+  test("pageRankConverged: early exit binds on a fast-converging fixture") {
+    // K3 (both directions): perfectly symmetric — every node keeps rank
+    // 10^6 after round 1, so delta hits 0 immediately and the loop
+    // exits WAY before the cap, even at eps = 0
+    val k3 = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 3L), (3L, 2L))
+    val (ranks, iters, delta) =
+      Mining.pageRankConverged(edgesDf(k3), epsMicro = 0L, maxIters = 10)
+    assert(iters == 1, s"early exit should bind at round 1, ran $iters")
+    assert(delta == 0L)
+    assert(ranks.collect().map(_.getLong(1)).toSeq == Seq.fill(3)(1000000L))
+  }
+
+  test("pageRankConverged: the cap binds on a slow-converging fixture") {
+    // star (hub 0, leaves 1..4, both directions): rank mass oscillates
+    // hub<->leaves and decays only ~0.85^2 per two rounds — at eps = 0
+    // it is still moving after 4 rounds, so the cap must bind
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val (ranks, iters, delta) =
+      Mining.pageRankConverged(edgesDf(star), epsMicro = 0L, maxIters = 4)
+    assert(iters == 4, s"cap should bind, ran $iters")
+    assert(delta > 0L, "still moving at the cap")
+    // iterate-k agreement: capped run == brute reference at k rounds
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brutePr(star, 4))
+  }
+
+  test("pageRankConverged: converged ranks are a fixed point of the step") {
+    // asymmetric graph that DOES settle: eps large enough to bind before
+    // the cap; one more brute round from the converged vector must move
+    // no node by more than eps
+    val star = (1L to 4L).flatMap(l => Seq((0L, l), (l, 0L)))
+    val eps = 2000L
+    val (ranks, iters, delta) =
+      Mining.pageRankConverged(edgesDf(star), epsMicro = eps, maxIters = 50)
+    assert(iters < 50, s"eps exit should bind before the cap, ran $iters")
+    assert(delta <= eps)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val again = brutePr(star, iters)
+    assert(got == again, "converged vector must equal brute at the same round")
+  }
+
   test("covisitation: scalar replay of gap islands + capped pair counts agrees") {
     val got = Mining.queries("covisitation")(spark, sf001).collect()
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
