@@ -28,8 +28,17 @@ object Verify {
       // progress marker BEFORE the action: a stalled run then names its
       // culprit in the log instead of requiring a thread-dump autopsy
       System.err.println(s"[verify] running $name")
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      // GRAFT_VERIFY_COALESCE=0 keeps the result's natural partitioning
+      // (the driver's sf0.01 gate likes one tidy file; a full-surface
+      // sf10+ dump through coalesce(1) serializes every final stage —
+      // the comparator reads <name>/*.parquet either way)
+      try {
+        val out0 = fn(spark, sfDir)
+        val out =
+          if (sys.env.get("GRAFT_VERIFY_COALESCE").contains("0")) out0
+          else out0.coalesce(1)
+        out.write.mode("overwrite").parquet(s"$outDir/$name")
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }

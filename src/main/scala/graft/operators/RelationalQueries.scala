@@ -99,6 +99,88 @@ object RelationalQueries {
     profiled.selectExpr(stacked).orderBy(col("col_name"))
   }
 
+  /** Rows-per-key ceiling above which [[q21Core]] abandons the lineitem
+    * self-joins for the single-shuffle distinct-count form. TPC-H-shaped
+    * data has ≤ 7 lines per order — orders of magnitude under this. */
+  private[graft] val Q21SkewMaxPerKey = 10000L
+
+  /** Order-of-magnitude estimate of the hottest key's row count from a
+    * 0.1% Bernoulli sample (fixed seed → deterministic on a fixed
+    * layout): a key with f rows lands ~f/1000 sampled rows, so
+    * max(sampleCount)·1000 resolves "7 rows" vs "10 million rows" —
+    * the only distinction the [[q21Core]] gate needs. One column-pruned
+    * scan; at warehouse scale you'd read this from table statistics
+    * instead and pass the threshold accordingly. */
+  private def estMaxRowsPerKey(df: DataFrame, key: String): Long = {
+    val p = 0.001
+    val m = df.sample(p, seed = 42L).groupBy(col(key))
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).collect()(0)
+    if (m.isNullAt(0)) 0L else (m.getLong(0) / p).toLong
+  }
+
+  /** Q21's join pipeline with the self-correlation strategy chosen by a
+    * hot-key stat. `l` carries (l_orderkey, l_suppkey, l_returnflag);
+    * `o` the qualifying order keys; `suN` the (s_suppkey, s_name)
+    * dimension remnant.
+    *
+    *  - NORMAL distribution (max rows per orderkey ≤ `skewMaxPerKey`):
+    *    the semi (EXISTS other-supplier line) and anti (NOT EXISTS other
+    *    at-fault supplier) ride as lineitem self-joins — the orders
+    *    join, the semi and the anti are ALL keyed on l_orderkey, so ONE
+    *    shuffle partitioning feeds three consecutive joins with the <>
+    *    predicates as residuals (never a BNLJ). This is what SQL EXISTS
+    *    planning produces and the plan you want while per-key match
+    *    lists stay small.
+    *  - EXTREME ORDER-KEY SKEW (a key past the ceiling): within one SMJ
+    *    key the semi/anti scan is O(left·right) — a 10M-row key does
+    *    10¹⁴ residual comparisons. The alternative replaces BOTH
+    *    self-joins with ONE groupBy(l_orderkey) pass over the same
+    *    shuffle computing per-order distinct-supplier counts:
+    *    `EXISTS x.supp ≠ s` ⇔ nSupp ≥ 2 (s itself is in the order), and
+    *    `NOT EXISTS fault y.supp ≠ s` ⇔ nFault = 1 (s is a fault
+    *    supplier by l1 membership) — linear in the key's rows, skew
+    *    handled by AQE like any aggregation.
+    *
+    * Both forms are the same function of the data (Q21SkewSpec pins
+    * result equality on a skewed fixture and the plan shape of each);
+    * `skewMaxPerKey ≤ 0` forces the count form, `Long.MaxValue` forces
+    * the self-join form — both short-circuit the sampling scan. */
+  private[graft] def q21Core(suN: DataFrame, o: DataFrame, l: DataFrame,
+      skewMaxPerKey: Long = Q21SkewMaxPerKey): DataFrame = {
+    val l1 = l.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+    val skewed = skewMaxPerKey <= 0L ||
+      (skewMaxPerKey != Long.MaxValue &&
+        estMaxRowsPerKey(l, "l_orderkey") > skewMaxPerKey)
+    val waiting =
+      if (!skewed) {
+        val l2 = l.select(col("l_orderkey").as("x_orderkey"),
+          col("l_suppkey").as("x_suppkey"))
+        val l3 = l1.select(col("l_orderkey").as("y_orderkey"),
+          col("l_suppkey").as("y_suppkey"))
+        l1.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(l2, col("l_orderkey") === col("x_orderkey") &&
+            col("l_suppkey") =!= col("x_suppkey"), "left_semi")
+          .join(l3, col("l_orderkey") === col("y_orderkey") &&
+            col("l_suppkey") =!= col("y_suppkey"), "left_anti")
+      } else {
+        val counts = l
+          .groupBy(col("l_orderkey").as("k_orderkey"))
+          .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+            countDistinct(when(col("l_returnflag") === "R",
+              col("l_suppkey"))).as("n_fault"))
+        l1.join(o, col("l_orderkey") === col("o_orderkey"))
+          .join(counts, col("l_orderkey") === col("k_orderkey"))
+          .filter(col("n_supp") >= 2 && col("n_fault") === 1)
+          .drop("k_orderkey", "n_supp", "n_fault")
+      }
+    waiting
+      .join(suN, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_name"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // TPC-H Q1 shape: the canonical scan → filter → hash-agg pipeline.
@@ -492,18 +574,8 @@ object RelationalQueries {
     // (EXISTS other-supplier line) and an anti (NOT EXISTS other
     // at-fault supplier) self-correlation of lineitem. The fault marker
     // is l_returnflag = 'R' (the synthetic schema has no receipt/commit
-    // dates). Scale shape: the orders join, the semi and the anti are
-    // ALL keyed on l_orderkey — one shuffle partitioning reused by
-    // three consecutive joins, with the <> predicates as join residuals
-    // (never a BNLJ: every join has an equality key). supplier ⋈
-    // broadcast(nation) prefilters the supplier side to 4/25 nations;
-    // the fact-side supplier join stays UNHINTED because supplier is
-    // SF-scaled (AQE broadcasts the 16% remnant while it fits,
-    // shuffle-joins past that). Alternative at extreme order-key skew:
-    // one groupBy(l_orderkey) pass computing distinct-supplier and
-    // distinct-fault-supplier counts replaces both self-joins with the
-    // same single shuffle; the self-join form is kept as the join-order
-    // exercise and is what SQL EXISTS planning produces.
+    // dates). Since round 13 the self-correlations are a COST-BASED
+    // choice gated on a sampled hot-key stat — see [[q21Core]].
     "q21_waiting_suppliers" -> ((s, d) => {
       val n = Tables.nation(s, d).filter(col("n_name").isin(
         "NATION_1", "NATION_7", "NATION_13", "NATION_19"))
@@ -514,21 +586,7 @@ object RelationalQueries {
         .select(col("o_orderkey"))
       val l = Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
-      val l1 = l.filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey"), col("l_suppkey"))
-      val l2 = l.select(col("l_orderkey").as("x_orderkey"),
-        col("l_suppkey").as("x_suppkey"))
-      val l3 = l1.select(col("l_orderkey").as("y_orderkey"),
-        col("l_suppkey").as("y_suppkey"))
-      l1.join(o, col("l_orderkey") === col("o_orderkey"))
-        .join(l2, col("l_orderkey") === col("x_orderkey") &&
-          col("l_suppkey") =!= col("x_suppkey"), "left_semi")
-        .join(l3, col("l_orderkey") === col("y_orderkey") &&
-          col("l_suppkey") =!= col("y_suppkey"), "left_anti")
-        .join(suN, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("s_name"))
-        .agg(count(lit(1)).as("numwait"))
-        .orderBy(col("numwait").desc, col("s_name"))
+      q21Core(suN, o, l)
     }),
 
     // TPC-H Q18 shape (large-volume "whale" orders): the agg-subquery

@@ -1,0 +1,121 @@
+#!/usr/bin/env python3
+"""Scale-out stand-in for the driver's correctness gate (dev tool only,
+not part of the shipped library), built for sf10+ where check_oracle.py's
+pandas-stringify compare would need tens of GB: the whole comparison runs
+INSIDE DuckDB.
+
+Per query: register the Spark result parquet and the oracle SQL as views,
+select both sides' columns sorted by name (the driver's canonicalization),
+then multiset-compare with `count(A EXCEPT ALL B) == 0 AND |A| == |B|`
+(equal cardinality + one-direction empty multiset difference == multiset
+equality; set ops treat NULLs as equal, matching the driver's stringified
+NULL handling). EXCEPT ALL compares typed values exactly — the same
+bit-exactness contract as the driver's full-precision stringify.
+
+Each query runs in its own process under a wall-clock budget
+(ORACLE_TIMEOUT seconds, default 600): an oracle that cannot complete at
+this scale is reported as `timeout` and belongs on the documented
+allowlist, never silently skipped.
+
+Usage: check_oracle_sf10.py <sfDir> <verifyOutDir> [resultJson] [query ...]
+"""
+import os, sys, json, time
+import multiprocessing as mp
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+TIMEOUT = int(os.environ.get("ORACLE_TIMEOUT", "600"))
+THREADS = int(os.environ.get("ORACLE_THREADS", "32"))
+MEM = os.environ.get("ORACLE_MEM", "48GB")
+
+
+def compare_one(sf_dir, out_dir, name, sql, q):
+    import duckdb
+    try:
+        con = duckdb.connect()
+        con.execute(f"SET threads={THREADS}")
+        con.execute(f"SET memory_limit='{MEM}'")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path += "/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+        con.execute(f"CREATE VIEW __spark AS SELECT * FROM "
+                    f"read_parquet('{out_dir}/{name}/*.parquet')")
+        con.execute(f"CREATE VIEW __oracle AS ({sql})")
+        scols = sorted(r[0] for r in con.execute("DESCRIBE __spark").fetchall())
+        ocols = sorted(r[0] for r in con.execute("DESCRIBE __oracle").fetchall())
+        if scols != ocols:
+            q.put({"status": "fail", "why": f"columns {scols} != {ocols}"})
+            return
+        sel = ", ".join(f'"{c}"' for c in scols)
+        n_s = con.execute("SELECT count(*) FROM __spark").fetchone()[0]
+        n_o = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
+        if n_s != n_o:
+            q.put({"status": "fail", "why": f"rows {n_s} != {n_o}",
+                   "spark_rows": n_s, "oracle_rows": n_o})
+            return
+        diff = con.execute(
+            f"SELECT count(*) FROM ((SELECT {sel} FROM __spark) "
+            f"EXCEPT ALL (SELECT {sel} FROM __oracle))").fetchone()[0]
+        if diff:
+            q.put({"status": "fail", "why": f"{diff} rows differ",
+                   "spark_rows": n_s, "oracle_rows": n_o})
+        else:
+            q.put({"status": "ok", "rows": n_s})
+    except Exception as e:
+        q.put({"status": "error", "why": f"{type(e).__name__}: {e}"})
+
+
+def main():
+    sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    rest = sys.argv[3:]
+    result_path = None
+    if rest and rest[0].endswith(".json"):
+        result_path, rest = rest[0], rest[1:]
+    only = set(rest)
+    oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    results, n_ok = {}, 0
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        if not os.path.exists(f"{out_dir}/{name}"):
+            results[name] = {"status": "error", "why": "no Spark output"}
+            print(f"ERR  {name}: no Spark output", flush=True)
+            continue
+        t0 = time.time()
+        q = mp.Queue()
+        p = mp.Process(target=compare_one,
+                       args=(sf_dir, out_dir, name, sql, q))
+        p.start()
+        p.join(TIMEOUT)
+        dt = time.time() - t0
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            results[name] = {"status": "timeout", "sec": round(dt, 1)}
+            print(f"TIME {name}: oracle exceeded {TIMEOUT}s", flush=True)
+            continue
+        r = q.get() if not q.empty() else {
+            "status": "error", "why": f"worker died (exit {p.exitcode})"}
+        r["sec"] = round(dt, 1)
+        results[name] = r
+        if r["status"] == "ok":
+            n_ok += 1
+            print(f"ok   {name} ({r['rows']} rows, {r['sec']}s)", flush=True)
+        else:
+            print(f"{r['status'].upper()[:4]} {name}: "
+                  f"{r.get('why', '')} ({r['sec']}s)", flush=True)
+    bad = {k: v for k, v in results.items() if v["status"] != "ok"}
+    print(f"== {n_ok} ok, {len(bad)} not-ok of {len(results)}")
+    for k, v in bad.items():
+        print(f"   {k}: {v['status']} {v.get('why', '')}")
+    if result_path:
+        json.dump(results, open(result_path, "w"), indent=1, sort_keys=True)
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
