@@ -252,19 +252,39 @@ object Stats {
         // engines agree on the degenerate shape too
         .filter(col("n_a").isNotNull && col("n_b").isNotNull)
         .selectExpr("n_a", "n_b", "s_a", "s_b",
-          "CAST(s_a AS DECIMAL(38,0))*n_b - CAST(s_b AS DECIMAL(38,0))*n_a AS diff",
           "CAST(n_a AS DECIMAL(38,0))*q_a - CAST(s_a AS DECIMAL(38,0))*s_a AS va",
           "CAST(n_b AS DECIMAL(38,0))*q_b - CAST(s_b AS DECIMAL(38,0))*s_b AS vb")
-        // mean numerators through DECIMAL(38,0) like the crossed t²
-        // products: s·10⁶ in BIGINT wraps past ~9.2e12 total variant
-        // cents (~$92B) while DuckDB raises — DECIMAL keeps the engines
-        // bit-identical at any corpus size (div on decimals → BIGINT)
+        // DIVIDE-EARLY fixed point (round-13 sf10 gate catch): the
+        // single-rational form `diff²(na−1)(nb−1)·10⁶ div D` grows as
+        // n⁶ (measured 7.9e44 at sf10's 150k users) — past DECIMAL(38,0)
+        // AND DuckDB's HUGEINT, i.e. no 128-bit engine can hold it at
+        // scale. Instead: exact truncated means in micro-cents (md),
+        // exact truncated per-variant SE² in cents²·10⁶ (se2), then
+        // t2_ppm = md² div (se2_a + se2_b) — the 10⁶ unit factors cancel
+        // into exactly ppm. Every operand is now bounded by data
+        // magnitudes, not cross-multiplied counts: va·10⁶ ≈ 5.7e28 at
+        // sf100 (headroom through sf10⁵), md² ≤ 3.4e22, se2 peaks ~3e16
+        // at n = 2 and SHRINKS with n — fits BIGINT at every SF. Both
+        // engines replay the SAME truncation points (`div` here, `//`
+        // in DuckDB), so results stay bit-identical; truncation error
+        // vs the exact rational is ≤ 1 unit of each fixed-point term —
+        // irrelevant at ppm resolution. n < 2 → NULL (a one-user
+        // variant has no variance), matching the old D = 0 degenerate
+        // path.
         .selectExpr("n_a", "n_b",
           "CAST(CAST(s_a AS DECIMAL(38,0)) * 1000000 div n_a AS BIGINT) AS mean_a_ucents",
           "CAST(CAST(s_b AS DECIMAL(38,0)) * 1000000 div n_b AS BIGINT) AS mean_b_ucents",
-          """CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
-            |ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
-            |  div (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)
+          """CASE WHEN n_a < 2 THEN NULL
+            |ELSE va * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_a * (n_a - 1))
+            |END AS se2_a""".stripMargin,
+          """CASE WHEN n_b < 2 THEN NULL
+            |ELSE vb * 1000000 div (CAST(n_b AS DECIMAL(38,0)) * n_b * (n_b - 1))
+            |END AS se2_b""".stripMargin)
+        .selectExpr("n_a", "n_b", "mean_a_ucents", "mean_b_ucents",
+          """CASE WHEN se2_a IS NULL OR se2_b IS NULL OR se2_a + se2_b = 0
+            |  THEN NULL
+            |ELSE CAST(mean_a_ucents - mean_b_ucents AS DECIMAL(38,0))
+            |  * (mean_a_ucents - mean_b_ucents) div (se2_a + se2_b)
             |END AS t2_ppm""".stripMargin)
         .selectExpr("n_a", "n_b", "mean_a_ucents", "mean_b_ucents", "t2_ppm",
           "CAST(t2_ppm > 3841600 AS INT) AS significant")
@@ -426,19 +446,29 @@ object Stats {
         |  FROM v a, v b WHERE a.variant = 'A' AND b.variant = 'B'),
         |t AS (
         |  SELECT n_a, n_b, s_a, s_b,
-        |    CAST(s_a AS HUGEINT)*n_b - CAST(s_b AS HUGEINT)*n_a AS diff,
         |    CAST(n_a AS HUGEINT)*q_a - CAST(s_a AS HUGEINT)*s_a AS va,
         |    CAST(n_b AS HUGEINT)*q_b - CAST(s_b AS HUGEINT)*s_b AS vb
         |  FROM ab),
-        |r AS (
+        |m AS (
         |  SELECT n_a, n_b,
         |    CAST(CAST(s_a AS HUGEINT) * 1000000 // n_a AS BIGINT) AS mean_a_ucents,
         |    CAST(CAST(s_b AS HUGEINT) * 1000000 // n_b AS BIGINT) AS mean_b_ucents,
-        |    CASE WHEN va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1) = 0 THEN NULL
-        |    ELSE CAST((diff*diff*(n_a-1)*(n_b-1) * 1000000)
-        |      // (va*(n_b*n_b)*(n_b-1) + vb*(n_a*n_a)*(n_a-1)) AS BIGINT)
+        |    CASE WHEN n_a < 2 THEN NULL
+        |    ELSE va * 1000000 // (CAST(n_a AS HUGEINT) * n_a * (n_a - 1))
+        |    END AS se2_a,
+        |    CASE WHEN n_b < 2 THEN NULL
+        |    ELSE vb * 1000000 // (CAST(n_b AS HUGEINT) * n_b * (n_b - 1))
+        |    END AS se2_b
+        |  FROM t),
+        |r AS (
+        |  SELECT n_a, n_b, mean_a_ucents, mean_b_ucents,
+        |    CASE WHEN se2_a IS NULL OR se2_b IS NULL OR se2_a + se2_b = 0
+        |      THEN NULL
+        |    ELSE CAST(CAST(mean_a_ucents - mean_b_ucents AS HUGEINT)
+        |      * (mean_a_ucents - mean_b_ucents)
+        |      // (se2_a + se2_b) AS BIGINT)
         |    END AS t2_ppm
-        |  FROM t)
+        |  FROM m)
         |SELECT n_a, n_b, mean_a_ucents, mean_b_ucents, t2_ppm,
         |  CAST(t2_ppm > 3841600 AS INT) AS significant
         |FROM r""".stripMargin,
