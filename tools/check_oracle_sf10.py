@@ -51,17 +51,19 @@ def compare_one(sf_dir, out_dir, name, sql, q):
             q.put({"status": "fail", "why": f"columns {scols} != {ocols}"})
             return
         sel = ", ".join(f'"{c}"' for c in scols)
-        n_s = con.execute("SELECT count(*) FROM __spark").fetchone()[0]
-        n_o = con.execute("SELECT count(*) FROM __oracle").fetchone()[0]
+        # order-independent multiset digest: (count, sum-of-row-hashes) —
+        # O(1) comparison memory regardless of result size (an EXCEPT ALL
+        # on wide list columns exhausted vm.max_map_count at sf10), and
+        # the same class of evidence as the driver's value-hash gate
+        n_s, h_s = con.execute(
+            f"SELECT count(*), sum(hash({sel})) FROM __spark").fetchone()
+        n_o, h_o = con.execute(
+            f"SELECT count(*), sum(hash({sel})) FROM __oracle").fetchone()
         if n_s != n_o:
             q.put({"status": "fail", "why": f"rows {n_s} != {n_o}",
                    "spark_rows": n_s, "oracle_rows": n_o})
-            return
-        diff = con.execute(
-            f"SELECT count(*) FROM ((SELECT {sel} FROM __spark) "
-            f"EXCEPT ALL (SELECT {sel} FROM __oracle))").fetchone()[0]
-        if diff:
-            q.put({"status": "fail", "why": f"{diff} rows differ",
+        elif h_s != h_o:
+            q.put({"status": "fail", "why": f"row-hash sum {h_s} != {h_o}",
                    "spark_rows": n_s, "oracle_rows": n_o})
         else:
             q.put({"status": "ok", "rows": n_s})
@@ -98,8 +100,14 @@ def main():
             results[name] = {"status": "timeout", "sec": round(dt, 1)}
             print(f"TIME {name}: oracle exceeded {TIMEOUT}s", flush=True)
             continue
-        r = q.get() if not q.empty() else {
-            "status": "error", "why": f"worker died (exit {p.exitcode})"}
+        # blocking get with a grace period: the worker's result can still
+        # be in the queue's feeder pipe right after join() returns —
+        # q.empty() is transiently True there (bit tokenize_ids once)
+        try:
+            r = q.get(timeout=15)
+        except Exception:
+            r = {"status": "error",
+                 "why": f"worker died (exit {p.exitcode})"}
         r["sec"] = round(dt, 1)
         results[name] = r
         if r["status"] == "ok":
