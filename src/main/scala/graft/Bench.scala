@@ -110,7 +110,8 @@ object Bench {
         Seq("cluster_purity", "cluster_sample", "emb_kmeans", "emb_prototypes"),
         () => { graft.ann.KMeans.assignmentCached(spark, sfDir).count(); () }),
       SharedBuild("_shared_basket_pairs",
-        Seq("assoc_rules", "basket_pairs", "graph_pagerank", "graph_triangles"),
+        Seq("assoc_rules", "basket_pairs", "graph_pagerank",
+          "graph_pagerank_converged", "graph_triangles"),
         () => { graft.operators.Mining.pairsCached(spark, sfDir).count(); () }),
       SharedBuild("_shared_sales_view",
         Seq("emf_batch", "emf_q1", "emf_q2", "emf_q3", "emf_q4",
@@ -156,7 +157,7 @@ object Bench {
           "emb_prototypes"),
         () => graft.ann.KMeans.clearCache()),
       CacheFamily(Seq("assoc_rules", "basket_pairs", "graph_pagerank",
-          "graph_triangles"),
+          "graph_pagerank_converged", "graph_triangles"),
         () => graft.operators.Mining.clearCache()),
       CacheFamily(Seq("emf_batch", "emf_q1", "emf_q2", "emf_q3", "emf_q4",
           "emf_q5", "emf_q6", "emf_q7", "emf_q8"),

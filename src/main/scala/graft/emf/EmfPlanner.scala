@@ -256,7 +256,7 @@ object EmfPlanner {
     // round-13 advice).
     val (mfOnly, joinSide) = v.mfConds.partition(c =>
       !c.lhs.isInstanceOf[TupleCol] && !c.rhs.isInstanceOf[TupleCol])
-    val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c, schema)))
+    val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c, mf.schema)))
     val m = mFiltered.alias("mf")
     val joinCond = joinSide.map(mfCond(_, schema, q.groupAttrs))
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -476,13 +476,16 @@ object EmfPlanner {
 
   /** Fact-side-free condition evaluated against the (unaliased) MF frame —
     * every operand is an MF-frame column or a literal. Literals type
-    * against the fact schema exactly as they would inside the join
-    * condition ([[mfCond]] uses the same [[typedLit]]), so routing a
-    * condition here instead of into the join never changes its typing. */
-  private def mfOnlyCond(c: Cond, schema: StructType): Column = (c.lhs, c.rhs) match {
+    * against the MF FRAME's schema (the aggregate columns the MF fields
+    * actually name — long counts/sums, double avgs, or the fact type for
+    * min/max), not the fact schema, where aggregate names never resolve
+    * and [[typedLit]] would silently fall to an untyped string literal
+    * left to ANSI coercion (round-13 advice). Unsupported MF column
+    * types fail fast, same contract as every other literal site. */
+  private def mfOnlyCond(c: Cond, mfSchema: StructType): Column = (c.lhs, c.rhs) match {
     case (MfField(a), MfField(b)) => cmp(col(a), c.op, col(b))
-    case (MfField(a), Lit(raw))   => cmp(col(a), c.op, typedLit(raw, a, schema))
-    case (Lit(raw), MfField(b))   => cmp(typedLit(raw, b, schema), c.op, col(b))
+    case (MfField(a), Lit(raw))   => cmp(col(a), c.op, typedLit(raw, a, mfSchema))
+    case (Lit(raw), MfField(b))   => cmp(typedLit(raw, b, mfSchema), c.op, col(b))
     case _ => throw new IllegalArgumentException(s"not an MF-only condition: $c")
   }
 

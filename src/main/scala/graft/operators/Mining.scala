@@ -150,7 +150,16 @@ object Mining {
           .agg(sum(expr("r div od")).as("in_mass"))
         val stepped = rank.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            expr("150000L + (850000L * coalesce(in_mass, 0L)) div 1000000L")
+            // the 850000·in_mass product rides decimal(38,0) (like the
+            // EMF exact paths): in long it overflows past in_mass ≈
+            // 1.08e13 micro-units — a 10M+-node graph funneling into one
+            // hub throws mid-iteration under ANSI. Through decimal the
+            // product is exact to 10³⁸ (mass conservation bounds in_mass
+            // by Σrank ≈ n·10⁶, so ~10²⁶ nodes) and the truncating div
+            // returns the same long as the narrow form on every
+            // in-domain input — bit-identical where both are defined.
+            expr("150000L + (cast(850000 as decimal(38,0)) * " +
+              "coalesce(in_mass, 0L)) div 1000000L")
               .as("r"),
             col("r").as("__old"))
         val next = stepped.localCheckpoint(false)
@@ -285,9 +294,11 @@ object Mining {
     // (1.0 ≡ 10⁶): each node starts at 10⁶, a round sends
     // `r div outdeg` along every edge (truncating div — deterministic,
     // order-independent), and the damping update is
-    // `150000 + (850000·Σincoming) div 10⁶` — every step exact in long
-    // (Σincoming ≤ indeg·maxrank ≪ 2⁶³), so the DuckDB oracle replays
-    // both iterations bit-for-bit, like emb_kmeans' unrolled Lloyd's.
+    // `150000 + (850000·Σincoming) div 10⁶` — the product through
+    // decimal(38,0) so no graph this side of ~10²⁶ nodes can overflow
+    // it, every step exact and deterministic, so the DuckDB oracle
+    // replays both iterations bit-for-bit, like emb_kmeans' unrolled
+    // Lloyd's.
     // Plan shape per round: one node-keyed join of the rank frame onto
     // the (src, dst, outdeg)-annotated edge list + one dst-keyed sum —
     // the textbook distributed PageRank step; the edge frame is built
@@ -311,7 +322,11 @@ object Mining {
           .agg(sum(expr("r div od")).as("in_mass"))
         rank = nodes.join(contrib, Seq("node"), "left")
           .select(col("node"),
-            expr("150000L + (850000L * coalesce(in_mass, 0L)) div 1000000L")
+            // decimal(38,0) product — same overflow headroom as
+            // [[pageRankConverged]]; value-identical to the long form
+            // on every input both can represent
+            expr("150000L + (cast(850000 as decimal(38,0)) * " +
+              "coalesce(in_mass, 0L)) div 1000000L")
               .as("r"))
       }
       rank.select(col("node"), col("r").as("rank_micro"))
@@ -321,6 +336,25 @@ object Mining {
       // exit under a max-iteration cap); this entry stays at two
       // unrolled rounds because that is what the DuckDB oracle replays
       // bit-for-bit
+    }),
+
+    // The CONVERGED PageRank path ([[pageRankConverged]]) under the
+    // checked surface: epsMicro = 0 and a 3-round cap, so the loop runs
+    // its delta aggregate each round and exits either at the cap or at a
+    // fixed point. The oracle replays THREE unrolled rounds — equal to
+    // the engine's result in BOTH exit regimes: at the cap trivially,
+    // and on early exit because delta = 0 means the rank vector is a
+    // fixed point of the step, so the oracle's remaining replayed rounds
+    // reproduce it unchanged. That makes the convergence machinery
+    // (per-round delta aggregate, localCheckpoint lineage truncation,
+    // decimal-safe update) oracle-checked, not just spec-pinned.
+    "graph_pagerank_converged" -> ((s, d) => {
+      val e = pairsCached(s, d)
+        .select(col("part_a").as("u"), col("part_b").as("v"))
+      val edges = e.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(e.select(col("v").as("src"), col("u").as("dst")))
+      val (ranks, _, _) = pageRankConverged(edges, epsMicro = 0L, maxIters = 3)
+      ranks.orderBy(col("node"))
     }),
 
     // Top session paths — the product-analytics "what do users do in
@@ -714,5 +748,54 @@ object Mining {
         |      AS BIGINT) AS r
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, r AS rank_micro FROM r2 ORDER BY node""".stripMargin,
+    // three unrolled rounds — equals the engine's delta-exit loop under
+    // its 3-round cap in both exit regimes (a delta-0 early exit is a
+    // fixed point, which replayed rounds reproduce unchanged)
+    "graph_pagerank_converged" ->
+      """WITH it AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |capped AS (
+        |  SELECT l_orderkey, l_partkey FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY l_partkey) AS rn FROM it)
+        |  WHERE rn <= 8),
+        |e AS (
+        |  SELECT a.l_partkey AS u, b.l_partkey AS v
+        |  FROM capped a JOIN capped b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(1) >= 2),
+        |ed AS (SELECT u AS src, v AS dst FROM e
+        |       UNION ALL SELECT v, u FROM e),
+        |od AS (SELECT src, count(1) AS od FROM ed GROUP BY 1),
+        |n AS (SELECT src AS node FROM od),
+        |r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM n),
+        |c1 AS (
+        |  SELECT ed.dst AS node, sum(r0.r // od.od) AS in_mass
+        |  FROM ed JOIN od USING (src) JOIN r0 ON r0.node = ed.src
+        |  GROUP BY 1),
+        |r1 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (850000 * coalesce(c1.in_mass, 0)) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (
+        |  SELECT ed.dst AS node, sum(r1.r // od.od) AS in_mass
+        |  FROM ed JOIN od USING (src) JOIN r1 ON r1.node = ed.src
+        |  GROUP BY 1),
+        |r2 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (850000 * coalesce(c2.in_mass, 0)) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (
+        |  SELECT ed.dst AS node, sum(r2.r // od.od) AS in_mass
+        |  FROM ed JOIN od USING (src) JOIN r2 ON r2.node = ed.src
+        |  GROUP BY 1),
+        |r3 AS (
+        |  SELECT n.node,
+        |    CAST(150000 + (850000 * coalesce(c3.in_mass, 0)) // 1000000
+        |      AS BIGINT) AS r
+        |  FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
   )
 }

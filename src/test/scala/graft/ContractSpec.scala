@@ -17,7 +17,7 @@ class ContractSpec extends AnyFunSuite {
     // +9 round-10-continued: quantile_exact, stream_quantile,
     // dedup_containment, text_ppl_filter, join_dpp, agg_mode, agg_bitmap_distinct, stream_bitmap_distinct, layout_compact) so a silently-dropped
     // query fails the suite; raise when adding.
-    assert(qs.size >= 195, s"query surface shrank: ${qs.size}")
+    assert(qs.size >= 196, s"query surface shrank: ${qs.size}")
     // the rows-only set is CLOSED at ZERO: every query has a DuckDB
     // oracle. History of the graduations that got here:
     // dedup_minhash/dedup_simhash in round 7 via XxhSql; knn_ivf/knn_pq

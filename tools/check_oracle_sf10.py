@@ -6,18 +6,30 @@ INSIDE DuckDB.
 
 Per query: register the Spark result parquet and the oracle SQL as views,
 select both sides' columns sorted by name (the driver's canonicalization),
-then multiset-compare with `count(A EXCEPT ALL B) == 0 AND |A| == |B|`
-(equal cardinality + one-direction empty multiset difference == multiset
-equality; set ops treat NULLs as equal, matching the driver's stringified
-NULL handling). EXCEPT ALL compares typed values exactly — the same
-bit-exactness contract as the driver's full-precision stringify.
+then compare an order-independent multiset DIGEST: row count plus the sum
+of per-row `hash(cols...)` values. This is O(1) comparison memory at any
+result size (a literal EXCEPT ALL on wide list columns exhausted
+vm.max_map_count at sf10), but it is a strictly WEAKER guarantee than a
+typed multiset diff: two different multisets whose 64-bit row-hash sums
+happen to cancel would compare equal. That failure mode needs engineered
+collisions, not the independent-engine bugs this gate hunts — treat a
+green row as digest-level evidence, same class as the driver's own
+value-hash gate, not as a bit-exact proof.
 
 Each query runs in its own process under a wall-clock budget
 (ORACLE_TIMEOUT seconds, default 600): an oracle that cannot complete at
-this scale is reported as `timeout` and belongs on the documented
-allowlist, never silently skipped.
+this scale is reported as `timeout`/`error` and belongs on the documented
+allowlist, never silently skipped. `--allow n1,n2` marks those entries
+expected-not-ok (recorded with `"allowed": true`, excluded from the exit
+code) — the committed results JSON must carry the reason next to each.
 
-Usage: check_oracle_sf10.py <sfDir> <verifyOutDir> [resultJson] [query ...]
+DuckDB knobs: ORACLE_THREADS (default 32), ORACLE_MEM (default 48GB),
+ORACLE_TMP (when set: `SET temp_directory` — point spills at the volume
+with headroom; the default `.tmp` lives in cwd and filled the root
+volume at sf10).
+
+Usage: check_oracle_sf10.py <sfDir> <verifyOutDir> [resultJson]
+       [--allow n1,n2] [query ...]
 """
 import os, sys, json, time
 import multiprocessing as mp
@@ -36,6 +48,10 @@ def compare_one(sf_dir, out_dir, name, sql, q):
         con = duckdb.connect()
         con.execute(f"SET threads={THREADS}")
         con.execute(f"SET memory_limit='{MEM}'")
+        tmp = os.environ.get("ORACLE_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmp}'")
         for t in TABLES:
             path = f"{sf_dir}/{t}.parquet"
             if os.path.isdir(path):
@@ -77,6 +93,11 @@ def main():
     result_path = None
     if rest and rest[0].endswith(".json"):
         result_path, rest = rest[0], rest[1:]
+    allowed = set()
+    if "--allow" in rest:
+        i = rest.index("--allow")
+        allowed = set(rest[i + 1].split(","))
+        rest = rest[:i] + rest[i + 2:]
     only = set(rest)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
     results, n_ok = {}, 0
@@ -116,8 +137,14 @@ def main():
         else:
             print(f"{r['status'].upper()[:4]} {name}: "
                   f"{r.get('why', '')} ({r['sec']}s)", flush=True)
-    bad = {k: v for k, v in results.items() if v["status"] != "ok"}
-    print(f"== {n_ok} ok, {len(bad)} not-ok of {len(results)}")
+    for k in results:
+        if k in allowed and results[k]["status"] != "ok":
+            results[k]["allowed"] = True
+    bad = {k: v for k, v in results.items()
+           if v["status"] != "ok" and not v.get("allowed")}
+    n_allowed = sum(1 for v in results.values() if v.get("allowed"))
+    print(f"== {n_ok} ok, {len(bad)} not-ok, "
+          f"{n_allowed} allowlisted of {len(results)}")
     for k, v in bad.items():
         print(f"   {k}: {v['status']} {v.get('why', '')}")
     if result_path:
