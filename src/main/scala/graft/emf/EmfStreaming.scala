@@ -58,13 +58,20 @@ import org.apache.spark.sql.Row
   *    works for min/max, which have no inverse) and re-emits every
   *    group of a touched key (the revision other groups' arrivals
   *    force).
-  *  - DEPENDENT variables with genuinely unpinned cross-group
-  *    predicates (membership spanning groups that share NO equality
-  *    key) still run the full batch planner on each micro-batch via
-  *    `foreachBatch` — [[microBatch]] — the standard
-  *    full-expressiveness escape hatch: there the qualifying set of
-  *    ONE group moves when arbitrary OTHER groups' aggregates move, so
-  *    no key-local sufficient statistic exists.
+  *    force). Since round 14 this includes the KEYLESS complement
+  *    (E = ∅ — "each group vs every other group"): the statistic is
+  *    global by nature, so the structure rides one constant state key
+  *    whose bound equals the keyed path's single-hot-key worst case.
+  *  - DEPENDENT shapes beyond every incremental class — NON-complement
+  *    cross-group membership (cross-attribute predicates like
+  *    `x.a = g.b`, several `!=` legs, order predicates against another
+  *    group's attrs) — run the full batch planner on each micro-batch
+  *    via `foreachBatch` — [[microBatch]] — the standard
+  *    full-expressiveness escape hatch: there the qualifying SET of one
+  *    group is an arbitrary function of other groups' attributes, no
+  *    per-value partial decomposition exists, and the only exact
+  *    incremental state is the fact history itself (state ∝ stream) —
+  *    the impossibility argument is written out in PLANS.md.
   */
 object EmfStreaming {
 
@@ -657,7 +664,9 @@ object EmfStreaming {
     * The membership of group (e, a) genuinely spans OTHER groups — the
     * shape [[planDependent]] rejects — but the span is confined to
     * groups sharing e, so keying the state by E restores a key-local
-    * sufficient statistic: per anti value, ONE accumulator row holding
+    * sufficient statistic (E = ∅, the KEYLESS global complement, rides
+    * the same machinery under one constant key — see the inline note on
+    * why that is not a new scale class): per anti value, ONE accumulator row holding
     * the group's base aggregates and its own complement-slot
     * contribution; emission combines `complement(g) = ⊕_{g'≠g} own(g')`
     * all-but-self over the key's groups (prefix/suffix pass, see
@@ -711,9 +720,19 @@ object EmfStreaming {
           "microBatch(...)")
       case _ => ()
     }
-    require(eqAttrs.nonEmpty,
-      "cross-group streaming needs ≥ 1 equality attr (a keyless global " +
-        "complement has no state key); use microBatch(...)")
+    // eqAttrs MAY be empty — the KEYLESS global complement ("for each
+    // cust: agg over every OTHER cust's tuples", corpus q4 minus its
+    // equality pin). Every group's answer then moves when ANY group
+    // changes, so the sufficient statistic is global by nature and the
+    // lowering keys the whole structure under ONE constant state key:
+    // the same two-level state, whose bound (one accumulator row per
+    // anti value, boundAntiDomain fail-fast) is EXACTLY the keyed
+    // path's single-hot-key worst case — no new scale class. On a real
+    // cluster the constant key serializes input folding; the
+    // distributed variant shards per-anti partials as a plain
+    // streaming aggregation and pushes the all-but-self combine to the
+    // snapshot side (PLANS.md §streaming) — same arithmetic, chosen
+    // here for state-machinery reuse at the fixture's scale.
     require(!eqAttrs.contains(antiAttr),
       s"anti attr $antiAttr also appears in the equality set — the " +
         "membership is contradictory (always empty); use microBatch(...)")
@@ -763,8 +782,11 @@ object EmfStreaming {
     // the JSON (default to_json DROPS null fields, which would splice a
     // malformed `{...,,...}` row and alias distinct null patterns)
     val keepNulls = Map("ignoreNullFields" -> "false")
+    val keyCol =
+      if (eqAttrs.isEmpty) lit("{}")
+      else to_json(struct(eqAttrs.map(col): _*), keepNulls)
     val projected = base.select(
-      to_json(struct(eqAttrs.map(col): _*), keepNulls).as("k"),
+      keyCol.as("k"),
       to_json(struct(col(antiAttr)), keepNulls).as("a"),
       array(slots.map(s =>
         (guarded(s).cast("decimal(27,6)") * lit(1000000L)).cast("long")): _*)

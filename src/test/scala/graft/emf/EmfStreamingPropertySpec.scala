@@ -129,11 +129,15 @@ class EmfStreamingPropertySpec extends SparkSpec {
   } yield EmfQuery(gAttrs ++ Seq(base.agg.name, dep.agg.name),
     gAttrs, Nil, Seq(base, dep), wh, hav)
 
-  /** complement shape (G = E ∪ {anti}) → planCrossGroup */
+  /** complement shape (G = E ∪ {anti}) → planCrossGroup; 1-in-4 drops
+    * the equality pin entirely — the KEYLESS global complement
+    * (E = ∅, G = {anti}, the whole structure under one constant state
+    * key — the round-14 closure) */
   private val genCrossQ: Gen[EmfQuery] = for {
     pair <- Gen.oneOf(("g", "h"), ("h", "g"), ("g", "state"), ("state", "g"))
     (eqA, anti) = pair
-    gAttrs = Seq(anti, eqA)
+    keyless <- Gen.frequency(3 -> false, 1 -> true)
+    gAttrs = if (keyless) Seq(anti) else Seq(anti, eqA)
     nSimple <- Gen.choose(0, 1)
     simples <- Gen.sequence[Seq[GroupingVar], GroupingVar](
       (1 to nSimple).map(simpleVar(_, gAttrs)))
@@ -150,7 +154,8 @@ class EmfStreamingPropertySpec extends SparkSpec {
           nT <- Gen.choose(0, 1)
           ts <- Gen.listOfN(nT, genTupleCond)
         } yield GroupingVar(10 + j, AggSpec(f, "x", s"${f}_x_c$j"),
-          Seq(eq(eqA), Cond(TupleCol(anti), neq, MfField(anti))) ++ ts)
+          (if (keyless) Nil else Seq(eq(eqA))) ++
+            Seq(Cond(TupleCol(anti), neq, MfField(anti))) ++ ts)
       })
     nZ <- Gen.choose(0, 1)
     vz <- genVarZero(nZ)
@@ -255,6 +260,55 @@ class EmfStreamingPropertySpec extends SparkSpec {
   test("fuzz: CROSS-GROUP streaming == batch at each micro-batch (8 queries)") {
     fuzzClass("crossgroup", genCrossQ, EmfStreaming.planCrossGroup, 8 * fuzzN, 14000L,
       rowG = rowGen)
+  }
+
+  /** NON-complement cross-group membership (cross-ATTRIBUTE predicate:
+    * tuple attr vs a DIFFERENT MF grouping attr) — the residual
+    * microBatch class after round-14 closed the keyless complement
+    * (PLANS.md round 14 carries the bounded-state impossibility
+    * argument for this class). */
+  private val genFallbackQ: Gen[EmfQuery] = for {
+    gAttrs <- Gen.oneOf(Seq("g"), Seq("g", "h"))
+    base <- simpleVar(1, gAttrs)
+    f <- funcs
+    tattr <- Gen.oneOf(if (gAttrs.contains("h")) Seq("state") else Seq("h", "state"))
+    mattr <- Gen.oneOf(gAttrs)
+    op <- Gen.oneOf("=", "!=")
+    nT <- Gen.choose(0, 1)
+    ts <- Gen.listOfN(nT, genTupleCond)
+    cross = GroupingVar(2, AggSpec(f, "x", s"${f}_x_f"),
+      Seq(Cond(TupleCol(tattr), op, MfField(mattr))) ++ ts)
+    hav <- havingGen(Seq(base.agg, cross.agg))
+  } yield EmfQuery(gAttrs ++ Seq(base.agg.name, cross.agg.name),
+    gAttrs, Nil, Seq(base, cross), Nil, hav)
+
+  test("fuzz: residual non-complement shapes reject to microBatch, which matches batch (6 queries)") {
+    import org.apache.spark.sql.functions.col
+    (0 until 6 * fuzzN).foreach { i =>
+      val rows = sample(Gen.listOfN(30, rowGen), 25000L + 31 * i)
+      val q = sample(genFallbackQ, 26000L + i)
+      EmfParser.validate(q, factCols)
+      val stream = MemoryStream[SPropRow](spark)
+      // both halves of the fallback contract: every incremental route
+      // rejects naming microBatch…
+      val e = intercept[IllegalArgumentException](
+        EmfStreaming.planAuto(q, stream.toDF()))
+      assert(e.getMessage.contains("microBatch"),
+        s"fallback query $i rejected without naming microBatch: ${e.getMessage}")
+      // …and the fallback itself reproduces the batch planner
+      var last: Seq[org.apache.spark.sql.Row] = Nil
+      val sq = EmfStreaming.microBatch(q, stream.toDF()) { (df, _) =>
+        val out = df.select(q.select.map(col): _*)
+          .orderBy(q.select.map(col): _*).collect().toSeq
+        if (out.nonEmpty) last = out
+      }.outputMode(OutputMode.Append).start()
+      try { stream.addData(rows); sq.processAllAvailable() } finally sq.stop()
+      val batchR = EmfPlanner.plan(q, spark.createDataset(rows).toDF())
+        .select(q.select.map(col): _*)
+        .orderBy(q.select.map(col): _*).collect().toSeq
+      assert(last == batchR, s"fallback query $i diverged\nquery=$q")
+      EmfPlanner.unpersistAll()
+    }
   }
 
   test("fuzz with nulls: each streaming class == batch on null-bearing streams (16 queries)") {

@@ -490,6 +490,43 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("KEYLESS cross-group streaming (round-14): E = ∅ global complement") {
+    // "for each cust: agg over every OTHER cust's tuples" — no equality
+    // pin at all, so every group's answer moves when ANY group changes.
+    // planAuto must route it to the incremental lowering (one constant
+    // state key), and snapshot == batch at each step, including min/max.
+    val q = EmfParser.parseOne(
+      """cust,avg_quant_oth,max_quant_oth
+        |2
+        |cust
+        |avg_quant_oth,max_quant_oth
+        |{MF.cust.avg_quant_oth}[!=]{cust},{MF.cust.max_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val stream = MemoryStream[SalesRow](spark)
+    val routed = EmfStreaming.planAuto(q, stream.toDF())
+    assert(routed.usesSnapshot)
+    val sq = routed.df
+      .writeStream.format("memory").queryName("emf_cross_keyless")
+      .outputMode(OutputMode.Update).start()
+    try {
+      val b1 = Seq(SalesRow("c1", "p1", 1, "NY", 10), SalesRow("c2", "p2", 1, "CT", 20))
+      stream.addData(b1)
+      sq.processAllAvailable()
+      def snap() = EmfStreaming.snapshot(spark.table("emf_cross_keyless"), q)
+        .orderBy("cust").collect().toSeq
+      val s1 = snap()
+      assert(s1 == EmfPlanner.plan(q, b1.toDF()).orderBy("cust").collect().toSeq)
+      // c3 arrives: c1's and c2's global complements move with no row of
+      // theirs in the batch — the all-but-self revision across EVERY group
+      val all = b1 :+ SalesRow("c3", "p3", 2, "NJ", 5)
+      stream.addData(all.last)
+      sq.processAllAvailable()
+      val s2 = snap()
+      assert(s2 == EmfPlanner.plan(q, all.toDF()).orderBy("cust").collect().toSeq)
+      assert(s2.filter(_.getString(0) == "c1") !=
+        s1.filter(_.getString(0) == "c1"), "c1's complement did not revise")
+    } finally sq.stop()
+  }
+
   test("cross-group streaming: min/max complements (round-13) — retraction proven") {
     // min/max have no inverse, so these CANNOT use the subtraction
     // identity; the all-but-self combine must still revise a group's
@@ -633,18 +670,25 @@ class EmfStreamingSpec extends SparkSpec {
       assert(snap == batch && snap.nonEmpty)
     } finally sq.stop()
 
-    // outside every incremental class: a KEYLESS global complement
-    // (no equality attr to key the state by — the genuinely unpinned
-    // cross-group residue; min/max complements stream since round 13),
-    // whose rejection names the microBatch fallback
+    // the KEYLESS global complement routes incrementally since round 14
+    // (one constant state key — see planCrossGroup); the residual
+    // microBatch class is NON-complement membership, e.g. cross-attr
     val qKeyless = EmfParser.parseOne(
       """cust,min_quant_oth
         |1
         |cust
         |min_quant_oth
         |{MF.cust.min_quant_oth}[!=]{cust}""".stripMargin, cols)
+    val pk = EmfStreaming.planAuto(qKeyless, MemoryStream[SalesRow](spark).toDF())
+    assert(pk.usesSnapshot)
+    val qCrossAttr = EmfParser.parseOne(
+      """cust,min_quant_oth
+        |1
+        |cust
+        |min_quant_oth
+        |{MF.cust.min_quant_oth}[!=]{state}""".stripMargin, cols)
     val e = intercept[IllegalArgumentException](
-      EmfStreaming.planAuto(qKeyless, MemoryStream[SalesRow](spark).toDF()))
+      EmfStreaming.planAuto(qCrossAttr, MemoryStream[SalesRow](spark).toDF()))
     assert(e.getMessage.contains("microBatch"))
   }
 
