@@ -111,4 +111,12 @@ object SparkEntry {
       graft.text.LangIdNb.oracle ++
       graft.dedup.SubstringDedup.oracle ++
       graft.pipeline.Sharding.oracle
+
+  /** Scale-form oracle substitutions for the sf10+ comparator only:
+    * algebraically identical rewrites of primary oracles whose join
+    * shape is infeasible at ×100 data (see each provider's scaladoc).
+    * The driver's sf0.01 gate keeps running the primary forms; the
+    * equivalence of each pair is checked empirically at sf0.1 by
+    * `tools/check_scale_form.py`. */
+  def oracleSqlScale: Map[String, String] = GoldenQueries.scaleOracle
 }

@@ -68,6 +68,11 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // scale-form substitutions for the sf10+ comparator (primary forms
+    // stay in oracle_sql.json — the driver's gate only reads that file)
+    val scaleJson = SparkEntry.oracleSqlScale
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
     spark.stop()
   }
 }

@@ -328,12 +328,57 @@ object GoldenQueries {
          |ORDER BY ga.cust, ga.month""".stripMargin,
   )
 
+  private def batchSql(qs: Map[String, String]): String =
+    (1 to 8).map(i =>
+      s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
+        qs(s"emf_q$i") + "\n)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+
   /** Per-query oracles plus the batch oracle — per-query counts over the
     * very same per-query SQL (DuckDB allows a WITH inside a FROM
     * subquery). */
   val oracle: Map[String, String] = perQueryOracle +
-    ("emf_batch" -> (1 to 8).map(i =>
-      s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
-        perQueryOracle(s"emf_q$i") + "\n)")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id"))
+    ("emf_batch" -> batchSql(perQueryOracle))
+
+  /** SCALE-FORM oracles for the sf10+ comparator
+    * (`tools/check_oracle_sf10.py`), substituted for the primary form
+    * only at that scale and recorded per-entry as `scale_form` in the
+    * committed results JSON.
+    *
+    * emf_q4's primary oracle joins `g` (cust×prod groups) back to
+    * `sales` ON prod alone — and prod is p_brand, 25 distinct values,
+    * so the join is quadratic per brand: ~3×10¹² intermediate rows at
+    * sf10 (observed: 74 GB of DuckDB temp spill, death-by-disk). The
+    * scale form applies the complement identity the EMF literature
+    * uses for `<>`-membership —
+    *   avg over OTHER customers = (S_prod − s_own) / (C_prod − c_own)
+    * — on exact HUGEINT sums/counts, so the DOUBLE division sees
+    * bit-identical operands and the result is bit-identical to the
+    * join form (empirically digest-equal at sf0.1 via
+    * `tools/check_scale_form.py`; the driver's sf0.01 gate keeps
+    * running the independent join form). NULL when the complement is
+    * empty, exactly as the join form's LEFT-JOIN miss. The engine's
+    * own complement lowering ([[EmfPlanner]] complementPass) is a
+    * separate implementation in a different engine; the shared
+    * identity is the price of a tractable oracle at ×100 scale. */
+  val scaleOracle: Map[String, String] = {
+    val q4 =
+      s"""WITH $sales,
+         | pg AS (SELECT cust, prod, sum(quant) AS s, count(quant) AS c
+         |        FROM sales GROUP BY 1,2),
+         | tot AS (SELECT prod, sum(s) AS ts, sum(c) AS tc
+         |         FROM pg GROUP BY 1),
+         | g AS (SELECT cust, prod, CAST(s AS DOUBLE)/c AS avg_quant_sale
+         |       FROM pg),
+         | o AS (SELECT pg.cust, pg.prod,
+         |         CASE WHEN tot.tc - pg.c > 0
+         |              THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
+         |         END AS avg_quant_othrcustsale
+         |       FROM pg JOIN tot USING (prod))
+         |SELECT g.cust, g.prod, g.avg_quant_sale, o.avg_quant_othrcustsale
+         |FROM g LEFT JOIN o ON g.cust=o.cust AND g.prod=o.prod
+         |ORDER BY g.cust, g.prod""".stripMargin
+    Map("emf_q4" -> q4,
+      "emf_batch" -> batchSql(perQueryOracle + ("emf_q4" -> q4)))
+  }
 }

@@ -505,6 +505,10 @@ object Mining {
     }),
   )
 
+  // the graph oracles' shared edge pipeline and unrolled rank rounds
+  // are multiply-referenced CTEs — see OracleSql.materialized
+  import graft.OracleSql.materialized
+
   def oracle: Map[String, String] = Map(
     // identical islands (floor-epoch seconds, event_id tiebreak),
     // identical lead-built trigrams, identical (n DESC, path) order
@@ -638,7 +642,7 @@ object Mining {
         |ORDER BY part_a, part_b""".stripMargin,
     // identical edges, identical (degree, id) orientation, identical
     // min-rank-corner wedge counting
-    "graph_triangles" ->
+    "graph_triangles" -> materialized(
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |capped AS (
@@ -675,6 +679,7 @@ object Mining {
         |  (SELECT CAST(count(1) AS BIGINT) FROM t) AS n_triangles,
         |  CAST((SELECT count(1) FROM t) * 1000000
         |    // (SELECT count(1) FROM w) AS BIGINT) AS closure_ppm""".stripMargin,
+      "it", "capped", "e", "deg", "o", "w", "t"),
     // identical integer epoch seconds, identical gap islands (total
     // order pinned by the event_id tiebreak), identical cap + support.
     // floor() before the BIGINT cast: DuckDB's epoch() keeps the
@@ -711,7 +716,7 @@ object Mining {
         |ORDER BY item_a, item_b""".stripMargin,
     // identical edges, identical truncating-div mass propagation, both
     // iterations unrolled
-    "graph_pagerank" ->
+    "graph_pagerank" -> materialized(
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |capped AS (
@@ -748,10 +753,11 @@ object Mining {
         |      AS BIGINT) AS r
         |  FROM n LEFT JOIN c2 USING (node))
         |SELECT node, r AS rank_micro FROM r2 ORDER BY node""".stripMargin,
+      "it", "capped", "e", "ed", "od", "n", "r0", "c1", "r1", "c2", "r2"),
     // three unrolled rounds — equals the engine's delta-exit loop under
     // its 3-round cap in both exit regimes (a delta-0 early exit is a
     // fixed point, which replayed rounds reproduce unchanged)
-    "graph_pagerank_converged" ->
+    "graph_pagerank_converged" -> materialized(
       """WITH it AS (
         |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |capped AS (
@@ -797,5 +803,7 @@ object Mining {
         |      AS BIGINT) AS r
         |  FROM n LEFT JOIN c3 USING (node))
         |SELECT node, r AS rank_micro FROM r3 ORDER BY node""".stripMargin,
+      "it", "capped", "e", "ed", "od", "n", "r0", "c1", "r1", "c2", "r2",
+      "c3", "r3"),
   )
 }

@@ -48,6 +48,11 @@ def compare_one(sf_dir, out_dir, name, sql, q):
         con = duckdb.connect()
         con.execute(f"SET threads={THREADS}")
         con.execute(f"SET memory_limit='{MEM}'")
+        # the digest compare is order-independent, so give DuckDB's
+        # blocking operators (hash join/agg build sides) license to drop
+        # row order — a large memory/temp-spill reduction on the
+        # pair-join-shaped dedup oracles
+        con.execute("SET preserve_insertion_order=false")
         tmp = os.environ.get("ORACLE_TMP")
         if tmp:
             os.makedirs(tmp, exist_ok=True)
@@ -100,10 +105,20 @@ def main():
         rest = rest[:i] + rest[i + 2:]
     only = set(rest)
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # scale-form substitutions (algebraically identical rewrites of
+    # primary oracles whose join shape is infeasible at sf10+; see
+    # SparkEntry.oracleSqlScale and tools/check_scale_form.py for the
+    # sf0.1 digest-equivalence evidence). Entries compared against a
+    # scale form are recorded with "scale_form": true.
+    scale_path = f"{out_dir}/oracle_sql_scale.json"
+    scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
     results, n_ok = {}, 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
+        scale_form = name in scale
+        if scale_form:
+            sql = scale[name]
         if not os.path.exists(f"{out_dir}/{name}"):
             results[name] = {"status": "error", "why": "no Spark output"}
             print(f"ERR  {name}: no Spark output", flush=True)
@@ -130,6 +145,8 @@ def main():
             r = {"status": "error",
                  "why": f"worker died (exit {p.exitcode})"}
         r["sec"] = round(dt, 1)
+        if scale_form:
+            r["scale_form"] = True
         results[name] = r
         if r["status"] == "ok":
             n_ok += 1
