@@ -472,7 +472,10 @@ object Similarity {
     // the dedup_embcos augmentation + the emb_kmeans Lloyd CTEs
     // (verbatim via assignCtesFrom) + within-cell cosine + the greedy
     // smaller-id drop rule
-    "dedup_semantic" ->
+    // sf10 note: `aug` is consumed by four CTEs and `a2` by three —
+    // OracleSql.materialized stops DuckDB re-running the Lloyd
+    // assignment cross-joins per reference (death-by-disk at sf10)
+    "dedup_semantic" -> graft.OracleSql.materialized(
       s"""WITH base AS (
          |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
          |aug AS (
@@ -506,5 +509,7 @@ object Similarity {
          |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
          |FROM a2 LEFT JOIN dup USING (vec_id)
          |ORDER BY a2.vec_id""".stripMargin,
+      "base", "aug", "e", "init", "d1", "a1", "c1", "d2", "a2", "norms",
+      "cand", "dots", "dup"),
   )
 }

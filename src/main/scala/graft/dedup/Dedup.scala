@@ -629,15 +629,20 @@ object Dedup {
     // by hashInt(i, seed=shingle hash) — SIGNED mins, as the engine
     // compares — the band keys by the hashLong/hashInt chain, then the
     // same sorted-bucket cap, pair generation, and hashed-set Jaccard.
-    "dedup_minhash" ->
+    // sf10 note: the shared shingle/signature CTEs are consumed by
+    // several downstream CTEs — without OracleSql.materialized DuckDB
+    // re-evaluates them per reference and dies on temp disk at sf10.
+    "dedup_minhash" -> graft.OracleSql.materialized(
       s"""WITH $docsSh0Ctes,
          |$minhashOracleTailCtes
          |SELECT id_a, id_b, jaccard FROM mh_pairs
          |ORDER BY id_a, id_b""".stripMargin,
+      "docs", "sh0", "dsh", "shh", "doc_sh", "dh", "hi", "mhv", "mharr",
+      "mposts", "capped", "cand", "msizes", "minter", "mh_pairs"),
     // MinHash-vs-exact evaluation: both CTE chains above composed over
     // the SAME docs/sh0 prefix — truth from the df-capped exact-Jaccard
     // `pairs`, found from the bit-exact LSH replay `mh_pairs`.
-    "dedup_recall" ->
+    "dedup_recall" -> graft.OracleSql.materialized(
       s"""WITH $ngramOracleCtes,
          |$ngramOraclePairsCte,
          |$minhashOracleTailCtes
@@ -649,12 +654,15 @@ object Dedup {
          |  (SELECT count(1) FROM mh_pairs) AS n_found,
          |  (SELECT count(1) FROM pairs p JOIN mh_pairs m
          |     ON p.id_a = m.id_a AND p.id_b = m.id_b) AS n_hit)""".stripMargin,
+      "docs", "sh0", "sh", "sizes", "inter", "pairs", "dsh", "shh",
+      "doc_sh", "dh", "hi", "mhv", "mharr", "mposts", "capped", "cand",
+      "msizes", "minter", "mh_pairs"),
     // Full bit-exact replay of SimHash banding: per-WORD-OCCURRENCE
     // seed-42 xxhash64 (hashes computed once per distinct word, votes
     // weighted by occurrence counts), 64 per-bit majority votes, 8×8-bit
     // band keys off the unsigned pattern (≡ the engine's arithmetic
     // shift + 0xFF mask), bucket self-join, hamming ≤ 6.
-    "dedup_simhash" ->
+    "dedup_simhash" -> graft.OracleSql.materialized(
       s"""WITH docs AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
@@ -686,6 +694,7 @@ object Dedup {
          |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.sig, b.sig)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
+      "docs", "w", "wc", "dw", "wh", "bits", "sig", "posts"),
     "dedup_exact" ->
       """WITH docs AS (
         |  SELECT doc_id, text FROM documents
@@ -741,7 +750,11 @@ object Dedup {
         |FROM reach GROUP BY node ORDER BY doc_id""".stripMargin,
     // identical transitive closure, identical xorshift bucket on the
     // CLUSTER label, identical census + straddle audit
-    "split_leakage_safe" ->
+    // all non-recursive CTEs hinted (reach stays plain — it's the
+    // recursive member); without the hints `asg` is inlined into both
+    // `per` and `st`, re-running the whole recursive closure and its
+    // pair-join inputs twice
+    "split_leakage_safe" -> graft.OracleSql.materialized(
       s"""WITH RECURSIVE $ngramOracleCtes,
          |$ngramOraclePairsCte,
          |edges AS (
@@ -774,5 +787,7 @@ object Dedup {
         |        FROM asg GROUP BY 1))
         |SELECT per.split, per.n_docs, per.n_clusters, st.n_straddling
         |FROM per, st ORDER BY split""".stripMargin,
+      "docs", "sh0", "sh", "sizes", "inter", "pairs", "edges", "cc",
+      "asg", "per", "st"),
   )
 }

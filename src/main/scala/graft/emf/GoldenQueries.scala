@@ -378,7 +378,24 @@ object GoldenQueries {
          |SELECT g.cust, g.prod, g.avg_quant_sale, o.avg_quant_othrcustsale
          |FROM g LEFT JOIN o ON g.cust=o.cust AND g.prod=o.prod
          |ORDER BY g.cust, g.prod""".stripMargin
-    Map("emf_q4" -> q4,
-      "emf_batch" -> batchSql(perQueryOracle + ("emf_q4" -> q4)))
+    // The batch's primary form inlines a full `WITH sales AS (six-way
+    // join)` into each of the 8 union branches — 8 independent builds
+    // of the 15M-row frame, whose concurrent spill exhausted the disk
+    // at sf10 even though every branch passes alone. The scale form
+    // hoists ONE `sales AS MATERIALIZED` over the union (standard CTE
+    // scoping makes it visible inside each branch's own WITH) and uses
+    // q4's complement form; per-branch semantics are untouched.
+    val salesM = s"sales AS MATERIALIZED (${Tables.salesViewSql})"
+    def stripSales(q: String): String = {
+      val rest = q.stripPrefix(s"WITH $sales")
+      require(rest != q, "per-query oracle does not start WITH sales")
+      if (rest.startsWith(",")) "WITH" + rest.drop(1) else rest
+    }
+    val qs = perQueryOracle + ("emf_q4" -> q4)
+    val batch = s"WITH $salesM\n" + (1 to 8).map(i =>
+      s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
+        stripSales(qs(s"emf_q$i")) + "\n)")
+      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
+    Map("emf_q4" -> q4, "emf_batch" -> batch)
   }
 }

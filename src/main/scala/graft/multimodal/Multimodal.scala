@@ -259,7 +259,11 @@ object Multimodal {
     // identical cells ((i-1)·64 // n), identical integer cross-multiplied
     // bit rule, identical 16-bit bands, hamming over the full 0..63 grid
     // (absent cells are 0-bits on both sides)
-    "multimodal_phash" ->
+    // sf10 note: `b` (the per-byte explode) feeds both ball branches and
+    // `bits` feeds both sides of the hamming join — OracleSql.materialized
+    // stops DuckDB re-running the explode per reference (death-by-disk
+    // at sf10 otherwise)
+    "multimodal_phash" -> graft.OracleSql.materialized(
       s"""WITH $byteCtes,
          |mx AS (SELECT max(doc_id) AS mx FROM documents),
          |ball AS (
@@ -297,6 +301,8 @@ object Multimodal {
          |  GROUP BY 1, 2)
          |SELECT ida AS id_a, idb AS id_b, dist FROM ham
          |WHERE dist <= 6 ORDER BY id_a, id_b""".stripMargin,
+      "m", "b", "mx", "ball", "tot", "cells", "bits", "bands", "cand",
+      "g", "ham"),
     "multimodal_meta" ->
       """SELECT doc_id AS media_id,
         | CASE WHEN doc_id % 3 = 0 THEN 'image'
