@@ -14,6 +14,15 @@ object OracleSql {
     * materialized form finishes in under a minute). Non-recursive CTEs
     * inside a `WITH RECURSIVE` list accept the hint too. */
   def materialized(sql: String, ctes: String*): String =
-    ctes.foldLeft(sql)((s, c) =>
-      s.replaceFirst(s"\\b$c AS \\(", s"$c AS MATERIALIZED ("))
+    ctes.foldLeft(sql) { (s, c) =>
+      // The hint is load-bearing at sf10 — a name that fails to match
+      // (typo, whitespace/case drift in the SQL) must fail the build,
+      // not silently drop the hint. Quote both sides so CTE names are
+      // treated as literals, not regex/replacement syntax.
+      val out = s.replaceFirst(
+        "\\b" + java.util.regex.Pattern.quote(c) + " AS \\(",
+        java.util.regex.Matcher.quoteReplacement(c) + " AS MATERIALIZED (")
+      require(out != s, s"materialized(): CTE '$c AS (' not found in SQL")
+      out
+    }
 }

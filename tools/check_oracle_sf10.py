@@ -26,12 +26,23 @@ code) — the committed results JSON must carry the reason next to each.
 DuckDB knobs: ORACLE_THREADS (default 32), ORACLE_MEM (default 48GB),
 ORACLE_TMP (when set: `SET temp_directory` — point spills at the volume
 with headroom; the default `.tmp` lives in cwd and filled the root
-volume at sf10).
+volume at sf10). ORACLE_TMP_BUDGET_GB (default 60) is a temp-spill
+watchdog: the parent polls the temp directory's size while the worker
+runs and kills it with status `disk` when the budget is crossed —
+a pair-join oracle that would fill the volume fails in seconds with an
+actionable status instead of burning 10+ minutes and dying on ENOSPC.
+
+Scale-form substitution requires a pass stamp: an entry in
+oracle_sql_scale.json is only substituted when scale_form_ok.json
+(written by a passing tools/check_scale_form.py run; path overridable
+via SCALE_FORM_STAMP) records status ok AND a sql_sha matching the
+current scale SQL. An unstamped or stale scale form is reported as
+status `unstamped` (allowlistable, never silently used).
 
 Usage: check_oracle_sf10.py <sfDir> <verifyOutDir> [resultJson]
        [--allow n1,n2] [query ...]
 """
-import os, sys, json, time
+import os, sys, json, time, hashlib
 import multiprocessing as mp
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
@@ -40,6 +51,18 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 TIMEOUT = int(os.environ.get("ORACLE_TIMEOUT", "600"))
 THREADS = int(os.environ.get("ORACLE_THREADS", "32"))
 MEM = os.environ.get("ORACLE_MEM", "48GB")
+TMP_BUDGET = float(os.environ.get("ORACLE_TMP_BUDGET_GB", "60")) * 1e9
+
+
+def dir_bytes(path):
+    total = 0
+    for root, _, files in os.walk(path, onerror=lambda e: None):
+        for f in files:
+            try:
+                total += os.path.getsize(os.path.join(root, f))
+            except OSError:
+                pass
+    return total
 
 
 def compare_one(sf_dir, out_dir, name, sql, q):
@@ -112,12 +135,29 @@ def main():
     # scale form are recorded with "scale_form": true.
     scale_path = f"{out_dir}/oracle_sql_scale.json"
     scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
+    # pass stamp from tools/check_scale_form.py — a scale form is only
+    # substituted when its stamp says ok for the SAME SQL text
+    stamp_path = os.environ.get("SCALE_FORM_STAMP",
+                                f"{out_dir}/scale_form_ok.json")
+    stamp = (json.load(open(stamp_path)).get("results", {})
+             if os.path.exists(stamp_path) else {})
+    tmp_dir = os.environ.get("ORACLE_TMP") or ".tmp"
     results, n_ok = {}, 0
     for name, sql in sorted(oracles.items()):
         if only and name not in only:
             continue
         scale_form = name in scale
         if scale_form:
+            st = stamp.get(name, {})
+            sha = hashlib.sha256(scale[name].encode()).hexdigest()[:16]
+            if st.get("status") != "ok" or st.get("sql_sha") != sha:
+                why = ("no scale_form_ok.json stamp" if not st else
+                       f"stamp status={st.get('status')} "
+                       f"sql_sha={st.get('sql_sha')} != current {sha}")
+                results[name] = {"status": "unstamped", "why": why,
+                                 "scale_form": True}
+                print(f"UNST {name}: {why}", flush=True)
+                continue
             sql = scale[name]
         if not os.path.exists(f"{out_dir}/{name}"):
             results[name] = {"status": "error", "why": "no Spark output"}
@@ -128,13 +168,32 @@ def main():
         p = mp.Process(target=compare_one,
                        args=(sf_dir, out_dir, name, sql, q))
         p.start()
-        p.join(TIMEOUT)
+        # poll instead of one long join: the temp-spill watchdog kills a
+        # worker whose spill crosses the budget (it would otherwise fill
+        # the volume, fail with ENOSPC after many minutes, and leave the
+        # box wedged for every later oracle)
+        status = None
+        while True:
+            p.join(min(5, TIMEOUT))
+            if not p.is_alive():
+                break
+            if time.time() - t0 >= TIMEOUT:
+                status = "timeout"
+                break
+            if os.path.isdir(tmp_dir) and dir_bytes(tmp_dir) > TMP_BUDGET:
+                status = "disk"
+                break
         dt = time.time() - t0
-        if p.is_alive():
+        if status is not None:
             p.terminate()
             p.join()
-            results[name] = {"status": "timeout", "sec": round(dt, 1)}
-            print(f"TIME {name}: oracle exceeded {TIMEOUT}s", flush=True)
+            results[name] = {"status": status, "sec": round(dt, 1)}
+            why = (f"oracle exceeded {TIMEOUT}s" if status == "timeout" else
+                   f"temp spill in {tmp_dir} crossed "
+                   f"{TMP_BUDGET / 1e9:.0f} GB — author a scale form "
+                   f"(oracle_sql_scale.json) or raise ORACLE_TMP_BUDGET_GB")
+            results[name]["why"] = why
+            print(f"{status.upper()[:4]} {name}: {why}", flush=True)
             continue
         # blocking get with a grace period: the worker's result can still
         # be in the queue's feeder pipe right after join() returns —

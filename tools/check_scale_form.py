@@ -11,55 +11,113 @@ the rewrite is observationally identical there, which together with the
 per-rewrite algebraic argument (see SparkEntry.oracleSqlScale scaladoc)
 justifies substituting the scale form at sf10+.
 
+Each entry runs in its own subprocess under ORACLE_TIMEOUT seconds
+(default 600) — a primary form that hangs at the chosen scale reports
+`timeout` instead of stalling the run. A scale entry with no primary
+counterpart reports `no-primary` (a scale form of nothing proves
+nothing). On completion the per-entry statuses are written to
+<verifyOutDir>/scale_form_ok.json — the pass stamp check_oracle_sf10.py
+requires before substituting a scale form.
+
 Usage: check_scale_form.py <sfDir> <verifyOutDir>
-Env: ORACLE_THREADS / ORACLE_MEM / ORACLE_TMP as in check_oracle_sf10.py.
+Env: ORACLE_TIMEOUT / ORACLE_THREADS / ORACLE_MEM / ORACLE_TMP as in
+check_oracle_sf10.py.
 """
-import os, sys, json, time
+import os, sys, json, time, hashlib
+import multiprocessing as mp
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+TIMEOUT = int(os.environ.get("ORACLE_TIMEOUT", "600"))
+
+
+def compare_one(sf_dir, name, psql, ssql, q):
+    import duckdb
+    try:
+        con = duckdb.connect()
+        con.execute(f"SET threads={os.environ.get('ORACLE_THREADS', '32')}")
+        con.execute(
+            f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
+        con.execute("SET preserve_insertion_order=false")
+        tmp = os.environ.get("ORACLE_TMP")
+        if tmp:
+            os.makedirs(tmp, exist_ok=True)
+            con.execute(f"SET temp_directory='{tmp}'")
+        for t in TABLES:
+            path = f"{sf_dir}/{t}.parquet"
+            if os.path.isdir(path):
+                path += "/*.parquet"
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
+
+        def digest(sql):
+            con.execute("CREATE OR REPLACE VIEW __q AS (" + sql + ")")
+            cols = sorted(r[0] for r in con.execute("DESCRIBE __q").fetchall())
+            sel = ", ".join(f'"{c}"' for c in cols)
+            n, h = con.execute(
+                f"SELECT count(*), sum(hash({sel})) FROM __q").fetchone()
+            return cols, n, h
+
+        pc, pn, ph = digest(psql)
+        sc, sn, sh = digest(ssql)
+        if (pc, pn, ph) == (sc, sn, sh):
+            q.put({"status": "ok", "rows": pn})
+        else:
+            q.put({"status": "fail",
+                   "why": f"primary ({pn} rows, hash {ph}) != "
+                          f"scale-form ({sn} rows, hash {sh})"})
+    except Exception as e:
+        q.put({"status": "error", "why": f"{type(e).__name__}: {e}"})
+
 
 def main():
-    import duckdb
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     primary = json.load(open(f"{out_dir}/oracle_sql.json"))
     scale = json.load(open(f"{out_dir}/oracle_sql_scale.json"))
-    con = duckdb.connect()
-    con.execute(f"SET threads={os.environ.get('ORACLE_THREADS', '32')}")
-    con.execute(f"SET memory_limit='{os.environ.get('ORACLE_MEM', '48GB')}'")
-    con.execute("SET preserve_insertion_order=false")
-    tmp = os.environ.get("ORACLE_TMP")
-    if tmp:
-        os.makedirs(tmp, exist_ok=True)
-        con.execute(f"SET temp_directory='{tmp}'")
-    for t in TABLES:
-        path = f"{sf_dir}/{t}.parquet"
-        if os.path.isdir(path):
-            path += "/*.parquet"
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}')")
-
-    def digest(sql):
-        con.execute("CREATE OR REPLACE VIEW __q AS (" + sql + ")")
-        cols = sorted(r[0] for r in con.execute("DESCRIBE __q").fetchall())
-        sel = ", ".join(f'"{c}"' for c in cols)
-        n, h = con.execute(
-            f"SELECT count(*), sum(hash({sel})) FROM __q").fetchone()
-        return cols, n, h
-
-    bad = 0
+    results, bad = {}, 0
     for name in sorted(scale):
+        if name not in primary:
+            results[name] = {"status": "no-primary"}
+            print(f"FAIL {name}: scale form has no primary oracle "
+                  f"counterpart in oracle_sql.json", flush=True)
+            bad += 1
+            continue
         t0 = time.time()
-        pc, pn, ph = digest(primary[name])
-        sc, sn, sh = digest(scale[name])
+        q = mp.Queue()
+        p = mp.Process(target=compare_one,
+                       args=(sf_dir, name, primary[name], scale[name], q))
+        p.start()
+        p.join(TIMEOUT)
         dt = time.time() - t0
-        if (pc, pn, ph) == (sc, sn, sh):
+        if p.is_alive():
+            p.terminate()
+            p.join()
+            r = {"status": "timeout"}
+        else:
+            try:
+                r = q.get(timeout=15)
+            except Exception:
+                r = {"status": "error",
+                     "why": f"worker died (exit {p.exitcode})"}
+        r["sec"] = round(dt, 1)
+        # hash of the exact scale SQL that was proven equivalent — lets
+        # check_oracle_sf10.py reject a stamp that predates an edit
+        r["sql_sha"] = hashlib.sha256(scale[name].encode()).hexdigest()[:16]
+        results[name] = r
+        if r["status"] == "ok":
             print(f"ok   {name}: primary == scale-form "
-                  f"({pn} rows, {dt:.1f}s)", flush=True)
+                  f"({r['rows']} rows, {r['sec']}s)", flush=True)
         else:
             bad += 1
-            print(f"FAIL {name}: primary ({pn} rows, hash {ph}) != "
-                  f"scale-form ({sn} rows, hash {sh})", flush=True)
+            print(f"{r['status'].upper()[:4]} {name}: {r.get('why', '')} "
+                  f"({r['sec']}s)", flush=True)
+    # pass stamp consumed by check_oracle_sf10.py: a scale form may only
+    # be substituted when its stamp for THIS verify build says ok
+    stamp = f"{out_dir}/scale_form_ok.json"
+    json.dump({"sf_dir": sf_dir, "results": results},
+              open(stamp, "w"), indent=1, sort_keys=True)
+    print(f"== {len(results) - bad} ok, {bad} not-ok -> {stamp}")
     sys.exit(1 if bad else 0)
 
 
