@@ -118,5 +118,9 @@ object SparkEntry {
     * The driver's sf0.01 gate keeps running the primary forms; the
     * equivalence of each pair is checked empirically at sf0.1 by
     * `tools/check_scale_form.py`. */
-  def oracleSqlScale: Map[String, String] = GoldenQueries.scaleOracle
+  def oracleSqlScale: Map[String, String] =
+    GoldenQueries.scaleOracle ++
+      graft.dedup.Dedup.scaleOracle ++
+      graft.ann.Similarity.scaleOracle ++
+      graft.multimodal.Multimodal.scaleOracle
 }

@@ -307,6 +307,52 @@ object KMeans {
       |    SELECT *, row_number() OVER (PARTITION BY vec_id
       |      ORDER BY dist, cell) AS rn FROM d2) WHERE rn = 1)""".stripMargin
 
+  /** Streaming-argmin rewrite of [[assignCtesFrom]] for the sf10+
+    * scale-form oracle only: identical quantize/init/centroid
+    * arithmetic, but each Lloyd assignment is one aggregation
+    * `min(dist·2³² + cell)` instead of a MATERIALIZED (n×k) distance
+    * frame + row_number window — the distance rows stream through a
+    * hash aggregate keyed by vec_id and are never stored (the
+    * materialized d1/d2 frames are ~340 GB at sf10's n=400k, k=1563;
+    * that spill is what killed the primary form on temp disk). The
+    * packing is exact: on the 2⁻¹⁰ grid dist ≤ 64·2048² = 2²⁸ < 2³²
+    * and 0 ≤ cell < 2³¹, so numeric order of the packed key ≡ the
+    * primary's lexicographic ORDER BY dist, cell tie-break. Emits the
+    * same CTE names; `a1`/`a2` end with (vec_id, cell) only — `c1`
+    * re-joins `e` for the member vectors. */
+  private[ann] def assignCtesStreamFrom(src: String,
+      kSql: String = "4"): String =
+    s"""e AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
+      |  FROM $src),
+      |init AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
+      |         qe AS qc
+      |  FROM (SELECT * FROM e
+      |        QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kSql))),""".stripMargin + "\n" +
+    """a1 AS (
+      |  SELECT e.vec_id,
+      |    CAST(min(CAST(list_sum(list_transform(range(1, 65),
+      |        j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS HUGEINT)
+      |      * 4294967296 + i.cell) % 4294967296 AS INT) AS cell
+      |  FROM e CROSS JOIN init i GROUP BY e.vec_id),
+      |c1 AS (
+      |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
+      |    SELECT a1.cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+      |    FROM a1 JOIN e USING (vec_id),
+      |      LATERAL (SELECT unnest(e.qe) AS q,
+      |        generate_subscripts(e.qe, 1) AS pos) u
+      |    GROUP BY a1.cell, u.pos)
+      |  GROUP BY cell),
+      |a2 AS (
+      |  SELECT e.vec_id,
+      |    CAST(min(CAST(list_sum(list_transform(range(1, 65),
+      |        j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS HUGEINT)
+      |      * 4294967296 + c.cell) % 4294967296 AS INT) AS cell
+      |  FROM e CROSS JOIN c1 c GROUP BY e.vec_id)""".stripMargin
+
   private val assignCtes: String = assignCtesFrom("embeddings")
 
   def oracle: Map[String, String] = Map(

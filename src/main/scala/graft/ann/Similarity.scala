@@ -512,4 +512,124 @@ object Similarity {
       "base", "aug", "e", "init", "d1", "a1", "c1", "d2", "a2", "norms",
       "cand", "dots", "dup"),
   )
+
+  /** Scale-form oracles for the sf10+ comparator only (see
+    * `SparkEntry.oracleSqlScale`; each substitution requires the
+    * `tools/check_scale_form.py` sf0.1 digest-equivalence stamp).
+    *
+    * dedup_semantic — the primary form MATERIALIZEs the (n×k) Lloyd
+    * distance frames d1/d2 (~340 GB at sf10: n=400k, k=1563) before a
+    * row_number window; [[KMeans.assignCtesStreamFrom]] streams the
+    * same distances through a `min(dist·2³² + cell)` aggregate — an
+    * exact packing of the primary's (dist, cell) tie-break — so
+    * nothing quadratic is ever stored. Candidate generation, scoring
+    * arithmetic, and the keep rule are byte-identical to the primary.
+    *
+    * dedup_embcos — the primary form is exact all-pairs over the
+    * exploded corpus: 64·C(n,2) join rows ≈ 5·10¹² at sf10's n=400k,
+    * infeasible for any engine without pruning. The scale form keeps
+    * the primary's scoring (exact dot / norms, same round-6 readout,
+    * same ≥ 0.99 filter) but generates candidates by sign-random-
+    * projection banding: 32 bands × 16 BALANCED Rademacher
+    * hyperplanes — each plane is ±1 with exactly 32 of each sign, the
+    * +1 positions ranked per plane by DuckDB's own hash of the
+    * combined index j·1000003 + p (single-argument on purpose:
+    * DuckDB 1.0's two-arg hash barely mixes its second operand —
+    * hash(j, p) yields 2 distinct planes out of 512 — and these are
+    * deliberately NOT the engine's xxhash planes, so the bucketing is
+    * drawn independently of the engine's SRP). Balance is the load-
+    * bearing property: every qualifying pair in this corpus is
+    * (x, 0.9x + 0.01·1) and with sum(s) = 0 the constant shift
+    * vanishes from the projection — sign of (0.9·dot(x,s) +
+    * 0.01·sum(s)) = sign of dot(x,s) on EVERY plane, so the designed
+    * near-dup class shares all 32 band keys DETERMINISTICALLY at any
+    * SF. (An unbalanced plane couples the pair's shift component to
+    * the plane imbalance and separated 36/2000 pairs at sf0.1 — the
+    * failure this design removes.) Candidates ⊆ all pairs and the filter is
+    * unchanged, so scale ⊆ primary; for any OTHER pair geometry at
+    * cosine exactly 0.99 (θ/π = 0.04505) the standard bound applies:
+    * per-band collision 0.954948¹⁶ = 0.478, missed by all 32 bands
+    * with probability (1−0.478)³² ≈ 9·10⁻¹⁰ per pair. The banding
+    * approach (not its planes) mirrors the engine's LSH — the
+    * residual shared-identity risk is bounded by the sf0.01 gate
+    * running the exact all-pairs primary. */
+  def scaleOracle: Map[String, String] = Map(
+    "dedup_semantic" -> graft.OracleSql.materialized(
+      s"""WITH base AS (
+         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+         |aug AS (
+         |  SELECT vec_id, emb FROM base
+         |  UNION ALL
+         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+         |         list_transform(emb, x -> x * 0.9 + 0.01) AS emb
+         |  FROM base),
+         |${KMeans.assignCtesStreamFrom(
+             "(SELECT vec_id, emb AS embedding FROM aug) src",
+             kSql = "SELECT greatest(4, CAST(ceil(count(*) / " +
+               s"${KMeans.TargetCellSize}.0) AS INT)) FROM aug")},
+         |norms AS (
+         |  SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+         |  FROM aug),
+         |cand AS (
+         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+         |dots AS (
+         |  SELECT c.id_a, c.id_b,
+         |    list_sum(list_transform(range(1, 65),
+         |      j -> a.emb[j] * b.emb[j])) AS dot
+         |  FROM cand c JOIN aug a ON a.vec_id = c.id_a
+         |              JOIN aug b ON b.vec_id = c.id_b),
+         |dup AS (
+         |  SELECT DISTINCT id_b AS vec_id
+         |  FROM dots JOIN norms na ON na.vec_id = id_a
+         |            JOIN norms nb ON nb.vec_id = id_b
+         |  WHERE dot / (na.nrm * nb.nrm) >= 0.99)
+         |SELECT a2.vec_id, a2.cell,
+         |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+         |FROM a2 LEFT JOIN dup USING (vec_id)
+         |ORDER BY a2.vec_id""".stripMargin,
+      "base", "aug", "e", "init", "a1", "c1", "a2", "norms",
+      "cand", "dots", "dup"),
+    "dedup_embcos" -> graft.OracleSql.materialized(
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
+        |  FROM embeddings),
+        |el AS (
+        |  SELECT vec_id, emb,
+        |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+        |  FROM e),
+        |sgn AS (
+        |  SELECT p,
+        |    list(CASE WHEN rnk <= 32 THEN CAST(1 AS DOUBLE)
+        |         ELSE CAST(-1 AS DOUBLE) END ORDER BY j) AS sv
+        |  FROM (
+        |    SELECT p.p AS p, j.j AS j,
+        |      row_number() OVER (PARTITION BY p.p
+        |        ORDER BY hash(j.j * 1000003 + p.p), j.j) AS rnk
+        |    FROM (SELECT unnest(range(0, 512)) AS p) p
+        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j)
+        |  GROUP BY p),
+        |bands AS (
+        |  SELECT vec_id, CAST(s.p // 16 AS INT) AS band,
+        |    CAST(sum(CASE WHEN list_dot_product(el.emb, s.sv) > 0
+        |      THEN 1 << CAST(s.p % 16 AS INT) ELSE 0 END) AS BIGINT) AS key
+        |  FROM el CROSS JOIN sgn s GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT c.id_a, c.id_b, list_dot_product(a.emb, b.emb) AS dot,
+        |    a.nrm AS na, b.nrm AS nb
+        |  FROM cand c JOIN el a ON a.vec_id = c.id_a
+        |              JOIN el b ON b.vec_id = c.id_b)
+        |SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos6
+        |FROM scored WHERE dot / (na * nb) >= 0.99
+        |ORDER BY id_a, id_b""".stripMargin,
+      "e", "el", "sgn", "bands", "cand", "scored"),
+  )
 }

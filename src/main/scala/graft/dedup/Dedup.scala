@@ -567,7 +567,36 @@ object Dedup {
     * `mh_pairs` CTE. CTE names are disjoint from [[ngramOracleCtes]] /
     * [[ngramOraclePairsCte]] so the two chains compose in one WITH for
     * the evaluation query. */
-  private def minhashOracleTailCtes: String =
+  private def minhashOracleTailCtes: String = minhashTailCtes(scale = false)
+
+  /** [[minhashOracleTailCtes]] with a switchable `minter`: the primary
+    * form counts intersections by joining every candidate pair against
+    * TWO copies of the full (doc, shingle-hash) posting table — its
+    * intermediate is |cand| × avg-shingles rows (~60M × rows of join
+    * probe state at sf10), the CTE whose spill exhausted temp disk.
+    * The scale form folds each doc's distinct hash set into ONE sorted
+    * list row (`dlists`, n_docs rows) and computes the same |A ∩ B|
+    * per pair as `len(list_intersect(...))` — set semantics are exact
+    * because `doc_sh` is DISTINCT per doc. A candidate pair with an
+    * empty intersection now yields ni = 0 instead of no row; the
+    * jaccard ≥ 0.6 filter in `mh_pairs` drops it identically (0 / n
+    * with n ≥ 1 since every doc has ≥ 1 shingle). */
+  private def minhashTailCtes(scale: Boolean): String = {
+    val minter =
+      if (!scale)
+        """minter AS (
+          |  SELECT c.id_a, c.id_b, count(1) AS ni
+          |  FROM cand c JOIN doc_sh a ON a.doc_id = c.id_a
+          |              JOIN doc_sh b ON b.doc_id = c.id_b AND b.h = a.h
+          |  GROUP BY 1, 2),""".stripMargin
+      else
+        """dlists AS (
+          |  SELECT doc_id, list(h ORDER BY h) AS hs FROM doc_sh GROUP BY 1),
+          |minter AS (
+          |  SELECT c.id_a, c.id_b,
+          |    CAST(len(list_intersect(a.hs, b.hs)) AS BIGINT) AS ni
+          |  FROM cand c JOIN dlists a ON a.doc_id = c.id_a
+          |              JOIN dlists b ON b.doc_id = c.id_b),""".stripMargin
     s"""dsh AS (SELECT DISTINCT sh FROM sh0),
        |shh AS (SELECT sh, ${XxhSql.toI64(XxhSql.hashString("sh"))} AS h FROM dsh),
        |doc_sh AS (SELECT DISTINCT s.doc_id, hh.h FROM sh0 s JOIN shh hh USING (sh)),
@@ -591,17 +620,41 @@ object Dedup {
        |  FROM capped a JOIN capped b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
        |msizes AS (SELECT doc_id, count(1) AS n FROM doc_sh GROUP BY 1),
-       |minter AS (
-       |  SELECT c.id_a, c.id_b, count(1) AS ni
-       |  FROM cand c JOIN doc_sh a ON a.doc_id = c.id_a
-       |              JOIN doc_sh b ON b.doc_id = c.id_b AND b.h = a.h
-       |  GROUP BY 1, 2),
+       |$minter
        |mh_pairs AS (
        |  SELECT i.id_a, i.id_b,
        |    CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) AS jaccard
        |  FROM minter i JOIN msizes sa ON sa.doc_id = i.id_a
        |                JOIN msizes sb ON sb.doc_id = i.id_b
        |  WHERE CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) >= 0.6)""".stripMargin
+  }
+
+  /** SimHash signature CTE chain (docs ∪ near-dups → per-word seed-42
+    * xxhash64 → 64 count-weighted majority votes → signed 64-bit
+    * signature), shared by the primary dedup_simhash oracle and its
+    * scale form so the replayed signature arithmetic cannot drift. */
+  private def simhashSigCtes: String =
+    s"""docs AS (
+       |  SELECT doc_id, text FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
+       |         array_to_string(string_split(text, ' ')[2:], ' ')
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
+       |wc AS (SELECT doc_id, word, count(1) AS c FROM w GROUP BY 1, 2),
+       |dw AS (SELECT DISTINCT word FROM w),
+       |wh AS (SELECT word, ${XxhSql.hashString("word")} AS h FROM dw),
+       |bits AS (
+       |  SELECT wc.doc_id, b.b,
+       |    CASE WHEN sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
+       |                       THEN wc.c ELSE -wc.c END) > 0
+       |         THEN CAST(1 AS HUGEINT) << b.b ELSE CAST(0 AS HUGEINT) END AS bv
+       |  FROM wc JOIN wh USING (word)
+       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+       |  GROUP BY 1, 2),
+       |sig AS (
+       |  SELECT doc_id, ${XxhSql.toI64("sum(bv)")} AS sig FROM bits GROUP BY doc_id)""".stripMargin
 
   /** pairs CTE (J >= 0.6) over [[ngramOracleCtes]]. */
   private def ngramOraclePairsCte: String =
@@ -663,27 +716,7 @@ object Dedup {
     // band keys off the unsigned pattern (≡ the engine's arithmetic
     // shift + 0xFF mask), bucket self-join, hamming ≤ 6.
     "dedup_simhash" -> graft.OracleSql.materialized(
-      s"""WITH docs AS (
-         |  SELECT doc_id, text FROM documents
-         |  UNION ALL
-         |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents),
-         |         array_to_string(string_split(text, ' ')[2:], ' ')
-         |  FROM documents),
-         |w AS (
-         |  SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM docs),
-         |wc AS (SELECT doc_id, word, count(1) AS c FROM w GROUP BY 1, 2),
-         |dw AS (SELECT DISTINCT word FROM w),
-         |wh AS (SELECT word, ${XxhSql.hashString("word")} AS h FROM dw),
-         |bits AS (
-         |  SELECT wc.doc_id, b.b,
-         |    CASE WHEN sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
-         |                       THEN wc.c ELSE -wc.c END) > 0
-         |         THEN CAST(1 AS HUGEINT) << b.b ELSE CAST(0 AS HUGEINT) END AS bv
-         |  FROM wc JOIN wh USING (word)
-         |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
-         |  GROUP BY 1, 2),
-         |sig AS (
-         |  SELECT doc_id, ${XxhSql.toI64("sum(bv)")} AS sig FROM bits GROUP BY doc_id),
+      s"""WITH $simhashSigCtes,
          |posts AS (
          |  SELECT doc_id, sig, band,
          |    CAST((${XxhSql.toU64("sig")}) // (CAST(1 AS HUGEINT) << (band * 8)) % 256 AS BIGINT) AS key
@@ -789,5 +822,68 @@ object Dedup {
         |FROM per, st ORDER BY split""".stripMargin,
       "docs", "sh0", "sh", "sizes", "inter", "pairs", "edges", "cc",
       "asg", "per", "st"),
+  )
+
+  /** Scale-form oracles for the sf10+ comparator only (see
+    * `SparkEntry.oracleSqlScale`; each substitution requires the
+    * `tools/check_scale_form.py` sf0.1 digest-equivalence stamp).
+    *
+    * dedup_minhash / dedup_recall — [[minhashTailCtes]] with the
+    * list_intersect `minter` (set-exact; see that method's scaladoc).
+    *
+    * dedup_simhash — the primary buckets on SINGLE 8-bit band keys:
+    * 8 bands × 256 keys over 1M docs at sf10 ≈ 490 docs per bucket,
+    * a ~10¹⁰-row self-join intermediate. The scale form buckets on
+    * the 28 ORDERED BYTE PAIRS (16-bit keys, the bucket 256× finer).
+    * Output equality is deterministic pigeonhole, not probability:
+    * hamming(a,b) ≤ 6 means the ≤ 6 differing bits touch at most 6 of
+    * the 8 signature bytes, so at least TWO bytes are equal — the
+    * pair therefore shares ≥ 1 single-byte bucket (primary finds it)
+    * AND ≥ 1 byte-pair bucket (scale form finds it). Conversely both
+    * forms apply the same `hamming ≤ 6` filter, so both emit exactly
+    * the set {(a,b) : hamming ≤ 6} — data-independent equality. */
+  def scaleOracle: Map[String, String] = Map(
+    "dedup_minhash" -> graft.OracleSql.materialized(
+      s"""WITH $docsSh0Ctes,
+         |${minhashTailCtes(scale = true)}
+         |SELECT id_a, id_b, jaccard FROM mh_pairs
+         |ORDER BY id_a, id_b""".stripMargin,
+      "docs", "sh0", "dsh", "shh", "doc_sh", "dh", "hi", "mhv", "mharr",
+      "mposts", "capped", "cand", "msizes", "dlists", "minter",
+      "mh_pairs"),
+    "dedup_recall" -> graft.OracleSql.materialized(
+      s"""WITH $ngramOracleCtes,
+         |$ngramOraclePairsCte,
+         |${minhashTailCtes(scale = true)}
+         |SELECT n_truth, n_found, n_hit,
+         |  CAST(n_hit AS DOUBLE) / n_truth AS recall,
+         |  CAST(n_hit AS DOUBLE) / n_found AS precision
+         |FROM (SELECT
+         |  (SELECT count(1) FROM pairs) AS n_truth,
+         |  (SELECT count(1) FROM mh_pairs) AS n_found,
+         |  (SELECT count(1) FROM pairs p JOIN mh_pairs m
+         |     ON p.id_a = m.id_a AND p.id_b = m.id_b) AS n_hit)""".stripMargin,
+      "docs", "sh0", "sh", "sizes", "inter", "pairs", "dsh", "shh",
+      "doc_sh", "dh", "hi", "mhv", "mharr", "mposts", "capped", "cand",
+      "msizes", "dlists", "minter", "mh_pairs"),
+    "dedup_simhash" -> graft.OracleSql.materialized(
+      s"""WITH $simhashSigCtes,
+         |cposts AS (
+         |  SELECT doc_id, sig, CAST(c.i * 8 + c.j AS INT) AS band,
+         |    CAST((${XxhSql.toU64("sig")})
+         |        // (CAST(1 AS HUGEINT) << CAST(c.i * 8 AS INT)) % 256
+         |      + 256 * ((${XxhSql.toU64("sig")})
+         |        // (CAST(1 AS HUGEINT) << CAST(c.j * 8 AS INT)) % 256)
+         |      AS BIGINT) AS key
+         |  FROM sig CROSS JOIN (
+         |    SELECT i.i, j.j FROM (SELECT unnest(range(0, 8)) AS i) i
+         |    JOIN (SELECT unnest(range(0, 8)) AS j) j ON j.j > i.i) c)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+         |FROM cposts a JOIN cposts b
+         |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.sig, b.sig)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+      "docs", "w", "wc", "dw", "wh", "bits", "sig", "cposts"),
   )
 }

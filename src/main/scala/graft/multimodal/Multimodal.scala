@@ -317,4 +317,66 @@ object Multimodal {
         |  FROM documents)
         |ORDER BY media_id""".stripMargin,
   )
+
+  /** Scale-form oracle for the sf10+ comparator only (see
+    * `SparkEntry.oracleSqlScale`): identical augmentation / cells /
+    * bit rule / 16-bit bands / candidate join, but the hamming readout
+    * packs each media's 64 cell-bits into ONE 64-bit signature
+    * (`sum(bit << cell)`, absent cells contribute 0 exactly as the
+    * primary's `coalesce(bit, 0)`) so distance is a single
+    * `bit_count(xor(...))` per candidate — a pure-algebra rewrite of
+    * the primary's cand × 64-cell grid × two LEFT JOINs against
+    * `bits`, which probes the join ~3.5·10⁹ times at sf10 (cand is
+    * ~28M pairs there) and died spilling. Band presence is preserved
+    * bit-for-bit: a (media, band) row exists iff `bits` has a cell in
+    * that band, as in the primary's GROUP BY. */
+  def scaleOracle: Map[String, String] = Map(
+    "multimodal_phash" -> graft.OracleSql.materialized(
+      s"""WITH $byteCtes,
+         |mx AS (SELECT max(doc_id) AS mx FROM documents),
+         |ball AS (
+         |  SELECT doc_id AS media_id, n, byte, i FROM b
+         |  UNION ALL
+         |  SELECT b.doc_id + mx.mx + 1, n,
+         |    CASE WHEN (i-1) % 97 = 0 THEN (byte + 1) % 256 ELSE byte END, i
+         |  FROM b CROSS JOIN mx WHERE b.doc_id % 10 = 0),
+         |tot AS (SELECT media_id, CAST(sum(byte) AS BIGINT) AS ts,
+         |          CAST(n AS BIGINT) AS n FROM ball GROUP BY media_id, n),
+         |cells AS (
+         |  SELECT media_id, CAST(((i-1)*64)//n AS INT) AS cell,
+         |    CAST(sum(byte) AS BIGINT) AS cs, count(1) AS cc
+         |  FROM ball GROUP BY 1, 2),
+         |bits AS (
+         |  SELECT c.media_id, c.cell,
+         |    CASE WHEN c.cs * t.n > t.ts * c.cc THEN 1 ELSE 0 END AS bit
+         |  FROM cells c JOIN tot t USING (media_id)),
+         |sigs AS (
+         |  SELECT media_id,
+         |    sum(CASE WHEN bit = 1
+         |      THEN CAST(1 AS HUGEINT) << CAST(cell AS INT)
+         |      ELSE CAST(0 AS HUGEINT) END) AS u,
+         |    ${graft.dedup.XxhSql.toI64(
+               "sum(CASE WHEN bit = 1 THEN CAST(1 AS HUGEINT) << " +
+               "CAST(cell AS INT) ELSE CAST(0 AS HUGEINT) END)")} AS sig64
+         |  FROM bits GROUP BY media_id),
+         |bands AS (
+         |  SELECT s.media_id, CAST(p.band AS INT) AS band,
+         |    CAST(s.u // (CAST(1 AS HUGEINT) << CAST(p.band * 16 AS INT))
+         |      % 65536 AS BIGINT) AS key
+         |  FROM sigs s JOIN (SELECT DISTINCT media_id, cell // 16 AS band
+         |                    FROM bits) p USING (media_id)),
+         |cand AS (
+         |  SELECT DISTINCT a.media_id AS ida, b.media_id AS idb
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.key = b.key AND a.media_id < b.media_id),
+         |ham AS (
+         |  SELECT c.ida, c.idb,
+         |    CAST(bit_count(xor(sa.sig64, sb.sig64)) AS INT) AS dist
+         |  FROM cand c JOIN sigs sa ON sa.media_id = c.ida
+         |              JOIN sigs sb ON sb.media_id = c.idb)
+         |SELECT ida AS id_a, idb AS id_b, dist FROM ham
+         |WHERE dist <= 6 ORDER BY id_a, id_b""".stripMargin,
+      "m", "b", "mx", "ball", "tot", "cells", "bits", "sigs", "bands",
+      "cand", "ham"),
+  )
 }

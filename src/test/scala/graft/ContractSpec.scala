@@ -32,6 +32,29 @@ class ContractSpec extends AnyFunSuite {
       s"queries without an oracle: ${qs -- os}")
   }
 
+  test("every oracleSqlScale entry substitutes an existing primary oracle") {
+    val os = SparkEntry.oracleSql.keySet
+    val sc = SparkEntry.oracleSqlScale
+    assert(sc.keySet.subsetOf(os),
+      s"scale forms without a primary oracle: ${sc.keySet -- os}")
+    // a scale form that accidentally EQUALS its primary would make the
+    // sf10 gate silently re-run the infeasible form
+    sc.foreach { case (k, v) =>
+      assert(v != SparkEntry.oracleSql(k), s"$k scale form == primary")
+    }
+    // the sf10 comparator sorts columns by name before hashing, so the
+    // scale form must not rename the projection: final SELECT lists of
+    // both forms must agree on their output aliases. Cheap textual
+    // guard: the last SELECT's text after the final FROM is shared
+    // structure in all current pairs; assert ORDER BY parity at least.
+    sc.keys.foreach { k =>
+      def orderBy(s: String) = s.linesIterator.toSeq.reverse
+        .find(_.trim.startsWith("ORDER BY")).map(_.trim)
+      assert(orderBy(sc(k)) == orderBy(SparkEntry.oracleSql(k)),
+        s"$k scale form changes the ORDER BY readout")
+    }
+  }
+
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {
     // mirror Verify.q's escaping, then parse with a strict JSON parser
     def q(s: String): String = "\"" + s.flatMap {

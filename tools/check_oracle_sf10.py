@@ -206,6 +206,15 @@ def main():
         r["sec"] = round(dt, 1)
         if scale_form:
             r["scale_form"] = True
+            # residual risk recorded next to the entry: a scale form may
+            # share a rewrite identity with the engine's own lowering, so
+            # this row is NOT algorithmically independent evidence — the
+            # sf0.01 gate (primary form) and the sf0.1 digest stamp are
+            r["scale_form_note"] = ("compared against the stamped scale "
+                                    "form, not the primary oracle; see "
+                                    "oracle_sql_scale.json provider "
+                                    "scaladoc for the shared-identity "
+                                    "argument")
         results[name] = r
         if r["status"] == "ok":
             n_ok += 1
