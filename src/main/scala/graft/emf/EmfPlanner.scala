@@ -407,7 +407,7 @@ object EmfPlanner {
   /** Is the aggregated fact column a float/double? Those sums are
     * order-dependent in IEEE arithmetic — a different partitioning gives a
     * different last bit. */
-  private def isFloating(colName: String, schema: StructType): Boolean =
+  private[emf] def isFloating(colName: String, schema: StructType): Boolean =
     schema.find(_.name == colName).map(_.dataType).exists {
       case DoubleType | FloatType => true
       case _                      => false
@@ -415,7 +415,7 @@ object EmfPlanner {
 
   /** Decimal surrogate for exact floating sums: exact for data with ≤6
     * decimal digits (documented quantization for wider inputs). */
-  private val exactDec = "decimal(27,6)"
+  private[emf] val exactDec = "decimal(27,6)"
 
   /** sum/avg over floating columns accumulate in DECIMAL (exact, hence
     * partitioning-independent and bit-reproducible across cluster sizes)
@@ -433,7 +433,7 @@ object EmfPlanner {
   }
 
   /** tuple-vs-literal condition, optionally qualified with an alias. */
-  private def tupleCond(c: Cond, schema: StructType, qual: Option[String]): Column = {
+  private[emf] def tupleCond(c: Cond, schema: StructType, qual: Option[String]): Column = {
     def ref(n: String) = qual.fold(col(n))(a => col(s"$a.$n"))
     (c.lhs, c.rhs) match {
       case (TupleCol(a), Lit(raw)) => cmp(ref(a), c.op, typedLit(raw, a, schema))

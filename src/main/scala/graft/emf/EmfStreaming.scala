@@ -831,6 +831,115 @@ object EmfStreaming {
       .select(col("r.*"), col("__ver"))
   }
 
+  /** Cluster-scale SHARDED lowering of the KEYLESS (E = ∅) global
+    * complement — the PLANS.md §planCrossGroup distributed variant,
+    * here as tested code. [[planCrossGroup]] runs the keyless shape
+    * under ONE constant state key, which is correct but serializes
+    * input folding at one reduction point; this form keeps folding
+    * horizontal: the streaming plan is a PLAIN aggregation keyed by
+    * the anti attribute (per-anti-value partials — own scan-0 slots
+    * plus, per complement variable, exact sum/count partials on the
+    * batch planner's DECIMAL path and min/max partials), so state
+    * shards across executors like any streaming groupBy and nothing
+    * quadratic or global ever lives in state. The forced single
+    * reduction point (the statistic is global by nature — every
+    * group's answer moves when any group changes) is paid at RENDER:
+    * [[snapshotShardedKeyless]] combines all-but-self over the ≤
+    * |anti domain| latest partial rows — `total ⊖ own` for
+    * sum/count/avg on the same exact arithmetic as
+    * [[EmfPlanner.complementPass]], an anti-ordered strict-prefix ⊕
+    * strict-suffix window pair for the non-subtractable min/max.
+    * Sharded ≡ constant-key ≡ batch is pinned per emission step by
+    * EmfStreamingSpec. Emits one `__nrows` column (the key's running
+    * row count, strictly increasing per emission) as the snapshot's
+    * latest-version marker. */
+  def planCrossGroupShardedKeyless(q: EmfQuery, stream: DataFrame): DataFrame = {
+    val schema = stream.schema
+    val (simpleVars, winVars, depVars) = EmfPlanner.classifyVars(q, schema)
+    require(winVars.isEmpty, "sharded keyless lowering: no WINDOWED mix")
+    require(depVars.nonEmpty, "no DEPENDENT variable; use plan(...)")
+    val infos = depVars.map(v => EmfPlanner.complementShape(v, q))
+    require(infos.forall(_.isDefined),
+      "sharded keyless lowering needs complement-shaped variables only")
+    val antiAttr = infos.head.get._2
+    require(infos.forall(i => i.get._1.isEmpty && i.get._2 == antiAttr),
+      s"sharded lowering is the KEYLESS (E = ∅) form on one anti attr; " +
+        s"got ${infos.map(_.get)}")
+    require(q.groupAttrs == Seq(antiAttr),
+      s"keyless complement groups by exactly the anti attr $antiAttr")
+    val base = stream.filter(EmfPlanner.whereColumn(q.where, schema))
+    val ownAggs = EmfPlanner.varZeroAndSimpleAggs(q.varZero, simpleVars, schema)
+    val partialAggs = depVars.zipWithIndex.flatMap { case (v, i) =>
+      val c0 = col(v.agg.column)
+      val guarded = condOf(v, schema).map(c => when(c, c0)).getOrElse(c0)
+      val sumIn =
+        if (EmfPlanner.isFloating(v.agg.column, schema))
+          guarded.cast(EmfPlanner.exactDec)
+        else guarded
+      Seq(sum(sumIn).as(s"__s_$i"), count(guarded).as(s"__c_$i"),
+        min(guarded).as(s"__mn_$i"), max(guarded).as(s"__mx_$i"))
+    }
+    val aggs = ownAggs ++ partialAggs :+ count(lit(1)).as("__nrows")
+    base.groupBy(col(antiAttr)).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Render the current MF structure from a sink table of
+    * [[planCrossGroupShardedKeyless]] partial rows: latest partials per
+    * anti value (max `__nrows`), then the all-but-self combine per
+    * complement variable, HAVING, and the SELECT list — the batch
+    * planner's output, recomputed from sharded state. The combine is a
+    * single pass over ≤ |anti domain| rows: exactly the O(|MF|) render
+    * cost the PLANS.md design prices in. */
+  def snapshotShardedKeyless(partials: DataFrame, q: EmfQuery): DataFrame = {
+    val antiAttr = q.groupAttrs.head
+    val wLatest = Window.partitionBy(col(antiAttr)).orderBy(col("__nrows").desc)
+    var latest = partials.withColumn("__rn", row_number().over(wLatest))
+      .filter(col("__rn") === 1).drop("__rn", "__nrows")
+    // same order as classifyVars' partition — q.vars order preserved
+    val depVars = q.vars.filter(v =>
+      !EmfPlanner.isSimplePublic(v, q) &&
+        EmfPlanner.complementShape(v, q).isDefined)
+    val wPre = Window.orderBy(col(antiAttr))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wPost = Window.orderBy(col(antiAttr))
+      .rowsBetween(1, Window.unboundedFollowing)
+    depVars.zipWithIndex.foreach { case (v, i) =>
+      val value = v.agg.func match {
+        case "min" =>
+          least(min(col(s"__mn_$i")).over(wPre), min(col(s"__mn_$i")).over(wPost))
+        case "max" =>
+          greatest(max(col(s"__mx_$i")).over(wPre), max(col(s"__mx_$i")).over(wPost))
+        case f =>
+          // total ⊖ own on the exact partials — EmfPlanner.complementPass
+          // verbatim, with the one-row totals as window aggregates over
+          // the whole latest frame instead of a cross join
+          val wAll = Window.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)
+          val sumDiff = coalesce(sum(col(s"__s_$i")).over(wAll), lit(0)) -
+            coalesce(col(s"__s_$i"), lit(0))
+          val cntDiff = coalesce(sum(col(s"__c_$i")).over(wAll), lit(0L)) -
+            coalesce(col(s"__c_$i"), lit(0L))
+          // floating inputs ride the exact-DECIMAL partial (its column
+          // type records the choice — no source schema needed here)
+          val floating = partials.schema(s"__s_$i").dataType
+            .isInstanceOf[DecimalType]
+          f match {
+            case "count" => cntDiff
+            case "sum" =>
+              val s = when(cntDiff > 0, sumDiff)
+              if (floating) s.cast("double") else s
+            case "avg" => when(cntDiff > 0, sumDiff.cast("double") / cntDiff)
+          }
+      }
+      latest = latest.withColumn(v.agg.name, value)
+    }
+    val dropped = depVars.indices.flatMap(i =>
+      Seq(s"__s_$i", s"__c_$i", s"__mn_$i", s"__mx_$i"))
+    val cleaned = latest.drop(dropped: _*)
+    q.having.fold(cleaned)(h => cleaned.filter(EmfPlanner.havingColumn(h)))
+      .select(q.select.map(col): _*)
+  }
+
   /** Anti-domain analogue of [[boundOrderDomain]]: one accumulator row
     * per anti value per key — the key's own group count. */
   private def boundAntiDomain(n: Int): Unit =

@@ -39,16 +39,40 @@ object StreamVolume {
     println(s"[streamvol] ${rows.length} sales rows, " +
       s"$nChunks micro-batches of ~$chunkSize")
 
+    // q4 minus its equality pin: the KEYLESS global complement ("each
+    // cust vs every OTHER cust"), measured through BOTH lowerings —
+    // the constant-state-key form (planCrossGroup, E = ∅) and the
+    // cluster-scale sharded form (per-anti partials + render-side
+    // all-but-self; its state is ONE row per cust, so stateRows here
+    // reads as the anti-domain size, not groups × domain)
+    val keylessQ = graft.emf.EmfParser.parseOne(
+      """cust,avg_quant_oth,min_quant_oth
+        |2
+        |cust
+        |avg_quant_oth,min_quant_oth
+        |{MF.cust.avg_quant_oth}[!=]{cust},{MF.cust.min_quant_oth}[!=]{cust}""".stripMargin,
+      graft.Tables.salesView(spark, sfDir).schema.fieldNames.toSet)
+
+    val defaultSnap: (DataFrame, graft.emf.EmfQuery) => DataFrame =
+      EmfStreaming.snapshot
     val cases = Seq[(String, graft.emf.EmfQuery,
-        (graft.emf.EmfQuery, DataFrame) => DataFrame)](
-      ("q3_windowed", GoldenQueries.parsed(2), EmfStreaming.planWindowed),
+        (graft.emf.EmfQuery, DataFrame) => DataFrame,
+        (DataFrame, graft.emf.EmfQuery) => DataFrame)](
+      ("q3_windowed", GoldenQueries.parsed(2), EmfStreaming.planWindowed,
+        defaultSnap),
       // q4: cross-group complement membership (!= cust), incremental via
       // the per-prod total ⊖ own subtraction state
-      ("q4_crossgroup", GoldenQueries.parsed(3), EmfStreaming.planCrossGroup),
-      ("q6_dependent", GoldenQueries.parsed(5), EmfStreaming.planDependent),
-      ("q8_chained", GoldenQueries.parsed(7), EmfStreaming.planChained))
+      ("q4_crossgroup", GoldenQueries.parsed(3), EmfStreaming.planCrossGroup,
+        defaultSnap),
+      ("q4k_keyless", keylessQ, EmfStreaming.planCrossGroup, defaultSnap),
+      ("q4k_sharded", keylessQ, EmfStreaming.planCrossGroupShardedKeyless,
+        EmfStreaming.snapshotShardedKeyless),
+      ("q6_dependent", GoldenQueries.parsed(5), EmfStreaming.planDependent,
+        defaultSnap),
+      ("q8_chained", GoldenQueries.parsed(7), EmfStreaming.planChained,
+        defaultSnap))
 
-    for ((name, q, planFn) <- cases) {
+    for ((name, q, planFn, snapFn) <- cases) {
       val stream = MemoryStream[SaleRow](spark)
       val sq = planFn(q, stream.toDF())
         .writeStream.format("memory").queryName(s"sv_$name")
@@ -65,7 +89,7 @@ object StreamVolume {
         val stateBytes = prog.stateOperators.map(_.memoryUsedBytes).sum
         // Update-mode memory sink accumulates every emitted version of
         // a group; snapshot() keeps the latest per key
-        val snapDf = EmfStreaming.snapshot(spark.table(s"sv_$name"), q)
+        val snapDf = snapFn(spark.table(s"sv_$name"), q)
         val snapCols = snapDf.columns
         val snap = snapDf
           .orderBy(snapCols.map(org.apache.spark.sql.functions.col): _*)

@@ -527,6 +527,77 @@ class EmfStreamingSpec extends SparkSpec {
     } finally sq.stop()
   }
 
+  test("SHARDED keyless complement (round-15): per-anti partials + " +
+      "render-side all-but-self == constant-key == batch") {
+    // The PLANS.md cluster-scale variant of the keyless lowering as
+    // tested code: the streaming plan is a PLAIN aggregation keyed by
+    // the anti attr (shards like any streaming groupBy — no constant
+    // key, no flatMapGroupsWithState), and the forced global reduction
+    // happens at render. All five aggregates, incl. the
+    // non-subtractable min/max via the prefix/suffix combine.
+    val q = EmfParser.parseOne(
+      """cust,avg_quant_oth,max_quant_oth,min_quant_oth,sum_quant_oth,count_quant_oth
+        |5
+        |cust
+        |avg_quant_oth,max_quant_oth,min_quant_oth,sum_quant_oth,count_quant_oth
+        |{MF.cust.avg_quant_oth}[!=]{cust},{MF.cust.max_quant_oth}[!=]{cust},{MF.cust.min_quant_oth}[!=]{cust},{MF.cust.sum_quant_oth}[!=]{cust},{MF.cust.count_quant_oth}[!=]{cust}""".stripMargin,
+      cols)
+    val sharded = MemoryStream[SalesRow](spark)
+    val constant = MemoryStream[SalesRow](spark)
+    val sqS = EmfStreaming.planCrossGroupShardedKeyless(q, sharded.toDF())
+      .writeStream.format("memory").queryName("emf_cross_sharded")
+      .outputMode(OutputMode.Update).start()
+    val sqC = EmfStreaming.planCrossGroup(q, constant.toDF())
+      .writeStream.format("memory").queryName("emf_cross_sharded_ck")
+      .outputMode(OutputMode.Update).start()
+    try {
+      def snapS() = EmfStreaming
+        .snapshotShardedKeyless(spark.table("emf_cross_sharded"), q)
+        .orderBy("cust").collect().toSeq
+      def snapC() = EmfStreaming
+        .snapshot(spark.table("emf_cross_sharded_ck"), q)
+        .orderBy("cust").collect().toSeq
+      // the sharded sink holds PARTIALS, not rendered emissions — the
+      // state-shape claim the design makes
+      val b1 = Seq(SalesRow("c1", "p1", 1, "NY", 10),
+        SalesRow("c2", "p2", 1, "CT", 20), SalesRow("c2", "p2", 2, "CT", 4))
+      sharded.addData(b1); constant.addData(b1)
+      sqS.processAllAvailable(); sqC.processAllAvailable()
+      assert(spark.table("emf_cross_sharded").columns.count(
+        _.startsWith("__s_")) == 5, "sink must carry per-variable partials")
+      val batch1 = EmfPlanner.plan(q, b1.toDF()).orderBy("cust").collect().toSeq
+      assert(snapS() == batch1, "sharded != batch after batch 1")
+      assert(snapC() == batch1, "constant-key != batch after batch 1")
+      // one new group's single row revises EVERY other group's
+      // complement — in the sharded form no existing key's state is
+      // touched; the revision is render-side
+      val r3 = SalesRow("c3", "p3", 2, "NJ", 5)
+      sharded.addData(r3); constant.addData(r3)
+      sqS.processAllAvailable(); sqC.processAllAvailable()
+      val all = b1 :+ r3
+      val batch2 = EmfPlanner.plan(q, all.toDF()).orderBy("cust").collect().toSeq
+      assert(snapS() == batch2, "sharded != batch after batch 2")
+      assert(snapC() == batch2, "constant-key != batch after batch 2")
+      // single-group complement degenerates to NULL/0 identically:
+      // replay just one group on fresh streams
+      val solo = MemoryStream[SalesRow](spark)
+      val sqSolo = EmfStreaming.planCrossGroupShardedKeyless(q, solo.toDF())
+        .writeStream.format("memory").queryName("emf_cross_sharded_solo")
+        .outputMode(OutputMode.Update).start()
+      try {
+        solo.addData(Seq(SalesRow("c9", "p1", 1, "NY", 7)))
+        sqSolo.processAllAvailable()
+        val s = EmfStreaming.snapshotShardedKeyless(
+          spark.table("emf_cross_sharded_solo"), q).collect()
+        assert(s.length == 1)
+        val r = s.head
+        assert(r.isNullAt(1) && r.isNullAt(2) && r.isNullAt(3) &&
+          r.isNullAt(4), "empty complement renders NULL")
+        assert(r.getLong(5) == 0L, "empty complement count renders 0")
+      } finally sqSolo.stop()
+    } finally { sqS.stop(); sqC.stop() }
+  }
+
   test("cross-group streaming: min/max complements (round-13) — retraction proven") {
     // min/max have no inverse, so these CANNOT use the subtraction
     // identity; the all-but-self combine must still revise a group's
