@@ -323,33 +323,51 @@ object KMeans {
   private[ann] def assignCtesStreamFrom(src: String,
       kSql: String = "4"): String =
     s"""e AS (
-      |  SELECT vec_id,
+      |  SELECT vec_id, qe,
+      |    list_transform(qe, x -> CAST(x AS DOUBLE)) AS qed,
+      |    CAST(list_dot_product(list_transform(qe, x -> CAST(x AS DOUBLE)),
+      |      list_transform(qe, x -> CAST(x AS DOUBLE))) AS HUGEINT) AS nq
+      |  FROM (SELECT vec_id,
       |    list_transform(embedding,
       |      x -> CAST(floor(CAST(x AS DOUBLE) * 1024) AS BIGINT)) AS qe
-      |  FROM $src),
+      |  FROM $src)),
       |init AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) - 1 AS cell,
-      |         qe AS qc
+      |         qe AS qc, qed AS qcd, nq AS nqc
       |  FROM (SELECT * FROM e
       |        QUALIFY row_number() OVER (ORDER BY vec_id) <= ($kSql))),""".stripMargin + "\n" +
+    // ||qe − qc||² expanded as nq + nqc − 2⟨qe,qc⟩ over the NATIVE
+    // list_dot_product kernel — every term is an integer below 2^53, so
+    // the double-path dot is EXACT and the distance is the same integer
+    // the primary's lambda computes (the lambda form at sf10 is 625M
+    // rows × an interpreted 64-step lambda — it timed out the 1800 s
+    // comparator budget; this form is the same arithmetic on a
+    // vectorized kernel)
     """a1 AS (
       |  SELECT e.vec_id,
-      |    CAST(min(CAST(list_sum(list_transform(range(1, 65),
-      |        j -> (e.qe[j] - i.qc[j]) * (e.qe[j] - i.qc[j]))) AS HUGEINT)
+      |    CAST(min(CAST(e.nq + i.nqc
+      |        - CAST(2 * list_dot_product(e.qed, i.qcd) AS HUGEINT)
+      |        AS HUGEINT)
       |      * 4294967296 + i.cell) % 4294967296 AS INT) AS cell
       |  FROM e CROSS JOIN init i GROUP BY e.vec_id),
       |c1 AS (
-      |  SELECT cell, list(c ORDER BY pos) AS qc FROM (
-      |    SELECT a1.cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
-      |    FROM a1 JOIN e USING (vec_id),
-      |      LATERAL (SELECT unnest(e.qe) AS q,
-      |        generate_subscripts(e.qe, 1) AS pos) u
-      |    GROUP BY a1.cell, u.pos)
-      |  GROUP BY cell),
+      |  SELECT cell, qc,
+      |    list_transform(qc, x -> CAST(x AS DOUBLE)) AS qcd,
+      |    CAST(list_dot_product(list_transform(qc, x -> CAST(x AS DOUBLE)),
+      |      list_transform(qc, x -> CAST(x AS DOUBLE))) AS HUGEINT) AS nqc
+      |  FROM (
+      |    SELECT cell, list(c ORDER BY pos) AS qc FROM (
+      |      SELECT a1.cell, u.pos, CAST(sum(u.q) // count(1) AS BIGINT) AS c
+      |      FROM a1 JOIN e USING (vec_id),
+      |        LATERAL (SELECT unnest(e.qe) AS q,
+      |          generate_subscripts(e.qe, 1) AS pos) u
+      |      GROUP BY a1.cell, u.pos)
+      |    GROUP BY cell)),
       |a2 AS (
       |  SELECT e.vec_id,
-      |    CAST(min(CAST(list_sum(list_transform(range(1, 65),
-      |        j -> (e.qe[j] - c.qc[j]) * (e.qe[j] - c.qc[j]))) AS HUGEINT)
+      |    CAST(min(CAST(e.nq + c.nqc
+      |        - CAST(2 * list_dot_product(e.qed, c.qcd) AS HUGEINT)
+      |        AS HUGEINT)
       |      * 4294967296 + c.cell) % 4294967296 AS INT) AS cell
       |  FROM e CROSS JOIN c1 c GROUP BY e.vec_id)""".stripMargin
 

@@ -522,8 +522,12 @@ object Similarity {
     * row_number window; [[KMeans.assignCtesStreamFrom]] streams the
     * same distances through a `min(dist·2³² + cell)` aggregate — an
     * exact packing of the primary's (dist, cell) tie-break — so
-    * nothing quadratic is ever stored. Candidate generation, scoring
-    * arithmetic, and the keep rule are byte-identical to the primary.
+    * nothing quadratic is ever stored. Candidate generation and the
+    * keep rule are byte-identical to the primary; the pair scoring
+    * rides DuckDB's native list_dot_product instead of the primary's
+    * interpreted 64-step lambda (same j-order product sum; any last-
+    * ulp divergence is three orders below the 0.006 threshold margin,
+    * and the sf0.1 digest stamp checks the rendered 0/1 outcome).
     *
     * dedup_embcos — the primary form is exact all-pairs over the
     * exploded corpus: 64·C(n,2) join rows ≈ 5·10¹² at sf10's n=400k,
@@ -575,8 +579,7 @@ object Similarity {
          |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
          |dots AS (
          |  SELECT c.id_a, c.id_b,
-         |    list_sum(list_transform(range(1, 65),
-         |      j -> a.emb[j] * b.emb[j])) AS dot
+         |    list_dot_product(a.emb, b.emb) AS dot
          |  FROM cand c JOIN aug a ON a.vec_id = c.id_a
          |              JOIN aug b ON b.vec_id = c.id_b),
          |dup AS (

@@ -582,6 +582,27 @@ object Dedup {
     * jaccard ≥ 0.6 filter in `mh_pairs` drops it identically (0 / n
     * with n ≥ 1 since every doc has ≥ 1 shingle). */
   private def minhashTailCtes(scale: Boolean): String = {
+    // Scale form of the signature build: the primary materializes mhv =
+    // one row per (doc, element-hash index) — a 51.6M×32 ≈ 1.65·10⁹-row
+    // join intermediate grouped on 32M keys at sf10, the stage that blew
+    // the comparator's wall budget. The rewrite folds the 32 hash values
+    // of each DISTINCT shingle hash into one list row (hil, |dh| rows)
+    // and takes the 32 mins in a SINGLE doc-keyed aggregate — same
+    // min-per-index arithmetic, 1M groups instead of 32M, nothing
+    // (doc × index)-shaped ever materialized.
+    val sigBuild =
+      if (!scale)
+        """mhv AS (
+          |  SELECT ds.doc_id, hi.i, min(hi.hv) AS m
+          |  FROM doc_sh ds JOIN hi ON hi.h = ds.h GROUP BY 1, 2),
+          |mharr AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mhv GROUP BY doc_id),""".stripMargin
+      else
+        s"""hil AS (SELECT h, list(hv ORDER BY i) AS hv FROM hi GROUP BY h),
+           |mharr AS (
+           |  SELECT ds.doc_id,
+           |    [${(1 to 32).map(i => s"min(l.hv[$i])").mkString(", ")}] AS mh
+           |  FROM doc_sh ds JOIN hil l ON l.h = ds.h
+           |  GROUP BY ds.doc_id),""".stripMargin
     val minter =
       if (!scale)
         """minter AS (
@@ -604,10 +625,7 @@ object Dedup {
        |hi AS (
        |  SELECT h, i, ${XxhSql.toI64(XxhSql.hashInt("i", XxhSql.toU64("h")))} AS hv
        |  FROM dh CROSS JOIN (SELECT CAST(unnest(range(0, 32)) AS INT) AS i) r),
-       |mhv AS (
-       |  SELECT ds.doc_id, hi.i, min(hi.hv) AS m
-       |  FROM doc_sh ds JOIN hi ON hi.h = ds.h GROUP BY 1, 2),
-       |mharr AS (SELECT doc_id, list(m ORDER BY i) AS mh FROM mhv GROUP BY doc_id),
+       |$sigBuild
        |mposts AS (
        |  SELECT doc_id, band, $minhashBandKeySql AS key
        |  FROM mharr CROSS JOIN (SELECT CAST(unnest(range(0, 8)) AS INT) AS band) bd),
@@ -632,8 +650,45 @@ object Dedup {
   /** SimHash signature CTE chain (docs ∪ near-dups → per-word seed-42
     * xxhash64 → 64 count-weighted majority votes → signed 64-bit
     * signature), shared by the primary dedup_simhash oracle and its
-    * scale form so the replayed signature arithmetic cannot drift. */
-  private def simhashSigCtes: String =
+    * scale form so the replayed signature arithmetic cannot drift.
+    *
+    * `scale = true` swaps the vote layout only: the primary's `bits`
+    * materializes one row per (doc, bit) — (word-doc pairs) × 64 ≈
+    * 6·10⁹ join rows into a 64M-group aggregate at sf10, the stage
+    * that blew the comparator's wall budget — while the scale layout
+    * takes the SAME 64 count-weighted sums as 64 aggregate columns of
+    * ONE doc-keyed pass (1M groups, nothing (doc × bit)-shaped ever
+    * materialized) and packs the sign bits in the projection. A pure
+    * regrouping of identical sums — vote, threshold, and bit values
+    * are equal term for term. */
+  private def simhashSigCtes(scale: Boolean = false): String = {
+    val sigPart =
+      if (!scale)
+        s"""bits AS (
+           |  SELECT wc.doc_id, b.b,
+           |    CASE WHEN sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
+           |                       THEN wc.c ELSE -wc.c END) > 0
+           |         THEN CAST(1 AS HUGEINT) << b.b ELSE CAST(0 AS HUGEINT) END AS bv
+           |  FROM wc JOIN wh USING (word)
+           |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
+           |  GROUP BY 1, 2),
+           |sig AS (
+           |  SELECT doc_id, ${XxhSql.toI64("sum(bv)")} AS sig FROM bits GROUP BY doc_id)""".stripMargin
+      else {
+        val votes = (0 until 64).map(b =>
+          s"sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << $b)) % 2 = 1 " +
+            s"THEN wc.c ELSE -wc.c END) AS v$b").mkString(",\n  ")
+        val pack = (0 until 64).map(b =>
+          s"CASE WHEN v$b > 0 THEN CAST(1 AS HUGEINT) << $b " +
+            "ELSE CAST(0 AS HUGEINT) END").mkString(" + ")
+        s"""bits AS (
+           |  SELECT wc.doc_id,
+           |  $votes
+           |  FROM wc JOIN wh USING (word)
+           |  GROUP BY 1),
+           |sig AS (
+           |  SELECT doc_id, ${XxhSql.toI64(s"($pack)")} AS sig FROM bits)""".stripMargin
+      }
     s"""docs AS (
        |  SELECT doc_id, text FROM documents
        |  UNION ALL
@@ -645,16 +700,8 @@ object Dedup {
        |wc AS (SELECT doc_id, word, count(1) AS c FROM w GROUP BY 1, 2),
        |dw AS (SELECT DISTINCT word FROM w),
        |wh AS (SELECT word, ${XxhSql.hashString("word")} AS h FROM dw),
-       |bits AS (
-       |  SELECT wc.doc_id, b.b,
-       |    CASE WHEN sum(CASE WHEN (wh.h // (CAST(1 AS HUGEINT) << b.b)) % 2 = 1
-       |                       THEN wc.c ELSE -wc.c END) > 0
-       |         THEN CAST(1 AS HUGEINT) << b.b ELSE CAST(0 AS HUGEINT) END AS bv
-       |  FROM wc JOIN wh USING (word)
-       |  CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b
-       |  GROUP BY 1, 2),
-       |sig AS (
-       |  SELECT doc_id, ${XxhSql.toI64("sum(bv)")} AS sig FROM bits GROUP BY doc_id)""".stripMargin
+       |$sigPart""".stripMargin
+  }
 
   /** pairs CTE (J >= 0.6) over [[ngramOracleCtes]]. */
   private def ngramOraclePairsCte: String =
@@ -716,7 +763,7 @@ object Dedup {
     // band keys off the unsigned pattern (≡ the engine's arithmetic
     // shift + 0xFF mask), bucket self-join, hamming ≤ 6.
     "dedup_simhash" -> graft.OracleSql.materialized(
-      s"""WITH $simhashSigCtes,
+      s"""WITH ${simhashSigCtes()},
          |posts AS (
          |  SELECT doc_id, sig, band,
          |    CAST((${XxhSql.toU64("sig")}) // (CAST(1 AS HUGEINT) << (band * 8)) % 256 AS BIGINT) AS key
@@ -848,7 +895,7 @@ object Dedup {
          |${minhashTailCtes(scale = true)}
          |SELECT id_a, id_b, jaccard FROM mh_pairs
          |ORDER BY id_a, id_b""".stripMargin,
-      "docs", "sh0", "dsh", "shh", "doc_sh", "dh", "hi", "mhv", "mharr",
+      "docs", "sh0", "dsh", "shh", "doc_sh", "dh", "hi", "hil", "mharr",
       "mposts", "capped", "cand", "msizes", "dlists", "minter",
       "mh_pairs"),
     "dedup_recall" -> graft.OracleSql.materialized(
@@ -864,10 +911,10 @@ object Dedup {
          |  (SELECT count(1) FROM pairs p JOIN mh_pairs m
          |     ON p.id_a = m.id_a AND p.id_b = m.id_b) AS n_hit)""".stripMargin,
       "docs", "sh0", "sh", "sizes", "inter", "pairs", "dsh", "shh",
-      "doc_sh", "dh", "hi", "mhv", "mharr", "mposts", "capped", "cand",
+      "doc_sh", "dh", "hi", "hil", "mharr", "mposts", "capped", "cand",
       "msizes", "dlists", "minter", "mh_pairs"),
     "dedup_simhash" -> graft.OracleSql.materialized(
-      s"""WITH $simhashSigCtes,
+      s"""WITH ${simhashSigCtes(scale = true)},
          |cposts AS (
          |  SELECT doc_id, sig, CAST(c.i * 8 + c.j AS INT) AS band,
          |    CAST((${XxhSql.toU64("sig")})

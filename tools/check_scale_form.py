@@ -19,7 +19,13 @@ nothing). On completion the per-entry statuses are written to
 <verifyOutDir>/scale_form_ok.json — the pass stamp check_oracle_sf10.py
 requires before substituting a scale form.
 
-Usage: check_scale_form.py <sfDir> <verifyOutDir>
+Usage: check_scale_form.py <sfDir> <verifyOutDir> [entry ...]
+Extra args restrict the run to the named entries; the stamp file is
+MERGED (named entries updated, other entries' stamps preserved), so a
+targeted re-proof after editing one scale form does not discard the
+others' evidence. Stale stamps are harmless either way: the consumer
+(check_oracle_sf10.py) re-hashes the scale SQL against each stamp's
+sql_sha and refuses mismatches.
 Env: ORACLE_TIMEOUT / ORACLE_THREADS / ORACLE_MEM / ORACLE_TMP as in
 check_oracle_sf10.py.
 """
@@ -73,10 +79,13 @@ def compare_one(sf_dir, name, psql, ssql, q):
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
+    only = set(sys.argv[3:])
     primary = json.load(open(f"{out_dir}/oracle_sql.json"))
     scale = json.load(open(f"{out_dir}/oracle_sql_scale.json"))
     results, bad = {}, 0
     for name in sorted(scale):
+        if only and name not in only:
+            continue
         if name not in primary:
             results[name] = {"status": "no-primary"}
             print(f"FAIL {name}: scale form has no primary oracle "
@@ -113,9 +122,14 @@ def main():
             print(f"{r['status'].upper()[:4]} {name}: {r.get('why', '')} "
                   f"({r['sec']}s)", flush=True)
     # pass stamp consumed by check_oracle_sf10.py: a scale form may only
-    # be substituted when its stamp for THIS verify build says ok
+    # be substituted when its stamp for THIS verify build says ok.
+    # Merge-write: a subset run updates only its entries.
     stamp = f"{out_dir}/scale_form_ok.json"
-    json.dump({"sf_dir": sf_dir, "results": results},
+    merged = {}
+    if only and os.path.exists(stamp):
+        merged = json.load(open(stamp)).get("results", {})
+    merged.update(results)
+    json.dump({"sf_dir": sf_dir, "results": merged},
               open(stamp, "w"), indent=1, sort_keys=True)
     print(f"== {len(results) - bad} ok, {bad} not-ok -> {stamp}")
     sys.exit(1 if bad else 0)
