@@ -187,6 +187,12 @@ def main():
         if status is not None:
             p.terminate()
             p.join()
+            # a terminated DuckDB never cleans its spill files — without
+            # this, one killed pair-join leaves tens of GB behind and
+            # starves every later query (observed: 29 GB after one kill)
+            if os.environ.get("ORACLE_TMP") and os.path.isdir(tmp_dir):
+                import shutil
+                shutil.rmtree(tmp_dir, ignore_errors=True)
             results[name] = {"status": status, "sec": round(dt, 1)}
             why = (f"oracle exceeded {TIMEOUT}s" if status == "timeout" else
                    f"temp spill in {tmp_dir} crossed "
