@@ -123,4 +123,12 @@ object SparkEntry {
       graft.dedup.Dedup.scaleOracle ++
       graft.ann.Similarity.scaleOracle ++
       graft.multimodal.Multimodal.scaleOracle
+
+  /** Margin diagnostics for scale-form entries whose exact arithmetic
+    * differs microscopically from the primary's (summation order):
+    * `tools/check_scale_form.py` runs these after a green digest and
+    * records how far the corpus's values sit from the entry's
+    * threshold / rounding boundaries (see each provider's scaladoc). */
+  def oracleMarginProbes: Map[String, String] =
+    graft.ann.Similarity.marginProbes
 }

@@ -73,6 +73,11 @@ object Verify {
     val scaleJson = SparkEntry.oracleSqlScale
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql_scale.json"), scaleJson)
+    // margin diagnostics check_scale_form.py records next to green stamps
+    val probeJson = SparkEntry.oracleMarginProbes
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(
+      Paths.get(s"$outDir/oracle_margin_probes.json"), probeJson)
     spark.stop()
   }
 }

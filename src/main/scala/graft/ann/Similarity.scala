@@ -594,45 +594,77 @@ object Similarity {
       "base", "aug", "e", "init", "a1", "c1", "a2", "norms",
       "cand", "dots", "dup"),
     "dedup_embcos" -> graft.OracleSql.materialized(
-      """WITH e AS (
-        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-        |  UNION ALL
-        |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
-        |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
-        |  FROM embeddings),
-        |el AS (
-        |  SELECT vec_id, emb,
-        |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
-        |  FROM e),
-        |sgn AS (
-        |  SELECT p,
-        |    list(CASE WHEN rnk <= 32 THEN CAST(1 AS DOUBLE)
-        |         ELSE CAST(-1 AS DOUBLE) END ORDER BY j) AS sv
-        |  FROM (
-        |    SELECT p.p AS p, j.j AS j,
-        |      row_number() OVER (PARTITION BY p.p
-        |        ORDER BY hash(j.j * 1000003 + p.p), j.j) AS rnk
-        |    FROM (SELECT unnest(range(0, 512)) AS p) p
-        |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j)
-        |  GROUP BY p),
-        |bands AS (
-        |  SELECT vec_id, CAST(s.p // 16 AS INT) AS band,
-        |    CAST(sum(CASE WHEN list_dot_product(el.emb, s.sv) > 0
-        |      THEN 1 << CAST(s.p % 16 AS INT) ELSE 0 END) AS BIGINT) AS key
-        |  FROM el CROSS JOIN sgn s GROUP BY 1, 2),
-        |cand AS (
-        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |  FROM bands a JOIN bands b
-        |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
-        |  GROUP BY 1, 2),
-        |scored AS (
-        |  SELECT c.id_a, c.id_b, list_dot_product(a.emb, b.emb) AS dot,
-        |    a.nrm AS na, b.nrm AS nb
-        |  FROM cand c JOIN el a ON a.vec_id = c.id_a
-        |              JOIN el b ON b.vec_id = c.id_b)
-        |SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos6
-        |FROM scored WHERE dot / (na * nb) >= 0.99
-        |ORDER BY id_a, id_b""".stripMargin,
+      embcosCandidateCtes +
+        """
+          |SELECT id_a, id_b, round(dot / (na * nb), 6) AS cos6
+          |FROM scored WHERE dot / (na * nb) >= 0.99
+          |ORDER BY id_a, id_b""".stripMargin,
+      "e", "el", "sgn", "bands", "cand", "scored"),
+  )
+
+  /** The embcos scale form's candidate generation + scoring CTE chain,
+    * shared byte-for-byte between the scale form itself and its margin
+    * probe so the probe can never drift from what it diagnoses. */
+  private val embcosCandidateCtes: String =
+    """WITH e AS (
+      |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+      |  UNION ALL
+      |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM embeddings),
+      |         list_transform(CAST(embedding AS DOUBLE[]), x -> x * 0.9 + 0.01)
+      |  FROM embeddings),
+      |el AS (
+      |  SELECT vec_id, emb,
+      |    sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+      |  FROM e),
+      |sgn AS (
+      |  SELECT p,
+      |    list(CASE WHEN rnk <= 32 THEN CAST(1 AS DOUBLE)
+      |         ELSE CAST(-1 AS DOUBLE) END ORDER BY j) AS sv
+      |  FROM (
+      |    SELECT p.p AS p, j.j AS j,
+      |      row_number() OVER (PARTITION BY p.p
+      |        ORDER BY hash(j.j * 1000003 + p.p), j.j) AS rnk
+      |    FROM (SELECT unnest(range(0, 512)) AS p) p
+      |    CROSS JOIN (SELECT unnest(range(1, 65)) AS j) j)
+      |  GROUP BY p),
+      |bands AS (
+      |  SELECT vec_id, CAST(s.p // 16 AS INT) AS band,
+      |    CAST(sum(CASE WHEN list_dot_product(el.emb, s.sv) > 0
+      |      THEN 1 << CAST(s.p % 16 AS INT) ELSE 0 END) AS BIGINT) AS key
+      |  FROM el CROSS JOIN sgn s GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id
+      |  GROUP BY 1, 2),
+      |scored AS (
+      |  SELECT c.id_a, c.id_b, list_dot_product(a.emb, b.emb) AS dot,
+      |    a.nrm AS na, b.nrm AS nb
+      |  FROM cand c JOIN el a ON a.vec_id = c.id_a
+      |              JOIN el b ON b.vec_id = c.id_b)""".stripMargin
+
+  /** Margin diagnostics recorded next to a green stamp by
+    * `tools/check_scale_form.py` (dumped to oracle_margin_probes.json
+    * by Verify). dedup_embcos scores with DuckDB's native
+    * list_dot_product while the primary sums a list_transform
+    * sequentially; a candidate whose cosine sits within an ulp of the
+    * 0.99 threshold, or an emitted pair within an ulp of a round(·,6)
+    * half-step, could flip between the two summation orders. The probe
+    * records the corpus's actual minimum margins over the SAME scored
+    * candidate set, so a near-boundary corpus at a bigger SF is
+    * detected (margin ~1e-16) rather than assumed away — the designed
+    * near-dup class sits at cos ≈ 0.998 with ~8.6e-3 to spare. */
+  def marginProbes: Map[String, String] = Map(
+    "dedup_embcos" -> graft.OracleSql.materialized(
+      embcosCandidateCtes +
+        """
+          |SELECT
+          |  min(abs(dot / (na * nb) - 0.99)) AS min_threshold_margin,
+          |  min(CASE WHEN dot / (na * nb) >= 0.99 THEN
+          |    abs((dot / (na * nb)) * 1e6
+          |        - floor((dot / (na * nb)) * 1e6) - 0.5) * 1e-6
+          |  END) AS min_rounding_margin
+          |FROM scored""".stripMargin,
       "e", "el", "sgn", "bands", "cand", "scored"),
   )
 }

@@ -872,11 +872,16 @@ object EmfStreaming {
     val partialAggs = depVars.zipWithIndex.flatMap { case (v, i) =>
       val c0 = col(v.agg.column)
       val guarded = condOf(v, schema).map(c => when(c, c0)).getOrElse(c0)
-      val sumIn =
-        if (EmfPlanner.isFloating(v.agg.column, schema))
-          guarded.cast(EmfPlanner.exactDec)
-        else guarded
-      Seq(sum(sumIn).as(s"__s_$i"), count(guarded).as(s"__c_$i"),
+      val floating = EmfPlanner.isFloating(v.agg.column, schema)
+      val sumIn = if (floating) guarded.cast(EmfPlanner.exactDec) else guarded
+      // the partial's NAME records the isFloating decision (`__sf_` =
+      // floating source riding the exact-DECIMAL surrogate, `__s_` =
+      // native type): the snapshot must not infer it from the sink's
+      // DecimalType, or a natively-DECIMAL source would be misread as
+      // floating and its sum cast to double at render, diverging from
+      // EmfPlanner.complementPass which keeps native decimals un-cast
+      Seq(sum(sumIn).as(if (floating) s"__sf_$i" else s"__s_$i"),
+        count(guarded).as(s"__c_$i"),
         min(guarded).as(s"__mn_$i"), max(guarded).as(s"__mx_$i"))
     }
     val aggs = ownAggs ++ partialAggs :+ count(lit(1)).as("__nrows")
@@ -915,14 +920,17 @@ object EmfStreaming {
           // the whole latest frame instead of a cross join
           val wAll = Window.rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing)
-          val sumDiff = coalesce(sum(col(s"__s_$i")).over(wAll), lit(0)) -
-            coalesce(col(s"__s_$i"), lit(0))
+          // the planner's isFloating decision rides the partial's NAME
+          // (`__sf_` = floating via the exact-DECIMAL surrogate, cast
+          // back to double at render; `__s_` = native type, un-cast) —
+          // inferring it from the sink's DecimalType would misread a
+          // natively-DECIMAL source column as floating
+          val floating = partials.columns.contains(s"__sf_$i")
+          val sName = if (floating) s"__sf_$i" else s"__s_$i"
+          val sumDiff = coalesce(sum(col(sName)).over(wAll), lit(0)) -
+            coalesce(col(sName), lit(0))
           val cntDiff = coalesce(sum(col(s"__c_$i")).over(wAll), lit(0L)) -
             coalesce(col(s"__c_$i"), lit(0L))
-          // floating inputs ride the exact-DECIMAL partial (its column
-          // type records the choice — no source schema needed here)
-          val floating = partials.schema(s"__s_$i").dataType
-            .isInstanceOf[DecimalType]
           f match {
             case "count" => cntDiff
             case "sum" =>
@@ -934,7 +942,7 @@ object EmfStreaming {
       latest = latest.withColumn(v.agg.name, value)
     }
     val dropped = depVars.indices.flatMap(i =>
-      Seq(s"__s_$i", s"__c_$i", s"__mn_$i", s"__mx_$i"))
+      Seq(s"__s_$i", s"__sf_$i", s"__c_$i", s"__mn_$i", s"__mx_$i"))
     val cleaned = latest.drop(dropped: _*)
     q.having.fold(cleaned)(h => cleaned.filter(EmfPlanner.havingColumn(h)))
       .select(q.select.map(col): _*)

@@ -343,9 +343,13 @@ object GoldenQueries {
   /** SCALE-FORM oracles for the sf10+ comparator
     * (`tools/check_oracle_sf10.py`), substituted for the primary form
     * only at that scale and recorded per-entry as `scale_form` in the
-    * committed results JSON.
+    * committed results JSON. Scale forms carry no final ORDER BY: the
+    * comparator's digest is order-independent, and at ×1000 the sort of
+    * a 287M-row result is pure spill. Output-alias parity with the
+    * primary is enforced by `tools/check_scale_form.py`'s column-sorted
+    * digest (a renamed column digests differently).
     *
-    * emf_q4's primary oracle joins `g` (cust×prod groups) back to
+    * emf_q4 — the primary oracle joins `g` (cust×prod groups) back to
     * `sales` ON prod alone — and prod is p_brand, 25 distinct values,
     * so the join is quadratic per brand: ~3×10¹² intermediate rows at
     * sf10 (observed: 74 GB of DuckDB temp spill, death-by-disk). The
@@ -354,48 +358,122 @@ object GoldenQueries {
     *   avg over OTHER customers = (S_prod − s_own) / (C_prod − c_own)
     * — on exact HUGEINT sums/counts, so the DOUBLE division sees
     * bit-identical operands and the result is bit-identical to the
-    * join form (empirically digest-equal at sf0.1 via
-    * `tools/check_scale_form.py`; the driver's sf0.01 gate keeps
-    * running the independent join form). NULL when the complement is
-    * empty, exactly as the join form's LEFT-JOIN miss. The engine's
-    * own complement lowering ([[EmfPlanner]] complementPass) is a
-    * separate implementation in a different engine; the shared
-    * identity is the price of a tractable oracle at ×100 scale. */
+    * join form. NULL when the complement is empty, exactly as the join
+    * form's LEFT-JOIN miss. The r15 version of this form rebuilt the
+    * result as `g LEFT JOIN o` on (cust, prod) — two 287M-row frames
+    * from the SAME pg row re-joined on VARCHAR pair keys; at sf100 that
+    * hash build alone crossed the disk budget. Both columns now project
+    * straight off one `pg JOIN tot` (tot is ≤|prod| rows), and `pg` is
+    * the only multi-referenced frame (287M × 4 narrow cols).
+    *
+    * emf_q8 — the primary's windowed step `a` joins g×s on
+    * `x.month < g.month` (a per-cust quadratic frame: ~600M-row s
+    * replayed per month) and references the 600M-row `s` three times,
+    * which DuckDB materializes in full — >40 GB of spill at sf100. The
+    * scale form pre-aggregates s once to `cmq` (cust, month, quant,
+    * count) — ≤|rows| but 4 narrow cols, the only multi-referenced
+    * frame — folds exact per-(cust,month) HUGEINT partials `pm`, and
+    * renders the windowed avg as a strict-prefix window (ROWS UNBOUNDED
+    * PRECEDING .. 1 PRECEDING ≡ RANGE here: pm is key-unique per
+    * month). sum-of-int partials are exact, so prefix-summing them in
+    * any order yields the primary's operands bit-for-bit; an empty
+    * frame gives NULL exactly as the primary's LEFT-JOIN miss. The
+    * dependent count re-reads cmq (sum of cnt ≡ count of raw rows) —
+    * the same partial-fold algebra as the engine's windowedPass /
+    * dependentPass, in a different engine; the sf0.01 gate keeps
+    * running the independent join form.
+    *
+    * emf_batch — the primary (and the r15 scale form, which hoisted
+    * one `sales AS MATERIALIZED` over the union) materializes the
+    * 600M-row wide frame; at sf100 that alone is >35 GB of spill. But
+    * the batch output is only the 8 per-query ROW COUNTS, and for
+    * every branch except q5/q6 the count is a distinct-count: each
+    * branch's final LEFT JOINs are row-preserving (the right side is
+    * GROUP BY'd on the join key, hence key-unique), so |output| =
+    * |g| = |DISTINCT group-attrs of its base|. q5's count needs the
+    * actual conditional avgs (one single-pass GROUP BY, already lean);
+    * q6's needs the groups whose over-avg count is positive, computed
+    * from a (prod, month, quant, count) pre-aggregate that is tiny
+    * (≤ |prod|·12·|quant| rows). Every branch re-derives `sales`
+    * privately with a single reference, so DuckDB streams the six-way
+    * join into each branch's aggregate and nothing wide is ever
+    * stored. */
   val scaleOracle: Map[String, String] = {
     val q4 =
       s"""WITH $sales,
          | pg AS (SELECT cust, prod, sum(quant) AS s, count(quant) AS c
          |        FROM sales GROUP BY 1,2),
          | tot AS (SELECT prod, sum(s) AS ts, sum(c) AS tc
-         |         FROM pg GROUP BY 1),
-         | g AS (SELECT cust, prod, CAST(s AS DOUBLE)/c AS avg_quant_sale
-         |       FROM pg),
-         | o AS (SELECT pg.cust, pg.prod,
-         |         CASE WHEN tot.tc - pg.c > 0
-         |              THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
-         |         END AS avg_quant_othrcustsale
-         |       FROM pg JOIN tot USING (prod))
-         |SELECT g.cust, g.prod, g.avg_quant_sale, o.avg_quant_othrcustsale
-         |FROM g LEFT JOIN o ON g.cust=o.cust AND g.prod=o.prod
-         |ORDER BY g.cust, g.prod""".stripMargin
-    // The batch's primary form inlines a full `WITH sales AS (six-way
-    // join)` into each of the 8 union branches — 8 independent builds
-    // of the 15M-row frame, whose concurrent spill exhausted the disk
-    // at sf10 even though every branch passes alone. The scale form
-    // hoists ONE `sales AS MATERIALIZED` over the union (standard CTE
-    // scoping makes it visible inside each branch's own WITH) and uses
-    // q4's complement form; per-branch semantics are untouched.
-    val salesM = s"sales AS MATERIALIZED (${Tables.salesViewSql})"
-    def stripSales(q: String): String = {
-      val rest = q.stripPrefix(s"WITH $sales")
-      require(rest != q, "per-query oracle does not start WITH sales")
-      if (rest.startsWith(",")) "WITH" + rest.drop(1) else rest
-    }
-    val qs = perQueryOracle + ("emf_q4" -> q4)
-    val batch = s"WITH $salesM\n" + (1 to 8).map(i =>
+         |         FROM pg GROUP BY 1)
+         |SELECT pg.cust, pg.prod,
+         |  CAST(pg.s AS DOUBLE)/pg.c AS avg_quant_sale,
+         |  CASE WHEN tot.tc - pg.c > 0
+         |       THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
+         |  END AS avg_quant_othrcustsale
+         |FROM pg JOIN tot USING (prod)""".stripMargin
+    val q8 =
+      s"""WITH $sales,
+         | cmq AS (SELECT cust, month, quant, count(quant) AS cnt
+         |         FROM sales WHERE year=1997 GROUP BY 1,2,3),
+         | pm AS (SELECT cust, month, sum(quant * cnt) AS s, sum(cnt) AS n
+         |        FROM cmq GROUP BY 1,2),
+         | ga AS (SELECT cust, month,
+         |          CAST(sum(s) OVER w AS DOUBLE)
+         |            / CAST(sum(n) OVER w AS BIGINT) AS avg_quant_1
+         |        FROM pm
+         |        WINDOW w AS (PARTITION BY cust ORDER BY month
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+         | c AS (SELECT ga.cust, ga.month,
+         |         CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
+         |       FROM ga JOIN cmq x ON x.cust=ga.cust AND x.month=ga.month
+         |                         AND x.quant > ga.avg_quant_1
+         |       GROUP BY 1,2)
+         |SELECT ga.cust, ga.month, ga.avg_quant_1,
+         |  CAST(coalesce(c.count_quant_2, 0) AS BIGINT) AS count_quant_2
+         |FROM ga LEFT JOIN c ON ga.cust=c.cust AND ga.month=c.month""".stripMargin
+    // per-branch count bodies for the batch scale form (see scaladoc):
+    // LEFT-JOIN-preserving branches reduce to DISTINCT group attrs
+    val batchInner: Map[Int, String] = Map(
+      1 -> s"WITH $sales\nSELECT DISTINCT cust FROM sales",
+      2 -> (s"WITH $sales\n" +
+        "SELECT DISTINCT prod, month FROM sales WHERE year=1997"),
+      3 -> (s"WITH $sales\n" +
+        "SELECT DISTINCT cust, month FROM sales WHERE year=1997"),
+      4 -> s"WITH $sales\nSELECT DISTINCT cust, prod FROM sales",
+      5 ->
+        s"""WITH $sales
+           |SELECT * FROM (
+           |  SELECT cust,
+           |   CAST(sum(CASE WHEN state='NATION_1' THEN quant END) AS DOUBLE)
+           |     / count(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+           |   CAST(sum(CASE WHEN state='NATION_2' THEN quant END) AS DOUBLE)
+           |     / count(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+           |   CAST(sum(CASE WHEN state='NATION_3' THEN quant END) AS DOUBLE)
+           |     / count(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+           |  FROM sales WHERE year=1997 GROUP BY cust)
+           |WHERE avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ""".stripMargin,
+      6 ->
+        s"""WITH $sales,
+           | pq AS (SELECT prod, month, quant, count(quant) AS cnt
+           |        FROM sales WHERE year=1997 GROUP BY 1,2,3),
+           | g1 AS (SELECT prod, month,
+           |          CAST(sum(quant * cnt) AS DOUBLE)
+           |            / CAST(sum(cnt) AS BIGINT) AS avg_quant_1
+           |        FROM pq GROUP BY 1,2),
+           | g2 AS (SELECT x.prod, x.month,
+           |          CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
+           |        FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
+           |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
+           |SELECT prod, month FROM g2 WHERE count_quant_2 > 0""".stripMargin,
+      7 -> (s"WITH $sales\n" +
+        "SELECT DISTINCT cust, day, month FROM sales WHERE year=1997"),
+      8 -> (s"WITH $sales\n" +
+        "SELECT DISTINCT cust, month FROM sales WHERE year=1997"),
+    )
+    val batch = (1 to 8).map(i =>
       s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
-        stripSales(qs(s"emf_q$i")) + "\n)")
-      .mkString("", "\nUNION ALL\n", "\nORDER BY query_id")
-    Map("emf_q4" -> q4, "emf_batch" -> batch)
+        batchInner(i) + "\n)")
+      .mkString("", "\nUNION ALL\n", "")
+    Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch)
   }
 }

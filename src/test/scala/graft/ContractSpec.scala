@@ -43,16 +43,15 @@ class ContractSpec extends AnyFunSuite {
       assert(v != SparkEntry.oracleSql(k), s"$k scale form == primary")
     }
     // the sf10 comparator sorts columns by name before hashing, so the
-    // scale form must not rename the projection: final SELECT lists of
-    // both forms must agree on their output aliases. Cheap textual
-    // guard: the last SELECT's text after the final FROM is shared
-    // structure in all current pairs; assert ORDER BY parity at least.
-    sc.keys.foreach { k =>
-      def orderBy(s: String) = s.linesIterator.toSeq.reverse
-        .find(_.trim.startsWith("ORDER BY")).map(_.trim)
-      assert(orderBy(sc(k)) == orderBy(SparkEntry.oracleSql(k)),
-        s"$k scale form changes the ORDER BY readout")
-    }
+    // scale form must not rename the projection. That alias parity is
+    // enforced at stamp time, not here: tools/check_scale_form.py runs
+    // BOTH forms through DuckDB and digests (count, sum-of-row-hashes)
+    // over name-sorted DESCRIBE columns — a renamed or dropped output
+    // column digests differently and the stamp never reads ok. (An
+    // earlier textual guard here compared the last ORDER BY line; it
+    // passed vacuously on ORDER-BY-free pairs and scale forms now drop
+    // the final ORDER BY on purpose — the digest is order-independent
+    // and a 287M-row sort at sf100 is pure spill.)
   }
 
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {

@@ -133,12 +133,23 @@ def main():
     # SparkEntry.oracleSqlScale and tools/check_scale_form.py for the
     # sf0.1 digest-equivalence evidence). Entries compared against a
     # scale form are recorded with "scale_form": true.
+    # the out-dir copy (dumped by Verify from the current tree) wins;
+    # the tracked evidence/ mirror serves audits and fresh clones
     scale_path = f"{out_dir}/oracle_sql_scale.json"
+    if not os.path.exists(scale_path):
+        scale_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "..", "evidence", "oracle_sql_scale.json")
     scale = json.load(open(scale_path)) if os.path.exists(scale_path) else {}
     # pass stamp from tools/check_scale_form.py — a scale form is only
-    # substituted when its stamp says ok for the SAME SQL text
-    stamp_path = os.environ.get("SCALE_FORM_STAMP",
-                                f"{out_dir}/scale_form_ok.json")
+    # substituted when its stamp says ok for the SAME SQL text. The
+    # default is the git-TRACKED copy (evidence/scale_form_ok.json), so
+    # a fresh clone can audit a results JSON without re-running the
+    # sf0.1 digest proofs; a per-out-dir copy is a legacy fallback.
+    evidence_stamp = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "..", "evidence", "scale_form_ok.json")
+    stamp_path = os.environ.get("SCALE_FORM_STAMP") or (
+        evidence_stamp if os.path.exists(evidence_stamp)
+        else f"{out_dir}/scale_form_ok.json")
     stamp = (json.load(open(stamp_path)).get("results", {})
              if os.path.exists(stamp_path) else {})
     tmp_dir = os.environ.get("ORACLE_TMP") or ".tmp"
@@ -189,10 +200,20 @@ def main():
             p.join()
             # a terminated DuckDB never cleans its spill files — without
             # this, one killed pair-join leaves tens of GB behind and
-            # starves every later query (observed: 29 GB after one kill)
-            if os.environ.get("ORACLE_TMP") and os.path.isdir(tmp_dir):
+            # starves every later query (observed: 29 GB after one kill).
+            # The default cwd `.tmp` is cleaned too (the watchdog monitors
+            # it either way), but only of DuckDB's own spill files
+            if os.path.isdir(tmp_dir):
                 import shutil
-                shutil.rmtree(tmp_dir, ignore_errors=True)
+                if os.environ.get("ORACLE_TMP"):
+                    shutil.rmtree(tmp_dir, ignore_errors=True)
+                else:
+                    for f in os.listdir(tmp_dir):
+                        if f.startswith("duckdb"):
+                            try:
+                                os.remove(os.path.join(tmp_dir, f))
+                            except OSError:
+                                pass
             results[name] = {"status": status, "sec": round(dt, 1)}
             why = (f"oracle exceeded {TIMEOUT}s" if status == "timeout" else
                    f"temp spill in {tmp_dir} crossed "

@@ -15,17 +15,26 @@ Each entry runs in its own subprocess under ORACLE_TIMEOUT seconds
 (default 600) — a primary form that hangs at the chosen scale reports
 `timeout` instead of stalling the run. A scale entry with no primary
 counterpart reports `no-primary` (a scale form of nothing proves
-nothing). On completion the per-entry statuses are written to
-<verifyOutDir>/scale_form_ok.json — the pass stamp check_oracle_sf10.py
-requires before substituting a scale form.
+nothing). On completion the per-entry statuses are merge-written to the
+git-TRACKED stamp file evidence/scale_form_ok.json (override with
+SCALE_FORM_STAMP) — the pass stamp check_oracle_sf10.py requires before
+substituting a scale form. Entries with a probe in
+<verifyOutDir>/oracle_margin_probes.json additionally record a `margin`
+diagnostic (how close emitted values sit to thresholds / rounding
+boundaries) next to their stamp.
 
 Usage: check_scale_form.py <sfDir> <verifyOutDir> [entry ...]
 Extra args restrict the run to the named entries; the stamp file is
-MERGED (named entries updated, other entries' stamps preserved), so a
-targeted re-proof after editing one scale form does not discard the
-others' evidence. Stale stamps are harmless either way: the consumer
-(check_oracle_sf10.py) re-hashes the scale SQL against each stamp's
-sql_sha and refuses mismatches.
+always MERGED (ran entries updated, other entries' stamps preserved),
+so a targeted re-proof after editing one scale form does not discard
+the others' evidence. Stale stamps are harmless either way: the
+consumer (check_oracle_sf10.py) re-hashes the scale SQL against each
+stamp's sql_sha and refuses mismatches. To regenerate the whole stamp
+file CI-style from the current tree:
+  sbt 'runMain graft.Verify /root/testdata/sf0.001 /tmp/v-json nosuch' \
+    && python3 tools/check_scale_form.py /root/testdata/sf0.1 /tmp/v-json
+(the Verify run only needs to dump the oracle JSONs; `nosuch` skips
+every query).
 Env: ORACLE_TIMEOUT / ORACLE_THREADS / ORACLE_MEM / ORACLE_TMP as in
 check_oracle_sf10.py.
 """
@@ -38,7 +47,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 TIMEOUT = int(os.environ.get("ORACLE_TIMEOUT", "600"))
 
 
-def compare_one(sf_dir, name, psql, ssql, q):
+def compare_one(sf_dir, name, psql, ssql, probe_sql, q):
     import duckdb
     try:
         con = duckdb.connect()
@@ -68,7 +77,18 @@ def compare_one(sf_dir, name, psql, ssql, q):
         pc, pn, ph = digest(psql)
         sc, sn, sh = digest(ssql)
         if (pc, pn, ph) == (sc, sn, sh):
-            q.put({"status": "ok", "rows": pn})
+            r = {"status": "ok", "rows": pn}
+            # optional margin probe (oracle_margin_probes.json): a
+            # diagnostic SELECT recording how close the entry's emitted
+            # values sit to its thresholds/rounding boundaries — a
+            # near-boundary corpus at a bigger SF is then detectable
+            # instead of assumed away (e.g. dedup_embcos' round(cos,6))
+            if probe_sql:
+                row = con.execute(probe_sql).fetchone()
+                cols = [d[0] for d in con.description]
+                r["margin"] = {c: (float(v) if v is not None else None)
+                               for c, v in zip(cols, row)}
+            q.put(r)
         else:
             q.put({"status": "fail",
                    "why": f"primary ({pn} rows, hash {ph}) != "
@@ -82,6 +102,8 @@ def main():
     only = set(sys.argv[3:])
     primary = json.load(open(f"{out_dir}/oracle_sql.json"))
     scale = json.load(open(f"{out_dir}/oracle_sql_scale.json"))
+    probe_path = f"{out_dir}/oracle_margin_probes.json"
+    probes = json.load(open(probe_path)) if os.path.exists(probe_path) else {}
     results, bad = {}, 0
     for name in sorted(scale):
         if only and name not in only:
@@ -95,7 +117,8 @@ def main():
         t0 = time.time()
         q = mp.Queue()
         p = mp.Process(target=compare_one,
-                       args=(sf_dir, name, primary[name], scale[name], q))
+                       args=(sf_dir, name, primary[name], scale[name],
+                             probes.get(name), q))
         p.start()
         p.join(TIMEOUT)
         dt = time.time() - t0
@@ -122,11 +145,17 @@ def main():
             print(f"{r['status'].upper()[:4]} {name}: {r.get('why', '')} "
                   f"({r['sec']}s)", flush=True)
     # pass stamp consumed by check_oracle_sf10.py: a scale form may only
-    # be substituted when its stamp for THIS verify build says ok.
-    # Merge-write: a subset run updates only its entries.
-    stamp = f"{out_dir}/scale_form_ok.json"
+    # be substituted when its stamp for THIS verify build says ok. The
+    # stamp lives at the git-TRACKED evidence/ path (env-overridable) so
+    # the repo itself carries the proof the comparator enforces against.
+    # Merge-write: every run updates only the entries it ran (stamps are
+    # sql_sha-pinned, so stale entries are inert, never dangerous).
+    stamp = os.environ.get("SCALE_FORM_STAMP") or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        "..", "evidence", "scale_form_ok.json")
+    os.makedirs(os.path.dirname(stamp), exist_ok=True)
     merged = {}
-    if only and os.path.exists(stamp):
+    if os.path.exists(stamp):
         merged = json.load(open(stamp)).get("results", {})
     merged.update(results)
     json.dump({"sf_dir": sf_dir, "results": merged},
