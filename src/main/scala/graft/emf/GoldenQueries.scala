@@ -399,7 +399,13 @@ object GoldenQueries {
     * join into each branch's aggregate and nothing wide is ever
     * stored. */
   val scaleOracle: Map[String, String] = {
-    val q4 =
+    // pg MUST be MATERIALIZED: DuckDB 1.0 inlines CTEs regardless of
+    // reference count, so without the hint the twice-referenced pg
+    // expands into TWO full six-way joins + TWO 287M-group aggregates
+    // running concurrently (observed in EXPLAIN at sf100 — that, not
+    // the algebra, was the r16 first-attempt spill). Materialized, the
+    // plan is one streamed join → one aggregate → a ≤|prod|-row tot.
+    val q4 = graft.OracleSql.materialized(
       s"""WITH $sales,
          | pg AS (SELECT cust, prod, sum(quant) AS s, count(quant) AS c
          |        FROM sales GROUP BY 1,2),
@@ -410,7 +416,8 @@ object GoldenQueries {
          |  CASE WHEN tot.tc - pg.c > 0
          |       THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
          |  END AS avg_quant_othrcustsale
-         |FROM pg JOIN tot USING (prod)""".stripMargin
+         |FROM pg JOIN tot USING (prod)""".stripMargin,
+      "pg")
     val q8 =
       s"""WITH $sales,
          | cmq AS (SELECT cust, month, quant, count(quant) AS cnt
@@ -431,15 +438,10 @@ object GoldenQueries {
          |SELECT ga.cust, ga.month, ga.avg_quant_1,
          |  CAST(coalesce(c.count_quant_2, 0) AS BIGINT) AS count_quant_2
          |FROM ga LEFT JOIN c ON ga.cust=c.cust AND ga.month=c.month""".stripMargin
-    // per-branch count bodies for the batch scale form (see scaladoc):
-    // LEFT-JOIN-preserving branches reduce to DISTINCT group attrs
+    // private count bodies for the two batch branches that need
+    // second-level aggregation (the other six reduce to struct-DISTINCT
+    // aggregates of one shared pass — see `mega` below)
     val batchInner: Map[Int, String] = Map(
-      1 -> s"WITH $sales\nSELECT DISTINCT cust FROM sales",
-      2 -> (s"WITH $sales\n" +
-        "SELECT DISTINCT prod, month FROM sales WHERE year=1997"),
-      3 -> (s"WITH $sales\n" +
-        "SELECT DISTINCT cust, month FROM sales WHERE year=1997"),
-      4 -> s"WITH $sales\nSELECT DISTINCT cust, prod FROM sales",
       5 ->
         s"""WITH $sales
            |SELECT * FROM (
@@ -465,15 +467,52 @@ object GoldenQueries {
            |        FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
            |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
            |SELECT prod, month FROM g2 WHERE count_quant_2 > 0""".stripMargin,
-      7 -> (s"WITH $sales\n" +
-        "SELECT DISTINCT cust, day, month FROM sales WHERE year=1997"),
-      8 -> (s"WITH $sales\n" +
-        "SELECT DISTINCT cust, month FROM sales WHERE year=1997"),
     )
-    val batch = (1 to 8).map(i =>
-      s"SELECT $i AS query_id, count(1) AS n_rows FROM (\n" +
-        batchInner(i) + "\n)")
-      .mkString("", "\nUNION ALL\n", "")
+    // Fold the six distinct-count branches into ONE aggregate pass:
+    // a flat eight-branch UNION ALL is concurrency-broken in DuckDB —
+    // it schedules independent branch pipelines concurrently and splits
+    // its memory limit across every concurrent blocking operator, so
+    // eight concurrent six-way joins + distinct tables spilled >45 GB
+    // at sf10 where each branch ALONE runs in 1–11 s with zero spill
+    // (measured r16; serializing the branches with tautological
+    // subquery gates was tried and rejected — the gate filter's EC-0
+    // estimate flips hash-join build sides onto the fact table, and a
+    // minimal nation-only gate live-locks DuckDB 1.0's scheduler).
+    // Here counts 1/2/3/4/7/8 ride one scan as struct-DISTINCT
+    // aggregates — count(DISTINCT (a, b)) over a CASE that nulls out
+    // non-qualifying rows is exactly |DISTINCT a, b WHERE pred|, the
+    // row count of each branch's key-preserving LEFT-JOIN output —
+    // measured 12 s / ZERO spill at sf10 against the per-branch truth.
+    // q5/q6 need second-level aggregation and keep private single-pass
+    // branches; each of the three parts derives `sales` privately with
+    // a single reference, so nothing 600M-row-wide is materialized.
+    val mega =
+      s"""(WITH $sales
+         |SELECT count(DISTINCT cust) AS c1,
+         |  count(DISTINCT CASE WHEN year=1997 THEN (prod, month) END) AS c2,
+         |  count(DISTINCT CASE WHEN year=1997 THEN (cust, month) END) AS c3,
+         |  count(DISTINCT (cust, prod)) AS c4,
+         |  count(DISTINCT CASE WHEN year=1997 THEN (cust, day, month) END)
+         |    AS c7
+         |FROM sales)""".stripMargin
+    // agg AS MATERIALIZED for the same reason as q4's pg: inlined, the
+    // six-times-referenced one-row aggregate would re-run the mega pass
+    // six times; materialized, it is one pass and a one-row CDC
+    val batch = graft.OracleSql.materialized(
+      s"""WITH agg AS $mega
+         |SELECT 1 AS query_id, c1 AS n_rows FROM agg
+         |UNION ALL SELECT 2, c2 FROM agg
+         |UNION ALL SELECT 3, c3 FROM agg
+         |UNION ALL SELECT 4, c4 FROM agg
+         |UNION ALL SELECT 5, count(1) FROM (
+         |${batchInner(5)}
+         |)
+         |UNION ALL SELECT 6, count(1) FROM (
+         |${batchInner(6)}
+         |)
+         |UNION ALL SELECT 7, c7 FROM agg
+         |UNION ALL SELECT 8, c3 FROM agg""".stripMargin,
+      "agg")
     Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch)
   }
 }

@@ -124,10 +124,18 @@ object DatasetPrep {
     // Tokenization against a corpus-learned vocabulary: word ids by
     // frequency rank (ties alphabetical — fully deterministic), then
     // every document re-emitted as its id sequence. The vocab build is
-    // one word-count shuffle (vocab-sized output); the corpus-side
-    // encoding is ZERO shuffle — the vocab ships as a broadcast map
-    // column and the id lookup is an in-row transform over the token
-    // array, so encoding 100 TB is scan-bound.
+    // one word-count shuffle (vocab-sized output); the corpus side is
+    // posexplode → join on the word → one reassembly shuffle keyed by
+    // doc_id. The join is deliberately UNHINTED: a full-corpus word
+    // vocabulary is unbounded (unlike the 64Ki-capped BPE vocab), so
+    // AQE picks broadcast when the vocab is small and a shuffle join —
+    // horizontal in BOTH corpus and vocab — when it is not. An earlier
+    // form shipped the vocab as one broadcast map column and looked
+    // tokens up with element_at: Spark evaluates map element_at by
+    // LINEAR SCAN of the map's key array (MapData carries no hash
+    // index), so encoding cost was O(tokens × vocab) — measured as 9
+    // of 10 executor threads pinned in GetMapValueUtil at sf100's
+    // multi-million-word vocab. The join form is O(tokens) per side.
     //
     // The frequency rank is TWO-LEVEL — NO unpartitioned window
     // anywhere (a global `Window.orderBy(n desc, w)` funnels the whole
@@ -172,13 +180,17 @@ object DatasetPrep {
         .withColumn("rg", rankInGroup)
         .join(broadcast(offsets), Seq("n", "pfx"))
         .select(col("w"), (col("off") + col("rg")).cast("int").as("id"))
-      val vmap = vocab
-        .agg(map_from_entries(collect_list(struct(col("w"), col("id"))))
-          .as("vm"))
-      docs.crossJoin(broadcast(vmap))
-        .select(col("doc_id"), size(ws).as("n_tok"),
-          array_join(transform(ws,
-            w => element_at(col("vm"), w).cast("string")), ",").as("ids"))
+      // every token hits the vocab by construction (built from the same
+      // corpus — split() always yields ≥1 element, "" included), so the
+      // inner join drops nothing and count(*) per doc == size(ws)
+      val toks = docs.select(col("doc_id"),
+        posexplode(ws).as(Seq("pos", "w")))
+      toks.join(vocab, Seq("w"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("int").as("n_tok"),
+          array_join(transform(
+            array_sort(collect_list(struct(col("pos"), col("id")))),
+            t => t.getField("id").cast("string")), ",").as("ids"))
         .orderBy(col("doc_id"))
     }),
 
