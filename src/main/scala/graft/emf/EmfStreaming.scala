@@ -904,10 +904,17 @@ object EmfStreaming {
     val depVars = q.vars.filter(v =>
       !EmfPlanner.isSimplePublic(v, q) &&
         EmfPlanner.complementShape(v, q).isDefined)
+    // both combines are STRICT-PREFIX frames: the suffix side runs as a
+    // prefix under DESCENDING order — same row set as
+    // `rowsBetween(1, unboundedFollowing)` ascending, but Spark's
+    // UnboundedPreceding frame accumulates incrementally (O(n)) where
+    // UnboundedFollowing RECOMPUTES the frame per row (O(n²): measured
+    // as a 55-minute hang in UnboundedFollowingWindowFunctionFrame at
+    // sf10's 1.5M-customer anti domain; the spec's 15k domain hid it)
     val wPre = Window.orderBy(col(antiAttr))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val wPost = Window.orderBy(col(antiAttr))
-      .rowsBetween(1, Window.unboundedFollowing)
+    val wPost = Window.orderBy(col(antiAttr).desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
     depVars.zipWithIndex.foreach { case (v, i) =>
       val value = v.agg.func match {
         case "min" =>

@@ -486,13 +486,28 @@ object GoldenQueries {
     // q5/q6 need second-level aggregation and keep private single-pass
     // branches; each of the three parts derives `sales` privately with
     // a single reference, so nothing 600M-row-wide is materialized.
+    // the cust-keyed distinct sets ride the 4-byte o_custkey instead of
+    // the ~26-byte c_name — at sf100 the (cust, prod) set alone is 287M
+    // entries, ~30 GB as strings (spilled past any budget) vs ~10 GB as
+    // (int, brand), which finalizes in RAM. The substitution is exact
+    // iff c_name is injective over customers; the pass WITNESSES that
+    // (c1 = c1i below) and the guarded counts NULL out on violation —
+    // a visible hash mismatch, never a silent pass. Branch 1's own
+    // count stays on the names (no assumption).
+    val salesK = {
+      val out = sales.replace("SELECT c.c_name AS cust,",
+        "SELECT c.c_name AS cust, o.o_custkey AS ckey,")
+      require(out != sales, "salesK: cust projection not found")
+      out
+    }
     val mega =
-      s"""(WITH $sales
+      s"""(WITH $salesK
          |SELECT count(DISTINCT cust) AS c1,
+         |  count(DISTINCT ckey) AS c1i,
          |  count(DISTINCT CASE WHEN year=1997 THEN (prod, month) END) AS c2,
-         |  count(DISTINCT CASE WHEN year=1997 THEN (cust, month) END) AS c3,
-         |  count(DISTINCT (cust, prod)) AS c4,
-         |  count(DISTINCT CASE WHEN year=1997 THEN (cust, day, month) END)
+         |  count(DISTINCT CASE WHEN year=1997 THEN (ckey, month) END) AS c3,
+         |  count(DISTINCT (ckey, prod)) AS c4,
+         |  count(DISTINCT CASE WHEN year=1997 THEN (ckey, day, month) END)
          |    AS c7
          |FROM sales)""".stripMargin
     // agg AS MATERIALIZED for the same reason as q4's pg: inlined, the
@@ -502,16 +517,16 @@ object GoldenQueries {
       s"""WITH agg AS $mega
          |SELECT 1 AS query_id, c1 AS n_rows FROM agg
          |UNION ALL SELECT 2, c2 FROM agg
-         |UNION ALL SELECT 3, c3 FROM agg
-         |UNION ALL SELECT 4, c4 FROM agg
+         |UNION ALL SELECT 3, CASE WHEN c1 = c1i THEN c3 END FROM agg
+         |UNION ALL SELECT 4, CASE WHEN c1 = c1i THEN c4 END FROM agg
          |UNION ALL SELECT 5, count(1) FROM (
          |${batchInner(5)}
          |)
          |UNION ALL SELECT 6, count(1) FROM (
          |${batchInner(6)}
          |)
-         |UNION ALL SELECT 7, c7 FROM agg
-         |UNION ALL SELECT 8, c3 FROM agg""".stripMargin,
+         |UNION ALL SELECT 7, CASE WHEN c1 = c1i THEN c7 END FROM agg
+         |UNION ALL SELECT 8, CASE WHEN c1 = c1i THEN c3 END FROM agg""".stripMargin,
       "agg")
     Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch)
   }

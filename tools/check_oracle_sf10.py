@@ -230,6 +230,12 @@ def main():
         except Exception:
             r = {"status": "error",
                  "why": f"worker died (exit {p.exitcode})"}
+            # a worker killed from OUTSIDE the watchdog (kernel OOM
+            # killer, SIGKILL) leaks its spill exactly like a watchdog
+            # kill does — clean the same way
+            if os.environ.get("ORACLE_TMP") and os.path.isdir(tmp_dir):
+                import shutil
+                shutil.rmtree(tmp_dir, ignore_errors=True)
         r["sec"] = round(dt, 1)
         if scale_form:
             r["scale_form"] = True
