@@ -130,5 +130,7 @@ object SparkEntry {
     * records how far the corpus's values sit from the entry's
     * threshold / rounding boundaries (see each provider's scaladoc). */
   def oracleMarginProbes: Map[String, String] =
-    graft.ann.Similarity.marginProbes
+    graft.ann.Similarity.marginProbes ++
+      graft.dedup.Dedup.marginProbes ++
+      GoldenQueries.marginProbes
 }

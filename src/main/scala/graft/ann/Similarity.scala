@@ -559,38 +559,17 @@ object Similarity {
     * running the exact all-pairs primary. */
   def scaleOracle: Map[String, String] = Map(
     "dedup_semantic" -> graft.OracleSql.materialized(
-      s"""WITH base AS (
-         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-         |aug AS (
-         |  SELECT vec_id, emb FROM base
-         |  UNION ALL
-         |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
-         |         list_transform(emb, x -> x * 0.9 + 0.01) AS emb
-         |  FROM base),
-         |${KMeans.assignCtesStreamFrom(
-             "(SELECT vec_id, emb AS embedding FROM aug) src",
-             kSql = "SELECT greatest(4, CAST(ceil(count(*) / " +
-               s"${KMeans.TargetCellSize}.0) AS INT)) FROM aug")},
-         |norms AS (
-         |  SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
-         |  FROM aug),
-         |cand AS (
-         |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
-         |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
-         |dots AS (
-         |  SELECT c.id_a, c.id_b,
-         |    list_dot_product(a.emb, b.emb) AS dot
-         |  FROM cand c JOIN aug a ON a.vec_id = c.id_a
-         |              JOIN aug b ON b.vec_id = c.id_b),
-         |dup AS (
-         |  SELECT DISTINCT id_b AS vec_id
-         |  FROM dots JOIN norms na ON na.vec_id = id_a
-         |            JOIN norms nb ON nb.vec_id = id_b
-         |  WHERE dot / (na.nrm * nb.nrm) >= 0.99)
-         |SELECT a2.vec_id, a2.cell,
-         |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-         |FROM a2 LEFT JOIN dup USING (vec_id)
-         |ORDER BY a2.vec_id""".stripMargin,
+      semanticScaleCtes +
+        """,
+          |dup AS (
+          |  SELECT DISTINCT id_b AS vec_id
+          |  FROM dots JOIN norms na ON na.vec_id = id_a
+          |            JOIN norms nb ON nb.vec_id = id_b
+          |  WHERE dot / (na.nrm * nb.nrm) >= 0.99)
+          |SELECT a2.vec_id, a2.cell,
+          |  CASE WHEN dup.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+          |FROM a2 LEFT JOIN dup USING (vec_id)
+          |ORDER BY a2.vec_id""".stripMargin,
       "base", "aug", "e", "init", "a1", "c1", "a2", "norms",
       "cand", "dots", "dup"),
     "dedup_embcos" -> graft.OracleSql.materialized(
@@ -601,6 +580,38 @@ object Similarity {
           |ORDER BY id_a, id_b""".stripMargin,
       "e", "el", "sgn", "bands", "cand", "scored"),
   )
+
+  /** The dedup_semantic scale form's augmentation + streaming-Lloyd
+    * assignment + candidate-scoring CTE chain (through `dots`), shared
+    * byte-for-byte between the scale form and its margin probe so the
+    * probe can never drift from what it diagnoses. The Lloyd argmin in
+    * this chain is EXACT integer arithmetic (2⁻¹⁰-grid HUGEINT packing,
+    * see [[KMeans.assignCtesStreamFrom]]) — the only float surface left
+    * is the cosine threshold the probe measures. */
+  private val semanticScaleCtes: String =
+    s"""WITH base AS (
+       |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |aug AS (
+       |  SELECT vec_id, emb FROM base
+       |  UNION ALL
+       |  SELECT vec_id + (SELECT max(vec_id) + 1 FROM base),
+       |         list_transform(emb, x -> x * 0.9 + 0.01) AS emb
+       |  FROM base),
+       |${KMeans.assignCtesStreamFrom(
+           "(SELECT vec_id, emb AS embedding FROM aug) src",
+           kSql = "SELECT greatest(4, CAST(ceil(count(*) / " +
+             s"${KMeans.TargetCellSize}.0) AS INT)) FROM aug")},
+       |norms AS (
+       |  SELECT vec_id, sqrt(list_sum(list_transform(emb, x -> x*x))) AS nrm
+       |  FROM aug),
+       |cand AS (
+       |  SELECT x.vec_id AS id_a, y.vec_id AS id_b
+       |  FROM a2 x JOIN a2 y ON x.cell = y.cell AND x.vec_id < y.vec_id),
+       |dots AS (
+       |  SELECT c.id_a, c.id_b,
+       |    list_dot_product(a.emb, b.emb) AS dot
+       |  FROM cand c JOIN aug a ON a.vec_id = c.id_a
+       |              JOIN aug b ON b.vec_id = c.id_b)""".stripMargin
 
   /** The embcos scale form's candidate generation + scoring CTE chain,
     * shared byte-for-byte between the scale form itself and its margin
@@ -666,5 +677,22 @@ object Similarity {
           |  END) AS min_rounding_margin
           |FROM scored""".stripMargin,
       "e", "el", "sgn", "bands", "cand", "scored"),
+    // dedup_semantic's only float surface: the cosine ≥ 0.99 keep
+    // threshold, scored via native list_dot_product where the primary
+    // sums an interpreted 64-step lambda (same j-order, last-ulp
+    // class). The Lloyd assignment feeding `cand` is exact-integer
+    // (HUGEINT-packed argmin on the 2⁻¹⁰ grid — no argmin probe
+    // needed). A candidate within an ulp of 0.99 could flip `kept`
+    // between the summation kernels; this records the corpus's actual
+    // minimum distance to that boundary over the SAME candidate set.
+    "dedup_semantic" -> graft.OracleSql.materialized(
+      semanticScaleCtes +
+        """
+          |SELECT min(abs(dot / (na.nrm * nb.nrm) - 0.99))
+          |    AS min_threshold_margin
+          |FROM dots JOIN norms na ON na.vec_id = id_a
+          |          JOIN norms nb ON nb.vec_id = id_b""".stripMargin,
+      "base", "aug", "e", "init", "a1", "c1", "a2", "norms",
+      "cand", "dots"),
   )
 }

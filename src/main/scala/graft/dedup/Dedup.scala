@@ -933,4 +933,54 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
       "docs", "w", "wc", "dw", "wh", "bits", "sig", "cposts"),
   )
+
+  /** Margin diagnostics recorded next to a green stamp by
+    * `tools/check_scale_form.py` (see `SparkEntry.oracleMarginProbes`).
+    * Both probes ride the scale forms' own CTE chains (same generator
+    * calls — they cannot drift from what they diagnose).
+    *
+    * The minhash-family τ=0.6 comparison divides INTEGER operands
+    * (intersection and set sizes) that the primary and scale forms
+    * derive by different routes (posting-join count vs list_intersect
+    * length) but that are set-theoretically equal, so the division is
+    * bit-identical whenever the integers are — the probes' value is
+    * corpus drift detection: a bigger SF whose nearest candidate sits
+    * AT the τ boundary (margin ~0) would flag that the gate's
+    * greenness depends on that integer equality rather than slack.
+    * dedup_simhash and multimodal_phash carry no probe: their
+    * pipelines are pure integer arithmetic end to end (hamming ≤ 6,
+    * cross-multiplied mean test) with no float division or round. */
+  def marginProbes: Map[String, String] = Map(
+    // nearest hashed-set jaccard to τ over the UNFILTERED candidate
+    // set (mh_pairs applies the ≥ 0.6 cut; the probe must see both
+    // sides of it)
+    "dedup_minhash" -> graft.OracleSql.materialized(
+      s"""WITH $docsSh0Ctes,
+         |${minhashTailCtes(scale = true)}
+         |SELECT min(abs(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) - 0.6))
+         |    AS min_threshold_margin
+         |FROM minter i JOIN msizes sa ON sa.doc_id = i.id_a
+         |              JOIN msizes sb ON sb.doc_id = i.id_b""".stripMargin,
+      "docs", "sh0", "dsh", "shh", "doc_sh", "dh", "hi", "hil", "mharr",
+      "mposts", "capped", "cand", "msizes", "dlists", "minter"),
+    // dedup_recall divides on BOTH sides of its comparison: the truth
+    // set's exact n-gram jaccard (inter/sizes) and the found set's
+    // hashed-set jaccard (minter/msizes) — one margin per side
+    "dedup_recall" -> graft.OracleSql.materialized(
+      s"""WITH $ngramOracleCtes,
+         |${minhashTailCtes(scale = true)}
+         |SELECT
+         |  (SELECT min(abs(CAST(n_inter AS DOUBLE)
+         |       / (sa.n_sh + sb.n_sh - n_inter) - 0.6))
+         |   FROM inter JOIN sizes sa ON sa.doc_id = id_a
+         |              JOIN sizes sb ON sb.doc_id = id_b)
+         |    AS min_truth_margin,
+         |  (SELECT min(abs(CAST(i.ni AS DOUBLE) / (sa.n + sb.n - i.ni) - 0.6))
+         |   FROM minter i JOIN msizes sa ON sa.doc_id = i.id_a
+         |                 JOIN msizes sb ON sb.doc_id = i.id_b)
+         |    AS min_found_margin""".stripMargin,
+      "docs", "sh0", "sh", "sizes", "inter", "dsh", "shh",
+      "doc_sh", "dh", "hi", "hil", "mharr", "mposts", "capped", "cand",
+      "msizes", "dlists", "minter"),
+  )
 }

@@ -398,27 +398,52 @@ object GoldenQueries {
     * privately with a single reference, so DuckDB streams the six-way
     * join into each branch's aggregate and nothing wide is ever
     * stored. */
-  val scaleOracle: Map[String, String] = {
+  private val scaleFormsAndProbes
+      : (Map[String, String], Map[String, String]) = {
     // pg MUST be MATERIALIZED: DuckDB 1.0 inlines CTEs regardless of
     // reference count, so without the hint the twice-referenced pg
     // expands into TWO full six-way joins + TWO 287M-group aggregates
     // running concurrently (observed in EXPLAIN at sf100 — that, not
     // the algebra, was the r16 first-attempt spill). Materialized, the
     // plan is one streamed join → one aggregate → a ≤|prod|-row tot.
-    val q4 = graft.OracleSql.materialized(
+    val q4Ctes =
       s"""WITH $sales,
          | pg AS (SELECT cust, prod, sum(quant) AS s, count(quant) AS c
          |        FROM sales GROUP BY 1,2),
          | tot AS (SELECT prod, sum(s) AS ts, sum(c) AS tc
          |         FROM pg GROUP BY 1)
-         |SELECT pg.cust, pg.prod,
-         |  CAST(pg.s AS DOUBLE)/pg.c AS avg_quant_sale,
-         |  CASE WHEN tot.tc - pg.c > 0
-         |       THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
-         |  END AS avg_quant_othrcustsale
-         |FROM pg JOIN tot USING (prod)""".stripMargin,
+         |""".stripMargin
+    val q4 = graft.OracleSql.materialized(
+      q4Ctes +
+        """SELECT pg.cust, pg.prod,
+          |  CAST(pg.s AS DOUBLE)/pg.c AS avg_quant_sale,
+          |  CASE WHEN tot.tc - pg.c > 0
+          |       THEN CAST(tot.ts - pg.s AS DOUBLE)/(tot.tc - pg.c)
+          |  END AS avg_quant_othrcustsale
+          |FROM pg JOIN tot USING (prod)""".stripMargin,
       "pg")
-    val q8 =
+    // q4 has no float comparison or round — its divisions feed output
+    // directly, and the scale argument is operand identity: both forms
+    // divide the SAME exact integer sums/counts. That identity yields
+    // bit-identical doubles only while the integers are themselves
+    // exactly double-representable (< 2⁵³); the probe records the
+    // corpus's actual headroom to that bound so a corpus whose sums
+    // outgrow it is detected rather than assumed away.
+    val q4Probe = graft.OracleSql.materialized(
+      q4Ctes +
+        """SELECT 9007199254740992.0 - CAST(max(ts) AS DOUBLE)
+          |    AS double_exact_sum_headroom,
+          |  CAST(max(ts) AS DOUBLE) AS max_prod_sum
+          |FROM tot""".stripMargin,
+      "pg")
+    // cmq and ga MUST be MATERIALIZED like q4's pg: cmq is referenced
+    // by pm and c, ga by c and the final SELECT, and DuckDB 1.0 inlines
+    // a CTE at every reference — un-hinted, the full six-way sales join
+    // is duplicated recursively down the chain (the exact shape the r15
+    // primary died on with >38 GB of spill). Materialized, sales runs
+    // once into cmq (≤|rows| but 4 narrow cols) and everything after is
+    // narrow-frame algebra.
+    val q8Ctes =
       s"""WITH $sales,
          | cmq AS (SELECT cust, month, quant, count(quant) AS cnt
          |         FROM sales WHERE year=1997 GROUP BY 1,2,3),
@@ -429,45 +454,85 @@ object GoldenQueries {
          |            / CAST(sum(n) OVER w AS BIGINT) AS avg_quant_1
          |        FROM pm
          |        WINDOW w AS (PARTITION BY cust ORDER BY month
-         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
-         | c AS (SELECT ga.cust, ga.month,
-         |         CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
-         |       FROM ga JOIN cmq x ON x.cust=ga.cust AND x.month=ga.month
-         |                         AND x.quant > ga.avg_quant_1
-         |       GROUP BY 1,2)
-         |SELECT ga.cust, ga.month, ga.avg_quant_1,
-         |  CAST(coalesce(c.count_quant_2, 0) AS BIGINT) AS count_quant_2
-         |FROM ga LEFT JOIN c ON ga.cust=c.cust AND ga.month=c.month""".stripMargin
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))""".stripMargin
+    val q8 = graft.OracleSql.materialized(
+      q8Ctes +
+        """,
+          | c AS (SELECT ga.cust, ga.month,
+          |         CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
+          |       FROM ga JOIN cmq x ON x.cust=ga.cust AND x.month=ga.month
+          |                         AND x.quant > ga.avg_quant_1
+          |       GROUP BY 1,2)
+          |SELECT ga.cust, ga.month, ga.avg_quant_1,
+          |  CAST(coalesce(c.count_quant_2, 0) AS BIGINT) AS count_quant_2
+          |FROM ga LEFT JOIN c ON ga.cust=c.cust AND ga.month=c.month""".stripMargin,
+      "cmq", "ga")
+    // q8's float comparison: INTEGER quant > avg_quant_1 (a double
+    // division of exact integer partials). The division is
+    // operand-identical across forms; the probe records how close any
+    // compared (quant, avg) pair sits to equality — a margin of ~1e-16
+    // at a bigger SF would mean the dependent count's greenness rides
+    // the last ulp of that shared division instead of slack.
+    val q8Probe = graft.OracleSql.materialized(
+      q8Ctes +
+        """
+          |SELECT min(abs(CAST(x.quant AS DOUBLE) - ga.avg_quant_1))
+          |    AS min_threshold_margin
+          |FROM ga JOIN cmq x ON x.cust=ga.cust AND x.month=ga.month""".stripMargin,
+      "cmq", "ga")
     // private count bodies for the two batch branches that need
     // second-level aggregation (the other six reduce to struct-DISTINCT
     // aggregates of one shared pass — see `mega` below)
+    val q5Inner =
+      """SELECT cust,
+        |   CAST(sum(CASE WHEN state='NATION_1' THEN quant END) AS DOUBLE)
+        |     / count(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
+        |   CAST(sum(CASE WHEN state='NATION_2' THEN quant END) AS DOUBLE)
+        |     / count(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
+        |   CAST(sum(CASE WHEN state='NATION_3' THEN quant END) AS DOUBLE)
+        |     / count(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
+        |  FROM sales WHERE year=1997 GROUP BY cust""".stripMargin
+    val q6Ctes =
+      s"""WITH $sales,
+         | pq AS (SELECT prod, month, quant, count(quant) AS cnt
+         |        FROM sales WHERE year=1997 GROUP BY 1,2,3),
+         | g1 AS (SELECT prod, month,
+         |          CAST(sum(quant * cnt) AS DOUBLE)
+         |            / CAST(sum(cnt) AS BIGINT) AS avg_quant_1
+         |        FROM pq GROUP BY 1,2)""".stripMargin
     val batchInner: Map[Int, String] = Map(
       5 ->
         s"""WITH $sales
            |SELECT * FROM (
-           |  SELECT cust,
-           |   CAST(sum(CASE WHEN state='NATION_1' THEN quant END) AS DOUBLE)
-           |     / count(CASE WHEN state='NATION_1' THEN quant END) AS avg_quant_NY,
-           |   CAST(sum(CASE WHEN state='NATION_2' THEN quant END) AS DOUBLE)
-           |     / count(CASE WHEN state='NATION_2' THEN quant END) AS avg_quant_CT,
-           |   CAST(sum(CASE WHEN state='NATION_3' THEN quant END) AS DOUBLE)
-           |     / count(CASE WHEN state='NATION_3' THEN quant END) AS avg_quant_NJ
-           |  FROM sales WHERE year=1997 GROUP BY cust)
+           |  $q5Inner)
            |WHERE avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ""".stripMargin,
       6 ->
-        s"""WITH $sales,
-           | pq AS (SELECT prod, month, quant, count(quant) AS cnt
-           |        FROM sales WHERE year=1997 GROUP BY 1,2,3),
-           | g1 AS (SELECT prod, month,
-           |          CAST(sum(quant * cnt) AS DOUBLE)
-           |            / CAST(sum(cnt) AS BIGINT) AS avg_quant_1
-           |        FROM pq GROUP BY 1,2),
-           | g2 AS (SELECT x.prod, x.month,
-           |          CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
-           |        FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
-           |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
-           |SELECT prod, month FROM g2 WHERE count_quant_2 > 0""".stripMargin,
+        (q6Ctes +
+          """,
+            | g2 AS (SELECT x.prod, x.month,
+            |          CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
+            |        FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
+            |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
+            |SELECT prod, month FROM g2 WHERE count_quant_2 > 0""".stripMargin),
     )
+    // emf_batch's float comparisons live in its q5/q6 branches: q5
+    // compares avg-vs-avg (both double divisions of exact integer
+    // partials), q6 compares integer quant vs such an avg. Both
+    // divisions are operand-identical across the primary and scale
+    // forms; the probes record the corpus's minimum distance to each
+    // decision boundary over the same frames the branches compare.
+    val batchProbe =
+      s"""SELECT
+         |  (SELECT min(least(abs(avg_quant_NY - avg_quant_CT),
+         |                    abs(avg_quant_NY - avg_quant_NJ)))
+         |   FROM (WITH $sales
+         |     $q5Inner)) AS q5_min_avg_vs_avg_margin,
+         |  (${graft.OracleSql.materialized(
+               q6Ctes +
+                 """
+                   | SELECT min(abs(CAST(x.quant AS DOUBLE) - g1.avg_quant_1))
+                   | FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month""".stripMargin,
+               "pq")}) AS q6_min_threshold_margin""".stripMargin
     // Fold the six distinct-count branches into ONE aggregate pass:
     // a flat eight-branch UNION ALL is concurrency-broken in DuckDB —
     // it schedules independent branch pipelines concurrently and splits
@@ -528,6 +593,15 @@ object GoldenQueries {
          |UNION ALL SELECT 7, CASE WHEN c1 = c1i THEN c7 END FROM agg
          |UNION ALL SELECT 8, CASE WHEN c1 = c1i THEN c3 END FROM agg""".stripMargin,
       "agg")
-    Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch)
+    (Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch),
+      Map("emf_q4" -> q4Probe, "emf_q8" -> q8Probe,
+        "emf_batch" -> batchProbe))
   }
+
+  val scaleOracle: Map[String, String] = scaleFormsAndProbes._1
+
+  /** Margin diagnostics recorded next to each EMF scale-form stamp by
+    * `tools/check_scale_form.py` (see `SparkEntry.oracleMarginProbes`
+    * and the per-form comments above each probe). */
+  val marginProbes: Map[String, String] = scaleFormsAndProbes._2
 }

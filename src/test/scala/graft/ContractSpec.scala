@@ -54,6 +54,22 @@ class ContractSpec extends AnyFunSuite {
     // and a 287M-row sort at sf100 is pure spill.)
   }
 
+  test("every margin probe diagnoses an existing scale form") {
+    val sc = SparkEntry.oracleSqlScale.keySet
+    val probes = SparkEntry.oracleMarginProbes
+    assert(probes.keySet.subsetOf(sc),
+      s"probes without a scale form: ${probes.keySet -- sc}")
+    // the probe contract: scale forms whose pipelines divide or round
+    // FLOATS carry a probe; the two pure-integer pipelines (hamming /
+    // cross-multiplied mean test) are the only exemptions. A new scale
+    // form must either add a probe or extend this exemption list with
+    // an argument in its scaladoc.
+    val integerOnly = Set("dedup_simhash", "multimodal_phash")
+    assert(sc -- probes.keySet == integerOnly,
+      s"unprobed scale forms beyond the integer-only exemptions: " +
+        s"${sc -- probes.keySet -- integerOnly}")
+  }
+
   test("oracle SQL strings survive the Verify JSON escaping round-trip") {
     // mirror Verify.q's escaping, then parse with a strict JSON parser
     def q(s: String): String = "\"" + s.flatMap {

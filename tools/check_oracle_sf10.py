@@ -36,8 +36,13 @@ Scale-form substitution requires a pass stamp: an entry in
 oracle_sql_scale.json is only substituted when scale_form_ok.json
 (written by a passing tools/check_scale_form.py run; path overridable
 via SCALE_FORM_STAMP) records status ok AND a sql_sha matching the
-current scale SQL. An unstamped or stale scale form is reported as
-status `unstamped` (allowlistable, never silently used).
+current scale SQL AND a primary_sql_sha matching the out-dir's current
+primary oracle (so a semantically edited primary can never be gated
+against a stamp proven for the old text). An unstamped or stale scale
+form is reported as status `unstamped` (allowlistable, never silently
+used); each substituted entry records scale_sql_source so an audit can
+see whether the SQL came from the build's own out-dir or the tracked
+evidence/ mirror.
 
 Usage: check_oracle_sf10.py <sfDir> <verifyOutDir> [resultJson]
        [--allow n1,n2] [query ...]
@@ -52,6 +57,26 @@ TIMEOUT = int(os.environ.get("ORACLE_TIMEOUT", "600"))
 THREADS = int(os.environ.get("ORACLE_THREADS", "32"))
 MEM = os.environ.get("ORACLE_MEM", "48GB")
 TMP_BUDGET = float(os.environ.get("ORACLE_TMP_BUDGET_GB", "60")) * 1e9
+
+
+def clean_spill(tmp_dir):
+    """Remove a killed worker's DuckDB spill (a terminated DuckDB never
+    cleans up after itself; one leaked pair-join leaves tens of GB and
+    starves every later oracle). An explicit ORACLE_TMP dir is ours to
+    delete wholesale; the default cwd `.tmp` is shared, so only DuckDB's
+    own spill files are removed from it."""
+    if not os.path.isdir(tmp_dir):
+        return
+    import shutil
+    if os.environ.get("ORACLE_TMP"):
+        shutil.rmtree(tmp_dir, ignore_errors=True)
+    else:
+        for f in os.listdir(tmp_dir):
+            if f.startswith("duckdb"):
+                try:
+                    os.remove(os.path.join(tmp_dir, f))
+                except OSError:
+                    pass
 
 
 def dir_bytes(path):
@@ -161,10 +186,21 @@ def main():
         if scale_form:
             st = stamp.get(name, {})
             sha = hashlib.sha256(scale[name].encode()).hexdigest()[:16]
-            if st.get("status") != "ok" or st.get("sql_sha") != sha:
+            # the primary sha pin: a stamp proves scale ≡ primary for a
+            # SPECIFIC primary text. If the primary oracle was edited
+            # after the proof (semantic change) while the scale form was
+            # not, substituting would gate against the OLD semantics —
+            # refuse unless the stamp's primary_sql_sha matches the
+            # out-dir's current oracle_sql.json. (Pre-r17 stamps lack the
+            # field; they are treated as unstamped and must be re-proven.)
+            psha = hashlib.sha256(sql.encode()).hexdigest()[:16]
+            if (st.get("status") != "ok" or st.get("sql_sha") != sha
+                    or st.get("primary_sql_sha") != psha):
                 why = ("no scale_form_ok.json stamp" if not st else
                        f"stamp status={st.get('status')} "
-                       f"sql_sha={st.get('sql_sha')} != current {sha}")
+                       f"sql_sha={st.get('sql_sha')} vs current {sha}, "
+                       f"primary_sql_sha={st.get('primary_sql_sha')} "
+                       f"vs current {psha}")
                 results[name] = {"status": "unstamped", "why": why,
                                  "scale_form": True}
                 print(f"UNST {name}: {why}", flush=True)
@@ -198,22 +234,8 @@ def main():
         if status is not None:
             p.terminate()
             p.join()
-            # a terminated DuckDB never cleans its spill files — without
-            # this, one killed pair-join leaves tens of GB behind and
-            # starves every later query (observed: 29 GB after one kill).
-            # The default cwd `.tmp` is cleaned too (the watchdog monitors
-            # it either way), but only of DuckDB's own spill files
-            if os.path.isdir(tmp_dir):
-                import shutil
-                if os.environ.get("ORACLE_TMP"):
-                    shutil.rmtree(tmp_dir, ignore_errors=True)
-                else:
-                    for f in os.listdir(tmp_dir):
-                        if f.startswith("duckdb"):
-                            try:
-                                os.remove(os.path.join(tmp_dir, f))
-                            except OSError:
-                                pass
+            # observed: 29 GB of spill left behind after one kill
+            clean_spill(tmp_dir)
             results[name] = {"status": status, "sec": round(dt, 1)}
             why = (f"oracle exceeded {TIMEOUT}s" if status == "timeout" else
                    f"temp spill in {tmp_dir} crossed "
@@ -232,13 +254,17 @@ def main():
                  "why": f"worker died (exit {p.exitcode})"}
             # a worker killed from OUTSIDE the watchdog (kernel OOM
             # killer, SIGKILL) leaks its spill exactly like a watchdog
-            # kill does — clean the same way
-            if os.environ.get("ORACLE_TMP") and os.path.isdir(tmp_dir):
-                import shutil
-                shutil.rmtree(tmp_dir, ignore_errors=True)
+            # kill does — clean the same way (both tmp flavors)
+            clean_spill(tmp_dir)
         r["sec"] = round(dt, 1)
         if scale_form:
             r["scale_form"] = True
+            # provenance: which file the substituted SQL came from — an
+            # out-dir copy is from the same build as the Spark outputs;
+            # the evidence/ mirror is a cross-tree fallback an auditor
+            # should know about (the primary_sql_sha pin above already
+            # guarantees it matches this out-dir's primary semantics)
+            r["scale_sql_source"] = os.path.relpath(scale_path)
             # residual risk recorded next to the entry: a scale form may
             # share a rewrite identity with the engine's own lowering, so
             # this row is NOT algorithmically independent evidence — the

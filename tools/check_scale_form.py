@@ -28,8 +28,9 @@ Extra args restrict the run to the named entries; the stamp file is
 always MERGED (ran entries updated, other entries' stamps preserved),
 so a targeted re-proof after editing one scale form does not discard
 the others' evidence. Stale stamps are harmless either way: the
-consumer (check_oracle_sf10.py) re-hashes the scale SQL against each
-stamp's sql_sha and refuses mismatches. To regenerate the whole stamp
+consumer (check_oracle_sf10.py) re-hashes BOTH the scale SQL (sql_sha)
+and the primary oracle SQL (primary_sql_sha) against each stamp and
+refuses mismatches on either side. To regenerate the whole stamp
 file CI-style from the current tree:
   sbt 'runMain graft.Verify /root/testdata/sf0.001 /tmp/v-json nosuch' \
     && python3 tools/check_scale_form.py /root/testdata/sf0.1 /tmp/v-json
@@ -133,9 +134,13 @@ def main():
                 r = {"status": "error",
                      "why": f"worker died (exit {p.exitcode})"}
         r["sec"] = round(dt, 1)
-        # hash of the exact scale SQL that was proven equivalent — lets
-        # check_oracle_sf10.py reject a stamp that predates an edit
+        # hashes of the exact SQL pair that was proven equivalent — lets
+        # check_oracle_sf10.py reject a stamp that predates an edit on
+        # EITHER side: a stale scale form (sql_sha) or a primary oracle
+        # whose semantics changed after the proof ran (primary_sql_sha)
         r["sql_sha"] = hashlib.sha256(scale[name].encode()).hexdigest()[:16]
+        r["primary_sql_sha"] = hashlib.sha256(
+            primary[name].encode()).hexdigest()[:16]
         results[name] = r
         if r["status"] == "ok":
             print(f"ok   {name}: primary == scale-form "
