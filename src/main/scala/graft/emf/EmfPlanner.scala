@@ -176,16 +176,21 @@ object EmfPlanner {
     else None
   }
 
-  /** [[complementShape]] restricted to SUBTRACTABLE aggregates — the gate
-    * for the BATCH [[complementPass]], whose identity
+  /** [[complementShape]] for ANY aggregate — the gate for the BATCH
+    * complement lowerings. sum/count/avg use [[complementPass]]'s
+    * subtraction identity
     * `f({x: x.E = g.E ∧ x.c ≠ g.c}) = f({x: x.E = g.E}) ⊖
-    *  f({x: x.E = g.E ∧ x.c = g.c})`
-    * needs an inverse (sum/count subtract; avg = sum diff / count diff;
-    * min/max have none and take the dependent-pass join instead). */
+    *  f({x: x.E = g.E ∧ x.c = g.c})`;
+    * min/max have no inverse and use [[complementMinMaxPass]]'s value-
+    * HISTOGRAM identity instead (the same structure the streaming
+    * lowering's state holds). Before round 17 min/max fell through to
+    * the dependent pass, whose groups × tuples θ-join on `≠` is
+    * quadratic in the anti attr's popularity — 9·10⁹ joined rows for a
+    * keyless min at sf0.1's 15k custs × 600k rows, ~10¹⁴ at sf10:
+    * measured as a 40×+ StreamVolume stall before the histogram form. */
   private[emf] def complementInfo(v: GroupingVar, q: EmfQuery)
       : Option[(Seq[String], String)] =
-    if (!Set("sum", "count", "avg").contains(v.agg.func)) None
-    else complementShape(v, q)
+    complementShape(v, q)
 
   /** Lower a complement-decomposable variable ([[complementInfo]]) as two
     * LINEAR aggregations of the (tuple-filtered) fact table — totals per
@@ -200,6 +205,8 @@ object EmfPlanner {
   private def complementPass(v: GroupingVar, mf: DataFrame, base: DataFrame,
       q: EmfQuery, schema: StructType,
       eqAttrs: Seq[String], antiAttr: String): DataFrame = {
+    if (v.agg.func == "min" || v.agg.func == "max")
+      return complementMinMaxPass(v, mf, base, q, schema, eqAttrs, antiAttr)
     val t = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
     val c0 = col(v.agg.column)
     val floating = isFloating(v.agg.column, schema)
@@ -232,6 +239,66 @@ object EmfPlanner {
     }
     joined.withColumn(v.agg.name, value)
       .drop("__t_sum", "__t_cnt", "__o_sum", "__o_cnt")
+  }
+
+  /** Complement min/max via the VALUE-HISTOGRAM identity — min/max have
+    * no subtraction inverse, but over per-value counts the complement
+    * extremum is exact and LINEAR in histogram size:
+    *
+    *   min{x.q : x.E = g.E ∧ x.c ≠ g.c} = least(
+    *     min{v : own(g, v) ∧ global(g.E, v) > own(g, v)},   (shared vals)
+    *     min{v : global(g.E, v) > 0 ∧ ¬own(g, v)})          (others-only)
+    *
+    * where global/own are per-value row counts. Everything is bounded by
+    * groups × value-domain — the same bound the streaming lowering's
+    * state documents — instead of the dependent pass's groups × TUPLES
+    * θ-join (quadratic in anti-attr popularity; see [[complementInfo]]).
+    * Null measure values are filtered up front (min/max skip nulls); an
+    * empty complement yields NULL from both branches (least/greatest
+    * skip nulls), matching the reference's never-updated aggregate. */
+  private def complementMinMaxPass(v: GroupingVar, mf: DataFrame,
+      base: DataFrame, q: EmfQuery, schema: StructType,
+      eqAttrs: Seq[String], antiAttr: String): DataFrame = {
+    val t0 = v.tupleConds.foldLeft(base)((df, c) => df.filter(tupleCond(c, schema, None)))
+    val n = v.agg.name
+    val vc = s"__v_$n"
+    val ownKeys = (eqAttrs :+ antiAttr).distinct
+    val tv = t0.filter(col(v.agg.column).isNotNull)
+      .select(ownKeys.map(col) :+ col(v.agg.column).as(vc): _*)
+    val ext: Column => Column = if (v.agg.func == "min") min else max
+    val g = tv.groupBy(eqAttrs.map(col) :+ col(vc): _*)
+      .agg(count(lit(1)).as(s"__g_cnt_$n"))
+    val o = tv.groupBy(ownKeys.map(col) :+ col(vc): _*)
+      .agg(count(lit(1)).as(s"__o_cnt_$n"))
+    def nullSafeOn(l: DataFrame, r: DataFrame, keys: Seq[String]): Column =
+      keys.map(k => l(k) <=> r(k)).reduce(_ && _)
+    // shared values: the group's own values that OTHER groups also hold
+    val oa = o.alias("o"); val ga = g.alias("g")
+    val m1 = oa.join(ga, nullSafeOn(oa, ga, eqAttrs :+ vc))
+      .filter(col(s"__g_cnt_$n") > col(s"__o_cnt_$n"))
+      .groupBy(ownKeys.map(c => oa(c)): _*)
+      .agg(ext(oa(vc)).as(s"__m1_$n"))
+      .toDF(ownKeys :+ s"__m1_$n": _*)
+    // others-only values: global values under the group's E that the
+    // group holds none of — candidate frame is groups × per-E domain
+    // (keyless E: a cross join against the |domain|-row histogram)
+    val grps = mf.select(ownKeys.map(col): _*).distinct()
+    val gaa = g.alias("gc")
+    val cand =
+      if (eqAttrs.nonEmpty) {
+        val ca = grps.alias("gr")
+        ca.join(gaa, nullSafeOn(ca, gaa, eqAttrs))
+          .select(ownKeys.map(c => ca(c)) :+ gaa(vc): _*)
+      } else grps.crossJoin(g.select(col(vc)))
+    val canda = cand.alias("cd")
+    val m2 = canda.join(oa, nullSafeOn(canda, oa, ownKeys :+ vc), "left_anti")
+      .groupBy(ownKeys.map(col): _*)
+      .agg(ext(col(vc)).as(s"__m2_$n"))
+    val joined = joinNullSafe(joinNullSafe(mf, m1, ownKeys), m2, ownKeys)
+    val value =
+      if (v.agg.func == "min") least(col(s"__m1_$n"), col(s"__m2_$n"))
+      else greatest(col(s"__m1_$n"), col(s"__m2_$n"))
+    joined.withColumn(n, value).drop(s"__m1_$n", s"__m2_$n")
   }
 
   /** One dependent-variable pass: join MF frame with the fact table on the

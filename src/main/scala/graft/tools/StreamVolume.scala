@@ -83,6 +83,18 @@ object StreamVolume {
           sys.error(s"unknown case $n; have ${allCases.map(_._1)}")))
       else allCases
 
+    // emissions land in a parquet dir per case, NOT the memory sink:
+    // update mode re-emits every group a batch touches, and the
+    // cross-group cases touch ~all groups per batch — at sf10 that is
+    // hundreds of millions of emitted versions, which a driver-resident
+    // memory sink cannot hold (the sf0.1 runs fit; this tool is FOR the
+    // bigger rehearsals). foreachBatch appends each micro-batch's
+    // updates (they carry the planner's __ver column, which snapshot()
+    // keys on), so the driver holds one input chunk and nothing else.
+    val workRoot = java.nio.file.Files
+      .createTempDirectory("streamvol").toString
+    println(s"[streamvol] emissions under $workRoot")
+
     // unmeasured warmup: the FIRST streaming query in a JVM pays
     // whole-stage codegen, state-store provider init, and stream-exec
     // setup — r15's "q3_windowed 4× slower" read was exactly this
@@ -105,10 +117,13 @@ object StreamVolume {
     for ((name, q, planFn, snapFn) <- cases) {
       runIdx += 1
       val stream = MemoryStream[SaleRow](spark)
-      // runIdx suffix: repeated cases (profiling) get fresh sink tables
-      val sink = s"sv_${name}_$runIdx"
+      // runIdx suffix: repeated cases (profiling) get fresh sink dirs
+      val sinkDir = s"$workRoot/sv_${name}_$runIdx"
       val sq = planFn(q, stream.toDF())
-        .writeStream.format("memory").queryName(sink)
+        .writeStream
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          df.write.mode("append").parquet(sinkDir)
+        }
         .outputMode(OutputMode.Update).start()
       val t0 = System.nanoTime()
       try {
@@ -121,27 +136,48 @@ object StreamVolume {
         val prog = sq.lastProgress
         val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
         val stateBytes = prog.stateOperators.map(_.memoryUsedBytes).sum
-        // Update-mode memory sink accumulates every emitted version of
-        // a group; snapshot() keeps the latest per key
-        val snapDf = snapFn(spark.table(sink), q)
-        val snapCols = snapDf.columns
-        val snap = snapDf
-          .orderBy(snapCols.map(org.apache.spark.sql.functions.col): _*)
-          .collect().toSeq
-        val batch0 = EmfPlanner.plan(q, view.toDF())
-        val batch = batch0
-          .select(snapCols.map(org.apache.spark.sql.functions.col): _*)
-          .orderBy(snapCols.map(org.apache.spark.sql.functions.col): _*)
-          .collect().toSeq
-        val eq = snap == batch
+        // snapshot() keeps the latest __ver per key over the appended
+        // emissions; the equality check is a DISTRIBUTED order-
+        // independent digest — (count, sum of per-row xxhash64 over
+        // name-sorted columns), one aggregation pass per side, nothing
+        // output-sized on the driver — so the 10⁷-group cross-group
+        // cases compare at sf10. Same evidence class as the sf10
+        // comparator's digest gate (an exceptAll proof was tried and
+        // rejected: its union pipeline re-executes the EMF batch plan
+        // inside a single-partition aggregate stage, a 40×+ stall).
+        import org.apache.spark.sql.functions.{count => fcount, lit, sum, xxhash64}
+        // hash sum rides decimal(38,0): ANSI mode makes sum(long)
+        // throw on overflow, and 10⁷ × ±2⁶³ hashes overflow for sure
+        def digest(df: DataFrame): (Long, String) = {
+          val cols = df.columns.sorted
+            .map(org.apache.spark.sql.functions.col)
+          val r = df.agg(fcount(lit(1)).as("n"),
+            sum(xxhash64(cols: _*).cast("decimal(38,0)")).as("h")).head()
+          (r.getLong(0), String.valueOf(r.get(1)))
+        }
+        val snapDf = snapFn(spark.read.parquet(sinkDir), q)
+        val batch = EmfPlanner.plan(q, view.toDF())
+          .select(snapDf.columns.map(org.apache.spark.sql.functions.col): _*)
+        val (nSnap, hSnap) = digest(snapDf)
+        val (nBatch, hBatch) = digest(batch)
+        val eq = nSnap == nBatch && hSnap == hBatch
         println(f"[streamvol] $name%-14s rows=$nRows%d " +
           f"wall=$secs%.1fs thru=${nRows / secs}%.0f rows/s " +
           f"stateRows=$stateRows%d stateMB=${stateBytes / 1048576.0}%.1f " +
-          f"outGroups=${snap.length}%d snapshot==batch: $eq%s")
+          f"outGroups=$nSnap%d snapshot==batch: $eq%s")
         require(eq, s"$name: streaming snapshot diverged from batch planner " +
-          s"(${snap.length} vs ${batch.length} rows)")
-      } finally sq.stop()
+          s"($nSnap rows/$hSnap vs $nBatch rows/$hBatch)")
+      } finally {
+        sq.stop()
+        // the cross-group cases emit ~|groups| × nChunks versions — GBs
+        // of parquet at sf10; drop each case's emissions once compared
+        // so the whole run is bounded by ONE case's footprint
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(sinkDir))
+      }
     }
+    org.apache.commons.io.FileUtils
+      .deleteQuietly(new java.io.File(workRoot))
     spark.stop()
   }
 }
