@@ -500,21 +500,6 @@ object GoldenQueries {
          |          CAST(sum(quant * cnt) AS DOUBLE)
          |            / CAST(sum(cnt) AS BIGINT) AS avg_quant_1
          |        FROM pq GROUP BY 1,2)""".stripMargin
-    val batchInner: Map[Int, String] = Map(
-      5 ->
-        s"""WITH $sales
-           |SELECT * FROM (
-           |  $q5Inner)
-           |WHERE avg_quant_NY > avg_quant_CT AND avg_quant_NY > avg_quant_NJ""".stripMargin,
-      6 ->
-        (q6Ctes +
-          """,
-            | g2 AS (SELECT x.prod, x.month,
-            |          CAST(sum(x.cnt) AS BIGINT) AS count_quant_2
-            |        FROM pq x JOIN g1 ON x.prod=g1.prod AND x.month=g1.month
-            |        WHERE x.quant > g1.avg_quant_1 GROUP BY 1,2)
-            |SELECT prod, month FROM g2 WHERE count_quant_2 > 0""".stripMargin),
-    )
     // emf_batch's float comparisons live in its q5/q6 branches: q5
     // compares avg-vs-avg (both double divisions of exact integer
     // partials), q6 compares integer quant vs such an avg. Both
@@ -551,48 +536,93 @@ object GoldenQueries {
     // q5/q6 need second-level aggregation and keep private single-pass
     // branches; each of the three parts derives `sales` privately with
     // a single reference, so nothing 600M-row-wide is materialized.
-    // the cust-keyed distinct sets ride the 4-byte o_custkey instead of
-    // the ~26-byte c_name — at sf100 the (cust, prod) set alone is 287M
-    // entries, ~30 GB as strings (spilled past any budget) vs ~10 GB as
-    // (int, brand), which finalizes in RAM. The substitution is exact
-    // iff c_name is injective over customers; the pass WITNESSES that
-    // (c1 = c1i below) and the guarded counts NULL out on violation —
-    // a visible hash mismatch, never a silent pass. Branch 1's own
-    // count stays on the names (no assumption).
-    val salesK = {
-      val out = sales.replace("SELECT c.c_name AS cust,",
-        "SELECT c.c_name AS cust, o.o_custkey AS ckey,")
-      require(out != sales, "salesK: cust projection not found")
-      out
-    }
-    val mega =
-      s"""(WITH $salesK
-         |SELECT count(DISTINCT cust) AS c1,
-         |  count(DISTINCT ckey) AS c1i,
-         |  count(DISTINCT CASE WHEN year=1997 THEN (prod, month) END) AS c2,
-         |  count(DISTINCT CASE WHEN year=1997 THEN (ckey, month) END) AS c3,
-         |  count(DISTINCT (ckey, prod)) AS c4,
-         |  count(DISTINCT CASE WHEN year=1997 THEN (ckey, day, month) END)
-         |    AS c7
-         |FROM sales)""".stripMargin
-    // agg AS MATERIALIZED for the same reason as q4's pg: inlined, the
-    // six-times-referenced one-row aggregate would re-run the mega pass
-    // six times; materialized, it is one pass and a one-row CDC
+    // r17 rebuild after TWO measured sf100 failures of earlier shapes:
+    // (a) the r16 struct-keyed single-pass mega ((int, varchar) / 3-int
+    // distinct entries across ~1 B total set rows) spilled past a 30 GB
+    // temp budget, and (b) its c1 = c1i injectivity witness is actually
+    // VIOLATED at sf100 — c_name collides there (14,864,009 distinct
+    // names over 14,999,000 custs-with-sales), so the o_custkey
+    // substitution would NULL the guarded counts (a visible fail, but
+    // still a fail). The rebuild:
+    //  - dict / pdict map names to keys with BIJECTIONS BY
+    //    CONSTRUCTION, no witness needed: nk = min(c_custkey) per
+    //    c_name (one key per NAME — colliding names share a key, which
+    //    is exactly name-level group identity), pk = row_number over
+    //    DISTINCT p_brand. Cust-keyed distinct sets then ride one
+    //    packed 8-byte BIGINT each: (nk, month) → nk·16 + month,
+    //    (nk, day, month) → nk·512 + day·16 + month (calendar ranges),
+    //    (nk, pk) → nk·1024 + pk (pbad witnesses pk < 1024).
+    //  - the year-1997 work (c2/c3/c7 + the q5/q6 branches) reads ONE
+    //    materialized pre-aggregate m1997 (nk/pk-keyed, ~1/7 of the
+    //    corpus, no strings beyond state) instead of three private
+    //    six-way joins; only c1/c4/pbad still scan the raw join. Two
+    //    concurrent wide joins instead of four halves the concurrent
+    //    blocking-operator memory that caused (a) — measured parts:
+    //    mega-alone 11.4 GB spill, q5/q6-alone ZERO, combined r16 form
+    //    >30 GB. q5's avgs divide sum(quant·cnt)/sum(cnt) — the same
+    //    exact integers the primary divides, so the doubles are
+    //    bit-identical; q6's positive-count filter becomes EXISTS
+    //    (count_quant_2 = sum of cnt ≥ 1 per joined row, so > 0 ⟺ a
+    //    row exists).
     val batch = graft.OracleSql.materialized(
-      s"""WITH agg AS $mega
+      s"""WITH $sales,
+         | dict AS (SELECT c_name, CAST(min(c_custkey) AS BIGINT) AS nk
+         |          FROM customer GROUP BY 1),
+         | pdict AS (SELECT p_brand,
+         |             CAST(row_number() OVER (ORDER BY p_brand) AS BIGINT)
+         |               AS pk
+         |           FROM (SELECT DISTINCT p_brand FROM part)),
+         | m1997 AS (
+         |   SELECT d.nk, pd.pk, s.month, s.day, s.state, s.quant,
+         |          count(1) AS cnt
+         |   FROM sales s JOIN dict d ON d.c_name = s.cust
+         |                JOIN pdict pd ON pd.p_brand = s.prod
+         |   WHERE s.year = 1997 GROUP BY 1,2,3,4,5,6),
+         | agg AS (
+         |   SELECT count(DISTINCT d.nk) AS c1,
+         |     count(DISTINCT d.nk * 1024 + pd.pk) AS c4,
+         |     count(CASE WHEN pd.pk >= 1024 OR pd.pk < 1 THEN 1 END) AS pbad
+         |   FROM sales s JOIN dict d ON d.c_name = s.cust
+         |                JOIN pdict pd ON pd.p_brand = s.prod),
+         | agg97 AS (
+         |   SELECT count(DISTINCT (pk, month)) AS c2,
+         |     count(DISTINCT nk * 16 + month) AS c3,
+         |     count(DISTINCT nk * 512 + day * 16 + month) AS c7
+         |   FROM m1997),
+         | q5c AS (
+         |   SELECT count(1) AS n FROM (
+         |     SELECT nk,
+         |      CAST(sum(CASE WHEN state='NATION_1' THEN quant * cnt END) AS DOUBLE)
+         |        / CAST(sum(CASE WHEN state='NATION_1' THEN cnt END) AS BIGINT)
+         |        AS a1,
+         |      CAST(sum(CASE WHEN state='NATION_2' THEN quant * cnt END) AS DOUBLE)
+         |        / CAST(sum(CASE WHEN state='NATION_2' THEN cnt END) AS BIGINT)
+         |        AS a2,
+         |      CAST(sum(CASE WHEN state='NATION_3' THEN quant * cnt END) AS DOUBLE)
+         |        / CAST(sum(CASE WHEN state='NATION_3' THEN cnt END) AS BIGINT)
+         |        AS a3
+         |     FROM m1997 GROUP BY nk)
+         |   WHERE a1 > a2 AND a1 > a3),
+         | q6c AS (
+         |   SELECT count(1) AS n FROM (
+         |     SELECT DISTINCT x.pk, x.month
+         |     FROM (SELECT pk, month, quant, sum(cnt) AS cnt2
+         |           FROM m1997 GROUP BY 1,2,3) x
+         |     JOIN (SELECT pk, month,
+         |             CAST(sum(quant * cnt) AS DOUBLE)
+         |               / CAST(sum(cnt) AS BIGINT) AS avg_quant_1
+         |           FROM m1997 GROUP BY 1,2) g1
+         |       ON x.pk = g1.pk AND x.month = g1.month
+         |     WHERE x.quant > g1.avg_quant_1))
          |SELECT 1 AS query_id, c1 AS n_rows FROM agg
-         |UNION ALL SELECT 2, c2 FROM agg
-         |UNION ALL SELECT 3, CASE WHEN c1 = c1i THEN c3 END FROM agg
-         |UNION ALL SELECT 4, CASE WHEN c1 = c1i THEN c4 END FROM agg
-         |UNION ALL SELECT 5, count(1) FROM (
-         |${batchInner(5)}
-         |)
-         |UNION ALL SELECT 6, count(1) FROM (
-         |${batchInner(6)}
-         |)
-         |UNION ALL SELECT 7, CASE WHEN c1 = c1i THEN c7 END FROM agg
-         |UNION ALL SELECT 8, CASE WHEN c1 = c1i THEN c3 END FROM agg""".stripMargin,
-      "agg")
+         |UNION ALL SELECT 2, c2 FROM agg97
+         |UNION ALL SELECT 3, c3 FROM agg97
+         |UNION ALL SELECT 4, CASE WHEN pbad = 0 THEN c4 END FROM agg
+         |UNION ALL SELECT 5, n FROM q5c
+         |UNION ALL SELECT 6, n FROM q6c
+         |UNION ALL SELECT 7, c7 FROM agg97
+         |UNION ALL SELECT 8, c3 FROM agg97""".stripMargin,
+      "dict", "pdict", "m1997", "agg", "agg97")
     (Map("emf_q4" -> q4, "emf_q8" -> q8, "emf_batch" -> batch),
       Map("emf_q4" -> q4Probe, "emf_q8" -> q8Probe,
         "emf_batch" -> batchProbe))
