@@ -33,14 +33,17 @@ object StreamVolume {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // fed via toLocalIterator, NOT a whole-corpus collect: the sf10
-    // rehearsal streams 60M sales rows; only one micro-batch chunk is
-    // ever resident on the driver
+    // fed from a STAGED PARQUET DIR through a file-source stream (one
+    // staged file per trigger), not MemoryStream: MemoryStream ships
+    // each batch as a java-serialized task binary that every executor
+    // task deserializes — at sf10's 6M-row chunks that is a ~700 MB
+    // binary × 24 concurrent deserializations, a measured driver-heap
+    // OOM. The file stream feeds executors directly from disk — the
+    // shape a real deployment has — and the driver holds nothing.
     val view = graft.Tables.salesView(spark, sfDir).as[SaleRow]
     val nRows = view.count()
-    val chunkSize = math.max(1L, (nRows + nChunks - 1) / nChunks).toInt
     println(s"[streamvol] $nRows sales rows, " +
-      s"$nChunks micro-batches of ~$chunkSize")
+      s"$nChunks file-source micro-batches")
 
     // q4 minus its equality pin: the KEYLESS global complement ("each
     // cust vs every OTHER cust"), measured through BOTH lowerings —
@@ -94,6 +97,10 @@ object StreamVolume {
     val workRoot = java.nio.file.Files
       .createTempDirectory("streamvol").toString
     println(s"[streamvol] emissions under $workRoot")
+    val stageDir = s"$workRoot/sales_stage"
+    view.toDF().repartition(nChunks)
+      .write.mode("overwrite").parquet(stageDir)
+    val stageSchema = spark.read.parquet(stageDir).schema
 
     // unmeasured warmup: the FIRST streaming query in a JVM pays
     // whole-stage codegen, state-store provider init, and stream-exec
@@ -116,10 +123,11 @@ object StreamVolume {
     var runIdx = 0
     for ((name, q, planFn, snapFn) <- cases) {
       runIdx += 1
-      val stream = MemoryStream[SaleRow](spark)
+      val src = spark.readStream.schema(stageSchema)
+        .option("maxFilesPerTrigger", "1").parquet(stageDir)
       // runIdx suffix: repeated cases (profiling) get fresh sink dirs
       val sinkDir = s"$workRoot/sv_${name}_$runIdx"
-      val sq = planFn(q, stream.toDF())
+      val sq = planFn(q, src)
         .writeStream
         .foreachBatch { (df: DataFrame, _: Long) =>
           df.write.mode("append").parquet(sinkDir)
@@ -127,11 +135,7 @@ object StreamVolume {
         .outputMode(OutputMode.Update).start()
       val t0 = System.nanoTime()
       try {
-        import scala.jdk.CollectionConverters._
-        view.toLocalIterator().asScala.grouped(chunkSize).foreach { chunk =>
-          stream.addData(chunk)
-          sq.processAllAvailable()
-        }
+        sq.processAllAvailable()
         val secs = (System.nanoTime() - t0) / 1e9
         val prog = sq.lastProgress
         val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
