@@ -19,6 +19,10 @@ object StreamVolume {
   final case class SaleRow(cust: String, prod: String, day: Int,
       month: Int, year: Int, state: String, quant: Int)
 
+  /** Control-flow marker: a case ended in a designed state-guard
+    * refusal (already reported); skip its compare, continue the run. */
+  private final class CaseRefused extends RuntimeException
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val nChunks = if (args.length > 1) args(1).toInt else 10
@@ -133,9 +137,26 @@ object StreamVolume {
           df.write.mode("append").parquet(sinkDir)
         }
         .outputMode(OutputMode.Update).start()
+      // the engine's domain-bound fail-fasts (boundAntiDomain /
+      // boundOrderDomain / boundHist) are DESIGNED refusals: a lowering
+      // whose state would grow with the stream names that immediately
+      // instead of OOMing hours in. At sf10 the keyed and constant-key
+      // cross-group forms refuse (1.5M anti values per key > the 65,536
+      // cap) and the sharded form is the documented scale path — record
+      // the refusal as that case's result and keep rehearsing.
+      def guardRefusal(e: Throwable): Option[String] =
+        Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+          .map(c => Option(c.getMessage).getOrElse(""))
+          .find(_.contains("state would grow with the stream"))
       val t0 = System.nanoTime()
       try {
-        sq.processAllAvailable()
+        try sq.processAllAvailable()
+        catch {
+          case e: Throwable if guardRefusal(e).isDefined =>
+            println(f"[streamvol] $name%-14s REFUSED by state guard " +
+              s"(designed fail-fast): ${guardRefusal(e).get.take(160)}")
+            throw new CaseRefused
+        }
         val secs = (System.nanoTime() - t0) / 1e9
         val prog = sq.lastProgress
         val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
@@ -171,6 +192,8 @@ object StreamVolume {
           f"outGroups=$nSnap%d snapshot==batch: $eq%s")
         require(eq, s"$name: streaming snapshot diverged from batch planner " +
           s"($nSnap rows/$hSnap vs $nBatch rows/$hBatch)")
+      } catch {
+        case _: CaseRefused => () // reported above; next case
       } finally {
         sq.stop()
         // the cross-group cases emit ~|groups| × nChunks versions — GBs
