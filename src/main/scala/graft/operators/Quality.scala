@@ -55,18 +55,19 @@ object Quality {
       // the same aggregation (Expand ×2 of the scan — cheaper than the
       // separate full scan + distinct it replaces).
       val liRep = li
-        // shuffle-hash, not sort-merge: the deduped key side hash-builds
-        // per partition (~keys/shuffle-partitions rows) while SMJ would
-        // SORT the full fact side — measured as the dominant dq_checks
-        // term at the ×100 rehearsal
-        .join(o.select(col("o_orderkey").as("__ok")).distinct()
-          .hint("shuffle_hash"),
+        // the key sides are deduped but FACT-SCALED (orders SF×1.5M,
+        // part SF×200k) — the join strategy is left to AQE on purpose.
+        // An earlier form FORCED shuffle_hash (per-partition build ≈
+        // keys/shuffle-partitions, cheaper than SMJ's fact-side sort at
+        // the ×100 rehearsal) — but a forced SHJ build CANNOT SPILL,
+        // and at sf100/28 partitions the ~5.4M-key ≈ 268 MB build died
+        // on memory acquisition. AQE picks SHJ exactly when the runtime
+        // build fits and falls back to sort-merge (which spills) when
+        // it doesn't — the only strategy that is correct at every SF ×
+        // partition-count combination.
+        .join(o.select(col("o_orderkey").as("__ok")).distinct(),
           col("l_orderkey") === col("__ok"), "left")
-        // part is a fact-scaled dimension in TPC-H (SF×200k keys) —
-        // same shuffle-hash probe as the orders FK, never a broadcast
-        // that grows with SF
-        .join(p.select(col("p_partkey").as("__pk")).distinct()
-          .hint("shuffle_hash"),
+        .join(p.select(col("p_partkey").as("__pk")).distinct(),
           col("l_partkey") === col("__pk"), "left")
         .agg(count(lit(1)).as("n_li"),
           sum(when(col("__ok").isNull, 1L).otherwise(0L)).as("v_fk_o"),
@@ -86,9 +87,9 @@ object Quality {
         .agg(count(lit(1)).as("cnt"))
         .agg(coalesce(sum(col("cnt") - lit(1L)), lit(0L)).as("v_pk"))
       val oRep = o
-        // customer scales with SF too (SF×150k) — shuffle-hash probe
-        .join(c.select(col("c_custkey").as("__ck")).distinct()
-          .hint("shuffle_hash"),
+        // customer scales with SF too (SF×150k) — AQE-chosen join,
+        // same rationale as the lineitem FK probes above
+        .join(c.select(col("c_custkey").as("__ck")).distinct(),
           col("o_custkey") === col("__ck"), "left")
         .agg(count(lit(1)).as("n_o"),
           sum(when(col("__ck").isNull, 1L).otherwise(0L)).as("v_fk_c"),

@@ -98,14 +98,23 @@ object Stats {
             |  'quantity', 'tax',      sq, st, sqq, stt, sqt,
             |  'discount', 'tax',      sd, st, sdd, stt, sdt
             |) AS (x_name, y_name, sx, sy, sxx, syy, sxy)""".stripMargin)
+        // moment combination in DECIMAL(38,0): n·sxy alone is ~1.8·10²⁰
+        // at sf100's 600M rows — past 2⁶³ (sf10 just fits, which is how
+        // the BIGINT form stayed green there). And the old readout
+        // num²·10⁶ needs ~46 digits at sf100 — past decimal(38) AND
+        // DuckDB's HUGEINT — so r² is read out STEPWISE,
+        // ((|num|·10⁶ div varx) · |num|) div vary: every intermediate
+        // stays under 10³⁷ up to ~10¹⁴-row corpora, the ≤ few-ppm
+        // truncation skew vs the one-shot division is deterministic and
+        // identical cross-engine (all operands non-negative, so Spark's
+        // truncating div ≡ DuckDB's floor //; the sign rides corr_sign)
         .selectExpr("x_name", "y_name", "n",
-          "n*sxy - sx*sy AS num",
-          "n*sxx - sx*sx AS varx",
-          "n*syy - sy*sy AS vary")
+          "CAST(n AS DECIMAL(38,0))*sxy - CAST(sx AS DECIMAL(38,0))*sy AS num",
+          "CAST(n AS DECIMAL(38,0))*sxx - CAST(sx AS DECIMAL(38,0))*sx AS varx",
+          "CAST(n AS DECIMAL(38,0))*syy - CAST(sy AS DECIMAL(38,0))*sy AS vary")
         .selectExpr("x_name", "y_name", "n",
           "CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT) AS corr_sign",
-          """CAST((CAST(num AS DECIMAL(38,0)) * num * 1000000)
-            |  div (CAST(varx AS DECIMAL(38,0)) * vary) AS BIGINT) AS r2_ppm""".stripMargin)
+          "CAST(((abs(num) * 1000000) div varx) * abs(num) div vary AS BIGINT) AS r2_ppm")
         .orderBy(col("x_name"), col("y_name"))
     }),
 
@@ -317,13 +326,15 @@ object Stats {
         |  UNION ALL SELECT 'discount', 'tax', n, sd, st, sdd, stt, sdt FROM m),
         |d AS (
         |  SELECT x_name, y_name, n,
-        |    n*sxy - sx*sy AS num, n*sxx - sx*sx AS varx, n*syy - sy*sy AS vary
+        |    CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy AS num,
+        |    CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx AS varx,
+        |    CAST(n AS HUGEINT)*syy - CAST(sy AS HUGEINT)*sy AS vary
         |  FROM p)
         |SELECT x_name, y_name, n,
         |  CAST(CASE WHEN num > 0 THEN 1 WHEN num < 0 THEN -1 ELSE 0 END AS INT)
         |    AS corr_sign,
-        |  CAST((CAST(num AS HUGEINT) * num * 1000000)
-        |    // (CAST(varx AS HUGEINT) * vary) AS BIGINT) AS r2_ppm
+        |  CAST(((abs(num) * 1000000) // varx) * abs(num) // vary AS BIGINT)
+        |    AS r2_ppm
         |FROM d ORDER BY x_name, y_name""".stripMargin,
     "token_entropy" ->
       """WITH w AS (
