@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Size-adaptive materialization of multi-consumer subtrees (r17).
+  *
+  * A frame consumed by several downstream branches can either be
+  * re-computed per consumer (Spark's default — plans are trees, not
+  * DAGs) or materialized once (persist / localCheckpoint). Which is
+  * cheaper depends on the INPUT volume of the subtree, and the two
+  * regimes are orders of magnitude apart at the extremes:
+  *
+  *  - At bench scale (sf0.1 = 17 MB total input) a materialization
+  *    barrier costs MORE than recompute: the barrier serializes the
+  *    plan into extra sequential stages/jobs and pays cache encoding,
+  *    while re-running a few-MB scan is ~free. Measured on this box
+  *    (TimeQuery min-of-4, both A/B orders): unconditional persists
+  *    on 13 affected queries cost +25-50% wall at sf0.1.
+  *  - At warehouse scale each extra consumer re-runs a corpus-sized
+  *    scan + parse (the 100 TB killer — e.g. langid_nb's model side
+  *    re-tokenized the whole corpus 3× before r17).
+  *
+  * So the decision is gated on the subtree's LEAF input bytes (the
+  * recompute cost proxy — join/aggregate output estimates inflate
+  * under non-CBO stats, leaf sizes don't), against
+  * `spark.graft.share.minBytes` (default 256 MiB: recomputing a
+  * ≤256 MiB-input subtree is comparable to the barrier's fixed cost;
+  * above, recompute grows linearly while the barrier stays ~constant).
+  * The same stats-gated-choice pattern as `q21Core`'s skew alternative.
+  * Values are identical in both regimes — materialization never
+  * changes results, only the execution DAG.
+  */
+object PlanShare {
+
+  /** Sum of leaf-relation size estimates in the frame's ANALYZED plan
+    * — the bytes a full re-execution of the subtree would re-scan.
+    * Analyzed (not optimized) deliberately: analysis already ran when
+    * the Dataset was built, so the probe costs nothing, while forcing
+    * the optimizer here would pay an extra full optimization pass per
+    * probe on the exact deep trees this helper exists to tame
+    * (measured +0.4 s on mmr_select's 183 KB tree). Leaf stats are
+    * identical in both plans (file sizes / cached-relation sizes). */
+  private def leafInputBytes(df: DataFrame): BigInt =
+    df.queryExecution.analyzed.collectLeaves()
+      .map(_.stats.sizeInBytes).sum
+
+  private def minBytes(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("spark.graft.share.minBytes").map(_.toLong)
+      // env fallback so plan tooling (PlanDump) can exhibit the
+      // above-gate plan shape without a code change
+      .orElse(sys.env.get("SPARK_GRAFT_SHARE_MIN").map(_.toLong))
+      .getOrElse(256L << 20)
+
+  private def big(df: DataFrame): Boolean =
+    leafInputBytes(df) >= minBytes(df)
+
+  /** Persist `df` for its multiple consumers when its inputs are big
+    * enough that recompute dominates; no-op below the threshold.
+    * Registered with [[graft.emf.EmfPlanner.registerPersisted]] so the
+    * entrypoints' per-query cleanup reclaims it. */
+  def shared(df: DataFrame): DataFrame =
+    if (big(df)) {
+      graft.emf.EmfPlanner.registerPersisted(df.persist())
+      df
+    } else df
+
+  /** Eagerly localCheckpoint `df` (truncating lineage so iterative /
+    * multi-consumer plans stop re-executing the upstream) when its
+    * inputs are big enough; no-op below the threshold. Use for SMALL
+    * outputs of EXPENSIVE subtrees (per-round iterates, candidate
+    * sets); executor-local blocks — the connectedComponents fault-
+    * tolerance caveat applies and is acceptable for these KB-sized
+    * frames. */
+  def pinned(df: DataFrame): DataFrame =
+    if (big(df)) df.localCheckpoint() else df
+}

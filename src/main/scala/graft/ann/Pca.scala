@@ -72,8 +72,14 @@ object Pca {
       val e = quantized(s, d)
       // v0 = all-ones (dim taken from the data, no hardcoded d)
       val v0 = e.limit(1).select(transform(col("q"), _ => lit(1L)).as("v"))
-      val v1 = normalized(round(e, v0))
-      val u2 = round(e, asArray(v1))
+      // size-gated checkpoint of the d-row iterates (r17): v1 feeds
+      // round 2 AND the final join, u2 feeds λ AND the final normalize
+      // — without truncation each consumer re-executes the full
+      // upstream power round (plan-verified 38 embedding scans / 54 KB
+      // plan; pinned, one corpus scan per round — the algorithm's
+      // floor). d rows each; values are exact integers, unchanged.
+      val v1 = graft.PlanShare.pinned(normalized(round(e, v0)))
+      val u2 = graft.PlanShare.pinned(round(e, asArray(v1)))
       val lambda = u2.agg(max(abs(col("u"))).as("m"))
         .selectExpr("m div 1024 AS lambda_grid")
       normalized(u2).withColumnRenamed("v", "v2_scaled")

@@ -79,10 +79,20 @@ object Dedup {
     val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
       .repartition(s.sparkContext.defaultParallelism)
     val stride = docs.agg((max(col("doc_id")) + 1).as("__stride"))
-    val near = docs.crossJoin(broadcast(stride)).select(
-      (col("doc_id") + col("__stride")).as("doc_id"),
-      array_join(slice(split(col("text"), " "), 2, 1000000), " ").as("text"))
-    docs.unionByName(near)
+    // r17: base ∪ near generated IN-ROW (explode of a 2-element array)
+    // instead of a self-union — the union form scanned + repartitioned
+    // the corpus once PER BRANCH, doubling the ingest cost of every
+    // dedup-family consumer (plan-verified; the multiset of rows is
+    // identical, and every consumer aggregates, so row order is
+    // irrelevant). The stride scan remains: it reads only the pruned
+    // doc_id column.
+    docs.crossJoin(broadcast(stride))
+      .select(explode(array(
+        struct(col("doc_id"), col("text")),
+        struct((col("doc_id") + col("__stride")).as("doc_id"),
+          array_join(slice(split(col("text"), " "), 2, 1000000), " ")
+            .as("text")))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.text").as("text"))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(

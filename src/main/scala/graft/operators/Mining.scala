@@ -406,9 +406,16 @@ object Mining {
     // window-capped distinct + two keyed probes over the |pairs| frame.
     "assoc_rules" -> ((s, d) => {
       val capped = cappedItems(s, d)
-      val itemN = capped.groupBy(col("l_partkey"))
-        .agg(count(lit(1)).as("n_item"))
-      val nb = capped.agg(count_distinct(col("l_orderkey")).as("n_baskets"))
+      // size-gated share (r17): the support frame probes BOTH rule
+      // directions — un-materialized, the basket explode + item agg
+      // runs twice.
+      val itemN = graft.PlanShare.shared(capped.groupBy(col("l_partkey"))
+        .agg(count(lit(1)).as("n_item")))
+      // basket census straight off the memoized basket frame: one row
+      // per basket by construction, so count(1) == the old
+      // count_distinct(l_orderkey) over the exploded memberships
+      // without the explode + exact-distinct state
+      val nb = baskets(s, d).agg(count(lit(1)).as("n_baskets"))
       val pairs = pairsCached(s, d)
       val both = pairs.select(col("part_a").as("antecedent"),
           col("part_b").as("consequent"), col("n_orders"))

@@ -508,14 +508,21 @@ object CorpusOps {
     "text_bigram_lm" -> ((s, d) => {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val dbg = docs.select(col("doc_id"),
+      // size-gated share (r17): dbg feeds BOTH the model counts (c2)
+      // and the final scoring join — un-materialized, the corpus
+      // bigram explode + triple collapse runs twice (plan-verified).
+      // The triple frame is the same volume the scoring join already
+      // shuffles; c2 is bigram-vocab-sized and feeds c1 AND the cc
+      // join (read twice, built once).
+      val dbg = graft.PlanShare.shared(docs.select(col("doc_id"),
         explode(arrays_zip(
           slice(col("ws"), lit(1), size(col("ws")) - 1),
           slice(col("ws"), lit(2), size(col("ws")) - 1))).as("b"))
         .select(col("doc_id"), col("b.0").as("w1"), col("b.1").as("w2"))
         .groupBy(col("doc_id"), col("w1"), col("w2"))
-        .agg(count(lit(1)).as("dbc"))
-      val c2 = dbg.groupBy(col("w1"), col("w2")).agg(sum(col("dbc")).as("c2"))
+        .agg(count(lit(1)).as("dbc")))
+      val c2 = graft.PlanShare.shared(
+        dbg.groupBy(col("w1"), col("w2")).agg(sum(col("dbc")).as("c2")))
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       // fold c1 into the bigram-vocab frame first (vocab-sized join),
       // so the big triple stream is joined/shuffled exactly ONCE
@@ -554,8 +561,13 @@ object CorpusOps {
         .select(col("doc_id"), col("lang"),
           col("b.0").as("w1"), col("b.1").as("w2"))
       val train = bigrams(docs.filter(col("doc_id") % 2 === 0))
-      val c2 = train.groupBy(col("w1"), col("w2"))
-        .agg(count(lit(1)).as("c2"))
+      // size-gated share (r17): c2 feeds the conditioning totals (c1)
+      // AND the scored-half probe join — un-materialized, the training
+      // half's bigram explode + count runs twice (plan-verified 8
+      // scans). Bigram-vocab-sized, the model a CCNet-style filter
+      // would store.
+      val c2 = graft.PlanShare.shared(train.groupBy(col("w1"), col("w2"))
+        .agg(count(lit(1)).as("c2")))
       val c1 = c2.groupBy(col("w1")).agg(sum(col("c2")).as("c1"))
       val v = c1.agg(count(lit(1)).as("v")) // model contexts, 1 row
       val dbg = bigrams(docs.filter(col("doc_id") % 2 =!= 0))

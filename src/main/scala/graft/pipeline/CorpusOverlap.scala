@@ -53,15 +53,26 @@ object CorpusOverlap {
       // matches the oracle's string comparison exactly.
       val docs = Tables.documents(s, d)
         .repartition(s.sparkContext.defaultParallelism)
-      val srcArr = docs.agg(sort_array(collect_set(col("source"))).as("srcs"))
-      val posts = docs
+      // r17: the docstring's "both consumers sit on the same Exchange,
+      // which Spark reuses" did NOT hold — the executed plan showed 7
+      // documents scans and zero ReusedExchange (AQE plans each
+      // subtree independently). Size-gated materialization of the
+      // dataflow: srcArr and sizes are ≤|sources| rows, posts IS the
+      // vocab-sized pivot frame the design centers on — shared, sizes
+      // and pairs read one build instead of re-running the corpus
+      // shingle pass each; a big corpus then pays exactly 2 corpus
+      // scans (srcArr, posts), the design's intended floor.
+      val srcArr = graft.PlanShare.pinned(
+        docs.agg(sort_array(collect_set(col("source"))).as("srcs")))
+      val posts = graft.PlanShare.shared(docs
         .crossJoin(broadcast(srcArr))
         .select((array_position(col("srcs"), col("source")) - 1).as("sid"),
           explode(SignatureExprs.shingleHashes(col("text"), N)).as("sh"))
         .groupBy(col("sh"))
-        .agg(sort_array(collect_set(col("sid"))).as("sids"))
-      val sizes = posts.select(explode(col("sids")).as("sid"))
-        .groupBy(col("sid")).agg(count(lit(1)).as("n_sh"))
+        .agg(sort_array(collect_set(col("sid"))).as("sids")))
+      val sizes = graft.PlanShare.pinned(
+        posts.select(explode(col("sids")).as("sid"))
+          .groupBy(col("sid")).agg(count(lit(1)).as("n_sh")))
       val pairs = posts
         .filter(size(col("sids")) > 1)
         .select(explode(SignatureExprs.packedPairs(col("sids"))).as("pk"))

@@ -260,9 +260,14 @@ object DatasetPrep {
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"), col("n_chars"), col("text"))
       val maxc = docs.groupBy(col("lang")).agg(max(col("n_chars")).as("mx"))
-      val rel = docs.join(broadcast(maxc), "lang")
+      // size-gated share (r17): rel feeds round 1's pickBest AND every
+      // later round's candidate frame — un-materialized it re-runs its
+      // scan + broadcast join per consumer (plan-verified 105 parquet
+      // scans for the whole query). |docs| narrow rows (lang, id, pct)
+      // — the "decide on small rows" frame of guide §8.
+      val rel = graft.PlanShare.shared(docs.join(broadcast(maxc), "lang")
         .select(col("lang"), col("doc_id"),
-          expr("100 * n_chars div mx").as("rel_pct"))
+          expr("100 * n_chars div mx").as("rel_pct")))
       val tok = docs
         .select(col("doc_id"), col("lang"),
           explode(array_distinct(split(col("text"), " "))).as("tok"))
@@ -301,8 +306,17 @@ object DatasetPrep {
           .agg(max(col("sim_pct")).as("maxsim"))
       }
 
-      val p1 = pickBest(rel
-        .withColumn("maxsim", lit(0L)).withColumn("mmr", expr("70 * rel_pct")))
+      // size-gated checkpoint per round (r17): each round's winner
+      // frame is |langs| rows, but WITHOUT truncation every later
+      // round embeds the full lineage of every earlier one (selected
+      // feeds maxsimTo twice + the anti join; pickBest feeds picks AND
+      // selected) — the plan grew to 183 KB / 105 scans / 131
+      // exchanges and each greedy step re-EXECUTED all previous steps
+      // on a big corpus. Guide §3.3: materialize tiny intermediates to
+      // truncate the plan. Values are unchanged (pickBest is a
+      // deterministic argmax; the checkpoint just pins them).
+      val p1 = graft.PlanShare.pinned(pickBest(rel
+        .withColumn("maxsim", lit(0L)).withColumn("mmr", expr("70 * rel_pct"))))
       var picks = p1.withColumn("pick", lit(1L))
       var selected = p1.select(col("lang"), col("doc_id"))
       for (step <- 2 to 3) {
@@ -313,7 +327,7 @@ object DatasetPrep {
           .join(ms, Seq("lang", "doc_id"), "left")
           .na.fill(0L, Seq("maxsim"))
           .withColumn("mmr", expr("70 * rel_pct - 30 * maxsim"))
-        val p = pickBest(cands)
+        val p = graft.PlanShare.pinned(pickBest(cands))
         picks = picks.unionByName(p.withColumn("pick", lit(step.toLong)))
         selected = selected.unionByName(p.select(col("lang"), col("doc_id")))
       }

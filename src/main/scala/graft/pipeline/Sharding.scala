@@ -52,14 +52,21 @@ object Sharding {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "shard_by_quality" -> ((s, d) => {
-      val scored = Tables.documents(s, d)
+      // size-gated share (r17): scored feeds the histogram AND the
+      // final assignment pass, and the bin frame feeds the triangular
+      // cumulative join twice plus the census — un-materialized, the
+      // quality kernel re-scans the corpus 4× (plan-verified). Shared,
+      // a big corpus pays ONE text pass (the floor): scored is |docs|
+      // narrow rows (the guide-§8 decide-on-small-rows frame), bins is
+      // KB-sized.
+      val scored = graft.PlanShare.shared(Tables.documents(s, d)
         .select(col("doc_id"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
-          (CorpusOps.qualityPpm(col("text")) + 5000000L).as("q"))
-      val bins = scored
+          (CorpusOps.qualityPpm(col("text")) + 5000000L).as("q")))
+      val bins = graft.PlanShare.pinned(scored
         .select(expr(s"q div $BinW").as("bin"))
         .groupBy(col("bin"))
-        .agg(count(lit(1)).as("cnt"))
+        .agg(count(lit(1)).as("cnt")))
       // cumulative mass via a triangular self-join on the KB bin frame
       val cum = bins.as("a")
         .join(bins.as("b"), col("b.bin") <= col("a.bin"))

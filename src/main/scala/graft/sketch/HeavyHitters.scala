@@ -57,14 +57,23 @@ object HeavyHitters {
     // clears 1.5× the mean frequency, with its exact count rescued.
     "heavy_hitters" -> ((s, d) => {
       val keys = Tables.lineitem(s, d).select(col("l_partkey").as("k"))
-      val sk = keys
+      // size-gated checkpoint (r17): the sketch is ≤ rows×W counters
+      // (16384 rows) but feeds BOTH the estimate join and (below) the
+      // threshold; un-truncated, `candidates`'s two consumers re-ran
+      // the whole corpus sketch pass each (plan-verified 18 scans
+      // pre-change).
+      val sk = graft.PlanShare.pinned(keys
         .select(posexplode(buckets(fold(col("k")))).as(Seq("row", "bucket")))
         .groupBy(col("row"), col("bucket"))
-        .agg(count(lit(1)).as("counter"))
+        .agg(count(lit(1)).as("counter")))
       // threshold = 1.5× the MEAN key frequency (n_tot/|domain|) — the
       // mean is scale-invariant here (10× rows brings 10× keys), so the
-      // query stays selective at every sf; exact integer arithmetic
-      val thr = keys.agg(count(lit(1)).cast("long").as("n_tot"))
+      // query stays selective at every sf; exact integer arithmetic.
+      // n_tot comes from the sketch itself: every key contributes
+      // exactly one posting to row 0, so Σ row-0 counters == count(keys)
+      // — saves the third full corpus scan the old count() paid.
+      val thr = sk.filter(col("row") === 0)
+        .agg(coalesce(sum(col("counter")), lit(0L)).as("n_tot"))
         .crossJoin(Tables.part(s, d).agg(count(lit(1)).cast("long").as("n_keys")))
         .select(expr("(n_tot * 3) div (2 * n_keys)").as("thr"))
       val est = Tables.part(s, d).select(col("p_partkey"))
@@ -73,8 +82,11 @@ object HeavyHitters {
         .join(sk, Seq("row", "bucket"), "left")
         .groupBy(col("p_partkey"))
         .agg(min(coalesce(col("counter"), lit(0L))).as("est_n"))
-      val candidates = est.crossJoin(broadcast(thr))
-        .filter(col("est_n") >= col("thr"))
+      // candidate set is output-sized (the heavy keys): checkpoint so
+      // the rescue semi-join and the final report don't re-run the
+      // sketch+estimate pipeline once each (size-gated)
+      val candidates = graft.PlanShare.pinned(est.crossJoin(broadcast(thr))
+        .filter(col("est_n") >= col("thr")))
       val exact = keys
         .join(broadcast(candidates.select(col("p_partkey").as("k"))),
           Seq("k"), "left_semi")

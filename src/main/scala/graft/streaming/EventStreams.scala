@@ -249,15 +249,21 @@ object EventStreams {
     // shuffle is user-keyed and uniform, and the filters sit on the
     // scan. Timestamps compare exactly in both engines.
     "event_funnel" -> ((s, d) => {
+      // size-gated share (r17): each stage frame feeds the NEXT
+      // stage's join AND its own census count — un-materialized, g3's
+      // count re-runs the whole g1→g2→g3 chain and g2's count re-runs
+      // g1→g2 (plan-verified 6 event scans; shared, 3 — one per stage,
+      // the funnel's floor). Each frame is ≤ |users| rows, the volume
+      // its own shuffle already carries.
       val ev = Tables.events(s, d).select(col("user_id"), col("event_type"), col("ts"))
-      val g1 = ev.filter(col("event_type") === "view")
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
-      val g2 = ev.filter(col("event_type") === "click")
+      val g1 = graft.PlanShare.shared(ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1")))
+      val g2 = graft.PlanShare.shared(ev.filter(col("event_type") === "click")
         .join(g1, "user_id").filter(col("ts") > col("t1"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
-      val g3 = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2")))
+      val g3 = graft.PlanShare.shared(ev.filter(col("event_type") === "purchase")
         .join(g2, "user_id").filter(col("ts") > col("t2"))
-        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3")))
       g1.agg(count(lit(1)).as("n_view_users"))
         .crossJoin(g2.agg(count(lit(1)).as("n_click_users")))
         .crossJoin(g3.agg(count(lit(1)).as("n_purchase_users")))

@@ -50,19 +50,31 @@ object LangIdNb {
       // corpus-token stream ever reaches an exchange — the evidence
       // side ships one row per DISTINCT (doc, word) straight into the
       // join, and model training partial-aggregates pre-collapsed
-      // counts instead of raw tokens
+      // counts instead of raw tokens.
+      //
+      // ONE tokenize pass at scale (r17): the exploded (doc, lang,
+      // word, count) frame feeds BOTH the evidence stream and the
+      // model training — the previous form re-ran the word_counts scan
+      // for docWords, langTot, vocab and the evidence-join model side
+      // (4 full text parses, plan-verified). PlanShare.shared
+      // materializes dw (the same distinct-(doc, word) volume the
+      // evidence join already shuffles) and langWord (langs × vocab
+      // rows) once the corpus is big enough that re-tokenizing
+      // dominates; below the gate the recompute is cheaper than the
+      // barrier (measured at sf0.1) and the plan falls back to it.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang").as("true_lang"),
           size(split(col("text"), " ")).cast("long").as("n_tok"),
           TextExprs.wordCounts(col("text")).as("wc"))
-      val docWords = docs
-        .select(col("doc_id"), explode(col("wc")).as("p"))
-        .select(col("doc_id"), col("p.w").as("w"), col("p.c").as("c"))
+      val dw = graft.PlanShare.shared(docs
+        .select(col("doc_id"), col("true_lang"), explode(col("wc")).as("p"))
+        .select(col("doc_id"), col("true_lang"),
+          col("p.w").as("w"), col("p.c").as("c")))
+      val docWords = dw.select(col("doc_id"), col("w"), col("c"))
       // model: (lang, word) counts + per-lang totals, V = corpus vocab
-      val langWord = Tables.documents(s, d)
-        .select(col("lang"), explode(TextExprs.wordCounts(col("text"))).as("p"))
-        .groupBy(col("lang"), col("p.w").as("w"))
-        .agg(sum(col("p.c")).as("cw"))
+      val langWord = graft.PlanShare.shared(dw
+        .groupBy(col("true_lang").as("lang"), col("w"))
+        .agg(sum(col("c")).as("cw")))
       val vocab = langWord.agg(
         count_distinct(col("w")).as("v")) // 1 row
       val langTot = langWord
