@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
 
 /** Size-adaptive materialization of multi-consumer subtrees (r17).
   *
@@ -40,20 +41,58 @@ object PlanShare {
     * probe on the exact deep trees this helper exists to tame
     * (measured +0.4 s on mmr_select's 183 KB tree). Leaf stats are
     * identical in both plans (file sizes / cached-relation sizes). */
-  private def leafInputBytes(df: DataFrame): BigInt =
+  private[graft] def leafInputBytes(df: DataFrame): BigInt =
     df.queryExecution.analyzed.collectLeaves()
       .map(_.stats.sizeInBytes).sum
 
   private def minBytes(df: DataFrame): Long =
     df.sparkSession.conf
-      .getOption("spark.graft.share.minBytes").map(_.toLong)
+      .getOption("spark.graft.share.minBytes")
       // env fallback so plan tooling (PlanDump) can exhibit the
       // above-gate plan shape without a code change
-      .orElse(sys.env.get("SPARK_GRAFT_SHARE_MIN").map(_.toLong))
+      .orElse(sys.env.get("SPARK_GRAFT_SHARE_MIN"))
+      .map { raw =>
+        // fail with the offending key+value, not a bare
+        // NumberFormatException mid-query-construction (r17 advice)
+        try raw.trim.toLong catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            "spark.graft.share.minBytes / SPARK_GRAFT_SHARE_MIN must be " +
+              s"a byte count, got '$raw'")
+        }
+      }
       .getOrElse(256L << 20)
+
+  /** Storage level for [[shared]] — above the gate the persisted frames
+    * have ≥256 MiB inputs and can be corpus-scale (langid_nb's exploded
+    * (doc,lang,w,c) frame, text_bigram_lm's bigram explode), so the
+    * default is SERIALIZED memory+disk: ~2-5× denser than the
+    * deserialized default, trading decode CPU for not pressuring
+    * executor memory with corpus-sized caches at the 100 TB design
+    * point (r17 advice). Overridable for measurement
+    * (`spark.graft.share.storageLevel` / SPARK_GRAFT_SHARE_LEVEL). */
+  private def level(df: DataFrame): StorageLevel = {
+    val raw = df.sparkSession.conf
+      .getOption("spark.graft.share.storageLevel")
+      .orElse(sys.env.get("SPARK_GRAFT_SHARE_LEVEL"))
+      .getOrElse("MEMORY_AND_DISK_SER")
+    try StorageLevel.fromString(raw.trim) catch {
+      case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          "spark.graft.share.storageLevel / SPARK_GRAFT_SHARE_LEVEL must " +
+            s"name a StorageLevel (e.g. MEMORY_AND_DISK_SER), got '$raw'")
+    }
+  }
 
   private def big(df: DataFrame): Boolean =
     leafInputBytes(df) >= minBytes(df)
+
+  /** Would [[shared]]/[[pinned]] materialize this frame? Exposed so a
+    * query can choose between two EXACTLY-equivalent derivations whose
+    * relative cost flips with materialization — e.g. heavy_hitters'
+    * n_tot is Σ row-0 sketch counters (cheap off the pinned sketch,
+    * a full re-sketch when the gate is closed) ≡ count(keys) (one cheap
+    * column scan). Same stats-gated-alternative pattern as q21Core. */
+  def crossesGate(df: DataFrame): Boolean = big(df)
 
   /** Persist `df` for its multiple consumers when its inputs are big
     * enough that recompute dominates; no-op below the threshold.
@@ -61,7 +100,7 @@ object PlanShare {
     * entrypoints' per-query cleanup reclaims it. */
   def shared(df: DataFrame): DataFrame =
     if (big(df)) {
-      graft.emf.EmfPlanner.registerPersisted(df.persist())
+      graft.emf.EmfPlanner.registerPersisted(df.persist(level(df)))
       df
     } else df
 

@@ -301,9 +301,76 @@ object EmfPlanner {
     joined.withColumn(n, value).drop(s"__m1_$n", s"__m2_$n")
   }
 
+  /** Rows-per-equality-key ceiling above which [[dependentPass]] salts
+    * the groups × tuples join (conf `spark.graft.emf.salt.maxPerKey`;
+    * ≤ 0 forces the salted form, Long.MaxValue forces the plain form —
+    * both short-circuit the sampling scan, the q21Core contract). */
+  private[emf] val SaltMaxPerKey = 100000L
+
+  /** Plan-stats floor under which the hot-key stat is skipped and the
+    * plain join taken unconditionally (conf
+    * `spark.graft.emf.salt.statMinBytes`): below ~1 GiB the guaranteed
+    * sampling job costs a visible fraction of the query it protects —
+    * the same cost-of-deciding reasoning as q21Core / ProfileExactMaxBytes. */
+  private[emf] val SaltStatMinBytes = 1L << 30
+
+  /** Session memo for the sampled hot-key estimate, keyed by the fact
+    * frame's analyzed-plan semantic hash + the equality attrs — the
+    * distribution is a property of the (filtered) table, not of the
+    * variable, so one measurement serves every dependent pass over it. */
+  private val saltStatCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Seq[String]), java.lang.Long]()
+
+  /** Order-of-magnitude estimate of the hottest equality-key's row count
+    * from a 0.1% Bernoulli sample (fixed seed — deterministic on a fixed
+    * layout); the q21Core technique. At warehouse scale this is a table-
+    * statistics read, not a job. */
+  private def estMaxRowsPerKey(df: DataFrame, keys: Seq[String]): Long = {
+    val id = (df.queryExecution.analyzed.semanticHash(), keys)
+    val cached = saltStatCache.get(id)
+    if (cached != null) return cached.longValue
+    val p = 0.001
+    val m = df.sample(p, seed = 42L).groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("c")).agg(max(col("c"))).collect()(0)
+    val est = if (m.isNullAt(0)) 0L else (m.getLong(0) / p).toLong
+    saltStatCache.put(id, java.lang.Long.valueOf(est))
+    est
+  }
+
+  /** Conf with an env fallback (`spark.graft.emf.salt.maxPerKey` →
+    * `SPARK_GRAFT_EMF_SALT_MAXPERKEY`) so plan tooling can exhibit the
+    * salted shape without a code change — the SPARK_GRAFT_SHARE_MIN
+    * precedent. */
+  private def confLong(df: DataFrame, key: String, dflt: Long): Long = {
+    val env = "SPARK_GRAFT_" +
+      key.stripPrefix("spark.graft.").replace('.', '_').toUpperCase
+    df.sparkSession.conf.getOption(key)
+      .orElse(sys.env.get(env))
+      .map(_.trim.toLong).getOrElse(dflt)
+  }
+
   /** One dependent-variable pass: join MF frame with the fact table on the
     * variable's defining predicates, aggregate per group, return
-    * G + the variable's aggregate column. */
+    * G + the variable's aggregate column.
+    *
+    * '''Skew fallback (r18, guide §2.5).''' The join's output for one
+    * equality-key value is |tuples with it| × |groups with it| — all in
+    * ONE sort-merge partition when a key is pathologically hot, and AQE's
+    * skew split does not rescue a join dominated by θ-residual work on a
+    * single key. When the fact side is big enough to matter
+    * ([[SaltStatMinBytes]]) and a sampled hot-key estimate exceeds
+    * [[SaltMaxPerKey]], the pass salts: the fact side gets a
+    * deterministic in-row salt (xxhash64 of its non-map columns — never
+    * rand(), which re-draws under task retry, SPARK-38388), the MF side
+    * explodes ×k, and the join keys on (equality attrs, salt), splitting
+    * the hot key across ≤ k tasks. The joined multiset is IDENTICAL (each
+    * (group, tuple) pair still matches exactly once — the tuple has one
+    * salt value and the group carries all k), so every aggregate is
+    * unchanged; floating sums are exact DECIMAL either way
+    * ([[aggColumn]]), hence bit-reproducible under the re-partitioning.
+    * EmfPropertySpec's forced-salt fuzz pins brute-force agreement and
+    * form equality on a hot-key fixture; EmfPlannerSpec pins the plan
+    * shape. */
   private def dependentPass(v: GroupingVar, mf: DataFrame, base: DataFrame,
       q: EmfQuery, schema: StructType): DataFrame = {
     // tuple-vs-literal predicates filter the fact side BEFORE the join —
@@ -324,11 +391,44 @@ object EmfPlanner {
     val (mfOnly, joinSide) = v.mfConds.partition(c =>
       !c.lhs.isInstanceOf[TupleCol] && !c.rhs.isInstanceOf[TupleCol])
     val mFiltered = mfOnly.foldLeft(mf)((d, c) => d.filter(mfOnlyCond(c, mf.schema)))
-    val m = mFiltered.alias("mf")
     val joinCond = joinSide.map(mfCond(_, schema, q.groupAttrs))
       .reduceOption(_ && _).getOrElse(lit(true))
-    val joined = m.join(t, joinCond, "inner")
+    // fact-side attrs pinned by an equality against the MF frame — the
+    // join's hash-partitioning keys, and therefore where a hot value
+    // funnels the whole key's θ-work into one task
+    val eqFactAttrs = joinSide.collect {
+      case Cond(TupleCol(a), "=" | "==", MfField(_)) => a
+      case Cond(MfField(_), "=" | "==", TupleCol(a)) => a
+    }.distinct
+    val maxPerKey = confLong(t0, "spark.graft.emf.salt.maxPerKey", SaltMaxPerKey)
+    val statMin = confLong(t0, "spark.graft.emf.salt.statMinBytes", SaltStatMinBytes)
+    // size floor probes analyzed-plan LEAF bytes (PlanShare's probe:
+    // file sizes, never join-output estimates — the fact frame is often
+    // a cached multi-way join whose un-materialized InMemoryRelation
+    // reports the join ESTIMATE, which inflates past any floor even on
+    // MB-sized inputs and would fire a spurious sampling job per pass)
+    val skewed = eqFactAttrs.nonEmpty && (maxPerKey <= 0L ||
+      (maxPerKey != Long.MaxValue &&
+        graft.PlanShare.leafInputBytes(t0) > BigInt(statMin) &&
+        estMaxRowsPerKey(t0, eqFactAttrs) > maxPerKey))
     val gCols = q.groupAttrs.map(g => col(s"mf.$g").as(g))
+    val joined =
+      if (!skewed) mFiltered.alias("mf").join(t, joinCond, "inner")
+      else {
+        val k = confLong(t0, "spark.graft.emf.salt.buckets",
+          math.max(4L * t0.sparkSession.sparkContext.defaultParallelism, 64L)).toInt
+        // deterministic per-row salt: xxhash64 over every hashable fact
+        // column (maps are not hashable; everything else is), so re-run
+        // tasks reproduce the same assignment
+        val hashCols = t0.schema.fields
+          .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+          .map(f => col(f.name)).toSeq
+        val tS = t0.withColumn("__gsalt",
+          pmod(xxhash64(hashCols: _*), lit(k.toLong)).cast("int")).alias("t")
+        val mS = mFiltered.withColumn("__gsalt",
+          explode(sequence(lit(0), lit(k - 1)))).alias("mf")
+        mS.join(tS, joinCond && col("mf.__gsalt") === col("t.__gsalt"), "inner")
+      }
     joined.groupBy(gCols: _*)
       .agg(aggColumn(v.agg.func, col(s"t.${v.agg.column}"), v.agg.column, schema)
         .as(v.agg.name))

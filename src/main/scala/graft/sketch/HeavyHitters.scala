@@ -62,18 +62,27 @@ object HeavyHitters {
       // threshold; un-truncated, `candidates`'s two consumers re-ran
       // the whole corpus sketch pass each (plan-verified 18 scans
       // pre-change).
-      val sk = graft.PlanShare.pinned(keys
+      val sketch = keys
         .select(posexplode(buckets(fold(col("k")))).as(Seq("row", "bucket")))
         .groupBy(col("row"), col("bucket"))
-        .agg(count(lit(1)).as("counter")))
+        .agg(count(lit(1)).as("counter"))
+      val sk = graft.PlanShare.pinned(sketch)
       // threshold = 1.5× the MEAN key frequency (n_tot/|domain|) — the
       // mean is scale-invariant here (10× rows brings 10× keys), so the
       // query stays selective at every sf; exact integer arithmetic.
-      // n_tot comes from the sketch itself: every key contributes
+      // n_tot has two EXACTLY-equal derivations (every key contributes
       // exactly one posting to row 0, so Σ row-0 counters == count(keys)
-      // — saves the third full corpus scan the old count() paid.
-      val thr = sk.filter(col("row") === 0)
-        .agg(coalesce(sum(col("counter")), lit(0L)).as("n_tot"))
+      // — HeavyHittersSpec asserts the invariant): above the gate read
+      // it off the pinned sketch (no corpus scan at all); below, where
+      // `sk` is un-materialized and the sketch subtree would re-run per
+      // consumer, a plain count of the key column is the cheaper form
+      // (r17 verdict item 5 — the sketch now runs ONCE in both regimes).
+      val nTot =
+        if (graft.PlanShare.crossesGate(sketch))
+          sk.filter(col("row") === 0)
+            .agg(coalesce(sum(col("counter")), lit(0L)).as("n_tot"))
+        else keys.agg(count(lit(1)).as("n_tot"))
+      val thr = nTot
         .crossJoin(Tables.part(s, d).agg(count(lit(1)).cast("long").as("n_keys")))
         .select(expr("(n_tot * 3) div (2 * n_keys)").as("thr"))
       val est = Tables.part(s, d).select(col("p_partkey"))

@@ -169,10 +169,13 @@ object TextAnalysis {
       // groupBy(doc, term) tf aggregation AND the DISTINCT feeding df
       // (kernel pairs are distinct per doc by construction, so df is a
       // plain term-keyed count with map-side combine)
-      val tf = Tables.documents(s, d)
+      // r18: the tf frame feeds BOTH the df aggregation and the final
+      // join — size-gated sharing runs the corpus tokenize pass once
+      // above the gate instead of twice (plan-identical below it)
+      val tf = graft.PlanShare.shared(Tables.documents(s, d)
         .select(col("doc_id"),
           explode(TextExprs.wordCounts(col("text"))).as("p"))
-        .select(col("doc_id"), col("p.w").as("term"), col("p.c").as("tf"))
+        .select(col("doc_id"), col("p.w").as("term"), col("p.c").as("tf")))
       val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
         .orderBy(col("tf").desc, col("df").asc, col("term"))
@@ -324,15 +327,30 @@ object TextAnalysis {
     "phrase_mining" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val docs = Tables.documents(s, d)
-      val uni = docs.select(explode(ws).as("w"))
-        .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      val bi = docs
-        .select(explode(zip_with(
-          slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-          slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-          (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      // r18: unigram and adjacent-bigram postings are generated in ONE
+      // in-row explode (a null w2 marks a unigram posting — the two
+      // posting classes are disjoint, so grouping by (w1, w2) yields
+      // exactly the two old aggregates' counts) and the vocabulary-
+      // sized count frame is size-gate shared across its three
+      // consumers (bi + the two unigram joins): above the gate the
+      // corpus is scanned/split ONCE instead of three times (uni's
+      // subtree used to execute once per join side), with unchanged
+      // total shuffle volume (tokens + bigrams ≈ 2n postings either
+      // way, map-side combined to vocab size).
+      val counts = graft.PlanShare.shared(docs
+        .select(explode(concat(
+          transform(ws, w =>
+            struct(w.as("w1"), lit(null).cast("string").as("w2"))),
+          zip_with(
+            slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+            slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+            (a, b) => struct(a.as("w1"), b.as("w2"))))).as("p"))
         .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("n_ab"))
+        .agg(count(lit(1)).as("n")))
+      val uni = counts.filter(col("w2").isNull)
+        .select(col("w1").as("w"), col("n"))
+      val bi = counts.filter(col("w2").isNotNull)
+        .select(col("w1"), col("w2"), col("n").as("n_ab"))
       bi
         .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
         .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), "w2")

@@ -28,6 +28,15 @@ object TimeQuery {
       // ~5000 task launches each
       .config("spark.sql.files.maxPartitionBytes",
         sys.env.getOrElse("SPARK_GRAFT_MAXPART", "4m"))
+      // r18 measurement knobs (defaults = Spark defaults, so unset envs
+      // change nothing): shuffle codec for the §2.3 lz4-vs-zstd A/B,
+      // event log for job-overlap receipts (emf_batch §2.6)
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_CODEC", "lz4"))
+      .config("spark.eventLog.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG", "false"))
+      .config("spark.eventLog.dir",
+        sys.env.getOrElse("SPARK_GRAFT_EVENTLOG_DIR", "/tmp/spark-events"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -56,6 +56,27 @@ class EmfPlannerSpec extends SparkSpec {
     assert(!plan.toLowerCase.contains("join"))
   }
 
+  // r18 skew fallback: forcing the gate (salt.maxPerKey=0) must put the
+  // deterministic salt into the dependent pass's plan and change nothing
+  // about the result — here on golden q8, whose dependent variable joins
+  // on (cust, month) equality plus an aggregate threshold.
+  test("forced salt appears in the dependent-pass plan and preserves results") {
+    val base = GoldenQueries.run(8)(spark, sf0001).collect().toSeq
+    spark.conf.set("spark.graft.emf.salt.maxPerKey", "0")
+    spark.conf.set("spark.graft.emf.salt.buckets", "5")
+    try {
+      val salted = GoldenQueries.run(8)(spark, sf0001)
+      val plan = salted.queryExecution.optimizedPlan.toString
+      assert(plan.contains("__gsalt"), "salted plan must join on __gsalt")
+      assert(salted.collect().toSeq == base)
+    } finally {
+      spark.conf.unset("spark.graft.emf.salt.maxPerKey")
+      spark.conf.unset("spark.graft.emf.salt.buckets")
+      GoldenQueries.clearCache()
+      EmfPlanner.unpersistAll()
+    }
+  }
+
   test("group keys do not collide (AB,C vs A,BC are distinct groups)") {
     val q = EmfParser.parseOne(
       """cust,prod,count_quant_all

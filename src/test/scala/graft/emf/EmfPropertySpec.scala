@@ -323,6 +323,71 @@ class EmfPropertySpec extends SparkSpec {
     assert(checked == 240 * fuzzN)
   }
 
+  // ---- r18 skew-fallback fuzz: PATHOLOGICAL key distribution (one g/h
+  // value owns ~90% of rows — the hot-key shape the dependent pass's
+  // salt exists for) with the salt FORCED (salt.maxPerKey=0) and a
+  // bucket count chosen to exercise real splitting on 60-row tables.
+  // Every query class must agree with brute force under the salted
+  // groups×tuples join, and spot-agree with the unsalted plan form.
+
+  private val hotRowGen: Gen[PropRow] = for {
+    g <- Gen.frequency(9 -> Gen.const("a"), 1 -> Gen.oneOf("b", "c"))
+    h <- Gen.frequency(9 -> Gen.const("p"), 1 -> Gen.const("q"))
+    ord <- Gen.choose(1, 5)
+    state <- Gen.oneOf("NY", "CT", "NJ")
+    x <- Gen.choose(0, 50)
+  } yield PropRow(g, h, ord, state, x)
+
+  test("fuzz under forced salt: hot-key tables match brute force and the plain form") {
+    spark.conf.set("spark.graft.emf.salt.maxPerKey", "0")
+    spark.conf.set("spark.graft.emf.salt.buckets", "7")
+    try {
+      var checked = 0
+      (1 to 2 * fuzzN).foreach { ti =>
+        val rows = {
+          var s = 31000L + ti
+          var r: Option[List[PropRow]] = None
+          while (r.isEmpty) {
+            r = Gen.listOfN(60, hotRowGen).apply(Gen.Parameters.default, rng.Seed(s))
+            s += 7919
+          }
+          r.get
+        }
+        val df = rows.toDF().persist()
+        df.count()
+        val brute: Seq[BruteEmf.TRow] = rows.map(r =>
+          Map("g" -> r.g, "h" -> r.h, "ord" -> r.ord, "state" -> r.state, "x" -> r.x))
+        (0 until 40).foreach { qi =>
+          val q = sampleQuery(7700000L * ti + qi)
+          EmfParser.validate(q, cols)
+          val got =
+            try EmfPlanner.plan(q, df).collect().toSeq
+              .map(r => (0 until r.length).map(r.get))
+            catch {
+              case e: Throwable =>
+                throw new AssertionError(s"salted planner failed on seed ${7700000L * ti + qi}\nquery=$q", e)
+            }
+          assertAgree(q, got, BruteEmf.run(q, brute))
+          // the two plan forms are the same function of the data
+          if (qi % 8 == 0) {
+            spark.conf.set("spark.graft.emf.salt.maxPerKey", Long.MaxValue.toString)
+            val plain = EmfPlanner.plan(q, df).collect().toSeq
+              .map(r => (0 until r.length).map(r.get))
+            spark.conf.set("spark.graft.emf.salt.maxPerKey", "0")
+            assertAgree(q, got, plain)
+          }
+          checked += 1
+        }
+        df.unpersist()
+        EmfPlanner.unpersistAll()
+      }
+      assert(checked == 80 * fuzzN)
+    } finally {
+      spark.conf.unset("spark.graft.emf.salt.maxPerKey")
+      spark.conf.unset("spark.graft.emf.salt.buckets")
+    }
+  }
+
   // ---- null-contract fuzz: same generator, tables with nulls in the
   // grouping/filter/aggregate columns (ord stays non-null — the
   // documented WINDOWED boundary). Checks that every lowering class

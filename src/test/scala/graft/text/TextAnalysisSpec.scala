@@ -25,6 +25,61 @@ class TextAnalysisSpec extends SparkSpec {
     out.unpersist()
   }
 
+  // r18: phrase_mining generates unigram+bigram postings in ONE in-row
+  // explode (null w2 = unigram) — assert the rewrite reproduces the old
+  // two-aggregate formulation exactly, and that forcing the share gate
+  // open (materialized counts frame) changes nothing.
+  test("phrase_mining: combined posting pass ≡ the two-aggregate form, gate-invariant") {
+    val ws = split(col("text"), " ")
+    val docs = graft.Tables.documents(spark, sf0001)
+    val uni = docs.select(explode(ws).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    val bi = docs
+      .select(explode(zip_with(
+        slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+        slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+      .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+    val old = bi
+      .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
+      .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), "w2")
+      .filter(col("n_ab") >= 8)
+      .selectExpr("w1", "w2", "n_ab", "n_w1", "n_w2",
+        """CAST((CAST(n_ab - 5 AS DECIMAL(38,0)) * 1000000000)
+          | div (CAST(n_w1 AS DECIMAL(19,0)) * n_w2) AS BIGINT)
+          | AS score_ppb""".stripMargin)
+      .filter(col("score_ppb") > 0)
+      .orderBy(col("score_ppb").desc, col("w1"), col("w2"))
+      .collect().toSeq
+    val now = TextAnalysis.queries("phrase_mining")(spark, sf0001)
+      .collect().toSeq
+    assert(now == old)
+    spark.conf.set("spark.graft.share.minBytes", "0")
+    try {
+      val open = TextAnalysis.queries("phrase_mining")(spark, sf0001)
+        .collect().toSeq
+      assert(open == old)
+    } finally {
+      spark.conf.unset("spark.graft.share.minBytes")
+      graft.emf.EmfPlanner.unpersistAll()
+    }
+  }
+
+  test("text_top_terms: gate-open (shared tf) ≡ gate-closed") {
+    val closed = TextAnalysis.queries("text_top_terms")(spark, sf0001)
+      .collect().toSeq
+    spark.conf.set("spark.graft.share.minBytes", "0")
+    try {
+      val open = TextAnalysis.queries("text_top_terms")(spark, sf0001)
+        .collect().toSeq
+      assert(open == closed)
+    } finally {
+      spark.conf.unset("spark.graft.share.minBytes")
+      graft.emf.EmfPlanner.unpersistAll()
+    }
+  }
+
   test("text_bm25: scores rank by term mass and match a scalar re-derivation") {
     val rows = TextAnalysis.queries("text_bm25")(spark, sf0001).collect()
     assert(rows.length == 20)
