@@ -24,9 +24,17 @@ import org.apache.spark.storage.StorageLevel
   * So the decision is gated on the subtree's LEAF input bytes (the
   * recompute cost proxy — join/aggregate output estimates inflate
   * under non-CBO stats, leaf sizes don't), against
-  * `spark.graft.share.minBytes` (default 256 MiB: recomputing a
-  * ≤256 MiB-input subtree is comparable to the barrier's fixed cost;
-  * above, recompute grows linearly while the barrier stays ~constant).
+  * `spark.graft.share.minBytes`. Default 2 GiB, MEASURED (r18): at
+  * sf10, heavy_hitters' sketch/candidate pins on a 1.1 GB lineitem
+  * were 25% SLOWER gate-open than gate-off (min-of-4, two alternating
+  * JVM pairs: 4.95/5.14 s vs 3.92/4.03 s), and force-opening the
+  * 58 MB documents-rooted shares slowed 2 of 3 text queries — on an
+  * under-utilized local[32], duplicate subtrees run as CONCURRENT
+  * stages of one job, so redundant-but-parallel beats
+  * dedup-but-barrier-serialized until the subtree is multi-GiB. On a
+  * saturated cluster duplicated passes cost real wall again, which is
+  * why the threshold is a conf, not a constant; at the 100 TB design
+  * point every shared input is TB-scale and crosses any sane setting.
   * The same stats-gated-choice pattern as `q21Core`'s skew alternative.
   * Values are identical in both regimes — materialization never
   * changes results, only the execution DAG.
@@ -60,10 +68,10 @@ object PlanShare {
               s"a byte count, got '$raw'")
         }
       }
-      .getOrElse(256L << 20)
+      .getOrElse(2048L << 20)
 
   /** Storage level for [[shared]] — above the gate the persisted frames
-    * have ≥256 MiB inputs and can be corpus-scale (langid_nb's exploded
+    * have multi-GiB inputs and can be corpus-scale (langid_nb's exploded
     * (doc,lang,w,c) frame, text_bigram_lm's bigram explode), so the
     * default is SERIALIZED memory+disk: ~2-5× denser than the
     * deserialized default, trading decode CPU for not pressuring

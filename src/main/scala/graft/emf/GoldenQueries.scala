@@ -140,42 +140,27 @@ object GoldenQueries {
     * asserts the batch path returns row-identical frames). */
   def runBatch(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    import scala.concurrent.{Await, ExecutionContext, Future}
-    import scala.concurrent.duration.Duration
     // same session-memoized fixture as the standalone entries — the
-    // batch and the emf_q* singles share ONE materialized join
+    // batch and the emf_q* singles share ONE materialized join.
+    //
+    // r18 MEASURED AND REJECTED (guide §1.1/§2.6): a 4-thread driver
+    // pool running the 8 planner count jobs concurrently (eager, with a
+    // pre-materializing fact.count()) was built and A/B'd at sf10 in
+    // alternating JVM pairs — union form mins 7.9/10.0 s vs pool form
+    // 18.8/11.2 s (cold first iterations 14.6/18.1 vs 66.8/65.3 s).
+    // Event-log receipts show WHY the pool loses: this lazy union
+    // executes as ONE job whose independent branch stages AQE already
+    // materializes concurrently (the §2.6 back-fill with no code), while
+    // the pool serializes each query's multi-job dependent passes on its
+    // own thread, adds a full cache-scan warm-up pass, and contends the
+    // scheduler. The overlap the r17 verdict asked for was already
+    // there; the measurement is in OPTIMIZATION_r18.md.
     val fact = salesViewCached(s, dir)
-    // r18 (guide §2.6): the 8 planner plans are mutually independent;
-    // run their count jobs CONCURRENTLY from a small driver pool so a
-    // query's stage tail back-fills executors the others freed (the
-    // prior lazy union executed as ONE job whose AQE loop re-optimized
-    // every branch's stages through a single driver thread). The fact
-    // cache is materialized once BEFORE the fan-out — otherwise eight
-    // cold-cache jobs race to rebuild the 5-way join concurrently.
-    // Result rows are identical: query_id ∈ 1..8 with each plan's row
-    // count (df.count() ≡ the old agg(count(lit(1))) value), and the
-    // computation still runs inside the caller's timed window (Bench
-    // times construction+action together). Job descriptions are
-    // thread-local, so each concurrent job is labelled in the UI;
-    // per-plan persisted MF frames land in EmfPlanner's concurrent
-    // registry, keyed on the batch's session — unpersistAll() after the
-    // action cleans up exactly as before (r17 verdict item 2).
-    fact.count()
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-    try {
-      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-      val counts = Await.result(
-        Future.sequence(parsed.zipWithIndex.map { case (q, i) =>
-          Future {
-            s.sparkContext.setJobDescription(s"emf_batch: q${i + 1}")
-            try (i + 1, EmfPlanner.plan(q, fact).count())
-            finally s.sparkContext.setJobDescription(null)
-          }
-        }), Duration.Inf)
-      val session = s
-      import session.implicits._
-      counts.toDF("query_id", "n_rows").orderBy(col("query_id"))
-    } finally pool.shutdown()
+    parsed.zipWithIndex.map { case (q, i) =>
+      EmfPlanner.plan(q, fact)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit(i + 1).as("query_id"), col("n_rows"))
+    }.reduce(_ unionByName _).orderBy(col("query_id"))
   }
 
   /** EMF through the MF-SQL frontend over a DIFFERENT fact table

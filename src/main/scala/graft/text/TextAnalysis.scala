@@ -327,30 +327,46 @@ object TextAnalysis {
     "phrase_mining" -> ((s, d) => {
       val ws = split(col("text"), " ")
       val docs = Tables.documents(s, d)
-      // r18: unigram and adjacent-bigram postings are generated in ONE
-      // in-row explode (a null w2 marks a unigram posting — the two
-      // posting classes are disjoint, so grouping by (w1, w2) yields
-      // exactly the two old aggregates' counts) and the vocabulary-
-      // sized count frame is size-gate shared across its three
-      // consumers (bi + the two unigram joins): above the gate the
-      // corpus is scanned/split ONCE instead of three times (uni's
-      // subtree used to execute once per join side), with unchanged
-      // total shuffle volume (tokens + bigrams ≈ 2n postings either
-      // way, map-side combined to vocab size).
-      val counts = graft.PlanShare.shared(docs
-        .select(explode(concat(
-          transform(ws, w =>
-            struct(w.as("w1"), lit(null).cast("string").as("w2"))),
-          zip_with(
-            slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
-            slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
-            (a, b) => struct(a.as("w1"), b.as("w2"))))).as("p"))
-        .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
-        .agg(count(lit(1)).as("n")))
-      val uni = counts.filter(col("w2").isNull)
-        .select(col("w1").as("w"), col("n"))
-      val bi = counts.filter(col("w2").isNotNull)
-        .select(col("w1"), col("w2"), col("n").as("n_ab"))
+      // r18: ABOVE the share gate, unigram and adjacent-bigram postings
+      // are generated in ONE in-row explode (a null w2 marks a unigram
+      // posting — the two posting classes are disjoint, so grouping by
+      // (w1, w2) yields exactly the two old aggregates' counts) and the
+      // vocabulary-sized count frame is materialized across its three
+      // consumers (bi + the two unigram joins): the corpus is
+      // scanned/split ONCE instead of three times (uni's subtree used
+      // to execute once per join side), with unchanged total shuffle
+      // volume (tokens + bigrams ≈ 2n postings either way, map-side
+      // combined to vocab size). BELOW the gate the combined explode is
+      // a pure loss — un-materialized it re-runs per consumer, emitting
+      // 2n rows where the old per-aggregate passes emit n (measured
+      // +25% wall at sf0.1, TimeQuery min-of-4 both orders) — so the
+      // SHAPE itself is gated, the q21Core two-forms pattern;
+      // TextAnalysisSpec pins the forms' row equality.
+      val (uni, bi) =
+        if (graft.PlanShare.crossesGate(docs)) {
+          val counts = graft.PlanShare.shared(docs
+            .select(explode(concat(
+              transform(ws, w =>
+                struct(w.as("w1"), lit(null).cast("string").as("w2"))),
+              zip_with(
+                slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+                slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+                (a, b) => struct(a.as("w1"), b.as("w2"))))).as("p"))
+            .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+            .agg(count(lit(1)).as("n")))
+          (counts.filter(col("w2").isNull).select(col("w1").as("w"), col("n")),
+            counts.filter(col("w2").isNotNull)
+              .select(col("w1"), col("w2"), col("n").as("n_ab")))
+        } else {
+          (docs.select(explode(ws).as("w"))
+            .groupBy(col("w")).agg(count(lit(1)).as("n")),
+            docs.select(explode(zip_with(
+              slice(ws, lit(1), greatest(size(ws) - 1, lit(0))),
+              slice(ws, lit(2), greatest(size(ws) - 1, lit(0))),
+              (a, b) => struct(a.as("w1"), b.as("w2")))).as("p"))
+              .groupBy(col("p.w1").as("w1"), col("p.w2").as("w2"))
+              .agg(count(lit(1)).as("n_ab")))
+        }
       bi
         .join(uni.select(col("w").as("w1"), col("n").as("n_w1")), "w1")
         .join(uni.select(col("w").as("w2"), col("n").as("n_w2")), "w2")
